@@ -1,0 +1,62 @@
+"""Table catalog: schema-normalized access to the engine's tables.
+
+The reference delegates schema ownership to the Hive metastore and is itself
+schema-agnostic (SURVEY.md §1.2). Here the catalog is a thin layer over
+parquet directories: one table per file/dir, explicit normalization at the
+ingest edge only (ns-timestamp → microsecond TimestampType), everything else
+flows through Catalyst untouched so predicate pushdown / column pruning hit
+the parquet scan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .session import ensure_engine_confs
+
+#: Tables provided by the test fixtures (TESTDATA.md / FIXTURES.md).
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+#: Columns stored as parquet TIMESTAMP(NANOS); Spark reads them as long
+#: (nanosAsLong) and we convert to microsecond TimestampType here, matching
+#: DuckDB's CAST(ts_ns AS TIMESTAMP) truncation semantics exactly.
+_NANOS_TS_COLUMNS: dict[str, tuple[str, ...]] = {
+    "events": ("ts",),
+}
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one fixture table with normalized schema.
+
+    Normalization happens at the ingest edge only: downstream operators see
+    proper TimestampType and can rely on Catalyst pushing filters into the
+    parquet scan (the ns->us conversion is a projection, so pruning of other
+    columns still reaches the reader).
+    """
+    ensure_engine_confs(spark)
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    for col in _NANOS_TS_COLUMNS.get(name, ()):
+        if dict(df.dtypes).get(col) == "bigint":
+            # integer DIV, not `/`: ns-since-epoch (~1.7e18) exceeds double's
+            # 2^53 integer range, so float division would round the microsecond
+            df = df.withColumn(
+                col, F.timestamp_micros(F.expr(f"`{col}` DIV 1000"))
+            )
+    return df
+
+
+def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    """Load every fixture table (lazy plans; nothing is materialized)."""
+    return {name: load_table(spark, sf_dir, name) for name in TABLES}

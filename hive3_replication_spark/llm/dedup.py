@@ -1,0 +1,345 @@
+"""Deduplication operators (SURVEY.md §2.11 L1/L2 + training-data
+extensions): exact, MinHash+LSH, SimHash, n-gram Jaccard, embedding-cosine.
+
+Scale design, common to all near-dup variants: never enumerate the O(n²)
+pair space. Candidates come from *blocking* — shared shingle, LSH band
+bucket, simhash band, or embedding label block — so the join fans out only
+within buckets. At 100 TB the bucket key is also the shuffle key, and bucket
+skew (a stop-shingle shared by millions of docs) is handled by dropping
+buckets above a frequency cap before pairing (standard practice; the cap is
+a parameter below).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+
+#: Drop blocking buckets larger than this before pairing (skew guard).
+MAX_BUCKET = 1000
+
+#: MinHash parameters: k permutations in b bands of r rows (k = b*r).
+MINHASH_PERMS = 32
+MINHASH_BANDS = 8
+# Mersenne prime 2^31-1: keeps (h % p) * a + b < 2^62, inside long range
+# even with ANSI overflow checking on.
+_MERSENNE = (1 << 31) - 1
+# Deterministic permutation coefficients (fixed seed — reproducible runs).
+_PERM_A = [
+    ((2 * k + 1) * 0x9E3779B9 % _MERSENNE) or 1 for k in range(MINHASH_PERMS)
+]
+_PERM_B = [(k + 1) * 0xC2B2AE3D % _MERSENNE for k in range(MINHASH_PERMS)]
+
+
+def _shingles(documents: DataFrame, n: int = 3) -> DataFrame:
+    """(doc_id, shingle) distinct word n-grams via posexplode + lead —
+    narrow ops plus one per-doc window (partitioned by doc_id, so it
+    distributes)."""
+    toks = documents.select(
+        "doc_id", F.posexplode(F.split(F.col("text"), " ")).alias("pos", "tok")
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    sh = toks.select(
+        "doc_id",
+        F.concat_ws(
+            " ",
+            F.col("tok"),
+            *[F.lead("tok", i).over(w) for i in range(1, n)],
+        ).alias("shingle"),
+        *[F.lead("tok", i).over(w).alias(f"_t{i}") for i in range(1, n)],
+    )
+    complete = sh.filter(
+        F.lit(True) & F.expr(" AND ".join(f"_t{i} IS NOT NULL" for i in range(1, n)))
+    )
+    return complete.select("doc_id", "shingle").distinct()
+
+
+def llm_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L1 — exact dedup: hash-groupBy on content, keep the smallest doc_id
+    as canonical. One shuffle on the content hash; at 100 TB group on
+    xxhash64(text) instead of raw text to keep shuffle rows narrow (here the
+    output groups by text directly so the oracle can verify values)."""
+    documents = load_table(spark, sf_dir, "documents")
+    return (
+        documents.groupBy("text")
+        .agg(
+            F.min("doc_id").alias("canonical_doc_id"),
+            F.count("*").alias("n_copies"),
+        )
+        .select("canonical_doc_id", "n_copies")
+    )
+
+
+def llm_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram Jaccard near-dup: blocking join on shared 3-shingles,
+    then exact |A∩B| / |A∪B| from intersection counts — no approximation,
+    so it has a full SQL oracle. The pair space is only docs sharing ≥1
+    shingle; the skew guard drops degenerate stop-shingle buckets."""
+    documents = load_table(spark, sf_dir, "documents")
+    sh = _shingles(documents)
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    freq = sh.groupBy("shingle").agg(F.count("*").alias("df"))
+    sh_f = sh.join(
+        F.broadcast(freq.filter(F.col("df") <= MAX_BUCKET)), "shingle"
+    )
+    a = sh_f.select(F.col("doc_id").alias("doc_a"), "shingle")
+    b = sh_f.select(F.col("doc_id").alias("doc_b"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("inter"))
+    )
+    sz_a = sizes.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("sz_a"))
+    sz_b = sizes.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("sz_b"))
+    jac = F.col("inter").cast("double") / (
+        F.col("sz_a") + F.col("sz_b") - F.col("inter")
+    ).cast("double")
+    return (
+        inter.join(F.broadcast(sz_a), "doc_a")
+        .join(F.broadcast(sz_b), "doc_b")
+        .withColumn("jaccard", jac)
+        .filter(F.col("jaccard") >= 0.08)
+        .select("doc_a", "doc_b", "inter", "jaccard")
+    )
+
+
+def llm_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L2 — MinHash + LSH near-dup (the 100 TB path; no SQL oracle — the
+    signature depends on Spark's xxhash64, rows-only check + property tests).
+
+    shingle → xxhash64 → k=32 universal-hash permutations → per-doc min per
+    permutation → 8 bands of 4 → band-bucket join for candidates → estimated
+    Jaccard = fraction of matching signature components. Shuffles: one per
+    groupBy (signature build) + one band join; every stage is key-partitioned.
+    """
+    documents = load_table(spark, sf_dir, "documents")
+    sh = _shingles(documents)
+    h = sh.select(
+        "doc_id", (F.abs(F.xxhash64("shingle")) % _MERSENNE).alias("h")
+    )
+    perm_cols = [
+        F.min((F.col("h") * _PERM_A[k] + _PERM_B[k]) % _MERSENNE).alias(f"mh{k}")
+        for k in range(MINHASH_PERMS)
+    ]
+    sig = h.groupBy("doc_id").agg(*perm_cols)
+    r = MINHASH_PERMS // MINHASH_BANDS
+    bands = []
+    for bidx in range(MINHASH_BANDS):
+        cols = [f"mh{k}" for k in range(bidx * r, (bidx + 1) * r)]
+        bands.append(
+            sig.select(
+                "doc_id",
+                F.lit(bidx).alias("band"),
+                F.xxhash64(*[F.col(c) for c in cols]).alias("bucket"),
+            )
+        )
+    banded = bands[0]
+    for extra in bands[1:]:
+        banded = banded.unionByName(extra)
+    cand = (
+        banded.alias("x")
+        .join(banded.alias("y"), ["band", "bucket"])
+        .filter(F.col("x.doc_id") < F.col("y.doc_id"))
+        .select(
+            F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+    sig_a = sig.select(
+        F.col("doc_id").alias("doc_a"),
+        *[F.col(f"mh{k}").alias(f"a{k}") for k in range(MINHASH_PERMS)],
+    )
+    sig_b = sig.select(
+        F.col("doc_id").alias("doc_b"),
+        *[F.col(f"mh{k}").alias(f"b{k}") for k in range(MINHASH_PERMS)],
+    )
+    matches = sum(
+        F.when(F.col(f"a{k}") == F.col(f"b{k}"), 1).otherwise(0)
+        for k in range(MINHASH_PERMS)
+    )
+    return (
+        cand.join(sig_a, "doc_a")
+        .join(sig_b, "doc_b")
+        .withColumn("est_jaccard", matches / F.lit(float(MINHASH_PERMS)))
+        .filter(F.col("est_jaccard") >= 0.25)
+        .select("doc_a", "doc_b", "est_jaccard")
+    )
+
+
+def llm_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup (rows-only): 32-bit simhash from token hashes —
+    bit-majority over xxhash64(token) weighted by term frequency — candidates
+    from matching 8-bit bands (Hamming-distance blocking)."""
+    documents = load_table(spark, sf_dir, "documents")
+    toks = documents.select(
+        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("tok")
+    )
+    tf = toks.groupBy("doc_id", "tok").agg(F.count("*").alias("w"))
+    th = tf.withColumn("h", F.xxhash64("tok"))
+    bit_sums = [
+        F.sum(
+            F.when(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1, F.col("w"))
+            .otherwise(-F.col("w"))
+        ).alias(f"s{b}")
+        for b in range(32)
+    ]
+    agg = th.groupBy("doc_id").agg(*bit_sums)
+    sim = agg.select(
+        "doc_id",
+        sum(
+            F.when(F.col(f"s{b}") > 0, F.lit(1 << b)).otherwise(F.lit(0))
+            for b in range(32)
+        ).alias("simhash"),
+    )
+    bands = None
+    for bidx in range(4):
+        piece = sim.select(
+            "doc_id",
+            F.lit(bidx).alias("band"),
+            F.shiftright(F.col("simhash"), bidx * 8).bitwiseAND(F.lit(0xFF)).alias(
+                "bucket"
+            ),
+            "simhash",
+        )
+        bands = piece if bands is None else bands.unionByName(piece)
+    cand = (
+        bands.alias("x")
+        .join(bands.alias("y"), ["band", "bucket"])
+        .filter(F.col("x.doc_id") < F.col("y.doc_id"))
+        .select(
+            F.col("x.doc_id").alias("doc_a"),
+            F.col("y.doc_id").alias("doc_b"),
+            F.col("x.simhash").alias("sh_a"),
+            F.col("y.simhash").alias("sh_b"),
+        )
+        .distinct()
+    )
+    ham = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    return (
+        cand.withColumn("hamming", ham)
+        .filter(F.col("hamming") <= 6)
+        .select("doc_a", "doc_b", "hamming")
+    )
+
+
+def llm_dedup_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup: block on the cluster label (at scale: an
+    ANN partition / coarse quantizer cell), exact cosine within blocks.
+
+    Dot products fold the arrays in index order (F.aggregate is a sequential
+    fold), so scores are bit-deterministic and SQL-verifiable.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    withn = emb.select(
+        "vec_id",
+        "label",
+        "embedding",
+        F.sqrt(
+            F.aggregate(
+                F.transform(
+                    F.col("embedding"), lambda x: x.cast("double") * x.cast("double")
+                ),
+                F.lit(0.0),
+                lambda a, x: a + x,
+            )
+        ).alias("norm"),
+    )
+    a = withn.select(
+        F.col("vec_id").alias("vec_a"),
+        "label",
+        F.col("embedding").alias("ea"),
+        F.col("norm").alias("na"),
+    )
+    b = withn.select(
+        F.col("vec_id").alias("vec_b"),
+        "label",
+        F.col("embedding").alias("eb"),
+        F.col("norm").alias("nb"),
+    )
+    dot = F.aggregate(
+        F.zip_with(
+            F.col("ea"), F.col("eb"), lambda x, y: x.cast("double") * y.cast("double")
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return (
+        a.join(b, "label")
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .withColumn("cosine", dot / (F.col("na") * F.col("nb")))
+        .filter(F.col("cosine") >= 0.85)
+        .select("vec_a", "vec_b", "label", F.round("cosine", 6).alias("cosine_r"))
+    )
+
+
+ORACLES: dict[str, str] = {
+    "llm_dedup_exact": """
+        SELECT MIN(doc_id) AS canonical_doc_id, COUNT(*) AS n_copies
+        FROM documents GROUP BY text
+    """,
+    "llm_dedup_ngram": """
+        WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        tok AS (
+            SELECT doc_id, unnest(toks) AS tok,
+                   generate_subscripts(toks, 1) AS pos
+            FROM t
+        ),
+        sh3 AS (
+            SELECT DISTINCT doc_id,
+                   tok || ' ' || LEAD(tok, 1) OVER w || ' ' || LEAD(tok, 2) OVER w
+                       AS shingle
+            FROM tok
+            WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+        ),
+        sh AS (SELECT doc_id, shingle FROM sh3 WHERE shingle IS NOT NULL),
+        sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+        freq AS (SELECT shingle FROM sh GROUP BY shingle HAVING COUNT(*) <= 1000),
+        shf AS (SELECT sh.doc_id, sh.shingle FROM sh JOIN freq USING (shingle)),
+        inter AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
+            FROM shf a JOIN shf b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+            GROUP BY a.doc_id, b.doc_id
+        )
+        SELECT doc_a, doc_b, inter,
+               CAST(inter AS DOUBLE) / CAST(sa.sz + sb.sz - inter AS DOUBLE)
+                   AS jaccard
+        FROM inter
+        JOIN sizes sa ON sa.doc_id = doc_a
+        JOIN sizes sb ON sb.doc_id = doc_b
+        WHERE CAST(inter AS DOUBLE) / CAST(sa.sz + sb.sz - inter AS DOUBLE) >= 0.08
+    """,
+    # llm_dedup_minhash / llm_dedup_simhash: rows-only (signatures depend on
+    # Spark's xxhash64; verified by property tests instead).
+    "llm_dedup_embed": """
+        WITH n AS (
+            SELECT vec_id, label, embedding,
+                   sqrt(list_aggregate(
+                       list_transform(embedding,
+                                      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
+                       'sum')) AS norm
+            FROM embeddings
+        ),
+        pairs AS (
+            SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.label,
+                   list_aggregate(
+                       list_transform(range(1, len(a.embedding) + 1),
+                           i -> CAST(a.embedding[i] AS DOUBLE)
+                              * CAST(b.embedding[i] AS DOUBLE)),
+                       'sum') / (a.norm * b.norm) AS cosine
+            FROM n a JOIN n b ON a.label = b.label AND a.vec_id < b.vec_id
+        )
+        SELECT vec_a, vec_b, label, ROUND(cosine, 6) AS cosine_r
+        FROM pairs WHERE cosine >= 0.85
+    """,
+}
+
+QUERY_FNS = {
+    "llm_dedup_exact": llm_dedup_exact,
+    "llm_dedup_ngram": llm_dedup_ngram,
+    "llm_dedup_minhash": llm_dedup_minhash,
+    "llm_dedup_simhash": llm_dedup_simhash,
+    "llm_dedup_embed": llm_dedup_embed,
+}

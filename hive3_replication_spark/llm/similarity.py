@@ -1,0 +1,169 @@
+"""Similarity search over embedding columns (SURVEY.md §2.11 L3 + ANN
+extension).
+
+Scale rules (SURVEY.md §7 risk 5): broadcast the query vector(s), never the
+corpus; top-k via orderBy+limit (TakeOrderedAndProject — per-partition heaps,
+O(k) driver memory); the IVF variant prunes the corpus to the nearest coarse
+cells before scoring so the exact scorer touches ~n/cells vectors.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+
+
+def _dot(a: F.Column, b: F.Column) -> F.Column:
+    """Index-ordered fold — bit-deterministic, JVM codegen, no UDF."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _norm(a: F.Column) -> F.Column:
+    return F.sqrt(
+        F.aggregate(
+            F.transform(a, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+
+
+def llm_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L3 — brute-force cosine top-k: the exact baseline every ANN variant
+    is measured against. The query vector is a 1-row broadcast; scoring is a
+    narrow map over the corpus; top-k collapses to TakeOrderedAndProject."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    query = emb.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("q_emb")
+    )
+    scored = emb.join(F.broadcast(query)).select(
+        "vec_id",
+        (
+            _dot(F.col("embedding"), F.col("q_emb"))
+            / (_norm(F.col("embedding")) * _norm(F.col("q_emb")))
+        ).alias("cosine"),
+    )
+    return (
+        scored.filter(F.col("vec_id") != 0)
+        .orderBy(F.desc("cosine"), F.asc("vec_id"))
+        .limit(10)
+        .select("vec_id", F.round("cosine", 6).alias("cosine_r"))
+    )
+
+
+def llm_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN via IVF-style coarse quantization (rows-only check: centroid
+    averages are float-order dependent).
+
+    Coarse cells = the label clusters; centroids = element-wise means
+    (computed distributed via posexplode + groupBy, never collected); the
+    query probes its 2 nearest centroids and exact-scores only those cells —
+    at 100 TB with c cells and p probes the scorer reads p/c of the corpus,
+    and the centroid table (c × dim) is a broadcast dim.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    # element-wise centroid per label, rebuilt as an ordered array
+    comps = emb.select(
+        "label", F.posexplode(F.col("embedding")).alias("i", "x")
+    )
+    cent = (
+        comps.groupBy("label", "i")
+        .agg(F.avg(F.col("x").cast("double")).alias("c"))
+        .groupBy("label")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("i"), F.col("c")))
+            ).alias("pairs")
+        )
+        .select(
+            "label",
+            F.transform(F.col("pairs"), lambda p: p.getField("c")).alias(
+                "centroid"
+            ),
+        )
+    )
+    query = emb.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("q_emb")
+    )
+    probe = (
+        cent.join(F.broadcast(query))
+        .select(
+            "label",
+            (
+                _dot_d(F.col("centroid"), F.col("q_emb"))
+                / (_norm_d(F.col("centroid")) * _norm(F.col("q_emb")))
+            ).alias("c_sim"),
+        )
+        .orderBy(F.desc("c_sim"))
+        .limit(2)
+        .select("label")
+    )
+    pruned = emb.join(F.broadcast(probe), "label")
+    scored = pruned.join(F.broadcast(query)).select(
+        "vec_id",
+        "label",
+        (
+            _dot(F.col("embedding"), F.col("q_emb"))
+            / (_norm(F.col("embedding")) * _norm(F.col("q_emb")))
+        ).alias("cosine"),
+    )
+    return (
+        scored.filter(F.col("vec_id") != 0)
+        .orderBy(F.desc("cosine"), F.asc("vec_id"))
+        .limit(10)
+        .select("vec_id", "label", F.round("cosine", 6).alias("cosine_r"))
+    )
+
+
+def _dot_d(a: F.Column, b: F.Column) -> F.Column:
+    """Dot where ``a`` is already double[] (centroids)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _norm_d(a: F.Column) -> F.Column:
+    return F.sqrt(
+        F.aggregate(
+            F.transform(a, lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x
+        )
+    )
+
+
+ORACLES: dict[str, str] = {
+    "llm_similarity_topk": """
+        WITH q AS (SELECT embedding AS q_emb FROM embeddings WHERE vec_id = 0),
+        scored AS (
+            SELECT vec_id,
+                   list_aggregate(
+                       list_transform(range(1, len(embedding) + 1),
+                           i -> CAST(embedding[i] AS DOUBLE)
+                              * CAST(q_emb[i] AS DOUBLE)),
+                       'sum')
+                   / (sqrt(list_aggregate(list_transform(embedding,
+                           x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'))
+                      * sqrt(list_aggregate(list_transform(q_emb,
+                           x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum')))
+                       AS cosine
+            FROM embeddings, q
+        )
+        SELECT vec_id, ROUND(cosine, 6) AS cosine_r
+        FROM scored WHERE vec_id <> 0
+        ORDER BY cosine DESC, vec_id ASC LIMIT 10
+    """,
+    # llm_ann_ivf: rows-only (float centroid means are reduction-order
+    # dependent; recall vs the exact top-k is asserted in tests instead).
+}
+
+QUERY_FNS = {
+    "llm_similarity_topk": llm_similarity_topk,
+    "llm_ann_ivf": llm_ann_ivf,
+}

@@ -1,0 +1,193 @@
+"""Text analysis over the documents corpus (SURVEY.md §2.11 L4/L5 plus the
+training-data extensions: language-ID, quality scoring, token counting,
+document fingerprinting).
+
+All hot-path logic is built-in expressions (split/explode/length/replace) —
+JVM-side, codegen'd, shuffle only where a groupBy demands it. At 100 TB the
+token explode is the expensive step: it is a narrow map (no shuffle) and the
+downstream counts are partial-aggregated before exchange.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+
+#: 31^k for k in 0..7 — polynomial weights for the rolling fingerprint.
+_POLY31 = [31**k for k in range(8)]
+_FP_MOD = 1_000_000_007
+
+
+def llm_text_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L4 — token counting: global top-20 tokens by frequency.
+
+    explode is a narrow transformation; the count partial-aggregates
+    map-side, so the exchange carries |vocab| rows, not |tokens|. Top-k via
+    TakeOrderedAndProject (O(k) memory).
+    """
+    documents = load_table(spark, sf_dir, "documents")
+    return (
+        documents.select(
+            F.explode(F.split(F.col("text"), " ")).alias("token")
+        )
+        .groupBy("token")
+        .agg(F.count("*").alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("token"))
+        .limit(20)
+    )
+
+
+def llm_text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L5 — corpus profiling per (lang, source): doc counts and char-length
+    stats — the dataset-card aggregation for a training corpus."""
+    documents = load_table(spark, sf_dir, "documents")
+    return documents.groupBy("lang", "source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").alias("sum_chars"),
+        (F.sum("n_chars").cast("double") / F.count("*")).alias("avg_chars"),
+    )
+
+
+def _occurrences(col: F.Column, marker: str) -> F.Column:
+    """Count non-overlapping occurrences of ``marker`` via length arithmetic
+    (pure codegen, no regex engine in the loop)."""
+    return (
+        (F.length(col) - F.length(F.regexp_replace(col, marker, "")))
+        / F.lit(len(marker))
+    ).cast("bigint")
+
+
+def llm_text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID heuristic: marker-token frequencies + argmax ladder.
+
+    On the synthetic fixture corpus (shared vocabulary across the ``lang``
+    labels) this demonstrates the *mechanism* — deterministic n-gram/marker
+    scoring entirely in codegen'd expressions; a production model would swap
+    in real per-language marker tables (broadcast dim join) with the same
+    plan shape.
+    """
+    documents = load_table(spark, sf_dir, "documents")
+    n_the = _occurrences(F.col("text"), "the")
+    n_data = _occurrences(F.col("text"), "data")
+    n_spark = _occurrences(F.col("text"), "spark")
+    pred = (
+        F.when((n_the >= n_data) & (n_the >= n_spark), "en")
+        .when(n_data >= n_spark, "de")
+        .otherwise("zh")
+    )
+    return documents.select(
+        "doc_id",
+        n_the.alias("n_the"),
+        n_data.alias("n_data"),
+        n_spark.alias("n_spark"),
+        pred.alias("pred_lang"),
+    )
+
+
+def llm_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality scoring: length / token-count / word-shape ratios combined
+    into a [0,1] score — the standard cheap pre-filter before expensive
+    dedup/classify stages in a training-data pipeline."""
+    documents = load_table(spark, sf_dir, "documents")
+    n_spaces = F.length("text") - F.length(F.regexp_replace(F.col("text"), " ", ""))
+    n_tokens = (n_spaces + 1).cast("double")
+    avg_word_len = (F.length("text") - n_spaces).cast("double") / n_tokens
+    score = (
+        F.least(F.lit(1.0), F.col("n_chars") / 500.0) * 0.5
+        + F.least(F.lit(1.0), n_tokens / 80.0) * 0.3
+        + F.least(F.lit(1.0), avg_word_len / 8.0) * 0.2
+    )
+    return documents.select(
+        "doc_id",
+        n_tokens.cast("bigint").alias("n_tokens"),
+        score.alias("quality_score"),
+    )
+
+
+def llm_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprinting: position-weighted polynomial hash over
+    tokens, mod a large prime — an order-sensitive signature (unlike a bag
+    hash) computable as explode → weighted sum, all integer math, exact and
+    engine-portable."""
+    documents = load_table(spark, sf_dir, "documents")
+    toks = documents.select(
+        "doc_id", F.posexplode(F.split(F.col("text"), " ")).alias("pos", "tok")
+    )
+    weights = F.array(*[F.lit(w) for w in _POLY31])
+    term = F.length("tok").cast("bigint") * F.element_at(
+        weights, (F.col("pos") % 8 + 1).cast("int")
+    )
+    return (
+        toks.groupBy("doc_id")
+        .agg((F.sum(term) % _FP_MOD).alias("fingerprint"))
+    )
+
+
+ORACLES: dict[str, str] = {
+    "llm_text_tokens": """
+        SELECT token, COUNT(*) AS cnt
+        FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+        GROUP BY token ORDER BY cnt DESC, token ASC LIMIT 20
+    """,
+    "llm_text_profile": """
+        SELECT lang, source, COUNT(*) AS n_docs,
+               CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+               CAST(SUM(n_chars) AS DOUBLE) / COUNT(*) AS avg_chars
+        FROM documents GROUP BY lang, source
+    """,
+    "llm_text_langid": """
+        WITH c AS (
+            SELECT doc_id,
+                   CAST((LENGTH(text) - LENGTH(REPLACE(text, 'the', ''))) / 3 AS BIGINT) AS n_the,
+                   CAST((LENGTH(text) - LENGTH(REPLACE(text, 'data', ''))) / 4 AS BIGINT) AS n_data,
+                   CAST((LENGTH(text) - LENGTH(REPLACE(text, 'spark', ''))) / 5 AS BIGINT) AS n_spark
+            FROM documents
+        )
+        SELECT doc_id, n_the, n_data, n_spark,
+               CASE WHEN n_the >= n_data AND n_the >= n_spark THEN 'en'
+                    WHEN n_data >= n_spark THEN 'de'
+                    ELSE 'zh' END AS pred_lang
+        FROM c
+    """,
+    "llm_text_quality": """
+        WITH c AS (
+            SELECT doc_id, n_chars,
+                   LENGTH(text) - LENGTH(REPLACE(text, ' ', '')) AS n_spaces,
+                   LENGTH(text) AS n_len
+            FROM documents
+        )
+        SELECT doc_id,
+               CAST(CAST(n_spaces + 1 AS DOUBLE) AS BIGINT) AS n_tokens,
+               LEAST(1.0, n_chars / 500.0) * 0.5
+                 + LEAST(1.0, CAST(n_spaces + 1 AS DOUBLE) / 80.0) * 0.3
+                 + LEAST(1.0, (CAST(n_len - n_spaces AS DOUBLE)
+                               / CAST(n_spaces + 1 AS DOUBLE)) / 8.0) * 0.2
+                   AS quality_score
+        FROM c
+    """,
+    "llm_text_fingerprint": """
+        WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        tok AS (
+            SELECT doc_id, unnest(toks) AS tok,
+                   generate_subscripts(toks, 1) - 1 AS pos
+            FROM t
+        )
+        SELECT doc_id,
+               CAST(SUM(LENGTH(tok) * CASE pos % 8
+                    WHEN 0 THEN 1 WHEN 1 THEN 31 WHEN 2 THEN 961
+                    WHEN 3 THEN 29791 WHEN 4 THEN 923521 WHEN 5 THEN 28629151
+                    WHEN 6 THEN 887503681 WHEN 7 THEN 27512614111 END)
+                    % 1000000007 AS BIGINT) AS fingerprint
+        FROM tok GROUP BY doc_id
+    """,
+}
+
+QUERY_FNS = {
+    "llm_text_tokens": llm_text_tokens,
+    "llm_text_profile": llm_text_profile,
+    "llm_text_langid": llm_text_langid,
+    "llm_text_quality": llm_text_quality,
+    "llm_text_fingerprint": llm_text_fingerprint,
+}

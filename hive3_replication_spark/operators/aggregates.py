@@ -1,0 +1,163 @@
+"""Aggregations (SURVEY.md §2.4, A1-A9).
+
+The reference's aggregates are scalar extractions over tiny resultsets (max
+watermark via ``repl status``, pending-txn counts, run duration arithmetic).
+The engine generalizes them to distributed grouped aggregation.
+
+Float determinism policy (applies engine-wide, see tests/test_oracle_parity):
+sums of doubles are order-dependent, so any summed measure is cast to
+DECIMAL(18,4) first (exact, associative, overflow-safe to ~1e14 rows of 1e4
+values) and the final result cast back to double. This also makes results
+bit-identical across partition counts — i.e. across cluster sizes — which is
+exactly what a 100 TB deployment needs for reproducible pipelines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+
+
+def _dec_sum(col: str) -> F.Column:
+    return F.sum(F.col(col).cast("decimal(18,4)")).cast("double")
+
+
+def agg_max_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1 — current source watermark = max event id (`repl status`,
+    ``HQL/replstatus.hql:4``; parsed at ``beeline_functions.sh:24``).
+    Partial max per partition then one-row final merge — no full shuffle."""
+    events = load_table(spark, sf_dir, "events")
+    return events.agg(F.max("event_id").alias("last_repl_id"))
+
+
+def agg_pending_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2 — "There are N transactions to be synced in this run"
+    (``README.md:72,86``; display-bug fix ``TODO.md:3``): count of events
+    above the watermark."""
+    events = load_table(spark, sf_dir, "events")
+    wm = events.agg((F.max("event_id") - F.lit(300)).alias("wm"))
+    return (
+        events.join(F.broadcast(wm))
+        .filter(F.col("event_id") > F.col("wm"))
+        .agg(F.count("*").alias("pending_txns"))
+    )
+
+
+def agg_groupby(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3 — grouped rollup per key (multi-db deployments group per db,
+    ``env.sh:14``): count / exact sum / avg / event-time min+max."""
+    events = load_table(spark, sf_dir, "events")
+    return events.groupBy("event_type").agg(
+        F.count("*").alias("n_events"),
+        _dec_sum("value").alias("sum_value"),
+        (_dec_sum("value") / F.count("*")).alias("avg_value"),
+        F.min("ts").alias("first_ts"),
+        F.max("ts").alias("last_ts"),
+    )
+
+
+def agg_duration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4 — run duration as minutes+seconds (``SECONDS`` arithmetic,
+    ``misc_functions.sh:101-102``: ``/60`` and ``%60``)."""
+    events = load_table(spark, sf_dir, "events")
+    dur = F.unix_timestamp(F.max("ts")) - F.unix_timestamp(F.min("ts"))
+    return events.groupBy("event_type").agg(
+        F.floor(dur / 60).alias("dur_min"),
+        (dur % 60).alias("dur_sec"),
+    )
+
+
+def agg_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5 — exact distinct counts (cross-cluster row verification,
+    ``ManualSteps.md:25``). Expands to two-phase distinct aggregation."""
+    events = load_table(spark, sf_dir, "events")
+    return events.agg(
+        F.countDistinct("user_id").alias("n_users"),
+        F.countDistinct("event_type").alias("n_types"),
+    )
+
+
+def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A6 — HyperLogLog++ approximate distinct: the 100 TB form of A5 (a
+    fixed-size sketch per partition instead of a distinct shuffle). No SQL
+    oracle — sketch estimates are engine-specific; the driver records a
+    rows-only check and tests assert the estimate is within rsd of exact."""
+    events = load_table(spark, sf_dir, "events")
+    return events.agg(
+        F.approx_count_distinct("user_id", 0.02).alias("n_users_approx")
+    )
+
+
+def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A7 — multi-level rollup (db × table × run status rollups generalized):
+    ROLLUP(event_type, user bucket)."""
+    events = load_table(spark, sf_dir, "events")
+    bucketed = events.withColumn("user_bucket", F.col("user_id") % 10)
+    return bucketed.rollup("event_type", "user_bucket").agg(
+        F.count("*").alias("n_events")
+    )
+
+
+def agg_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A9 — filtered/conditional aggregation: error-vs-info line counts
+    (``hive3repl.sh:132`` grep + count semantics) as a single pass."""
+    events = load_table(spark, sf_dir, "events")
+    return events.groupBy("event_type").agg(
+        F.sum(F.when(F.col("value") > 100, 1).otherwise(0)).alias("n_hi"),
+        F.sum(F.when(F.col("value") <= 100, 1).otherwise(0)).alias("n_lo"),
+    )
+
+
+ORACLES: dict[str, str] = {
+    "agg_max_watermark": "SELECT MAX(event_id) AS last_repl_id FROM events",
+    "agg_pending_count": """
+        SELECT COUNT(*) AS pending_txns FROM events
+        WHERE event_id > (SELECT MAX(event_id) - 300 FROM events)
+    """,
+    "agg_groupby": """
+        SELECT event_type,
+               COUNT(*) AS n_events,
+               CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value,
+               CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*) AS avg_value,
+               MIN(CAST(ts AS TIMESTAMP)) AS first_ts,
+               MAX(CAST(ts AS TIMESTAMP)) AS last_ts
+        FROM events GROUP BY event_type
+    """,
+    "agg_duration": """
+        SELECT event_type,
+               CAST(FLOOR((epoch(date_trunc('second', MAX(CAST(ts AS TIMESTAMP))))
+                         - epoch(date_trunc('second', MIN(CAST(ts AS TIMESTAMP))))) / 60) AS BIGINT) AS dur_min,
+               CAST((epoch(date_trunc('second', MAX(CAST(ts AS TIMESTAMP))))
+                   - epoch(date_trunc('second', MIN(CAST(ts AS TIMESTAMP))))) % 60 AS BIGINT) AS dur_sec
+        FROM events GROUP BY event_type
+    """,
+    "agg_distinct": """
+        SELECT COUNT(DISTINCT user_id) AS n_users,
+               COUNT(DISTINCT event_type) AS n_types
+        FROM events
+    """,
+    "agg_rollup": """
+        SELECT event_type, user_bucket, COUNT(*) AS n_events
+        FROM (SELECT event_type, user_id % 10 AS user_bucket FROM events)
+        GROUP BY ROLLUP (event_type, user_bucket)
+    """,
+    "agg_conditional": """
+        SELECT event_type,
+               CAST(SUM(CASE WHEN value > 100 THEN 1 ELSE 0 END) AS BIGINT) AS n_hi,
+               CAST(SUM(CASE WHEN value <= 100 THEN 1 ELSE 0 END) AS BIGINT) AS n_lo
+        FROM events GROUP BY event_type
+    """,
+}
+
+QUERY_FNS = {
+    "agg_max_watermark": agg_max_watermark,
+    "agg_pending_count": agg_pending_count,
+    "agg_groupby": agg_groupby,
+    "agg_duration": agg_duration,
+    "agg_distinct": agg_distinct,
+    "agg_approx_distinct": agg_approx_distinct,
+    "agg_rollup": agg_rollup,
+    "agg_conditional": agg_conditional,
+}

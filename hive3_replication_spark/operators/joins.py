@@ -1,0 +1,345 @@
+"""Joins (SURVEY.md §2.3, J1-J9).
+
+The reference's only "join" is a row-at-a-time comparison of two scalar
+watermarks in bash (``hive3repl.sh:106-120,155-169``); the engine generalizes
+to full join-type coverage because verification, event replay, and the LLM
+ops all join.
+
+Scale strategy per join:
+- dim × fact → explicit ``broadcast()`` of the dim (no shuffle of the fact);
+- fact × fact → shuffle hash/sort-merge on the key, with AQE switching
+  strategy and splitting skewed partitions at runtime;
+- as-of → union + partitioned window carry-forward (one shuffle on the key,
+  no non-equi blowup — the standard scalable as-of pattern);
+- theta → pre-aggregate both sides to interval summaries first, so the
+  quadratic non-equi join runs on ~|keys×classes| rows, not raw events.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+
+
+def _dbized_events(events: DataFrame) -> DataFrame:
+    """Model a multi-database deployment (DBLIST, ``env.sh:14``) by hashing
+    events into 4 logical databases."""
+    return events.withColumn(
+        "db_name", F.concat(F.lit("db"), (F.col("user_id") % 4).cast("string"))
+    )
+
+
+def join_watermark_compare(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1 — the reference's core verification: per-db source watermark vs
+    target watermark, classified equal/behind/ahead (``hive3repl.sh:106-120``).
+
+    Source = max event id per db; target = max event id at a stale cut
+    (simulating a target that has applied only part of the stream). Both are
+    partial-aggregated map-side then joined — at scale this is a tiny
+    aggregate × tiny aggregate join regardless of event volume.
+    """
+    events = _dbized_events(load_table(spark, sf_dir, "events"))
+    cut = events.agg((F.max("event_id") - F.lit(200)).alias("cut"))
+    src = events.groupBy("db_name").agg(F.max("event_id").alias("src_wm"))
+    tgt = (
+        events.join(F.broadcast(cut))
+        .filter(F.col("event_id") <= F.col("cut"))
+        .groupBy("db_name")
+        .agg(F.max("event_id").alias("tgt_wm"))
+    )
+    status = (
+        F.when(F.col("tgt_wm").isNull(), F.lit("bootstrap_required"))
+        .when(F.col("tgt_wm") == F.col("src_wm"), F.lit("in_sync"))
+        .when(F.col("tgt_wm") < F.col("src_wm"), F.lit("behind"))
+        .otherwise(F.lit("ahead"))
+    )
+    return (
+        src.join(tgt, "db_name", "left")
+        .select("db_name", "src_wm", "tgt_wm", status.alias("status"))
+    )
+
+
+def join_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J2 — broadcast hash join: small dims (supplier, nation) against the
+    lineitem fact. ``broadcast()`` pins BroadcastHashJoin so the fact table
+    is never shuffled — the pattern for every dim join at 100 TB."""
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    supplier = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    return (
+        lineitem.join(F.broadcast(supplier), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(
+            F.count("*").alias("n_items"),
+            F.sum(F.col("l_extendedprice").cast("decimal(18,4)"))
+            .cast("double")
+            .alias("revenue"),
+        )
+    )
+
+
+def join_sortmerge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J3 — large × large equi join (orders × lineitem) on the shuffle key.
+
+    No broadcast hint: both sides shuffle on orderkey and AQE picks
+    sort-merge (or shuffled-hash) and splits skewed key ranges. At 100 TB
+    this is the join to co-locate via bucketing on orderkey so the exchange
+    disappears entirely.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    return (
+        orders.join(lineitem, F.col("o_orderkey") == F.col("l_orderkey"))
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count("*").alias("n_lines"),
+            F.sum(F.col("l_quantity").cast("decimal(18,4)"))
+            .cast("double")
+            .alias("sum_qty"),
+        )
+    )
+
+
+def join_left(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J4 — left outer join: keep all sources, null-extend missing target
+    state (db never replicated → NULL, ``hive3repl.sh:85``)."""
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    per_cust = orders.groupBy("o_custkey").agg(F.count("*").alias("cnt"))
+    return (
+        customer.join(per_cust, F.col("c_custkey") == F.col("o_custkey"), "left")
+        .select(
+            "c_custkey",
+            F.coalesce(F.col("cnt"), F.lit(0)).alias("n_orders"),
+        )
+    )
+
+
+def join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J5 — left semi join: allowlist membership at scale
+    (``misc_functions.sh:200-205`` generalized)."""
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    return customer.join(
+        orders, F.col("c_custkey") == F.col("o_custkey"), "left_semi"
+    ).select("c_custkey", "c_mktsegment")
+
+
+def join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J6 — left anti join: divergence audit — rows present at source but
+    missing at target ("requires a cleanup of the partially loaded
+    database", ``hive3repl.sh:110-112``)."""
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    return customer.join(
+        orders, F.col("c_custkey") == F.col("o_custkey"), "left_anti"
+    ).select("c_custkey", "c_mktsegment")
+
+
+def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J7 — as-of join: for each 'purchase' event, the latest 'click' by the
+    same user at-or-before it (the event-replay "latest state version ≤
+    watermark" pattern, ``HQL/repldump.hql:3`` / ``README.md:38``).
+
+    Implementation is the scalable union + window carry-forward: tag both
+    streams, sort within user by (ts, side) with the quote side first so an
+    equal-timestamp quote is visible to the trade, and carry the last
+    non-null quote timestamp forward. One shuffle on user_id; no range-join
+    blowup; works identically at 100 TB with events bucketed by user.
+    """
+    events = load_table(spark, sf_dir, "events")
+    trades = events.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", F.col("event_id").alias("trade_id")
+    )
+    quotes = (
+        events.filter(F.col("event_type") == "click")
+        # collapse duplicate (user, ts) quotes so the carry is deterministic
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_id").alias("q_id"))
+        .select("user_id", F.col("ts").alias("q_ts"))
+    )
+    tagged = trades.select(
+        "user_id",
+        F.col("ts"),
+        F.lit(1).alias("is_trade"),
+        "trade_id",
+        F.lit(None).cast("timestamp").alias("q_ts"),
+    ).unionByName(
+        quotes.select(
+            "user_id",
+            F.col("q_ts").alias("ts"),
+            F.lit(0).alias("is_trade"),
+            F.lit(None).cast("long").alias("trade_id"),
+            "q_ts",
+        )
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "is_trade", "trade_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        tagged.withColumn("asof_ts", F.last("q_ts", ignorenulls=True).over(w))
+        .filter(F.col("is_trade") == 1)
+        .select("trade_id", "user_id", "asof_ts")
+    )
+
+
+def join_theta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J8 — theta (non-equi) join: activity-interval overlap between event
+    types of the same user. Both sides are pre-aggregated to (user, type,
+    min_ts, max_ts) summaries first, so the non-equi join (broadcast
+    nested-loop under the hood) runs on |users × types| rows — the engine's
+    rule for keeping theta joins feasible at scale."""
+    events = load_table(spark, sf_dir, "events")
+    iv = events.groupBy("user_id", "event_type").agg(
+        F.min("ts").alias("s"), F.max("ts").alias("e")
+    )
+    a = iv.select(
+        F.col("user_id"),
+        F.col("event_type").alias("type_a"),
+        F.col("s").alias("s_a"),
+        F.col("e").alias("e_a"),
+    )
+    b = iv.select(
+        F.col("user_id").alias("user_id_b"),
+        F.col("event_type").alias("type_b"),
+        F.col("s").alias("s_b"),
+        F.col("e").alias("e_b"),
+    )
+    return (
+        a.join(
+            b,
+            (F.col("user_id") == F.col("user_id_b"))
+            & (F.col("type_a") < F.col("type_b"))
+            & (F.col("s_a") <= F.col("e_b"))
+            & (F.col("s_b") <= F.col("e_a")),
+        )
+        .select("user_id", "type_a", "type_b")
+    )
+
+
+def join_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J9 — full outer reconciliation: customers active in the early period
+    vs the late period — matched / source-only / target-only, the two-sided
+    generalization of the verification ladder incl. the "ahead" branch
+    (``hive3repl.sh:113-115``)."""
+    orders = load_table(spark, sf_dir, "orders")
+    early = (
+        orders.filter(F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+        .select(F.col("o_custkey").alias("src_key"))
+        .distinct()
+    )
+    late = (
+        orders.filter(F.col("o_orderdate") >= F.lit("1998-01-01").cast("timestamp"))
+        .select(F.col("o_custkey").alias("tgt_key"))
+        .distinct()
+    )
+    status = (
+        F.when(F.col("src_key").isNull(), F.lit("target_only"))
+        .when(F.col("tgt_key").isNull(), F.lit("source_only"))
+        .otherwise(F.lit("matched"))
+    )
+    return early.join(late, F.col("src_key") == F.col("tgt_key"), "full").select(
+        F.coalesce(F.col("src_key"), F.col("tgt_key")).alias("c_custkey"),
+        status.alias("status"),
+    )
+
+
+ORACLES: dict[str, str] = {
+    "join_watermark_compare": """
+        WITH ev AS (
+            SELECT *, 'db' || CAST(user_id % 4 AS VARCHAR) AS db_name FROM events
+        ),
+        src AS (SELECT db_name, MAX(event_id) AS src_wm FROM ev GROUP BY db_name),
+        tgt AS (
+            SELECT db_name, MAX(event_id) AS tgt_wm FROM ev
+            WHERE event_id <= (SELECT MAX(event_id) - 200 FROM events)
+            GROUP BY db_name
+        )
+        SELECT src.db_name, src_wm, tgt_wm,
+               CASE WHEN tgt_wm IS NULL THEN 'bootstrap_required'
+                    WHEN tgt_wm = src_wm THEN 'in_sync'
+                    WHEN tgt_wm < src_wm THEN 'behind'
+                    ELSE 'ahead' END AS status
+        FROM src LEFT JOIN tgt ON src.db_name = tgt.db_name
+    """,
+    "join_broadcast": """
+        SELECT n_name, COUNT(*) AS n_items,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+        FROM lineitem
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation ON s_nationkey = n_nationkey
+        GROUP BY n_name
+    """,
+    "join_sortmerge": """
+        SELECT o_orderstatus, COUNT(*) AS n_lines,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty
+        FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        GROUP BY o_orderstatus
+    """,
+    "join_left": """
+        SELECT c_custkey, COALESCE(cnt, 0) AS n_orders
+        FROM customer
+        LEFT JOIN (SELECT o_custkey, COUNT(*) AS cnt FROM orders GROUP BY o_custkey) o
+          ON c_custkey = o_custkey
+    """,
+    "join_semi": """
+        SELECT c_custkey, c_mktsegment FROM customer
+        WHERE c_custkey IN (SELECT o_custkey FROM orders)
+    """,
+    "join_anti": """
+        SELECT c_custkey, c_mktsegment FROM customer
+        WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+    """,
+    "join_asof": """
+        SELECT t.event_id AS trade_id, t.user_id,
+               (SELECT MAX(CAST(q.ts AS TIMESTAMP)) FROM events q
+                 WHERE q.event_type = 'click'
+                   AND q.user_id = t.user_id
+                   AND q.ts <= t.ts) AS asof_ts
+        FROM events t
+        WHERE t.event_type = 'purchase'
+    """,
+    "join_theta": """
+        WITH iv AS (
+            SELECT user_id, event_type, MIN(ts) AS s, MAX(ts) AS e
+            FROM events GROUP BY user_id, event_type
+        )
+        SELECT a.user_id, a.event_type AS type_a, b.event_type AS type_b
+        FROM iv a JOIN iv b
+          ON a.user_id = b.user_id
+         AND a.event_type < b.event_type
+         AND a.s <= b.e AND b.s <= a.e
+    """,
+    "join_full": """
+        WITH early AS (
+            SELECT DISTINCT o_custkey AS src_key FROM orders
+            WHERE o_orderdate < TIMESTAMP '1998-01-01'
+        ),
+        late AS (
+            SELECT DISTINCT o_custkey AS tgt_key FROM orders
+            WHERE o_orderdate >= TIMESTAMP '1998-01-01'
+        )
+        SELECT COALESCE(src_key, tgt_key) AS c_custkey,
+               CASE WHEN src_key IS NULL THEN 'target_only'
+                    WHEN tgt_key IS NULL THEN 'source_only'
+                    ELSE 'matched' END AS status
+        FROM early FULL OUTER JOIN late ON src_key = tgt_key
+    """,
+}
+
+QUERY_FNS = {
+    "join_watermark_compare": join_watermark_compare,
+    "join_broadcast": join_broadcast,
+    "join_sortmerge": join_sortmerge,
+    "join_left": join_left,
+    "join_semi": join_semi,
+    "join_anti": join_anti,
+    "join_asof": join_asof,
+    "join_theta": join_theta,
+    "join_full": join_full,
+}

@@ -1,0 +1,265 @@
+"""Scalar functions (SURVEY.md §2.8, F1-F13).
+
+Every function here is a built-in ``pyspark.sql.functions`` expression — they
+stay inside whole-stage codegen with zero Python in the hot path, which is the
+engine's rule for scalar work at 100 TB (UDFs are a last resort, §2.10).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+
+
+def fn_concat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F1 — path prefixing: ``${SOURCE_HDFS_PREFIX}${DUMP_PATH}``
+    (``beeline_functions.sh:196``)."""
+    nation = load_table(spark, sf_dir, "nation")
+    return nation.select(
+        "n_nationkey",
+        F.concat(F.lit("hdfs://nn1"), F.lit("/repl/"), F.col("n_name")).alias(
+            "dump_path"
+        ),
+    )
+
+
+def fn_regexp_replace(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F2 — regexp_replace (awk ``gsub``, ``beeline_functions.sh:24``)."""
+    part = load_table(spark, sf_dir, "part")
+    return part.select(
+        "p_partkey",
+        F.regexp_replace(F.col("p_name"), "[aeiou]", "").alias("consonants"),
+    )
+
+
+def fn_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F3 — delimiter split (``awk -F|``): first/second token + word count
+    via length arithmetic (no array materialization in the output so the
+    oracle compares scalars)."""
+    part = load_table(spark, sf_dir, "part")
+    n_words = (
+        F.length("p_name") - F.length(F.regexp_replace(F.col("p_name"), " ", "")) + 1
+    )
+    return part.select(
+        "p_partkey",
+        F.split_part(F.col("p_name"), F.lit(" "), F.lit(1)).alias("w1"),
+        F.split_part(F.col("p_name"), F.lit(" "), F.lit(2)).alias("w2"),
+        n_words.cast("int").alias("n_words"),
+    )
+
+
+def fn_regexp_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F4 — basename extraction (``hive3repl.sh:18,47`` use ``basename``/
+    ``dirname``) via regexp_extract on a constructed dump path."""
+    nation = load_table(spark, sf_dir, "nation")
+    path = F.concat(F.lit("/repl/dump/"), F.col("n_name"))
+    return nation.select(
+        "n_nationkey",
+        F.regexp_extract(path, r"([^/]+)$", 1).alias("base_name"),
+    )
+
+
+def fn_date_format(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F5 — timestamp formatting (log lines ``misc_functions.sh:16``, run ids
+    ``init_variables.sh:18``)."""
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.select(
+        "o_orderkey",
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_day"),
+    )
+
+
+def fn_div_mod(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F6 — integer div/mod (``misc_functions.sh:102``: ``/60``, ``%60``)."""
+    events = load_table(spark, sf_dir, "events")
+    return events.select(
+        "event_id",
+        F.floor(F.col("event_id") / 60).alias("id_div"),
+        (F.col("event_id") % 60).alias("id_mod"),
+    )
+
+
+def fn_case_when(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F7 — conditional ladder (the verification if/elif chain,
+    ``hive3repl.sh:106-119``) as CASE WHEN."""
+    orders = load_table(spark, sf_dir, "orders")
+    band = (
+        F.when(F.col("o_totalprice") < 50000, "low")
+        .when(F.col("o_totalprice") < 150000, "mid")
+        .otherwise("high")
+    )
+    return orders.select("o_orderkey", band.alias("price_band"))
+
+
+def fn_param_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F8 — parameterized SQL: the engine analog of ``--hivevar``
+    substitution (``beeline_functions.sh:20,160``; ``${hivevar:dbname}`` in
+    every HQL). Uses Spark's named-parameter SQL API — injection-safe, unlike
+    the reference's text substitution."""
+    orders = load_table(spark, sf_dir, "orders")
+    orders.createOrReplaceTempView("_param_orders")
+    return spark.sql(
+        """
+        SELECT o_orderkey, o_totalprice FROM _param_orders
+        WHERE o_totalprice > :min_price AND o_orderstatus = :status
+        """,
+        args={"min_price": 100000, "status": "O"},
+    )
+
+
+def fn_cast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F9 — string↔int casts (txid compared numerically,
+    ``hive3repl.sh:96,110``): round-trip long → string → long."""
+    orders = load_table(spark, sf_dir, "orders")
+    as_str = F.col("o_orderkey").cast("string")
+    return orders.select(
+        "o_orderkey",
+        as_str.alias("key_str"),
+        as_str.cast("long").alias("key_back"),
+    )
+
+
+def fn_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F10 — JSON extraction from the event props column (FIXTURES.md §8)."""
+    events = load_table(spark, sf_dir, "events")
+    return events.select(
+        "event_id",
+        F.get_json_object("props", "$.k").cast("bigint").alias("k_val"),
+    )
+
+
+def fn_array(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F11 — array functions over embedding vectors: size, first element,
+    L2 norm via transform+aggregate (JVM higher-order functions — the same
+    codegen path the similarity ops use; no Python)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    sq_sum = F.aggregate(
+        F.transform(F.col("embedding"), lambda x: x.cast("double") * x.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return emb.select(
+        "vec_id",
+        F.size("embedding").alias("dim"),
+        F.element_at("embedding", 1).cast("double").alias("first_val"),
+        F.sqrt(sq_sum).alias("l2_norm"),
+    )
+
+
+def fn_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F12 — map construction + key/value access (event attribute maps)."""
+    events = load_table(spark, sf_dir, "events")
+    m = F.create_map(
+        F.lit("type"), F.col("event_type"),
+        F.lit("uid"), F.col("user_id").cast("string"),
+    )
+    return events.select(
+        "event_id",
+        F.element_at(m, "type").alias("type_val"),
+        F.size(F.map_keys(m)).alias("n_keys"),
+    )
+
+
+def fn_math(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F13 — math suite: abs/sqrt/pow (similarity scores, measures)."""
+    events = load_table(spark, sf_dir, "events")
+    return events.select(
+        "event_id",
+        F.abs(F.col("value") - 100.0).alias("abs_dev"),
+        F.sqrt(F.abs(F.col("value"))).alias("sqrt_val"),
+        F.pow(F.lit(2.0), (F.col("event_id") % 10).cast("double")).alias("pow2"),
+    )
+
+
+ORACLES: dict[str, str] = {
+    "fn_concat": """
+        SELECT n_nationkey, 'hdfs://nn1' || '/repl/' || n_name AS dump_path
+        FROM nation
+    """,
+    "fn_regexp_replace": """
+        SELECT p_partkey, regexp_replace(p_name, '[aeiou]', '', 'g') AS consonants
+        FROM part
+    """,
+    "fn_split": """
+        SELECT p_partkey,
+               split_part(p_name, ' ', 1) AS w1,
+               split_part(p_name, ' ', 2) AS w2,
+               CAST(LENGTH(p_name) - LENGTH(REPLACE(p_name, ' ', '')) + 1 AS INTEGER)
+                   AS n_words
+        FROM part
+    """,
+    "fn_regexp_extract": """
+        SELECT n_nationkey,
+               regexp_extract('/repl/dump/' || n_name, '([^/]+)$', 1) AS base_name
+        FROM nation
+    """,
+    "fn_date_format": """
+        SELECT o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS order_day
+        FROM orders
+    """,
+    "fn_div_mod": """
+        SELECT event_id,
+               CAST(FLOOR(event_id / 60) AS BIGINT) AS id_div,
+               event_id % 60 AS id_mod
+        FROM events
+    """,
+    "fn_case_when": """
+        SELECT o_orderkey,
+               CASE WHEN o_totalprice < 50000 THEN 'low'
+                    WHEN o_totalprice < 150000 THEN 'mid'
+                    ELSE 'high' END AS price_band
+        FROM orders
+    """,
+    "fn_param_sql": """
+        SELECT o_orderkey, o_totalprice FROM orders
+        WHERE o_totalprice > 100000 AND o_orderstatus = 'O'
+    """,
+    "fn_cast": """
+        SELECT o_orderkey,
+               CAST(o_orderkey AS VARCHAR) AS key_str,
+               CAST(CAST(o_orderkey AS VARCHAR) AS BIGINT) AS key_back
+        FROM orders
+    """,
+    "fn_json": """
+        SELECT event_id,
+               CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val
+        FROM events
+    """,
+    "fn_array": """
+        SELECT vec_id,
+               CAST(len(embedding) AS INTEGER) AS dim,
+               CAST(embedding[1] AS DOUBLE) AS first_val,
+               sqrt(list_aggregate(
+                   list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
+                   'sum')) AS l2_norm
+        FROM embeddings
+    """,
+    "fn_map": """
+        SELECT event_id, event_type AS type_val, 2 AS n_keys FROM events
+    """,
+    "fn_math": """
+        SELECT event_id,
+               ABS(value - 100.0) AS abs_dev,
+               SQRT(ABS(value)) AS sqrt_val,
+               POWER(2.0, CAST(event_id % 10 AS DOUBLE)) AS pow2
+        FROM events
+    """,
+}
+
+QUERY_FNS = {
+    "fn_concat": fn_concat,
+    "fn_regexp_replace": fn_regexp_replace,
+    "fn_split": fn_split,
+    "fn_regexp_extract": fn_regexp_extract,
+    "fn_date_format": fn_date_format,
+    "fn_div_mod": fn_div_mod,
+    "fn_case_when": fn_case_when,
+    "fn_param_sql": fn_param_sql,
+    "fn_cast": fn_cast,
+    "fn_json": fn_json,
+    "fn_array": fn_array,
+    "fn_map": fn_map,
+    "fn_math": fn_math,
+}

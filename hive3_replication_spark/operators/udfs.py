@@ -1,0 +1,103 @@
+"""UDF / UDAF / UDTF surface (SURVEY.md §2.10, X1-X3).
+
+The reference's extension mechanism is "drop in an HQL script"
+(``init_variables.sh:36-43``); the engine's is the pandas UDF family —
+Arrow-batched, vectorized, never row-at-a-time Python. These three entries
+exist to prove the plumbing (scalar / grouped-agg / table-function); the
+engine's policy is to use built-ins whenever expressible (see scalars.py) and
+reserve UDFs for genuinely non-SQL logic (see llm/multimodal.py).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+
+from ..catalog import load_table
+
+
+def _text_len_udf():
+    """Scalar pandas UDF (Series→Series, one Arrow batch per invocation):
+    codepoint length. (Constructed lazily — pandas_udf needs an active
+    session to parse its return type.)"""
+
+    @pandas_udf("int")
+    def text_len(text: pd.Series) -> pd.Series:
+        return text.str.len().astype("int32")
+
+    return text_len
+
+
+def _scaled_sum_udf():
+    """Grouped-agg pandas UDF (Series→scalar): exact integer sum of
+    floor(value*100) — integer accumulation so the result is
+    order-independent and reproducible across partitionings."""
+    import numpy as np
+
+    @pandas_udf("long")
+    def scaled_sum(value: pd.Series) -> int:
+        return int(np.floor(value.values * 100).astype("int64").sum())
+
+    return scaled_sum
+
+
+def udf_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X1 — scalar pandas UDF over documents: text length (Arrow-vectorized;
+    ~10-100x a row-at-a-time Python UDF)."""
+    documents = load_table(spark, sf_dir, "documents")
+    return documents.select(
+        "doc_id", _text_len_udf()(F.col("text")).alias("text_len")
+    )
+
+
+def udf_grouped_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X2 — grouped-aggregate pandas UDF: per-type exact scaled sum. The
+    partial/final split is handled by Spark; the UDF sees each group's
+    values as one Series."""
+    events = load_table(spark, sf_dir, "events")
+    return events.groupBy("event_type").agg(
+        _scaled_sum_udf()(F.col("value")).alias("scaled_sum")
+    )
+
+
+def udf_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X3 — table function via mapInPandas: tokenize documents into
+    (doc_id, token) rows — a 1→N row expansion with Arrow-batched I/O.
+    (Built-in explode is preferred when expressible — see llm/text.py; this
+    entry exercises the arbitrary-fanout path.)"""
+    documents = load_table(spark, sf_dir, "documents")
+
+    def tokenize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            toks = pdf[["doc_id", "text"]].copy()
+            toks["token"] = toks["text"].str.split(" ")
+            out = toks[["doc_id", "token"]].explode("token")
+            yield out[out["token"].notna()]
+
+    return documents.mapInPandas(tokenize, "doc_id long, token string")
+
+
+ORACLES: dict[str, str] = {
+    "udf_scalar": """
+        SELECT doc_id, CAST(LENGTH(text) AS INTEGER) AS text_len FROM documents
+    """,
+    "udf_grouped_agg": """
+        SELECT event_type,
+               CAST(SUM(CAST(FLOOR(value * 100) AS BIGINT)) AS BIGINT) AS scaled_sum
+        FROM events GROUP BY event_type
+    """,
+    "udf_table": """
+        SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+    """,
+}
+
+QUERY_FNS = {
+    "udf_scalar": udf_scalar,
+    "udf_grouped_agg": udf_grouped_agg,
+    "udf_table": udf_table,
+}

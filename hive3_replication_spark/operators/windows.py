@@ -1,0 +1,158 @@
+"""Window functions (SURVEY.md §2.5, W1-W6).
+
+W1-W3 are the reference's patterns made distributed: ordinal row selection
+(awk ``NR==4``), latest-status-per-database, and previous-run comparison
+(``LAST_REPL_ID`` vs ``POST_LOAD_REPL_ID``, ``hive3repl.sh:157``).
+
+Scale: every window here except W1/W4's global form is partitioned
+(``partitionBy``), so state stays per-key and distributes. Unpartitioned
+ordered windows are reserved for resultset-sized data (their reference
+semantics) — flagged in docstrings where they appear.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+
+
+def win_row_number(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W1 — ordinal selection over an ordered resultset
+    (``beeline_functions.sh:24``): first 10 rows with their ordinals."""
+    events = load_table(spark, sf_dir, "events")
+    w = Window.orderBy("event_id")
+    return (
+        events.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 10)
+        .select("rn", "event_id", "event_type")
+    )
+
+
+def win_latest_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W2 — most recent status per database (status lookup repeated pre/post
+    load, ``beeline_functions.sh:3-49``): latest event per user. Partitioned
+    window → fully distributed; ties broken by event_id for determinism."""
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.desc("ts"), F.desc("event_id")
+    )
+    return (
+        events.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "event_id", "event_type")
+    )
+
+
+def win_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W3 — compare a run's watermark to the previous run's
+    (``hive3repl.sh:157``): per-user delta of consecutive event values."""
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("event_id")
+    return events.select(
+        "user_id",
+        "event_id",
+        (F.col("value") - F.lag("value").over(w)).alias("value_delta"),
+    )
+
+
+def win_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W4 — cumulative events applied over replay order (``README.md:38``).
+    Exact decimal accumulation (see aggregates module policy), partitioned
+    per user so the frame distributes."""
+    events = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return events.select(
+        "user_id",
+        "event_id",
+        F.sum(F.col("value").cast("decimal(18,4)"))
+        .over(w)
+        .cast("double")
+        .alias("running_value"),
+    )
+
+
+def win_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W5 — rank / dense_rank within group: customers by balance per
+    nation."""
+    customer = load_table(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_nationkey").orderBy(F.desc("c_acctbal"))
+    return customer.select(
+        "c_custkey",
+        "c_nationkey",
+        F.rank().over(w).alias("bal_rank"),
+        F.dense_rank().over(w).alias("bal_dense_rank"),
+    )
+
+
+def win_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W6 — distributional analytics: quartile + percent_rank of order value.
+    The ordering key includes o_orderkey so tile assignment is total-order
+    deterministic across engines and partition counts."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.orderBy("o_totalprice", "o_orderkey")
+    return orders.select(
+        "o_orderkey",
+        F.ntile(4).over(w).alias("price_quartile"),
+        F.percent_rank().over(w).alias("price_pct_rank"),
+    )
+
+
+ORACLES: dict[str, str] = {
+    "win_row_number": """
+        SELECT rn, event_id, event_type FROM (
+            SELECT event_id, event_type,
+                   ROW_NUMBER() OVER (ORDER BY event_id) AS rn
+            FROM events
+        ) WHERE rn <= 10
+    """,
+    "win_latest_per_group": """
+        SELECT user_id, event_id, event_type FROM (
+            SELECT user_id, event_id, event_type,
+                   ROW_NUMBER() OVER (PARTITION BY user_id
+                                      ORDER BY ts DESC, event_id DESC) AS rn
+            FROM events
+        ) WHERE rn = 1
+    """,
+    "win_lag": """
+        SELECT user_id, event_id,
+               value - LAG(value) OVER (PARTITION BY user_id ORDER BY event_id)
+                   AS value_delta
+        FROM events
+    """,
+    "win_running_sum": """
+        SELECT user_id, event_id,
+               CAST(SUM(CAST(value AS DECIMAL(18,4)))
+                    OVER (PARTITION BY user_id ORDER BY event_id
+                          ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS running_value
+        FROM events
+    """,
+    "win_rank": """
+        SELECT c_custkey, c_nationkey,
+               RANK() OVER (PARTITION BY c_nationkey ORDER BY c_acctbal DESC)
+                   AS bal_rank,
+               DENSE_RANK() OVER (PARTITION BY c_nationkey ORDER BY c_acctbal DESC)
+                   AS bal_dense_rank
+        FROM customer
+    """,
+    "win_ntile": """
+        SELECT o_orderkey,
+               NTILE(4) OVER (ORDER BY o_totalprice, o_orderkey) AS price_quartile,
+               PERCENT_RANK() OVER (ORDER BY o_totalprice, o_orderkey) AS price_pct_rank
+        FROM orders
+    """,
+}
+
+QUERY_FNS = {
+    "win_row_number": win_row_number,
+    "win_latest_per_group": win_latest_per_group,
+    "win_lag": win_lag,
+    "win_running_sum": win_running_sum,
+    "win_rank": win_rank,
+    "win_ntile": win_ntile,
+}

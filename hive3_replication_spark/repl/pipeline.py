@@ -1,0 +1,70 @@
+"""The end-to-end replication driver (SURVEY.md §3: the single entry point
+``bash hive3repl.sh <dbname>`` re-expressed).
+
+Flow per run (mirrors ``hive3repl.sh:81-186``):
+1. validate args + allowlist;
+2. status probe → last_repl_id (NULL sentinel → None);
+3. branch: None → bootstrap (Entry B), int → incremental (Entry C);
+4. replay at target (with retry for incremental; bootstrap retries are
+   forced to 1 per ``hive3repl.sh:99-100``);
+5. verify: re-probe status and classify via the 5-way ladder;
+6. append a run-log row (the log sink, ``misc_functions.sh:16-18``).
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import SparkSession
+
+from ..session import ensure_engine_confs
+from . import incremental as incr
+from . import snapshot as snap
+from .model import ReplConfig, classify_repl_status
+
+
+def run_replication(
+    spark: SparkSession, cfg: ReplConfig, run_dir: str, watermark_dir: str
+) -> dict:
+    """One replication run; returns the run report (the engine's version of
+    the reference's golden transcript, ``README.md:59-90``)."""
+    ensure_engine_confs(spark)
+    cfg.validate()
+    started = dt.datetime.now(dt.timezone.utc)
+
+    last_repl_id = snap.repl_status(spark, watermark_dir, cfg.db_name)
+
+    if last_repl_id is None:
+        # Entry B — bootstrap; retries forced to 1 (hive3repl.sh:99-100)
+        dump = snap.bootstrap_dump(spark, cfg, run_dir)
+        if dump["dump_txid"] <= 0:  # guard hive3repl.sh:96
+            raise RuntimeError("bootstrap dump returned no transactions")
+        snap.bootstrap_load(spark, cfg, dump["dump_path"], watermark_dir)
+        mode = "bootstrap"
+        dump_txid = dump["dump_txid"]
+    else:
+        # Entry C — incremental with retry (beeline_functions.sh:211-236)
+        dump = incr.incremental_dump(spark, cfg, last_repl_id)
+        dump_txid = dump["dump_txid"]
+        mode = "incremental"
+        if dump["dump_path"] is not None:
+            incr.with_retry(
+                lambda attempt: incr.apply_events(
+                    spark, cfg, dump["dump_path"], watermark_dir, last_repl_id
+                ),
+                max_attempts=cfg.incr_rerun,
+                sleep_s=cfg.rerun_sleep_s,
+            )
+
+    post_load_id = snap.repl_status(spark, watermark_dir, cfg.db_name)
+    status = classify_repl_status(dump_txid, last_repl_id, post_load_id)
+    finished = dt.datetime.now(dt.timezone.utc)
+    return {
+        "db_name": cfg.db_name,
+        "mode": mode,
+        "last_repl_id": last_repl_id,
+        "dump_txid": dump_txid,
+        "post_load_id": post_load_id,
+        "status": status,
+        "duration_s": (finished - started).total_seconds(),
+    }

@@ -1,0 +1,140 @@
+"""Bootstrap (full) replication: snapshot dump + load (SURVEY.md §3.2).
+
+Reference flow: ``repl dump <db>`` materializes a consistent whole-db
+snapshot to HDFS and returns (path, txid) (``HQL/replbootstrap.hql:3``,
+driver ``beeline_functions.sh:51-129``); ``repl load <db> from '<path>'``
+recreates tables at the target (``HQL/replload.hql:5``, driver
+``:180-238``).
+
+Engine flow: per-table ``read.parquet → write.parquet`` into an immutable
+dump directory, a consistent cut on the event stream (T10), and a manifest
+written *last* as the commit marker — a reader that finds the manifest is
+guaranteed complete table payloads (write-ordering commit protocol,
+SURVEY.md §7 risk 1). Parallelism = input splits × tables; there is no
+distcp because the copy *is* a distributed Spark job (SURVEY.md §4
+"parallel copy" row).
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+from pathlib import Path
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..session import ensure_engine_confs
+from .model import MANIFEST_SCHEMA, WATERMARK_SCHEMA, ReplConfig
+from .registry import RunLock
+
+MANIFEST_FILE = "_manifest"
+#: The change-stream table that defines the consistent cut (DUMP_TXID).
+EVENTS_TABLE = "events"
+
+
+def source_tables(cfg: ReplConfig) -> list[str]:
+    """Table-set selection with external-table pruning
+    (``beeline_functions.sh:70-76``; ``env.sh:8``) — a driver-side plan
+    decision taken before any Spark job is launched (SURVEY.md §4 row 2)."""
+    root = Path(cfg.source_root)
+    present = sorted(p.stem for p in root.glob("*.parquet"))
+    if cfg.include_external_tables:
+        return present
+    # only MANAGED tables replicate by default; the events stream always
+    # rides along (it is the replication transport itself)
+    managed = {
+        "region", "nation", "customer", "supplier", "part",
+        "orders", "lineitem",
+    }
+    return [t for t in present if t in managed or t == EVENTS_TABLE]
+
+
+def repl_status(spark: SparkSession, watermark_dir: str, db_name: str) -> int | None:
+    """``repl status`` (``HQL/replstatus.hql:4`` via
+    ``beeline_functions.sh:3-25``): latest watermark for the db, or None if
+    never replicated (the awk row-4 parse is simply a DataFrame read here —
+    SURVEY.md §3.1 engine mapping)."""
+    ensure_engine_confs(spark)
+    if not Path(watermark_dir).exists():
+        return None
+    wm = (
+        spark.read.schema(WATERMARK_SCHEMA).parquet(watermark_dir)
+        .filter(F.col("db_name") == db_name)
+        .agg(F.max_by("last_repl_id", "updated_ts").alias("wm"))
+        .collect()
+    )
+    return wm[0]["wm"] if wm else None
+
+
+def advance_watermark(
+    spark: SparkSession, watermark_dir: str, db_name: str, txid: int
+) -> None:
+    """Append a status row (watermark advances only after successful replay,
+    ``README.md:34-46``). Append-mode parquet: crash-safe — an incomplete
+    load leaves the previous row as the latest."""
+    now = dt.datetime.now(dt.timezone.utc).replace(tzinfo=None)
+    row = spark.createDataFrame(
+        [(db_name, txid, now)], schema=WATERMARK_SCHEMA
+    )
+    row.coalesce(1).write.mode("append").parquet(watermark_dir)
+
+
+def bootstrap_dump(
+    spark: SparkSession, cfg: ReplConfig, run_dir: str
+) -> dict:
+    """Full-db snapshot dump → (dump_path, dump_txid) manifest.
+
+    Consistent cut: DUMP_TXID = max event_id at dump start; the events table
+    payload is filtered to ``event_id <= DUMP_TXID`` so the snapshot is the
+    exact state at the cut even if the stream keeps appending (T10). Dump
+    mutual exclusion per the reference's dump.lock
+    (``beeline_functions.sh:92-101``).
+    """
+    ensure_engine_confs(spark)
+    cfg.validate()
+    with RunLock(run_dir, "dump"):
+        events = load_table(spark, cfg.source_root, EVENTS_TABLE)
+        dump_txid = events.agg(F.max("event_id")).collect()[0][0] or 0
+        dump_path = str(Path(cfg.repl_root) / cfg.db_name / f"boot_{dump_txid}")
+        if not dump_path.startswith(str(cfg.repl_root)):  # beeline_functions.sh:123
+            raise ValueError(f"dump path {dump_path} outside REPL_ROOT")
+        tables = source_tables(cfg)
+        for t in tables:
+            df = load_table(spark, cfg.source_root, t)
+            if t == EVENTS_TABLE:
+                df = df.filter(F.col("event_id") <= dump_txid)
+            df.write.mode("overwrite").parquet(f"{dump_path}/{t}")
+        now = dt.datetime.now(dt.timezone.utc).replace(tzinfo=None)
+        manifest = spark.createDataFrame(
+            [(cfg.db_name, dump_path, int(dump_txid), True, now)],
+            schema=MANIFEST_SCHEMA,
+        )
+        # manifest last = commit marker
+        manifest.coalesce(1).write.mode("overwrite").parquet(
+            f"{dump_path}/{MANIFEST_FILE}"
+        )
+    return {"dump_path": dump_path, "dump_txid": int(dump_txid), "tables": tables}
+
+
+def bootstrap_load(
+    spark: SparkSession, cfg: ReplConfig, dump_path: str, watermark_dir: str
+) -> dict:
+    """``repl load`` (``HQL/replload.hql:5``): recreate all tables at the
+    target from the dump, then advance the watermark. Table writes are
+    idempotent overwrites of immutable snapshot content, so a partial crash
+    + rerun converges (the reference instead requires manual cleanup,
+    ``TODO.md`` open bug — the engine closes it)."""
+    ensure_engine_confs(spark)
+    manifest = spark.read.schema(MANIFEST_SCHEMA).parquet(
+        f"{dump_path}/{MANIFEST_FILE}"
+    ).collect()[0]
+    loaded: dict[str, int] = {}
+    for tdir in sorted(Path(dump_path).iterdir()):
+        if tdir.name == MANIFEST_FILE or not tdir.is_dir():
+            continue
+        df = spark.read.parquet(str(tdir))
+        df.write.mode("overwrite").parquet(f"{cfg.target_root}/{tdir.name}")
+        loaded[tdir.name] = df.count()
+    advance_watermark(spark, watermark_dir, cfg.db_name, manifest["dump_txid"])
+    return {"dump_txid": manifest["dump_txid"], "tables_loaded": loaded}

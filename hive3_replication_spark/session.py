@@ -1,0 +1,88 @@
+"""SparkSession factory and engine-level configuration.
+
+Replaces the reference's config layer (``env.sh`` + ``init_variables.sh``,
+see SURVEY.md §3.1 step 2): instead of sourcing shell globals we build a
+SparkSession with scale-oriented defaults and expose ``ensure_engine_confs``
+so any externally supplied session (e.g. the verification driver's) is
+normalized to the engine's expectations at runtime.
+
+Scale notes (100 TB design point):
+- AQE on: runtime join-strategy switching, skew-join splitting, and shuffle
+  partition coalescing replace hand tuning per query.
+- ``spark.sql.shuffle.partitions`` is only the *initial* number; AQE coalesces.
+  On a real cluster set it to ~2-3x total cores.
+- Arrow on: every pandas UDF / mapInPandas transfer is vectorized.
+- Session timezone pinned to UTC so event-time windows are cluster-invariant.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+# Confs that must hold on ANY session running engine code. All of these are
+# runtime-settable SQL confs (verified on Spark 4.1.2).
+RUNTIME_CONFS: dict[str, str] = {
+    # The driver fixtures store events.ts as parquet TIMESTAMP(NANOS), which
+    # Spark cannot represent natively (PARQUET_TYPE_ILLEGAL). Read as long
+    # and convert in catalog.load_table.
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+    # Deterministic event-time semantics regardless of host timezone.
+    "spark.sql.session.timeZone": "UTC",
+    # Runtime re-planning: join strategy switching, skew splitting, coalescing.
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    # Arrow for all pandas UDF exchanges.
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+}
+
+
+def ensure_engine_confs(spark: SparkSession) -> SparkSession:
+    """Apply engine-required runtime confs to an existing session.
+
+    Idempotent and cheap; called from catalog.load_table so every operator
+    works even when invoked with a session the engine did not build.
+    """
+    for key, value in RUNTIME_CONFS.items():
+        try:
+            if spark.conf.get(key, None) != value:
+                spark.conf.set(key, value)
+        except Exception:  # pragma: no cover - conf not recognized/settable
+            pass
+    return spark
+
+
+def get_spark(
+    app_name: str = "hive3_replication_spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_confs: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or reuse) a SparkSession with engine defaults.
+
+    ``master`` defaults to ``local[$SPARK_GRAFT_CPUS]`` locally; on a real
+    cluster leave it unset and submit via spark-submit/YARN/K8s.
+    """
+    if master is None:
+        cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
+        master = f"local[{cpus}]"
+    if shuffle_partitions is None:
+        shuffle_partitions = int(os.environ.get("SPARK_SHUFFLE_PARTITIONS", "32"))
+
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # Local-mode friendliness; harmless on a cluster (overridden there).
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+    )
+    for key, value in RUNTIME_CONFS.items():
+        builder = builder.config(key, value)
+    for key, value in (extra_confs or {}).items():
+        builder = builder.config(key, value)
+    spark = builder.getOrCreate()
+    return ensure_engine_confs(spark)

@@ -1,0 +1,160 @@
+"""Source operators (SURVEY.md §2.1, S1-S6).
+
+The reference's data plane is beeline-over-JDBC plus HDFS dump directories;
+the engine's is ``spark.read`` with the format picked per edge: parquet for
+payloads (vectorized reader + pushdown), JDBC for warehouse endpoints
+(per BASELINE.json spark_approach), csv for delimited-resultset fidelity.
+"""
+
+from __future__ import annotations
+
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..session import ensure_engine_confs
+
+#: Embedded Derby (in the Spark JVM) stands in for the HiveServer2 JDBC
+#: endpoints (env.sh:4-5) — same spark.read/write.jdbc code path a real
+#: warehouse URL would use.
+_DERBY_URL = "jdbc:derby:memory:{name};create=true"
+_DERBY_DRIVER = "org.apache.derby.iapi.jdbc.AutoloadedDriver"
+
+
+def jdbc_write(df: DataFrame, db: str, table: str) -> None:
+    """S2 — JDBC sink: execute DDL+inserts on a warehouse over JDBC (the
+    engine analog of beeline statements at the target,
+    ``beeline_functions.sh:18-23,220-226``)."""
+    (
+        df.write.format("jdbc")
+        .option("url", _DERBY_URL.format(name=db))
+        .option("dbtable", table)
+        .option("driver", _DERBY_DRIVER)
+        .mode("overwrite")
+        .save()
+    )
+
+
+def jdbc_read(spark: SparkSession, db: str, query: str) -> DataFrame:
+    """S1 — JDBC source: fetch a statement's resultset from a warehouse
+    (``beeline_functions.sh:103-108``; URL ``env.sh:5``)."""
+    return (
+        spark.read.format("jdbc")
+        .option("url", _DERBY_URL.format(name=db))
+        .option("query", query)
+        .option("driver", _DERBY_DRIVER)
+        .load()
+    )
+
+
+def jdbc_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S1/S2 exercised end-to-end: push a slice of the events table to the
+    warehouse over JDBC, then read it back with a pushed-down query. The
+    round-trip result equals the original slice, so this has a full SQL
+    oracle despite crossing JDBC twice.
+
+    Scale note: a production JDBC read partitions on a numeric column
+    (partitionColumn/lowerBound/upperBound/numPartitions) so executors fetch
+    ranges in parallel; exercised in tests/test_sources.py.
+    """
+    ensure_engine_confs(spark)
+    events = load_table(spark, sf_dir, "events")
+    slice_df = events.filter(F.col("event_id") < 100).select(
+        "event_id", "user_id", "value"
+    )
+    jdbc_write(slice_df, "repl_src", "events_slice")
+    # Derby folds unquoted identifiers to upper case; Spark's writer created
+    # quoted (case-exact) columns, so the pushed-down query quotes them too.
+    out = jdbc_read(
+        spark,
+        "repl_src",
+        'SELECT "event_id", "user_id", "value" FROM events_slice',
+    )
+    return out.select(
+        F.col("event_id").cast("long"),
+        F.col("user_id").cast("long"),
+        F.col("value").cast("double"),
+    )
+
+
+def jdbc_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S2 — sink-side check: write an aggregate to the warehouse, read back
+    the stored row count per key (the pattern of the reference's status
+    writes at the target)."""
+    ensure_engine_confs(spark)
+    events = load_table(spark, sf_dir, "events")
+    agg = events.groupBy("event_type").agg(F.count("*").alias("n_events"))
+    jdbc_write(agg, "repl_tgt", "type_counts")
+    out = jdbc_read(
+        spark, "repl_tgt", 'SELECT "event_type", "n_events" FROM type_counts'
+    )
+    return out.select(
+        F.col("event_type").cast("string"), F.col("n_events").cast("long")
+    )
+
+
+def scan_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S5 — payload scan with pushdown: projection + predicate reach the
+    parquet reader (``.explain`` shows PushedFilters + a 3-column
+    ReadSchema; asserted in tests/test_plans.py)."""
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    return lineitem.filter(
+        F.col("l_shipdate") < F.lit("1995-01-01").cast("timestamp")
+    ).select("l_orderkey", "l_quantity", "l_shipdate")
+
+
+def delimited_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S6 — beeline resultset parsing (``init_variables.sh:47`` pipe
+    format; ``beeline_functions.sh:24`` awk parse): build pipe-delimited
+    lines, then split/trim/cast columns back out — the reference's row-4
+    column-2 extraction generalized to every row."""
+    nation = load_table(spark, sf_dir, "nation")
+    line = F.concat(
+        F.lit("| "),
+        F.col("n_name"),
+        F.lit(" | "),
+        F.col("n_nationkey").cast("string"),
+        F.lit(" |"),
+    )
+    lines = nation.select(line.alias("line"))
+    return lines.select(
+        F.trim(F.split_part(F.col("line"), F.lit("|"), F.lit(2))).alias(
+            "parsed_name"
+        ),
+        F.trim(F.split_part(F.col("line"), F.lit("|"), F.lit(3)))
+        .cast("long")
+        .alias("parsed_key"),
+    )
+
+
+ORACLES: dict[str, str] = {
+    "jdbc_source": """
+        SELECT event_id, user_id, value FROM events WHERE event_id < 100
+    """,
+    "jdbc_sink": """
+        SELECT event_type, COUNT(*) AS n_events FROM events GROUP BY event_type
+    """,
+    "scan_parquet": """
+        SELECT l_orderkey, l_quantity, l_shipdate FROM lineitem
+        WHERE l_shipdate < TIMESTAMP '1995-01-01'
+    """,
+    "delimited_parse": """
+        WITH lines AS (
+            SELECT '| ' || n_name || ' | ' || CAST(n_nationkey AS VARCHAR) || ' |'
+                       AS line
+            FROM nation
+        )
+        SELECT TRIM(split_part(line, '|', 2)) AS parsed_name,
+               CAST(TRIM(split_part(line, '|', 3)) AS BIGINT) AS parsed_key
+        FROM lines
+    """,
+}
+
+QUERY_FNS = {
+    "jdbc_source": jdbc_source,
+    "jdbc_sink": jdbc_sink,
+    "scan_parquet": scan_parquet,
+    "delimited_parse": delimited_parse,
+}

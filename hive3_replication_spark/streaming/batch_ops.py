@@ -1,0 +1,317 @@
+"""Batch-incremental forms of the streaming operators (SURVEY.md §2.9).
+
+The reference replicates run-per-invocation: each run dumps events above the
+watermark, replays them in order, advances the watermark, and classifies
+divergence (``hive3repl.sh`` Entry C, SURVEY.md §3.3). These functions express
+each step as a deterministic DataFrame computation with a SQL oracle; the
+live pipeline in ``repl/`` and ``streaming/structured.py`` reuses the same
+logic stateful-ly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+
+
+def _wm(events: DataFrame, lag: int) -> DataFrame:
+    """1-row watermark relation (max id − lag) for broadcast — keeps the plan
+    fully distributed (no driver collect)."""
+    return events.agg((F.max("event_id") - F.lit(lag)).alias("wm"))
+
+
+def stream_incremental_dump(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T1 — incremental change capture: only events after ``last_repl_id``
+    (``HQL/repldump.hql:3`` ``repl dump ... from ${last_repl_id}``). The
+    predicate pushes into the scan; with events partitioned by id-range/date
+    it prunes whole partitions — the property that makes incremental runs
+    O(delta), not O(history), at 100 TB."""
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.join(F.broadcast(_wm(events, 200)))
+        .filter(F.col("event_id") > F.col("wm"))
+        .select("event_id", "ts", "user_id", "event_type", "value")
+    )
+
+
+def stream_event_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T2 — ordered event replay: the final state after applying DDL+DML
+    events in id order (``HQL/replload.hql:5``; ``README.md:38,43``).
+
+    Last-writer-wins per key with 'error' events acting as deletes: computed
+    as argmax-by-event_id per user (partitioned window — the scalable replay
+    form; the foreachBatch applier in repl/incremental.py produces exactly
+    this state incrementally, which the e2e tests assert).
+    """
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.desc("event_id"))
+    return (
+        events.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .filter(F.col("event_type") != "error")
+        .select(
+            "user_id",
+            F.col("event_id").alias("last_event_id"),
+            F.col("value").alias("state_value"),
+        )
+    )
+
+
+def stream_watermark_advance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T3 — watermark bookkeeping: wm_before → wm_after with the applied
+    count ("There are N transactions to be synced", ``README.md:72``;
+    advance-after-success contract ``README.md:34-46``)."""
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.join(F.broadcast(_wm(events, 200)))
+        .filter(F.col("event_id") > F.col("wm"))
+        .groupBy("wm")
+        .agg(
+            F.max("event_id").alias("wm_after"),
+            F.count("*").alias("applied_txns"),
+        )
+        .select(F.col("wm").alias("wm_before"), "wm_after", "applied_txns")
+    )
+
+
+def stream_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T5 — the 5-way divergence ladder (``hive3repl.sh:106-120,155-169``)
+    over an exhaustive scenario table: every branch of the reference's
+    verification — success / never-replicated / partial-load / concurrent-
+    load-ahead / no-progress — classified by one expression (the same
+    ``classify_repl_status`` the live pipeline uses, repl/model.py)."""
+    from ..repl.model import classification_expr
+
+    rows = [
+        ("db_success", 100, 90, 100),
+        ("db_never", 100, None, None),
+        ("db_partial", 100, 90, 95),
+        ("db_ahead", 100, 90, 110),
+        ("db_noop", 100, 90, 90),
+    ]
+    scen = spark.createDataFrame(
+        rows,
+        "db_name string, dump_txid bigint, last_repl_id bigint, post_load_id bigint",
+    )
+    return scen.select(
+        "db_name",
+        "dump_txid",
+        "last_repl_id",
+        "post_load_id",
+        classification_expr(
+            F.col("dump_txid"), F.col("last_repl_id"), F.col("post_load_id")
+        ).alias("status"),
+    )
+
+
+def stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T6 — tumbling event-time window: daily counts per type via the native
+    ``window()`` operator (epoch-aligned; session timezone pinned UTC so
+    boundaries are deterministic)."""
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.groupBy(
+            F.window("ts", "1 day").alias("win"), F.col("event_type")
+        )
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            F.col("win.start").alias("win_start"), "event_type", "n_events"
+        )
+    )
+
+
+def stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T7 — sliding window (2-day length, 1-day slide): each event lands in
+    2 overlapping windows; Spark's ``window()`` expands them natively."""
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.groupBy(
+            F.window("ts", "2 days", "1 day").alias("win"), F.col("event_type")
+        )
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            F.col("win.start").alias("win_start"), "event_type", "n_events"
+        )
+    )
+
+
+def stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T8 — session windows (30-min gap) per user via native
+    ``session_window``; the oracle reproduces the semantics with
+    gaps-and-islands SQL (lag → new-session flag → running island id)."""
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.groupBy(
+            F.session_window("ts", "30 minutes").alias("win"), F.col("user_id")
+        )
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            F.col("user_id"),
+            F.col("win.start").alias("sess_start"),
+            "n_events",
+        )
+    )
+
+
+def stream_late_data(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T9 — late-data policy: with arrival order = event_id, an event is
+    late if its event time trails the running max by > 10 minutes (the batch
+    expression of ``withWatermark('ts','10 minutes')``; the streaming form
+    is exercised in streaming/structured.py). Returns per-day counts of
+    accepted events."""
+    events = load_table(spark, sf_dir, "events")
+    w = Window.orderBy("event_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    kept = events.withColumn("max_seen", F.max("ts").over(w)).filter(
+        F.col("ts") >= F.col("max_seen") - F.expr("INTERVAL 10 MINUTES")
+    )
+    return (
+        kept.groupBy(F.date_trunc("day", "ts").alias("day"))
+        .agg(F.count("*").alias("n_kept"))
+    )
+
+
+def stream_consistent_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T10 — consistent snapshot cut: per-type state of the stream at
+    ``event_id <= cut`` (the bootstrap dump is a consistent snapshot at
+    DUMP_TXID, ``README.md:36``; serialized by dump.lock
+    ``beeline_functions.sh:92-101``)."""
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.join(F.broadcast(_wm(events, 200).select(F.col("wm").alias("cut"))))
+        .filter(F.col("event_id") <= F.col("cut"))
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.max("event_id").alias("max_id_at_cut"),
+        )
+    )
+
+
+def stream_retry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T4 — idempotent retry: the engine's retry wrapper
+    (repl/incremental.py:with_retry — ≤ INCR_RERUN attempts, RERUN_SLEEP
+    apart, mirroring ``beeline_functions.sh:211-236``) driving a task that
+    deterministically fails twice. The oracle is the expected attempt log —
+    a golden-transcript check like the reference's own (``README.md:59-90``)."""
+    from ..repl.incremental import with_retry
+
+    attempts: list[tuple[int, str]] = []
+
+    def flaky(attempt: int) -> None:
+        if attempt < 3:
+            raise RuntimeError(f"injected failure on attempt {attempt}")
+
+    with_retry(flaky, max_attempts=3, sleep_s=0.0, on_attempt=lambda a, ok: attempts.append((a, "success" if ok else "failed")))
+    return spark.createDataFrame(attempts, "attempt int, status string")
+
+
+ORACLES: dict[str, str] = {
+    "stream_incremental_dump": """
+        SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type, value
+        FROM events
+        WHERE event_id > (SELECT MAX(event_id) - 200 FROM events)
+    """,
+    "stream_event_replay": """
+        SELECT user_id, event_id AS last_event_id, value AS state_value
+        FROM (
+            SELECT user_id, event_id, value, event_type,
+                   ROW_NUMBER() OVER (PARTITION BY user_id
+                                      ORDER BY event_id DESC) AS rn
+            FROM events
+        ) WHERE rn = 1 AND event_type <> 'error'
+    """,
+    "stream_watermark_advance": """
+        SELECT (SELECT MAX(event_id) - 200 FROM events) AS wm_before,
+               MAX(event_id) AS wm_after,
+               COUNT(*) AS applied_txns
+        FROM events
+        WHERE event_id > (SELECT MAX(event_id) - 200 FROM events)
+    """,
+    "stream_divergence": """
+        SELECT db_name, dump_txid, last_repl_id, post_load_id,
+               CASE WHEN post_load_id IS NULL THEN 'load_failed'
+                    WHEN post_load_id = dump_txid THEN 'success'
+                    WHEN last_repl_id IS NOT NULL
+                         AND post_load_id = last_repl_id THEN 'no_progress'
+                    WHEN post_load_id < dump_txid THEN 'partial_load'
+                    ELSE 'target_ahead' END AS status
+        FROM (VALUES
+            ('db_success', 100, 90, 100),
+            ('db_never', 100, CAST(NULL AS BIGINT), CAST(NULL AS BIGINT)),
+            ('db_partial', 100, 90, 95),
+            ('db_ahead', 100, 90, 110),
+            ('db_noop', 100, 90, 90)
+        ) AS t(db_name, dump_txid, last_repl_id, post_load_id)
+    """,
+    "stream_tumbling": """
+        SELECT date_trunc('day', CAST(ts AS TIMESTAMP)) AS win_start,
+               event_type, COUNT(*) AS n_events
+        FROM events GROUP BY 1, 2
+    """,
+    "stream_sliding": """
+        SELECT date_trunc('day', CAST(ts AS TIMESTAMP))
+                   - (k * INTERVAL '1 day') AS win_start,
+               event_type, COUNT(*) AS n_events
+        FROM events CROSS JOIN (VALUES (0), (1)) AS g(k)
+        GROUP BY 1, 2
+    """,
+    "stream_session": """
+        WITH flagged AS (
+            SELECT user_id, CAST(ts AS TIMESTAMP) AS ts,
+                   CASE WHEN CAST(ts AS TIMESTAMP)
+                             - LAG(CAST(ts AS TIMESTAMP)) OVER w
+                             > INTERVAL '30 minutes'
+                        OR LAG(ts) OVER w IS NULL THEN 1 ELSE 0 END AS new_sess
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+        ),
+        islands AS (
+            SELECT user_id, ts,
+                   SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                                       ROWS UNBOUNDED PRECEDING) AS sess_id
+            FROM flagged
+        )
+        SELECT user_id, MIN(ts) AS sess_start, COUNT(*) AS n_events
+        FROM islands GROUP BY user_id, sess_id
+    """,
+    "stream_late_data": """
+        WITH marked AS (
+            SELECT CAST(ts AS TIMESTAMP) AS ts,
+                   MAX(CAST(ts AS TIMESTAMP)) OVER (ORDER BY event_id
+                       ROWS UNBOUNDED PRECEDING) AS max_seen
+            FROM events
+        )
+        SELECT date_trunc('day', ts) AS day, COUNT(*) AS n_kept
+        FROM marked
+        WHERE ts >= max_seen - INTERVAL '10 minutes'
+        GROUP BY 1
+    """,
+    "stream_consistent_cut": """
+        SELECT event_type, COUNT(*) AS n_events, MAX(event_id) AS max_id_at_cut
+        FROM events
+        WHERE event_id <= (SELECT MAX(event_id) - 200 FROM events)
+        GROUP BY event_type
+    """,
+    "stream_retry": """
+        SELECT * FROM (VALUES
+            (1, 'failed'), (2, 'failed'), (3, 'success')
+        ) AS t(attempt, status)
+    """,
+}
+
+QUERY_FNS = {
+    "stream_incremental_dump": stream_incremental_dump,
+    "stream_event_replay": stream_event_replay,
+    "stream_watermark_advance": stream_watermark_advance,
+    "stream_divergence": stream_divergence,
+    "stream_tumbling": stream_tumbling,
+    "stream_sliding": stream_sliding,
+    "stream_session": stream_session,
+    "stream_late_data": stream_late_data,
+    "stream_consistent_cut": stream_consistent_cut,
+    "stream_retry": stream_retry,
+}

@@ -1,0 +1,54 @@
+"""The correctness gate, locally: every ``queries()`` entry with an
+``oracle_sql()`` entry must match DuckDB exactly (row count + columns +
+values) — the same comparison the verification driver runs at sf0.01.
+
+Queries without oracles get a rows-runnable smoke check here instead.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from tests.conftest import SF_DIR, assert_frames_match
+
+import importlib.util
+import sys
+from pathlib import Path
+
+_entry_path = Path(__file__).resolve().parent.parent / "__spark_entry__.py"
+_spec = importlib.util.spec_from_file_location("__spark_entry__", _entry_path)
+_entry = importlib.util.module_from_spec(_spec)
+sys.modules.setdefault("__spark_entry__", _entry)
+_spec.loader.exec_module(_entry)
+
+QUERIES = _entry.queries()
+ORACLES = _entry.oracle_sql()
+
+WITH_ORACLE = sorted(set(QUERIES) & set(ORACLES))
+ROWS_ONLY = sorted(set(QUERIES) - set(ORACLES))
+DANGLING = sorted(set(ORACLES) - set(QUERIES))
+
+
+def test_registry_integrity():
+    assert not DANGLING, f"oracles without queries: {DANGLING}"
+    assert len(QUERIES) >= 60, f"operator inventory shrank: {len(QUERIES)}"
+
+
+def test_entry_smoke(spark):
+    df = _entry.entry(spark)
+    rows = df.collect()
+    assert len(rows) >= 1
+    assert set(df.columns) == {"db_name", "src_wm", "tgt_wm", "status"}
+
+
+@pytest.mark.parametrize("key", WITH_ORACLE)
+def test_oracle_parity(spark, oracle_con, key):
+    spark_pdf = QUERIES[key](spark, SF_DIR).toPandas()
+    oracle_pdf = oracle_con.sql(ORACLES[key]).df()
+    assert_frames_match(spark_pdf, oracle_pdf, key)
+
+
+@pytest.mark.parametrize("key", ROWS_ONLY)
+def test_rows_only_runnable(spark, key):
+    df = QUERIES[key](spark, SF_DIR)
+    assert df.count() >= 0
