@@ -1,0 +1,77 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (default
+sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+  {"metric": "...", "value": <total_sec>, "unit": "sec",
+   "queries": {"<name>": <sec>, ...}, "sf": <sf>}
+
+The headline set covers every operator family from SURVEY.md §2: scan
+pushdown, broadcast + shuffle joins, grouped/windowed aggregation, the
+as-of join, incremental dump + replay (the reference's core), and the LLM
+extensions (exact + MinHash dedup, cosine top-k, tokenization). Comparison
+target: BASELINE.md (reference bootstrap ≈ 36.7 s / incremental ≈ 45.5 s,
+both dominated by fixed overheads — the guard here is per-row throughput).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+from hive3_replication_spark.registry import build_queries
+from hive3_replication_spark.session import get_spark
+
+HEADLINE = (
+    "scan_parquet",
+    "join_broadcast",
+    "join_sortmerge",
+    "join_asof",
+    "agg_groupby",
+    "win_latest_per_group",
+    "stream_incremental_dump",
+    "stream_event_replay",
+    "stream_tumbling",
+    "llm_dedup_exact",
+    "llm_dedup_minhash",
+    "llm_similarity_topk",
+    "llm_text_tokens",
+    "snapshot_load",
+)
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    spark = get_spark(app_name="h3r-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+    queries = build_queries()
+
+    # warm the JVM + parquet footers once so timings measure the queries,
+    # not session startup
+    queries["agg_max_watermark"](spark, sf_dir).collect()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        t0 = time.perf_counter()
+        df = queries[name](spark, sf_dir)
+        n = df.count()
+        timings[name] = round(time.perf_counter() - t0, 3)
+        assert n >= 0
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_suite_wall_time",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
