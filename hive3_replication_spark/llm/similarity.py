@@ -63,7 +63,7 @@ def llm_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Coarse cells = the label clusters; centroids = element-wise means
     (computed distributed via posexplode + groupBy, never collected); the
-    query probes its 2 nearest centroids and exact-scores only those cells —
+    query probes its 4 nearest centroids and exact-scores only those cells —
     at 100 TB with c cells and p probes the scorer reads p/c of the corpus,
     and the centroid table (c × dim) is a broadcast dim.
     """
@@ -101,7 +101,7 @@ def llm_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("c_sim"),
         )
         .orderBy(F.desc("c_sim"))
-        .limit(2)
+        .limit(4)
         .select("label")
     )
     pruned = emb.join(F.broadcast(probe), "label")

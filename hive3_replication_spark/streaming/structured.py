@@ -1,0 +1,120 @@
+"""Genuine Structured Streaming pipelines (SURVEY.md §2.9 engine mapping).
+
+The reference is run-per-invocation batch over a change stream; the natural
+Spark fit is Structured Streaming with the ``availableNow`` trigger
+(SURVEY.md §3.3 engine mapping): each invocation drains everything new and
+stops, checkpoint offsets play the role of ``last_repl_id``.
+
+These pipelines are exercised by tests/test_streaming.py, which assert the
+streaming results equal their batch counterparts in batch_ops.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..session import ensure_engine_confs
+
+
+def _event_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """readStream over the events parquet (schema taken from a batch read;
+    ns-ts normalized exactly like the batch path)."""
+    ensure_engine_confs(spark)
+    batch = spark.read.parquet(f"{sf_dir}/events.parquet")
+    # the file-stream source wants a directory; select the events file(s)
+    # from the table dir by glob (works for single-file fixtures and real
+    # multi-file event logs alike)
+    stream = (
+        spark.readStream.schema(batch.schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    if dict(stream.dtypes).get("ts") == "bigint":
+        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    return stream
+
+
+def run_tumbling_stream(
+    spark: SparkSession, sf_dir: str, checkpoint_dir: str, gap: str = "1 day"
+) -> DataFrame:
+    """T6 as a real stream: watermarked tumbling counts per event_type,
+    drained with availableNow into a memory sink. Late rows (>1h behind the
+    max event time seen in prior batches) are dropped by the watermark —
+    T9's streaming form."""
+    stream = _event_stream(spark, sf_dir)
+    agg = (
+        stream.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", gap).alias("win"), F.col("event_type"))
+        .agg(F.count("*").alias("n_events"))
+        .select(F.col("win.start").alias("win_start"), "event_type", "n_events")
+    )
+    query = (
+        agg.writeStream.format("memory")
+        .queryName("h3r_tumbling")
+        .outputMode("complete")
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination(120)
+    return spark.sql("SELECT * FROM h3r_tumbling")
+
+
+def run_replay_stream(
+    spark: SparkSession,
+    sf_dir: str,
+    checkpoint_dir: str,
+    state_dir: str,
+) -> DataFrame:
+    """T2/T3 as a real stream: foreachBatch ordered apply with the same
+    last-writer-wins/delete merge as repl/incremental.apply_events, state
+    persisted per batch, offsets checkpointed (exactly-once bookkeeping —
+    a batch retry re-merges idempotently)."""
+    from ..repl.incremental import DELETE_TYPES
+
+    stream = _event_stream(spark, sf_dir)
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        sess = batch_df.sparkSession
+        new = batch_df.select(
+            "user_id",
+            F.col("event_id").alias("last_event_id"),
+            F.col("value").alias("state_value"),
+            F.col("event_type").isin(*DELETE_TYPES).alias("is_delete"),
+        )
+        try:
+            prev = sess.read.parquet(state_dir).withColumn(
+                "is_delete", F.lit(False)
+            )
+            merged = prev.unionByName(new)
+        except Exception:  # first batch — no state yet
+            merged = new
+        latest = merged.groupBy("user_id").agg(
+            F.max_by(
+                F.struct("last_event_id", "state_value", "is_delete"),
+                "last_event_id",
+            ).alias("s")
+        )
+        out = (
+            latest.filter(~F.col("s.is_delete"))
+            .select(
+                "user_id",
+                F.col("s.last_event_id").alias("last_event_id"),
+                F.col("s.state_value").alias("state_value"),
+            )
+        )
+        # stage-then-promote: never read and overwrite the same dir in one job
+        staged = out.localCheckpoint(eager=True)
+        staged.write.mode("overwrite").parquet(state_dir)
+
+    query = (
+        stream.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination(180)
+    return spark.read.parquet(state_dir)

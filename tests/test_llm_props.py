@@ -1,0 +1,79 @@
+"""Property tests for the approximate operators that have no SQL oracle
+(SURVEY.md §2.11): MinHash estimates vs exact Jaccard, SimHash self-match,
+ANN recall vs the exact scan, HLL++ error bounds."""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import functions as F
+
+from hive3_replication_spark.llm.dedup import (
+    llm_dedup_minhash,
+    llm_dedup_simhash,
+)
+from hive3_replication_spark.llm.similarity import (
+    llm_ann_ivf,
+    llm_similarity_topk,
+)
+from hive3_replication_spark.operators.aggregates import agg_approx_distinct
+from tests.conftest import SF_DIR
+
+
+def _dup_corpus(spark, tmp_path):
+    """documents ∪ near-duplicates: doc_id+10000 gets the same text with one
+    word changed — known near-dup ground truth."""
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    dups = docs.select(
+        (F.col("doc_id") + 10000).alias("doc_id"),
+        F.concat(F.lit("dupmark "), F.col("text")).alias("text"),
+        "lang",
+        "source",
+        "n_chars",
+    )
+    out = str(tmp_path / "dupdocs")
+    docs.unionByName(dups).coalesce(2).write.parquet(f"{out}/documents.parquet")
+    return out
+
+
+def test_minhash_finds_planted_near_dups(spark, tmp_path):
+    sf_dir = _dup_corpus(spark, tmp_path)
+    pairs = llm_dedup_minhash(spark, sf_dir).toPandas()
+    found = set(zip(pairs.doc_a, pairs.doc_b))
+    n_docs = 500
+    hits = sum((d, d + 10000) in found for d in range(n_docs))
+    # a 1-word prefix change keeps ~almost-all shingles: recall must be high
+    assert hits >= 0.9 * n_docs, f"minhash recall too low: {hits}/{n_docs}"
+    # and estimated jaccard for planted pairs must be high
+    planted = pairs[(pairs.doc_b - pairs.doc_a) == 10000]
+    assert (planted.est_jaccard >= 0.5).mean() >= 0.9
+
+
+def test_simhash_finds_planted_near_dups(spark, tmp_path):
+    sf_dir = _dup_corpus(spark, tmp_path)
+    pairs = llm_dedup_simhash(spark, sf_dir).toPandas()
+    found = set(zip(pairs.doc_a, pairs.doc_b))
+    hits = sum((d, d + 10000) in found for d in range(500))
+    assert hits >= 0.8 * 500, f"simhash recall too low: {hits}/500"
+
+
+def test_ann_recall_vs_exact(spark):
+    exact = llm_similarity_topk(spark, SF_DIR).toPandas()
+    approx = llm_ann_ivf(spark, SF_DIR).toPandas()
+    recall = len(set(exact.vec_id) & set(approx.vec_id)) / len(exact)
+    # 4 probes over 10 weakly-separated label cells; still far above the
+    # 2% random-draw baseline for top-10 of 500
+    assert recall >= 0.4, f"IVF recall {recall}"
+    # scores it does return must equal the exact scan's scores
+    merged = exact.merge(approx, on="vec_id", suffixes=("_e", "_a"))
+    assert (merged.cosine_r_e == merged.cosine_r_a).all()
+
+
+def test_approx_distinct_within_rsd(spark):
+    est = agg_approx_distinct(spark, SF_DIR).collect()[0]["n_users_approx"]
+    exact = (
+        spark.read.parquet(f"{SF_DIR}/events.parquet")
+        .select("user_id")
+        .distinct()
+        .count()
+    )
+    assert abs(est - exact) <= max(3, 0.1 * exact), (est, exact)

@@ -1,0 +1,170 @@
+"""E2E replication pipeline tests — the automated form of the reference's
+manual test procedure (``ManualSteps.md:15-33``; SURVEY.md §5):
+
+create db → bootstrap → verify rows → insert more → incremental → verify
+watermark advance → no-op rerun → idempotent re-apply → divergence ladder
+branches → locks → retry.
+"""
+
+from __future__ import annotations
+
+import glob
+import shutil
+from pathlib import Path
+
+import pytest
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from hive3_replication_spark.repl import incremental as incr
+from hive3_replication_spark.repl.model import (
+    STATUS_LOAD_FAILED,
+    STATUS_NO_PROGRESS,
+    STATUS_PARTIAL_LOAD,
+    STATUS_SUCCESS,
+    STATUS_TARGET_AHEAD,
+    ReplConfig,
+    classify_repl_status,
+)
+from hive3_replication_spark.repl.pipeline import run_replication
+from hive3_replication_spark.repl.registry import LockHeldError, RunLock
+from tests.conftest import SF_DIR
+
+
+@pytest.fixture()
+def repl_env(spark, tmp_path):
+    """Source db = fixture tables with the last 100 events held back."""
+    src = tmp_path / "source"
+    src.mkdir()
+    for p in glob.glob(f"{SF_DIR}/*.parquet"):
+        name = Path(p).stem
+        if name != "events":
+            shutil.copy(p, src / f"{name}.parquet")
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    max_id = ev.agg(F.max("event_id")).collect()[0][0]
+    cut = max_id - 100
+    ev.filter(F.col("event_id") <= cut).write.parquet(
+        str(src / "events.parquet")
+    )
+    cfg = ReplConfig(
+        db_name="repltest",
+        source_root=str(src),
+        target_root=str(tmp_path / "target"),
+        repl_root=str(tmp_path / "repl"),
+        db_allowlist=("repltest",),
+    )
+    return cfg, str(tmp_path / "run"), str(tmp_path / "wm"), ev, cut, max_id
+
+
+def test_bootstrap_then_incremental(spark, repl_env):
+    cfg, run_dir, wm_dir, ev, cut, max_id = repl_env
+
+    r1 = run_replication(spark, cfg, run_dir, wm_dir)
+    assert r1["mode"] == "bootstrap"
+    assert r1["status"] == STATUS_SUCCESS
+    assert r1["post_load_id"] == cut
+    # rows replicated (ManualSteps.md:25)
+    for t in ("lineitem", "orders", "nation"):
+        src_n = spark.read.parquet(f"{cfg.source_root}/{t}.parquet").count()
+        tgt_n = spark.read.parquet(f"{cfg.target_root}/{t}").count()
+        assert src_n == tgt_n, t
+
+    # insert more rows (ManualSteps.md:26) then incremental
+    ev.filter(F.col("event_id") > cut).write.mode("append").parquet(
+        f"{cfg.source_root}/events.parquet"
+    )
+    r2 = run_replication(spark, cfg, run_dir, wm_dir)
+    assert r2["mode"] == "incremental"
+    assert r2["status"] == STATUS_SUCCESS
+    assert r2["post_load_id"] == max_id
+
+    # no-op rerun: watermark unchanged, still success
+    r3 = run_replication(spark, cfg, run_dir, wm_dir)
+    assert r3["status"] == STATUS_SUCCESS
+    assert r3["post_load_id"] == max_id
+
+    # idempotent re-apply of the same dump (SURVEY.md §7 risk 1)
+    dump_path = f"{cfg.repl_root}/repltest/incr_{cut}_{max_id}"
+    before = sorted(
+        map(tuple, spark.read.parquet(f"{cfg.target_root}/user_state_v{max_id}").collect())
+    )
+    incr.apply_events(spark, cfg, dump_path, wm_dir, cut)
+    after = sorted(
+        map(tuple, spark.read.parquet(f"{cfg.target_root}/user_state_v{max_id}").collect())
+    )
+    assert before == after
+
+    # replayed state == batch last-writer-wins semantics
+    w = Window.partitionBy("user_id").orderBy(F.desc("event_id"))
+    expected = sorted(
+        map(
+            tuple,
+            (
+                ev.withColumn("rn", F.row_number().over(w))
+                .filter("rn = 1")
+                .filter("event_type <> 'error'")
+                .select(
+                    "user_id",
+                    F.col("event_id").alias("last_event_id"),
+                    F.col("value").alias("state_value"),
+                )
+                .collect()
+            ),
+        )
+    )
+    assert expected == after
+
+
+def test_classification_ladder_exhaustive():
+    """Every branch of hive3repl.sh:106-120,155-169 (SURVEY.md §7 risk 2)."""
+    assert classify_repl_status(100, 90, 100) == STATUS_SUCCESS
+    assert classify_repl_status(100, 90, None) == STATUS_LOAD_FAILED
+    assert classify_repl_status(100, None, None) == STATUS_LOAD_FAILED
+    assert classify_repl_status(100, 90, 90) == STATUS_NO_PROGRESS
+    assert classify_repl_status(100, 90, 95) == STATUS_PARTIAL_LOAD
+    assert classify_repl_status(100, 90, 110) == STATUS_TARGET_AHEAD
+    # bootstrap (no last_repl_id): behind/ahead still classify
+    assert classify_repl_status(100, None, 95) == STATUS_PARTIAL_LOAD
+    assert classify_repl_status(100, None, 110) == STATUS_TARGET_AHEAD
+    assert classify_repl_status(100, None, 100) == STATUS_SUCCESS
+
+
+def test_allowlist_validation():
+    cfg = ReplConfig(
+        db_name="evil",
+        source_root="/tmp/x",
+        target_root="/tmp/y",
+        repl_root="/tmp/z",
+        db_allowlist=("repltest",),
+    )
+    with pytest.raises(ValueError, match="allowlist"):
+        cfg.validate()
+
+
+def test_run_lock(tmp_path):
+    with RunLock(tmp_path, "dump"):
+        with pytest.raises(LockHeldError):
+            RunLock(tmp_path, "dump").acquire()
+    # released → can reacquire
+    with RunLock(tmp_path, "dump"):
+        pass
+
+
+def test_stale_lock_takeover(tmp_path):
+    lock = RunLock(tmp_path, "dump")
+    lock.path.mkdir(parents=True)
+    (lock.path / "pid").write_text("999999999")  # dead pid
+    with RunLock(tmp_path, "dump"):  # takes over (misc_functions.sh:168-180)
+        pass
+
+
+def test_retry_exhaustion():
+    calls: list[int] = []
+
+    def always_fail(attempt: int) -> None:
+        calls.append(attempt)
+        raise RuntimeError("boom")
+
+    with pytest.raises(RuntimeError, match="after 3 attempts"):
+        incr.with_retry(always_fail, max_attempts=3, sleep_s=0.0)
+    assert calls == [1, 2, 3]

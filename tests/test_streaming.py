@@ -1,0 +1,54 @@
+"""Structured Streaming pipelines must agree with their batch counterparts
+(SURVEY.md §2.9): tumbling windowed counts and the foreachBatch replay."""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from hive3_replication_spark.streaming.batch_ops import stream_tumbling
+from hive3_replication_spark.streaming.structured import (
+    run_replay_stream,
+    run_tumbling_stream,
+)
+from tests.conftest import SF_DIR
+
+
+def test_streaming_tumbling_matches_batch(spark, tmp_path):
+    streamed = run_tumbling_stream(
+        spark, SF_DIR, str(tmp_path / "ckpt")
+    ).toPandas()
+    batch = stream_tumbling(spark, SF_DIR).toPandas()
+    key = ["win_start", "event_type"]
+    a = streamed.sort_values(key).reset_index(drop=True)
+    b = batch.sort_values(key).reset_index(drop=True)
+    # in-order drain → watermark drops nothing → exact agreement
+    assert a[key + ["n_events"]].equals(b[key + ["n_events"]])
+
+
+def test_streaming_replay_matches_batch(spark, tmp_path):
+    state = run_replay_stream(
+        spark,
+        SF_DIR,
+        str(tmp_path / "ckpt"),
+        str(tmp_path / "state"),
+    )
+    got = sorted(map(tuple, state.collect()))
+
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    w = Window.partitionBy("user_id").orderBy(F.desc("event_id"))
+    expected = sorted(
+        map(
+            tuple,
+            ev.withColumn("rn", F.row_number().over(w))
+            .filter("rn = 1")
+            .filter("event_type <> 'error'")
+            .select(
+                "user_id",
+                F.col("event_id").alias("last_event_id"),
+                F.col("value").alias("state_value"),
+            )
+            .collect(),
+        )
+    )
+    assert got == expected
