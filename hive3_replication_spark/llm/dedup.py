@@ -12,7 +12,7 @@ a parameter below).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
@@ -34,26 +34,24 @@ _PERM_B = [(k + 1) * 0xC2B2AE3D % _MERSENNE for k in range(MINHASH_PERMS)]
 
 
 def _shingles(documents: DataFrame, n: int = 3) -> DataFrame:
-    """(doc_id, shingle) distinct word n-grams via posexplode + lead —
-    narrow ops plus one per-doc window (partitioned by doc_id, so it
-    distributes)."""
-    toks = documents.select(
-        "doc_id", F.posexplode(F.split(F.col("text"), " ")).alias("pos", "tok")
+    """(doc_id, shingle) distinct word n-grams, built array-side: split once,
+    then a higher-order transform over token offsets — a purely narrow map
+    (no window, no shuffle until the final distinct), which is the shape that
+    survives a 100× scale-up."""
+    toks = F.split(F.col("text"), " ")
+    sh_array = F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - n),
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(toks, (i + k + 1).cast("int")) for k in range(n)]
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return (
+        documents.select("doc_id", F.explode(sh_array).alias("shingle"))
+        .distinct()
     )
-    w = Window.partitionBy("doc_id").orderBy("pos")
-    sh = toks.select(
-        "doc_id",
-        F.concat_ws(
-            " ",
-            F.col("tok"),
-            *[F.lead("tok", i).over(w) for i in range(1, n)],
-        ).alias("shingle"),
-        *[F.lead("tok", i).over(w).alias(f"_t{i}") for i in range(1, n)],
-    )
-    complete = sh.filter(
-        F.lit(True) & F.expr(" AND ".join(f"_t{i} IS NOT NULL" for i in range(1, n)))
-    )
-    return complete.select("doc_id", "shingle").distinct()
 
 
 def llm_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -124,21 +122,25 @@ def llm_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min((F.col("h") * _PERM_A[k] + _PERM_B[k]) % _MERSENNE).alias(f"mh{k}")
         for k in range(MINHASH_PERMS)
     ]
-    sig = h.groupBy("doc_id").agg(*perm_cols)
+    # persist the signature matrix: it is referenced three times below
+    # (banding + both sides of the candidate join) and Spark would otherwise
+    # recompute the shingle→hash→groupBy subtree per reference. n_docs × 32
+    # longs is tiny relative to the corpus even at 100 TB.
+    sig = h.groupBy("doc_id").agg(*perm_cols).persist()
     r = MINHASH_PERMS // MINHASH_BANDS
-    bands = []
-    for bidx in range(MINHASH_BANDS):
-        cols = [f"mh{k}" for k in range(bidx * r, (bidx + 1) * r)]
-        bands.append(
-            sig.select(
-                "doc_id",
-                F.lit(bidx).alias("band"),
-                F.xxhash64(*[F.col(c) for c in cols]).alias("bucket"),
-            )
+    band_structs = [
+        F.struct(
+            F.lit(bidx).alias("band"),
+            F.xxhash64(
+                *[F.col(f"mh{k}") for k in range(bidx * r, (bidx + 1) * r)]
+            ).alias("bucket"),
         )
-    banded = bands[0]
-    for extra in bands[1:]:
-        banded = banded.unionByName(extra)
+        for bidx in range(MINHASH_BANDS)
+    ]
+    # one pass: explode all bands from a single projection of sig
+    banded = sig.select(
+        "doc_id", F.explode(F.array(*band_structs)).alias("bb")
+    ).select("doc_id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
     cand = (
         banded.alias("x")
         .join(banded.alias("y"), ["band", "bucket"])
@@ -187,24 +189,31 @@ def llm_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         for b in range(32)
     ]
     agg = th.groupBy("doc_id").agg(*bit_sums)
+    # persist: referenced by the band explode and both candidate-join sides
     sim = agg.select(
         "doc_id",
         sum(
             F.when(F.col(f"s{b}") > 0, F.lit(1 << b)).otherwise(F.lit(0))
             for b in range(32)
         ).alias("simhash"),
-    )
-    bands = None
-    for bidx in range(4):
-        piece = sim.select(
-            "doc_id",
+    ).persist()
+    band_structs = [
+        F.struct(
             F.lit(bidx).alias("band"),
-            F.shiftright(F.col("simhash"), bidx * 8).bitwiseAND(F.lit(0xFF)).alias(
-                "bucket"
-            ),
-            "simhash",
+            F.shiftright(F.col("simhash"), bidx * 8)
+            .bitwiseAND(F.lit(0xFF))
+            .alias("bucket"),
         )
-        bands = piece if bands is None else bands.unionByName(piece)
+        for bidx in range(4)
+    ]
+    bands = sim.select(
+        "doc_id", "simhash", F.explode(F.array(*band_structs)).alias("bb")
+    ).select(
+        "doc_id",
+        F.col("bb.band").alias("band"),
+        F.col("bb.bucket").alias("bucket"),
+        "simhash",
+    )
     cand = (
         bands.alias("x")
         .join(bands.alias("y"), ["band", "bucket"])

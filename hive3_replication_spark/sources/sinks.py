@@ -9,6 +9,7 @@ verifiable summary DataFrame; the real pipeline entry points live in
 from __future__ import annotations
 
 import tempfile
+from concurrent.futures import ThreadPoolExecutor
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -51,10 +52,13 @@ def snapshot_dump(spark: SparkSession, sf_dir: str) -> DataFrame:
     ensure_engine_confs(spark)
     cfg, run_dir, _ = _tmp_cfg(sf_dir, "dump")
     result = bootstrap_dump(spark, cfg, run_dir)
-    rows = []
-    for t in result["tables"]:
+
+    def count_one(t: str) -> tuple[str, int, int]:
         cnt = spark.read.parquet(f"{result['dump_path']}/{t}").count()
-        rows.append((t, cnt, result["dump_txid"]))
+        return (t, cnt, result["dump_txid"])
+
+    with ThreadPoolExecutor(max_workers=8) as pool:
+        rows = list(pool.map(count_one, result["tables"]))
     return spark.createDataFrame(
         rows, "table_name string, row_count bigint, dump_txid bigint"
     )
