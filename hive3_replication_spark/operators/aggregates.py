@@ -36,12 +36,12 @@ def agg_pending_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A2 — "There are N transactions to be synced in this run"
     (``README.md:72,86``; display-bug fix ``TODO.md:3``): count of events
     above the watermark."""
+    from .filters import scalar_watermark
+
     events = load_table(spark, sf_dir, "events")
-    wm = events.agg((F.max("event_id") - F.lit(300)).alias("wm"))
-    return (
-        events.join(F.broadcast(wm))
-        .filter(F.col("event_id") > F.col("wm"))
-        .agg(F.count("*").alias("pending_txns"))
+    wm = scalar_watermark(events, 300)
+    return events.filter(F.col("event_id") > F.lit(wm)).agg(
+        F.count("*").alias("pending_txns")
     )
 
 

@@ -161,21 +161,26 @@ def table_class_catalog(spark: SparkSession) -> DataFrame:
     return spark.createDataFrame(rows, "table_name string, table_type string")
 
 
+def scalar_watermark(events: DataFrame, lag: int) -> int:
+    """Two-phase watermark planning (the reference's own shape: read
+    ``repl status`` first, then dump from that id, SURVEY.md §4 row 1): a
+    tiny aggregate job yields the scalar, and downstream filters use it as a
+    *literal* — which Catalyst pushes into the parquet scan and uses for
+    partition pruning. A dynamically-joined watermark cannot prune."""
+    return events.agg((F.max("event_id") - F.lit(lag)).alias("wm")).collect()[0][
+        "wm"
+    ]
+
+
 def filter_gt_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P11 — watermark range predicate: only events with id > last_repl_id
-    enter the incremental dump (``HQL/repldump.hql:3`` ``from ${last_repl_id}``).
-
-    The watermark is computed as an aggregate and joined back via a 1-row
-    broadcast (no collect; the plan stays fully distributed). At 100 TB with
-    events partitioned on event-date/id-range this predicate prunes
-    partitions before the scan.
-    """
+    enter the incremental dump (``HQL/repldump.hql:3`` ``from
+    ${last_repl_id}``). Literal predicate → PushedFilters: [GreaterThan
+    (event_id, …)] in the scan (asserted in tests/test_plans.py)."""
     events = load_table(spark, sf_dir, "events")
-    wm = events.agg((F.max("event_id") - F.lit(100)).alias("wm"))
-    return (
-        events.join(F.broadcast(wm))
-        .filter(F.col("event_id") > F.col("wm"))
-        .select("event_id", "event_type", "user_id")
+    wm = scalar_watermark(events, 100)
+    return events.filter(F.col("event_id") > F.lit(wm)).select(
+        "event_id", "event_type", "user_id"
     )
 
 

@@ -16,23 +16,19 @@ from pyspark.sql import functions as F
 from ..catalog import load_table
 
 
-def _wm(events: DataFrame, lag: int) -> DataFrame:
-    """1-row watermark relation (max id − lag) for broadcast — keeps the plan
-    fully distributed (no driver collect)."""
-    return events.agg((F.max("event_id") - F.lit(lag)).alias("wm"))
-
-
 def stream_incremental_dump(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T1 — incremental change capture: only events after ``last_repl_id``
     (``HQL/repldump.hql:3`` ``repl dump ... from ${last_repl_id}``). The
-    predicate pushes into the scan; with events partitioned by id-range/date
-    it prunes whole partitions — the property that makes incremental runs
-    O(delta), not O(history), at 100 TB."""
+    watermark is collected first (two-phase planning, the reference's own
+    shape) so the predicate is a pushed literal; with events partitioned by
+    id-range/date it prunes whole partitions — the property that makes
+    incremental runs O(delta), not O(history), at 100 TB."""
+    from ..operators.filters import scalar_watermark
+
     events = load_table(spark, sf_dir, "events")
-    return (
-        events.join(F.broadcast(_wm(events, 200)))
-        .filter(F.col("event_id") > F.col("wm"))
-        .select("event_id", "ts", "user_id", "event_type", "value")
+    wm = scalar_watermark(events, 200)
+    return events.filter(F.col("event_id") > F.lit(wm)).select(
+        "event_id", "ts", "user_id", "event_type", "value"
     )
 
 
@@ -63,16 +59,14 @@ def stream_watermark_advance(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T3 — watermark bookkeeping: wm_before → wm_after with the applied
     count ("There are N transactions to be synced", ``README.md:72``;
     advance-after-success contract ``README.md:34-46``)."""
+    from ..operators.filters import scalar_watermark
+
     events = load_table(spark, sf_dir, "events")
-    return (
-        events.join(F.broadcast(_wm(events, 200)))
-        .filter(F.col("event_id") > F.col("wm"))
-        .groupBy("wm")
-        .agg(
-            F.max("event_id").alias("wm_after"),
-            F.count("*").alias("applied_txns"),
-        )
-        .select(F.col("wm").alias("wm_before"), "wm_after", "applied_txns")
+    wm = scalar_watermark(events, 200)
+    return events.filter(F.col("event_id") > F.lit(wm)).agg(
+        F.lit(wm).alias("wm_before"),
+        F.max("event_id").alias("wm_after"),
+        F.count("*").alias("applied_txns"),
     )
 
 
@@ -179,10 +173,12 @@ def stream_consistent_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``event_id <= cut`` (the bootstrap dump is a consistent snapshot at
     DUMP_TXID, ``README.md:36``; serialized by dump.lock
     ``beeline_functions.sh:92-101``)."""
+    from ..operators.filters import scalar_watermark
+
     events = load_table(spark, sf_dir, "events")
+    cut = scalar_watermark(events, 200)
     return (
-        events.join(F.broadcast(_wm(events, 200).select(F.col("wm").alias("cut"))))
-        .filter(F.col("event_id") <= F.col("cut"))
+        events.filter(F.col("event_id") <= F.lit(cut))
         .groupBy("event_type")
         .agg(
             F.count("*").alias("n_events"),
