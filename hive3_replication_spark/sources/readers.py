@@ -105,6 +105,42 @@ def scan_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("l_orderkey", "l_quantity", "l_shipdate")
 
 
+_PARTITIONED_CACHE: dict[str, str] = {}
+
+
+def partitioned_events_path(spark: SparkSession, sf_dir: str) -> str:
+    """Materialize the events table partitioned by event date — the 100 TB
+    layout for the change stream (SURVEY.md §4: partitioned writes +
+    partition pruning make incremental runs O(delta)). Cached per (process,
+    sf_dir) so repeated queries reuse the layout."""
+    if sf_dir not in _PARTITIONED_CACHE:
+        out = tempfile.mkdtemp(prefix="h3r_part_") + "/events_by_day"
+        events = load_table(spark, sf_dir, "events")
+        (
+            events.withColumn("event_date", F.to_date("ts"))
+            .repartition("event_date")  # one writer task per partition value
+            .write.mode("overwrite")
+            .partitionBy("event_date")
+            .parquet(out)
+        )
+        _PARTITIONED_CACHE[sf_dir] = out
+    return _PARTITIONED_CACHE[sf_dir]
+
+
+def scan_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S5b — partition-pruned scan: a date predicate on a date-partitioned
+    layout touches only matching partition directories (PartitionFilters in
+    the plan, asserted in tests/test_plans.py) — the difference between
+    reading a day and reading 100 TB."""
+    path = partitioned_events_path(spark, sf_dir)
+    df = spark.read.parquet(path)
+    return (
+        df.filter(F.col("event_date") < F.lit("2024-01-03").cast("date"))
+        .groupBy("event_date", "event_type")
+        .agg(F.count("*").alias("n_events"))
+    )
+
+
 def delimited_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S6 — beeline resultset parsing (``init_variables.sh:47`` pipe
     format; ``beeline_functions.sh:24`` awk parse): build pipe-delimited
@@ -140,6 +176,13 @@ ORACLES: dict[str, str] = {
         SELECT l_orderkey, l_quantity, l_shipdate FROM lineitem
         WHERE l_shipdate < TIMESTAMP '1995-01-01'
     """,
+    "scan_partitioned": """
+        SELECT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS event_date,
+               event_type, COUNT(*) AS n_events
+        FROM events
+        WHERE CAST(CAST(ts AS TIMESTAMP) AS DATE) < DATE '2024-01-03'
+        GROUP BY 1, 2
+    """,
     "delimited_parse": """
         WITH lines AS (
             SELECT '| ' || n_name || ' | ' || CAST(n_nationkey AS VARCHAR) || ' |'
@@ -156,5 +199,6 @@ QUERY_FNS = {
     "jdbc_source": jdbc_source,
     "jdbc_sink": jdbc_sink,
     "scan_parquet": scan_parquet,
+    "scan_partitioned": scan_partitioned,
     "delimited_parse": delimited_parse,
 }

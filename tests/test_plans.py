@@ -42,6 +42,18 @@ def test_watermark_literal_pushdown(spark):
     assert "GreaterThan(event_id" in plan
 
 
+def test_partition_pruning(spark):
+    """Date predicate on the date-partitioned layout must prune at the
+    partition level, not per-row."""
+    from hive3_replication_spark.sources.readers import scan_partitioned
+
+    plan = _plan(scan_partitioned(spark, SF_DIR))
+    pf_line = next(
+        line for line in plan.splitlines() if "PartitionFilters" in line
+    )
+    assert "event_date" in pf_line
+
+
 def test_dim_join_broadcasts(spark):
     plan = _plan(join_broadcast(spark, SF_DIR))
     assert "BroadcastHashJoin" in plan
