@@ -24,18 +24,24 @@ from hive3_replication_spark.session import get_spark
 
 HEADLINE = (
     "scan_parquet",
+    "scan_partitioned",
     "join_broadcast",
     "join_sortmerge",
     "join_asof",
     "agg_groupby",
+    "agg_rollup",
     "win_latest_per_group",
+    "win_running_sum",
     "stream_incremental_dump",
     "stream_event_replay",
     "stream_tumbling",
+    "stream_session",
     "llm_dedup_exact",
     "llm_dedup_minhash",
+    "llm_dedup_ngram",
     "llm_similarity_topk",
     "llm_text_tokens",
+    "llm_text_fingerprint",
     "snapshot_load",
 )
 

@@ -34,11 +34,23 @@ _PERM_B = [(k + 1) * 0xC2B2AE3D % _MERSENNE for k in range(MINHASH_PERMS)]
 
 
 def _shingles(documents: DataFrame, n: int = 3) -> DataFrame:
-    """(doc_id, shingle) distinct word n-grams, built array-side: split once,
-    then a higher-order transform over token offsets — a purely narrow map
-    (no window, no shuffle until the final distinct), which is the shape that
-    survives a 100× scale-up."""
-    toks = F.split(F.col("text"), " ")
+    """(doc_id, shingle) distinct word n-grams, built array-side: tokenize
+    ONCE into a materialized array column, then a higher-order transform over
+    token offsets — a purely narrow map (no window, no shuffle until the
+    final distinct).
+
+    Two details that matter at scale: the token array must be a bound
+    attribute, not an inline ``split`` expression (Catalyst does not CSE the
+    split inside the lambda, which would make shingling O(tokens²) per doc);
+    and the corpus is repartitioned first so tokenization parallelizes even
+    when the input is one big file.
+    """
+    sess = documents.sparkSession
+    docs = documents.repartition(sess.sparkContext.defaultParallelism)
+    with_toks = docs.select(
+        "doc_id", F.split(F.col("text"), " ").alias("toks")
+    )
+    toks = F.col("toks")
     sh_array = F.when(
         F.size(toks) >= n,
         F.transform(
@@ -49,7 +61,7 @@ def _shingles(documents: DataFrame, n: int = 3) -> DataFrame:
         ),
     ).otherwise(F.array().cast("array<string>"))
     return (
-        documents.select("doc_id", F.explode(sh_array).alias("shingle"))
+        with_toks.select("doc_id", F.explode(sh_array).alias("shingle"))
         .distinct()
     )
 
@@ -76,7 +88,10 @@ def llm_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     so it has a full SQL oracle. The pair space is only docs sharing ≥1
     shingle; the skew guard drops degenerate stop-shingle buckets."""
     documents = load_table(spark, sf_dir, "documents")
-    sh = _shingles(documents)
+    # persist: the shingle relation feeds doc sizes, shingle frequencies,
+    # and both sides of the pair join — without it Spark recomputes the
+    # tokenize+distinct subtree per reference
+    sh = _shingles(documents).persist()
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
     freq = sh.groupBy("shingle").agg(F.count("*").alias("df"))
     sh_f = sh.join(
