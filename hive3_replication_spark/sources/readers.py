@@ -105,6 +105,37 @@ def scan_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("l_orderkey", "l_quantity", "l_shipdate")
 
 
+def scan_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S5 (csv edge) — delimited-file ingest with an explicit schema (the
+    engine's schema policy: inference only at ingest boundaries, SURVEY.md
+    §1.2): round-trip a slice of events through csv and read it back."""
+    ensure_engine_confs(spark)
+    events = load_table(spark, sf_dir, "events")
+    out = tempfile.mkdtemp(prefix="h3r_csv_") + "/events_csv"
+    slice_df = events.filter(F.col("event_id") < 500).select(
+        "event_id", "user_id", "event_type"
+    )
+    slice_df.write.mode("overwrite").option("header", True).csv(out)
+    return spark.read.schema(
+        "event_id long, user_id long, event_type string"
+    ).option("header", True).csv(out)
+
+
+def scan_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S5 (json edge) — JSON-lines ingest with explicit schema; same
+    round-trip contract as scan_csv."""
+    ensure_engine_confs(spark)
+    events = load_table(spark, sf_dir, "events")
+    out = tempfile.mkdtemp(prefix="h3r_json_") + "/events_json"
+    slice_df = events.filter(F.col("event_id") < 500).select(
+        "event_id", "event_type", "value"
+    )
+    slice_df.write.mode("overwrite").json(out)
+    return spark.read.schema(
+        "event_id long, event_type string, value double"
+    ).json(out)
+
+
 _PARTITIONED_CACHE: dict[str, str] = {}
 
 
@@ -176,6 +207,12 @@ ORACLES: dict[str, str] = {
         SELECT l_orderkey, l_quantity, l_shipdate FROM lineitem
         WHERE l_shipdate < TIMESTAMP '1995-01-01'
     """,
+    "scan_csv": """
+        SELECT event_id, user_id, event_type FROM events WHERE event_id < 500
+    """,
+    "scan_json": """
+        SELECT event_id, event_type, value FROM events WHERE event_id < 500
+    """,
     "scan_partitioned": """
         SELECT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS event_date,
                event_type, COUNT(*) AS n_events
@@ -199,6 +236,8 @@ QUERY_FNS = {
     "jdbc_source": jdbc_source,
     "jdbc_sink": jdbc_sink,
     "scan_parquet": scan_parquet,
+    "scan_csv": scan_csv,
+    "scan_json": scan_json,
     "scan_partitioned": scan_partitioned,
     "delimited_parse": delimited_parse,
 }

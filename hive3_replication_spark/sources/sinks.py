@@ -140,8 +140,16 @@ ORACLES: dict[str, str] = {
             UNION ALL SELECT 'supplier', COUNT(*) FROM supplier
         ) t CROSS JOIN (SELECT MAX(event_id) AS post_load_id FROM events) w
     """,
-    # log_append / parallel_copy: rows-only (wall-clock timestamps / file
-    # layout are environment-specific).
+    # the read-back level counts and copy row counts are deterministic, so
+    # both sinks verify against golden/derived oracles (the wall-clock
+    # timestamp column is excluded from the returned relation)
+    "log_append": """
+        SELECT level, CAST(n_lines AS BIGINT) AS n_lines
+        FROM (VALUES ('INFO', 5), ('ERROR', 5)) AS t(level, n_lines)
+    """,
+    "parallel_copy": """
+        SELECT COUNT(*) AS src_rows, COUNT(*) AS copied_rows FROM lineitem
+    """,
 }
 
 QUERY_FNS = {
