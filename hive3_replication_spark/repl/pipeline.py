@@ -33,6 +33,7 @@ def run_replication(
     started = dt.datetime.now(dt.timezone.utc)
 
     last_repl_id = snap.repl_status(spark, watermark_dir, cfg.db_name)
+    synced: list[str] = []
 
     if last_repl_id is None:
         # Entry B — bootstrap; retries forced to 1 (hive3repl.sh:99-100)
@@ -55,6 +56,9 @@ def run_replication(
                 max_attempts=cfg.incr_rerun,
                 sleep_s=cfg.rerun_sleep_s,
             )
+        # distcp -update analog: re-copy only static tables whose payload
+        # fingerprint changed since the last run (SURVEY.md §4 row 6)
+        synced = snap.sync_static_tables(spark, cfg)
 
     post_load_id = snap.repl_status(spark, watermark_dir, cfg.db_name)
     status = classify_repl_status(dump_txid, last_repl_id, post_load_id)
@@ -66,5 +70,6 @@ def run_replication(
         "dump_txid": dump_txid,
         "post_load_id": post_load_id,
         "status": status,
+        "tables_synced": synced if mode == "incremental" else None,
         "duration_s": (finished - started).total_seconds(),
     }

@@ -70,6 +70,59 @@ def source_tables(cfg: ReplConfig) -> list[str]:
     return [t for t in present if t in managed or t == EVENTS_TABLE]
 
 
+def table_fingerprints(root: str) -> dict[str, tuple[int, ...]]:
+    """Cheap content fingerprint per table payload: sorted (size) tuple of
+    its files. Parquet/ORC files are immutable once written, so (name-set,
+    sizes) changing ⇔ content changing — the same assumption distcp
+    ``-update`` makes (``HQL/replextload.hql:9-11``)."""
+    out: dict[str, tuple[int, ...]] = {}
+    rootp = Path(root)
+    if not rootp.exists():
+        return out
+    for entry in sorted(rootp.iterdir()):
+        if entry.name.startswith((".", "_")):
+            continue
+        # table name = entry name minus the .parquet suffix (source tables
+        # may be single files or spark-written directories)
+        name = entry.name.removesuffix(".parquet")
+        if entry.is_file():
+            sizes = (entry.stat().st_size,)
+        else:
+            sizes = tuple(
+                sorted(
+                    f.stat().st_size
+                    for f in entry.rglob("*")
+                    if f.is_file() and not f.name.startswith((".", "_"))
+                )
+            )
+        out[name] = sizes
+    return out
+
+
+def sync_static_tables(
+    spark: SparkSession, cfg: ReplConfig, tables: list[str] | None = None
+) -> list[str]:
+    """Copy-skip sync (SURVEY.md §4 row 6, the manifest-diff J6 pattern):
+    compare source vs target payload fingerprints and byte-copy only the
+    tables that differ — the engine's distcp ``-update``. Returns the list
+    of tables actually copied, so reruns are observably incremental."""
+    copied: list[str] = []
+    src_fp = table_fingerprints(cfg.source_root)
+    tgt_fp = table_fingerprints(cfg.target_root)
+    # same table-set pruning as the dump: external tables only when opted in
+    # (beeline_functions.sh:70-76)
+    in_scope = tables if tables is not None else source_tables(cfg)
+    for t in sorted(in_scope):
+        if t == EVENTS_TABLE:
+            continue  # the change stream replicates via event replay
+        if src_fp.get(t) != tgt_fp.get(t):
+            _fs_copy(
+                spark, f"{cfg.source_root}/{t}.parquet", f"{cfg.target_root}/{t}"
+            )
+            copied.append(t)
+    return copied
+
+
 def repl_status(spark: SparkSession, watermark_dir: str, db_name: str) -> int | None:
     """``repl status`` (``HQL/replstatus.hql:4`` via
     ``beeline_functions.sh:3-25``): latest watermark for the db, or None if

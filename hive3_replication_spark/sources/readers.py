@@ -121,6 +121,23 @@ def scan_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).option("header", True).csv(out)
 
 
+def scan_orc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S5 (orc edge) — ORC round-trip: the reference's ACID-table payloads
+    are ORC on HDP 3 (SURVEY.md §1.3), so the engine reads/writes ORC
+    natively at the ingest edge; parquet stays the canonical internal
+    format."""
+    ensure_engine_confs(spark)
+    events = load_table(spark, sf_dir, "events")
+    out = tempfile.mkdtemp(prefix="h3r_orc_") + "/events_orc"
+    slice_df = events.filter(F.col("event_id") < 500).select(
+        "event_id", "user_id", "value"
+    )
+    slice_df.write.mode("overwrite").orc(out)
+    return spark.read.schema("event_id long, user_id long, value double").orc(
+        out
+    )
+
+
 def scan_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S5 (json edge) — JSON-lines ingest with explicit schema; same
     round-trip contract as scan_csv."""
@@ -213,6 +230,9 @@ ORACLES: dict[str, str] = {
     "scan_json": """
         SELECT event_id, event_type, value FROM events WHERE event_id < 500
     """,
+    "scan_orc": """
+        SELECT event_id, user_id, value FROM events WHERE event_id < 500
+    """,
     "scan_partitioned": """
         SELECT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS event_date,
                event_type, COUNT(*) AS n_events
@@ -238,6 +258,7 @@ QUERY_FNS = {
     "scan_parquet": scan_parquet,
     "scan_csv": scan_csv,
     "scan_json": scan_json,
+    "scan_orc": scan_orc,
     "scan_partitioned": scan_partitioned,
     "delimited_parse": delimited_parse,
 }
