@@ -20,6 +20,7 @@ import sys
 
 from .repl.model import STATUS_SUCCESS, ReplConfig
 from .repl.pipeline import run_replication
+from .repl.registry import LockHeldError
 from .session import get_spark
 
 
@@ -55,6 +56,11 @@ def main(argv: list[str] | None = None) -> int:
             run_dir=args.run_dir or f"{args.repl_root}/_run",
             watermark_dir=args.watermark_dir or f"{args.target_root}/_watermarks",
         )
+    except LockHeldError as exc:
+        # another run in progress (hive3repl.sh:67-70 instance lock exit)
+        print(json.dumps({"db_name": args.db_name, "status": "locked",
+                          "error": str(exc)}))
+        return 2
     finally:
         spark.stop()
     print(json.dumps(report))

@@ -65,6 +65,32 @@ def udf_grouped_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def udf_table_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X3b — class-based Python UDTF (Spark 3.5+ ``@udtf``): tokenize with
+    positions, one input row → N output rows, registered and invoked through
+    SQL ``LATERAL`` — the declarative table-function surface (mapInPandas
+    below is the Arrow-batch alternative)."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="pos int, token string")
+    class Tokenize:
+        def eval(self, text: str):
+            if text:
+                for pos, token in enumerate(text.split(" ")):
+                    yield pos, token
+
+    spark.udtf.register("h3r_tokenize", Tokenize)
+    documents = load_table(spark, sf_dir, "documents")
+    documents.createOrReplaceTempView("_udtf_docs")
+    return spark.sql(
+        """
+        SELECT d.doc_id, t.pos, t.token
+        FROM _udtf_docs d, LATERAL h3r_tokenize(d.text) t
+        WHERE d.doc_id < 100
+        """
+    )
+
+
 def udf_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X3 — table function via mapInPandas: tokenize documents into
     (doc_id, token) rows — a 1→N row expansion with Arrow-batched I/O.
@@ -94,10 +120,19 @@ ORACLES: dict[str, str] = {
     "udf_table": """
         SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
     """,
+    "udf_table_udtf": """
+        WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
+                   FROM documents WHERE doc_id < 100)
+        SELECT doc_id,
+               CAST(generate_subscripts(toks, 1) - 1 AS INTEGER) AS pos,
+               unnest(toks) AS token
+        FROM t
+    """,
 }
 
 QUERY_FNS = {
     "udf_scalar": udf_scalar,
     "udf_grouped_agg": udf_grouped_agg,
     "udf_table": udf_table,
+    "udf_table_udtf": udf_table_udtf,
 }

@@ -55,7 +55,13 @@ def incremental_dump(
     dump_path = str(
         Path(cfg.repl_root) / cfg.db_name / f"incr_{from_txid}_{dump_txid}"
     )
-    delta.write.mode("overwrite").parquet(f"{dump_path}/{EVENTS_TABLE}")
+    # O2 replay ordering: sort within partitions by event_id so each dump
+    # file is internally replay-ordered (a full global sort is unnecessary —
+    # the merge is an argmax — but ordered files make replay streaming-
+    # friendly and splittable)
+    delta.sortWithinPartitions("event_id").write.mode("overwrite").parquet(
+        f"{dump_path}/{EVENTS_TABLE}"
+    )
     now = dt.datetime.now(dt.timezone.utc).replace(tzinfo=None)
     manifest = spark.createDataFrame(
         [(cfg.db_name, dump_path, int(dump_txid), False, now)],
