@@ -26,6 +26,29 @@ def test_streaming_tumbling_matches_batch(spark, tmp_path):
     assert a[key + ["n_events"]].equals(b[key + ["n_events"]])
 
 
+def test_streaming_jdbc_sink_exactly_once(spark, tmp_path):
+    """Stream → JDBC warehouse with batch-id bookkeeping: a second drain
+    over the same checkpoint must not double-write."""
+    from hive3_replication_spark.streaming.jdbc_sink import run_jdbc_stream
+
+    out1 = run_jdbc_stream(
+        spark, SF_DIR, str(tmp_path / "ck"), db="repl_stream_t"
+    ).toPandas()
+    # warehouse counts equal the batch ground truth
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    expected = (
+        ev.groupBy("event_type").count().toPandas().set_index("event_type")["count"]
+    )
+    got = out1.groupby("event_type")["n_events"].sum()
+    assert got.to_dict() == expected.to_dict()
+    # re-drain with the same checkpoint: no new batches, no duplicates
+    out2 = run_jdbc_stream(
+        spark, SF_DIR, str(tmp_path / "ck"), db="repl_stream_t"
+    ).toPandas()
+    assert len(out2) == len(out1)
+    assert out2.groupby("event_type")["n_events"].sum().to_dict() == expected.to_dict()
+
+
 def test_streaming_replay_matches_batch(spark, tmp_path):
     state = run_replay_stream(
         spark,
