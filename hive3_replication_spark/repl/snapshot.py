@@ -18,6 +18,7 @@ distcp because the copy *is* a distributed Spark job (SURVEY.md §4
 from __future__ import annotations
 
 import datetime as dt
+import json
 from concurrent.futures import ThreadPoolExecutor
 from pathlib import Path
 
@@ -30,8 +31,24 @@ from .model import MANIFEST_SCHEMA, WATERMARK_SCHEMA, ReplConfig
 from .registry import RunLock
 
 MANIFEST_FILE = "_manifest"
+VIEWS_FILE = "_views.json"
 #: The change-stream table that defines the consistent cut (DUMP_TXID).
 EVENTS_TABLE = "events"
+
+#: View definitions replicated as metadata (README.md:4: "managed, external
+#: tables and views"). Views are SQL text in the dump, recreated at load —
+#: exactly how Hive REPL ships them (no data movement). ``{table}``
+#: placeholders bind to the target catalog names at load time.
+DEFAULT_VIEWS: dict[str, str] = {
+    "v_order_revenue": (
+        "SELECT o_orderkey, o_custkey, o_totalprice FROM {orders} "
+        "WHERE o_orderstatus = 'O'"
+    ),
+    "v_event_counts": (
+        "SELECT event_type, COUNT(*) AS n_events FROM {events} "
+        "GROUP BY event_type"
+    ),
+}
 
 
 def _fs_copy(spark: SparkSession, src: str, dst: str) -> None:
@@ -193,6 +210,8 @@ def bootstrap_dump(
         # Spark's scheduler interleaves the jobs across executor slots
         with ThreadPoolExecutor(max_workers=min(8, len(tables))) as pool:
             list(pool.map(dump_one, tables))
+        # views ship as SQL metadata, no data movement (README.md:4)
+        (Path(dump_path) / VIEWS_FILE).write_text(json.dumps(DEFAULT_VIEWS))
         now = dt.datetime.now(dt.timezone.utc).replace(tzinfo=None)
         manifest = spark.createDataFrame(
             [(cfg.db_name, dump_path, int(dump_txid), True, now)],
@@ -238,5 +257,38 @@ def bootstrap_load(
 
     with ThreadPoolExecutor(max_workers=min(8, len(table_dirs))) as pool:
         loaded = dict(pool.map(load_one, table_dirs))
+    views = register_target_catalog(spark, cfg, sorted(loaded), dump_path)
     advance_watermark(spark, watermark_dir, cfg.db_name, manifest["dump_txid"])
-    return {"dump_txid": manifest["dump_txid"], "tables_loaded": loaded}
+    return {
+        "dump_txid": manifest["dump_txid"],
+        "tables_loaded": loaded,
+        "views_created": views,
+    }
+
+
+def register_target_catalog(
+    spark: SparkSession, cfg: ReplConfig, tables: list[str], dump_path: str
+) -> list[str]:
+    """Register loaded tables in the session catalog (as ``<db>_<table>``
+    temp views over the target parquet) and recreate the replicated view
+    definitions over them — the engine mapping of Hive REPL's metadata
+    replay (views, ``README.md:4``)."""
+    names: dict[str, str] = {}
+    for t in tables:
+        vname = f"{cfg.db_name}_{t}"
+        spark.read.parquet(f"{cfg.target_root}/{t}").createOrReplaceTempView(
+            vname
+        )
+        names[t] = vname
+    created: list[str] = []
+    views_file = Path(dump_path) / VIEWS_FILE
+    if views_file.exists():
+        for view_name, sql in json.loads(views_file.read_text()).items():
+            try:
+                body = sql.format(**names)
+            except KeyError:  # view references a table not in this dump
+                continue
+            qualified = f"{cfg.db_name}_{view_name}"
+            spark.sql(f"CREATE OR REPLACE TEMP VIEW {qualified} AS {body}")
+            created.append(qualified)
+    return created

@@ -69,6 +69,17 @@ def test_bootstrap_then_incremental(spark, repl_env):
         tgt_n = spark.read.parquet(f"{cfg.target_root}/{t}").count()
         assert src_n == tgt_n, t
 
+    # views replicated as metadata and queryable at the target (README.md:4)
+    v = spark.sql("SELECT * FROM repltest_v_event_counts")
+    src_counts = (
+        spark.read.parquet(f"{cfg.source_root}/events.parquet")
+        .groupBy("event_type")
+        .count()
+    )
+    assert {
+        (r["event_type"], r["n_events"]) for r in v.collect()
+    } == {(r["event_type"], r["count"]) for r in src_counts.collect()}
+
     # insert more rows (ManualSteps.md:26) then incremental
     ev.filter(F.col("event_id") > cut).write.mode("append").parquet(
         f"{cfg.source_root}/events.parquet"
