@@ -18,6 +18,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
+from ..util import rows_df
 
 
 def project_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -158,7 +159,7 @@ def table_class_catalog(spark: SparkSession) -> DataFrame:
         ("documents", "EXTERNAL"),
         ("embeddings", "EXTERNAL"),
     ]
-    return spark.createDataFrame(rows, "table_name string, table_type string")
+    return rows_df(spark, "table_name string, table_type string", rows)
 
 
 def scalar_watermark(events: DataFrame, lag: int) -> int:

@@ -30,6 +30,7 @@ from pyspark.sql import functions as F
 
 from ..catalog import load_table
 from ..session import ensure_engine_confs
+from ..util import rows_df
 from .model import MANIFEST_SCHEMA, ReplConfig
 from .snapshot import EVENTS_TABLE, MANIFEST_FILE, advance_watermark
 
@@ -63,17 +64,20 @@ def incremental_dump(
         f"{dump_path}/{EVENTS_TABLE}"
     )
     now = dt.datetime.now(dt.timezone.utc).replace(tzinfo=None)
-    manifest = spark.createDataFrame(
+    manifest = rows_df(
+        spark,
+        MANIFEST_SCHEMA,
         [(cfg.db_name, dump_path, int(dump_txid), False, now)],
-        schema=MANIFEST_SCHEMA,
     )
     manifest.coalesce(1).write.mode("overwrite").parquet(
         f"{dump_path}/{MANIFEST_FILE}"
     )
+    from .snapshot import parquet_row_count
+
     return {
         "dump_path": dump_path,
         "dump_txid": int(dump_txid),
-        "n_events": delta.count(),
+        "n_events": parquet_row_count(f"{dump_path}/{EVENTS_TABLE}"),
     }
 
 

@@ -25,8 +25,8 @@ from pathlib import Path
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..catalog import load_table
 from ..session import ensure_engine_confs
+from ..util import rows_df
 from .model import MANIFEST_SCHEMA, WATERMARK_SCHEMA, ReplConfig
 from .registry import RunLock
 
@@ -49,6 +49,19 @@ DEFAULT_VIEWS: dict[str, str] = {
         "GROUP BY event_type"
     ),
 }
+
+
+def parquet_row_count(path: str | Path) -> int:
+    """Row count from parquet footers only — no Spark job, no data scan
+    (the count a 100 TB verification step can afford)."""
+    import pyarrow.parquet as pq
+
+    p = Path(path)
+    files = [p] if p.is_file() else [
+        f for f in p.rglob("*")
+        if f.is_file() and not f.name.startswith((".", "_"))
+    ]
+    return sum(pq.ParquetFile(f).metadata.num_rows for f in files)
 
 
 def _fs_copy(spark: SparkSession, src: str, dst: str) -> None:
@@ -164,9 +177,7 @@ def advance_watermark(
     ``README.md:34-46``). Append-mode parquet: crash-safe — an incomplete
     load leaves the previous row as the latest."""
     now = dt.datetime.now(dt.timezone.utc).replace(tzinfo=None)
-    row = spark.createDataFrame(
-        [(db_name, txid, now)], schema=WATERMARK_SCHEMA
-    )
+    row = rows_df(spark, WATERMARK_SCHEMA, [(db_name, txid, now)])
     row.coalesce(1).write.mode("append").parquet(watermark_dir)
 
 
@@ -175,47 +186,54 @@ def bootstrap_dump(
 ) -> dict:
     """Full-db snapshot dump → (dump_path, dump_txid) manifest.
 
-    Consistent cut: DUMP_TXID = max event_id at dump start; the events table
-    payload is filtered to ``event_id <= DUMP_TXID`` so the snapshot is the
-    exact state at the cut even if the stream keeps appending (T10). Dump
-    mutual exclusion per the reference's dump.lock
+    Consistent cut (T10): the event-log file set captured at listing time —
+    parquet files are immutable, so concurrent appends land in new files and
+    cannot leak into the copied snapshot; DUMP_TXID = max event id within
+    the copied payload. Dump mutual exclusion per the reference's dump.lock
     (``beeline_functions.sh:92-101``).
     """
     ensure_engine_confs(spark)
     cfg.validate()
     with RunLock(run_dir, "dump"):
-        events = load_table(spark, cfg.source_root, EVENTS_TABLE)
-        dump_txid = events.agg(F.max("event_id")).collect()[0][0] or 0
+        # Consistent cut for an append-only event log: parquet files are
+        # immutable, so the FILE SET at listing time is a consistent
+        # snapshot — later appends only create new files. Byte-copy that
+        # set, then DUMP_TXID = max event id *within the copied payload*
+        # (not "max at some later read"), mirroring Hive ChangeManager's
+        # immutable-file retention (ManualSteps.md:8-10). This replaces a
+        # full decode/re-encode of the stream with a copy — at 100 TB the
+        # difference between hours and minutes.
+        tables = source_tables(cfg)
+        staging = str(Path(cfg.repl_root) / cfg.db_name / "_staging")
+
+        def dump_one(t: str) -> None:
+            # all payloads (stream included) move as byte copies
+            _fs_copy(spark, f"{cfg.source_root}/{t}.parquet", f"{staging}/{t}")
+
+        with ThreadPoolExecutor(max_workers=min(8, len(tables))) as pool:
+            list(pool.map(dump_one, tables))
+        dump_txid = (
+            spark.read.parquet(f"{staging}/{EVENTS_TABLE}")
+            .agg(F.max("event_id"))
+            .collect()[0][0]
+            or 0
+        )
         dump_path = str(Path(cfg.repl_root) / cfg.db_name / f"boot_{dump_txid}")
         if not dump_path.startswith(str(cfg.repl_root)):  # beeline_functions.sh:123
             raise ValueError(f"dump path {dump_path} outside REPL_ROOT")
-        tables = source_tables(cfg)
+        if Path(dump_path).exists():
+            import shutil
 
-        def dump_one(t: str) -> None:
-            if t == EVENTS_TABLE:
-                # the stream table is cut to the snapshot txid → re-encode
-                df = load_table(spark, cfg.source_root, t).filter(
-                    F.col("event_id") <= dump_txid
-                )
-                df.write.mode("overwrite").parquet(f"{dump_path}/{t}")
-            else:
-                # static tables: immutable parquet → byte copy (REPL DUMP
-                # materializes files, it does not recompute them)
-                _fs_copy(
-                    spark, f"{cfg.source_root}/{t}.parquet", f"{dump_path}/{t}"
-                )
+            shutil.rmtree(dump_path)
+        Path(staging).rename(dump_path)
 
-        # concurrent per-table jobs: the engine analog of the reference's
-        # hive.exec.parallel=128 replay threads (HQL/replextload.hql:5-7);
-        # Spark's scheduler interleaves the jobs across executor slots
-        with ThreadPoolExecutor(max_workers=min(8, len(tables))) as pool:
-            list(pool.map(dump_one, tables))
         # views ship as SQL metadata, no data movement (README.md:4)
         (Path(dump_path) / VIEWS_FILE).write_text(json.dumps(DEFAULT_VIEWS))
         now = dt.datetime.now(dt.timezone.utc).replace(tzinfo=None)
-        manifest = spark.createDataFrame(
+        manifest = rows_df(
+            spark,
+            MANIFEST_SCHEMA,
             [(cfg.db_name, dump_path, int(dump_txid), True, now)],
-            schema=MANIFEST_SCHEMA,
         )
         # manifest last = commit marker
         manifest.coalesce(1).write.mode("overwrite").parquet(
@@ -248,12 +266,10 @@ def bootstrap_load(
         # byte-level payload copy (distcp/REPL LOAD semantics,
         # HQL/replextload.hql:8-11) — snapshot files are immutable parquet,
         # so copying bytes is correct and skips a decode+re-encode of the
-        # entire database; row count comes from parquet footers (metadata
-        # only, no data scan)
+        # entire database; row count comes straight from parquet footers
+        # (no Spark job, no data scan)
         _fs_copy(spark, str(tdir), f"{cfg.target_root}/{tdir.name}")
-        return tdir.name, spark.read.parquet(
-            f"{cfg.target_root}/{tdir.name}"
-        ).count()
+        return tdir.name, parquet_row_count(f"{cfg.target_root}/{tdir.name}")
 
     with ThreadPoolExecutor(max_workers=min(8, len(table_dirs))) as pool:
         loaded = dict(pool.map(load_one, table_dirs))

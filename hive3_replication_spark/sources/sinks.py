@@ -18,6 +18,7 @@ from ..catalog import load_table
 from ..repl.model import ReplConfig
 from ..repl.snapshot import bootstrap_dump, bootstrap_load
 from ..session import ensure_engine_confs
+from ..util import rows_df
 
 #: Managed tables included in a default dump (external excluded, env.sh:8)
 #: plus the events stream (the replication transport).
@@ -53,14 +54,14 @@ def snapshot_dump(spark: SparkSession, sf_dir: str) -> DataFrame:
     cfg, run_dir, _ = _tmp_cfg(sf_dir, "dump")
     result = bootstrap_dump(spark, cfg, run_dir)
 
-    def count_one(t: str) -> tuple[str, int, int]:
-        cnt = spark.read.parquet(f"{result['dump_path']}/{t}").count()
-        return (t, cnt, result["dump_txid"])
+    from ..repl.snapshot import parquet_row_count
 
-    with ThreadPoolExecutor(max_workers=8) as pool:
-        rows = list(pool.map(count_one, result["tables"]))
-    return spark.createDataFrame(
-        rows, "table_name string, row_count bigint, dump_txid bigint"
+    rows = [
+        (t, parquet_row_count(f"{result['dump_path']}/{t}"), result["dump_txid"])
+        for t in result["tables"]
+    ]
+    return rows_df(
+        spark, "table_name string, row_count bigint, dump_txid bigint", rows
     )
 
 
@@ -74,8 +75,8 @@ def snapshot_load(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows = [
         (t, n, loaded["dump_txid"]) for t, n in sorted(loaded["tables_loaded"].items())
     ]
-    return spark.createDataFrame(
-        rows, "table_name string, row_count bigint, post_load_id bigint"
+    return rows_df(
+        spark, "table_name string, row_count bigint, post_load_id bigint", rows
     )
 
 
@@ -86,9 +87,10 @@ def log_append(spark: SparkSession, sf_dir: str) -> DataFrame:
     ensure_engine_confs(spark)
     log_dir = tempfile.mkdtemp(prefix="h3r_log_") + "/runlog"
     for batch, level in ((1, "INFO"), (2, "ERROR")):
-        rows = spark.createDataFrame(
-            [(batch, level, f"message {i}") for i in range(5)],
+        rows = rows_df(
+            spark,
             "batch int, level string, message string",
+            [(batch, level, f"message {i}") for i in range(5)],
         ).withColumn("log_ts", F.current_timestamp())
         rows.coalesce(1).write.mode("append").parquet(log_dir)
     return (
@@ -110,8 +112,10 @@ def parallel_copy(spark: SparkSession, sf_dir: str) -> DataFrame:
     # 8-way writer fan-out stands in for hive.repl.parallel.copy.tasks=500
     src.repartition(8).write.mode("overwrite").parquet(out)
     copied = spark.read.parquet(out)
-    return spark.createDataFrame(
-        [(src.count(), copied.count())], "src_rows bigint, copied_rows bigint"
+    return rows_df(
+        spark,
+        "src_rows bigint, copied_rows bigint",
+        [(src.count(), copied.count())],
     )
 
 

@@ -14,6 +14,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
+from ..util import rows_df
 
 
 def stream_incremental_dump(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -85,9 +86,10 @@ def stream_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
         ("db_ahead", 100, 90, 110),
         ("db_noop", 100, 90, 90),
     ]
-    scen = spark.createDataFrame(
-        rows,
+    scen = rows_df(
+        spark,
         "db_name string, dump_txid bigint, last_repl_id bigint, post_load_id bigint",
+        rows,
     )
     return scen.select(
         "db_name",
@@ -202,7 +204,7 @@ def stream_retry(spark: SparkSession, sf_dir: str) -> DataFrame:
             raise RuntimeError(f"injected failure on attempt {attempt}")
 
     with_retry(flaky, max_attempts=3, sleep_s=0.0, on_attempt=lambda a, ok: attempts.append((a, "success" if ok else "failed")))
-    return spark.createDataFrame(attempts, "attempt int, status string")
+    return rows_df(spark, "attempt int, status string", attempts)
 
 
 ORACLES: dict[str, str] = {
