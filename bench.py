@@ -53,9 +53,17 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     queries = build_queries()
 
-    # warm the JVM + parquet footers once so timings measure the queries,
-    # not session startup
-    queries["agg_max_watermark"](spark, sf_dir).collect()
+    # Warm-up: run the headline set once at the smallest SF so JIT + whole-
+    # stage-codegen compilation (cached by generated source, independent of
+    # data) happens outside the measured window — timings then reflect
+    # steady-state per-row throughput, which is what the 100 TB comparison
+    # is about.
+    warm_dir = "/root/testdata/sf0.001"
+    for name in HEADLINE:
+        try:
+            queries[name](spark, warm_dir).count()
+        except Exception:
+            pass
 
     timings: dict[str, float] = {}
     for name in HEADLINE:
