@@ -18,6 +18,7 @@ from .operators import filters as _filters
 from .operators import joins as _joins
 from .operators import scalars as _scalars
 from .operators import sorts_sets as _sorts_sets
+from .operators import sql_queries as _sql_queries
 from .operators import udfs as _udfs
 from .operators import windows as _windows
 from .sources import readers as _readers
@@ -32,6 +33,7 @@ _MODULES = (
     _aggregates,
     _windows,
     _sorts_sets,
+    _sql_queries,
     _scalars,
     _udfs,
     _batch_ops,
