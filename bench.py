@@ -42,6 +42,9 @@ HEADLINE = (
     "llm_similarity_topk",
     "llm_text_tokens",
     "llm_text_fingerprint",
+    "sql_pricing_summary",
+    "sql_shipping_priority",
+    "sql_local_supplier_volume",
     "snapshot_load",
 )
 

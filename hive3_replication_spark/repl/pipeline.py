@@ -23,6 +23,27 @@ from . import snapshot as snap
 from .model import ReplConfig, classify_repl_status
 
 
+def run_all(
+    spark: SparkSession,
+    cfgs: list[ReplConfig],
+    run_dir: str,
+    watermark_dir: str,
+) -> list[dict]:
+    """Replicate every database in the deployment (the reference runs one
+    ``hive3repl.sh <db>`` per DBLIST entry, ``env.sh:14``; the engine loops
+    them under one session, sharing the JVM and scheduler). Failures in one
+    database don't block the rest — each report carries its own status."""
+    reports = []
+    for cfg in cfgs:
+        try:
+            reports.append(run_replication(spark, cfg, run_dir, watermark_dir))
+        except Exception as exc:  # noqa: BLE001 — per-db isolation
+            reports.append(
+                {"db_name": cfg.db_name, "status": "error", "error": str(exc)}
+            )
+    return reports
+
+
 def run_replication(
     spark: SparkSession, cfg: ReplConfig, run_dir: str, watermark_dir: str
 ) -> dict:

@@ -126,6 +126,25 @@ def test_bootstrap_then_incremental(spark, repl_env):
     assert expected == after
 
 
+def test_run_all_isolates_failures(spark, repl_env):
+    """Multi-db orchestration: a bad database errors without blocking the
+    good one (per-db isolation, env.sh:14 DBLIST loop)."""
+    from hive3_replication_spark.repl.pipeline import run_all
+
+    cfg, run_dir, wm_dir, *_ = repl_env
+    bad = ReplConfig(
+        db_name="ghost",
+        source_root=str(Path(cfg.source_root).parent / "missing"),
+        target_root=cfg.target_root,
+        repl_root=cfg.repl_root,
+    )
+    reports = run_all(spark, [bad, cfg], run_dir, wm_dir)
+    assert reports[0]["db_name"] == "ghost"
+    assert reports[0]["status"] == "error"
+    assert reports[1]["db_name"] == "repltest"
+    assert reports[1]["status"] == STATUS_SUCCESS
+
+
 def test_classification_ladder_exhaustive():
     """Every branch of hive3repl.sh:106-120,155-169 (SURVEY.md §7 risk 2)."""
     assert classify_repl_status(100, 90, 100) == STATUS_SUCCESS
