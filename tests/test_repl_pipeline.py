@@ -126,6 +126,36 @@ def test_bootstrap_then_incremental(spark, repl_env):
     assert expected == after
 
 
+def test_partial_bootstrap_rerun_converges(spark, repl_env):
+    """The reference's open bug (TODO.md): a partially loaded bootstrap
+    'requires a cleanup of the partially loaded database'
+    (hive3repl.sh:110-112). The engine's contract: watermark advances only
+    after a complete load, and loads are idempotent overwrites — so a crash
+    mid-load (simulated: some tables copied, no watermark) converges on
+    rerun with no manual cleanup."""
+    import shutil
+
+    cfg, run_dir, wm_dir, ev, cut, max_id = repl_env
+    from hive3_replication_spark.repl import snapshot as snap
+
+    dump = snap.bootstrap_dump(spark, cfg, run_dir)
+    # simulate a crash midway through the load: two tables made it, the
+    # watermark write never happened
+    for t in ("nation", "region"):
+        snap._fs_copy(
+            spark, f"{dump['dump_path']}/{t}", f"{cfg.target_root}/{t}"
+        )
+    assert snap.repl_status(spark, wm_dir, cfg.db_name) is None
+
+    # rerun from the top: status NULL → full bootstrap again → success
+    report = run_replication(spark, cfg, run_dir, wm_dir)
+    assert report["mode"] == "bootstrap"
+    assert report["status"] == STATUS_SUCCESS
+    for t in ("nation", "lineitem", "orders"):
+        src_n = spark.read.parquet(f"{cfg.source_root}/{t}.parquet").count()
+        assert spark.read.parquet(f"{cfg.target_root}/{t}").count() == src_n
+
+
 def test_run_all_isolates_failures(spark, repl_env):
     """Multi-db orchestration: a bad database errors without blocking the
     good one (per-db isolation, env.sh:14 DBLIST loop)."""
