@@ -1,0 +1,141 @@
+"""Composed training-data pipeline (the BASELINE.json north star, end to
+end): quality filter → exact dedup → near-dup removal → per-language corpus
+stats, as ONE declarative plan.
+
+This is the shape a 100 TB pre-training data job takes: every stage is a
+DataFrame transformation over the previous one, so Catalyst fuses the
+filters into the scan and the whole chain materializes nothing until the
+final aggregate. The near-dup stage uses the exact n-gram path here (SQL-
+verifiable); production swaps in the MinHash stage (llm_dedup_minhash) with
+the identical dataflow.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from .dedup import _shingles
+
+
+def llm_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents → quality ≥ 0.5 → exact-dedup (keep min doc_id per text) →
+    drop the higher-id member of every near-dup pair (3-gram Jaccard ≥ 0.08)
+    → per-lang surviving doc count + total tokens."""
+    documents = load_table(spark, sf_dir, "documents")
+
+    # stage 1 — quality score (same formula as llm_text_quality)
+    n_spaces = F.length("text") - F.length(
+        F.regexp_replace(F.col("text"), " ", "")
+    )
+    n_tokens = (n_spaces + 1).cast("double")
+    avg_word_len = (F.length("text") - n_spaces).cast("double") / n_tokens
+    score = (
+        F.least(F.lit(1.0), F.col("n_chars") / 500.0) * 0.5
+        + F.least(F.lit(1.0), n_tokens / 80.0) * 0.3
+        + F.least(F.lit(1.0), avg_word_len / 8.0) * 0.2
+    )
+    quality = documents.withColumn("q", score).filter(F.col("q") >= 0.5)
+
+    # stage 2 — exact dedup: canonical = min doc_id per text
+    canonical = quality.groupBy("text").agg(
+        F.min("doc_id").alias("doc_id"),
+        F.min("lang").alias("lang"),  # deterministic pick among duplicates
+    )
+
+    # stage 3 — near-dup removal: doc_b of every candidate pair with
+    # jaccard >= 0.08 is dropped (keep-lowest-id policy)
+    sh = _shingles(
+        canonical.select("doc_id", "text")
+    ).persist()
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
+    b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("inter"))
+    )
+    sz_a = sizes.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("sz_a"))
+    sz_b = sizes.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("sz_b"))
+    jac = F.col("inter").cast("double") / (
+        F.col("sz_a") + F.col("sz_b") - F.col("inter")
+    ).cast("double")
+    drop = (
+        inter.join(F.broadcast(sz_a), "doc_a")
+        .join(F.broadcast(sz_b), "doc_b")
+        .filter(jac >= 0.08)
+        .select(F.col("doc_b").alias("doc_id"))
+        .distinct()
+    )
+    survivors = canonical.join(drop, "doc_id", "left_anti")
+
+    # stage 4 — corpus stats per language
+    tok_count = (
+        F.length("text")
+        - F.length(F.regexp_replace(F.col("text"), " ", ""))
+        + 1
+    ).cast("bigint")
+    return survivors.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(tok_count).alias("total_tokens"),
+    )
+
+
+ORACLES: dict[str, str] = {
+    "llm_pipeline_e2e": """
+        WITH quality AS (
+            SELECT doc_id, text, lang FROM (
+                SELECT doc_id, text, lang,
+                       LEAST(1.0, n_chars / 500.0) * 0.5
+                       + LEAST(1.0, CAST(LENGTH(text) - LENGTH(REPLACE(text,' ','')) + 1 AS DOUBLE) / 80.0) * 0.3
+                       + LEAST(1.0, (CAST(LENGTH(REPLACE(text,' ','')) AS DOUBLE)
+                                     / CAST(LENGTH(text) - LENGTH(REPLACE(text,' ','')) + 1 AS DOUBLE)) / 8.0) * 0.2
+                           AS q
+                FROM documents
+            ) WHERE q >= 0.5
+        ),
+        canonical AS (
+            SELECT MIN(doc_id) AS doc_id, text, MIN(lang) AS lang
+            FROM quality GROUP BY text
+        ),
+        t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM canonical),
+        tok AS (
+            SELECT doc_id, unnest(toks) AS tk, generate_subscripts(toks, 1) AS pos
+            FROM t
+        ),
+        sh3 AS (
+            SELECT DISTINCT doc_id,
+                   tk || ' ' || LEAD(tk,1) OVER w || ' ' || LEAD(tk,2) OVER w AS shingle
+            FROM tok WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+        ),
+        sh AS (SELECT doc_id, shingle FROM sh3 WHERE shingle IS NOT NULL),
+        sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+        pairs AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
+            FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+            GROUP BY 1, 2
+        ),
+        dropped AS (
+            SELECT DISTINCT doc_b AS doc_id
+            FROM pairs
+            JOIN sizes sa ON sa.doc_id = doc_a
+            JOIN sizes sb ON sb.doc_id = doc_b
+            WHERE CAST(inter AS DOUBLE) / CAST(sa.sz + sb.sz - inter AS DOUBLE) >= 0.08
+        ),
+        survivors AS (
+            SELECT c.* FROM canonical c
+            WHERE c.doc_id NOT IN (SELECT doc_id FROM dropped)
+        )
+        SELECT lang, COUNT(*) AS n_docs,
+               CAST(SUM(LENGTH(text) - LENGTH(REPLACE(text,' ','')) + 1) AS BIGINT)
+                   AS total_tokens
+        FROM survivors GROUP BY lang
+    """,
+}
+
+QUERY_FNS = {
+    "llm_pipeline_e2e": llm_pipeline_e2e,
+}

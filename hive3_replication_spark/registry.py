@@ -11,6 +11,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from .llm import dedup as _dedup
 from .llm import multimodal as _multimodal
+from .llm import pipeline as _llm_pipeline
 from .llm import similarity as _similarity
 from .llm import text as _text
 from .operators import aggregates as _aggregates
@@ -41,6 +42,7 @@ _MODULES = (
     _dedup,
     _similarity,
     _multimodal,
+    _llm_pipeline,
 )
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
