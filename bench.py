@@ -17,6 +17,7 @@ from __future__ import annotations
 
 import json
 import os
+import sys
 import time
 
 from hive3_replication_spark.registry import build_queries
@@ -56,17 +57,20 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     queries = build_queries()
 
-    # Warm-up: run the headline set once at the smallest SF so JIT + whole-
-    # stage-codegen compilation (cached by generated source, independent of
-    # data) happens outside the measured window — timings then reflect
-    # steady-state per-row throughput, which is what the 100 TB comparison
-    # is about.
-    warm_dir = "/root/testdata/sf0.001"
+    # Warm-up: run the headline set once at the smallest available SF so
+    # JIT + whole-stage-codegen compilation (cached by generated source,
+    # independent of data) happens outside the measured window — timings
+    # then reflect steady-state per-row throughput, which is what the
+    # 100 TB comparison is about. Falls back to the bench dir itself if no
+    # smaller sibling fixture exists; warm-up failures are reported, not
+    # swallowed (a silently skipped warm-up would skew the numbers).
+    sibling = os.path.join(os.path.dirname(sf_dir.rstrip("/")), "sf0.001")
+    warm_dir = sibling if os.path.isdir(sibling) else sf_dir
     for name in HEADLINE:
         try:
             queries[name](spark, warm_dir).count()
-        except Exception:
-            pass
+        except Exception as exc:
+            print(f"warmup failed for {name}: {exc}", file=sys.stderr)
 
     timings: dict[str, float] = {}
     for name in HEADLINE:

@@ -66,6 +66,54 @@ def _shingles(documents: DataFrame, n: int = 3) -> DataFrame:
     )
 
 
+#: Per-operator cache registry: each keyed persist replaces (and unpersists)
+#: the previous invocation's cache, so repeated driver/bench runs hold at
+#: most one cached relation per operator instead of leaking one per call.
+_CACHES: dict[str, DataFrame] = {}
+
+
+def _swap_cache(key: str, df: DataFrame) -> DataFrame:
+    prev = _CACHES.get(key)
+    if prev is not None:
+        prev.unpersist(blocking=False)
+    cached = df.persist()
+    _CACHES[key] = cached
+    return cached
+
+
+def ngram_pair_jaccard(
+    documents: DataFrame, cache_key: str, max_bucket: int = MAX_BUCKET
+) -> DataFrame:
+    """Shared exact n-gram Jaccard scorer: shingle-block candidate pairs →
+    intersection counts → |A∩B| / |A∪B|. Returns (doc_a, doc_b, inter,
+    jaccard). Used by llm_dedup_ngram and the composed pipeline so the
+    blocking/threshold logic cannot drift between them."""
+    sh = _swap_cache(cache_key, _shingles(documents))
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    freq = sh.groupBy("shingle").agg(F.count("*").alias("df"))
+    sh_f = sh.join(
+        F.broadcast(freq.filter(F.col("df") <= max_bucket)), "shingle"
+    )
+    a = sh_f.select(F.col("doc_id").alias("doc_a"), "shingle")
+    b = sh_f.select(F.col("doc_id").alias("doc_b"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("inter"))
+    )
+    sz_a = sizes.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("sz_a"))
+    sz_b = sizes.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("sz_b"))
+    jac = F.col("inter").cast("double") / (
+        F.col("sz_a") + F.col("sz_b") - F.col("inter")
+    ).cast("double")
+    return (
+        inter.join(F.broadcast(sz_a), "doc_a")
+        .join(F.broadcast(sz_b), "doc_b")
+        .withColumn("jaccard", jac)
+    )
+
+
 def llm_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """L1 — exact dedup: hash-groupBy on content, keep the smallest doc_id
     as canonical. One shuffle on the content hash; at 100 TB group on
@@ -88,32 +136,8 @@ def llm_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     so it has a full SQL oracle. The pair space is only docs sharing ≥1
     shingle; the skew guard drops degenerate stop-shingle buckets."""
     documents = load_table(spark, sf_dir, "documents")
-    # persist: the shingle relation feeds doc sizes, shingle frequencies,
-    # and both sides of the pair join — without it Spark recomputes the
-    # tokenize+distinct subtree per reference
-    sh = _shingles(documents).persist()
-    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
-    freq = sh.groupBy("shingle").agg(F.count("*").alias("df"))
-    sh_f = sh.join(
-        F.broadcast(freq.filter(F.col("df") <= MAX_BUCKET)), "shingle"
-    )
-    a = sh_f.select(F.col("doc_id").alias("doc_a"), "shingle")
-    b = sh_f.select(F.col("doc_id").alias("doc_b"), "shingle")
-    inter = (
-        a.join(b, "shingle")
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count("*").alias("inter"))
-    )
-    sz_a = sizes.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("sz_a"))
-    sz_b = sizes.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("sz_b"))
-    jac = F.col("inter").cast("double") / (
-        F.col("sz_a") + F.col("sz_b") - F.col("inter")
-    ).cast("double")
     return (
-        inter.join(F.broadcast(sz_a), "doc_a")
-        .join(F.broadcast(sz_b), "doc_b")
-        .withColumn("jaccard", jac)
+        ngram_pair_jaccard(documents, "ngram_shingles")
         .filter(F.col("jaccard") >= 0.08)
         .select("doc_a", "doc_b", "inter", "jaccard")
     )
@@ -141,7 +165,7 @@ def llm_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (banding + both sides of the candidate join) and Spark would otherwise
     # recompute the shingle→hash→groupBy subtree per reference. n_docs × 32
     # longs is tiny relative to the corpus even at 100 TB.
-    sig = h.groupBy("doc_id").agg(*perm_cols).persist()
+    sig = _swap_cache("minhash_sig", h.groupBy("doc_id").agg(*perm_cols))
     r = MINHASH_PERMS // MINHASH_BANDS
     band_structs = [
         F.struct(
@@ -211,7 +235,8 @@ def llm_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(F.col(f"s{b}") > 0, F.lit(1 << b)).otherwise(F.lit(0))
             for b in range(32)
         ).alias("simhash"),
-    ).persist()
+    )
+    sim = _swap_cache("simhash_sig", sim)
     band_structs = [
         F.struct(
             F.lit(bidx).alias("band"),

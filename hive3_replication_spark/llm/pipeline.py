@@ -16,7 +16,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
-from .dedup import _shingles
+from .dedup import ngram_pair_jaccard
 
 
 def llm_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -45,28 +45,13 @@ def llm_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     # stage 3 — near-dup removal: doc_b of every candidate pair with
-    # jaccard >= 0.08 is dropped (keep-lowest-id policy)
-    sh = _shingles(
-        canonical.select("doc_id", "text")
-    ).persist()
-    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
-    a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
-    b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
-    inter = (
-        a.join(b, "shingle")
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count("*").alias("inter"))
-    )
-    sz_a = sizes.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("sz_a"))
-    sz_b = sizes.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("sz_b"))
-    jac = F.col("inter").cast("double") / (
-        F.col("sz_a") + F.col("sz_b") - F.col("inter")
-    ).cast("double")
+    # jaccard >= 0.08 is dropped (keep-lowest-id policy); scoring shared
+    # with llm_dedup_ngram so blocking/threshold logic cannot drift
     drop = (
-        inter.join(F.broadcast(sz_a), "doc_a")
-        .join(F.broadcast(sz_b), "doc_b")
-        .filter(jac >= 0.08)
+        ngram_pair_jaccard(
+            canonical.select("doc_id", "text"), "pipeline_shingles"
+        )
+        .filter(F.col("jaccard") >= 0.08)
         .select(F.col("doc_b").alias("doc_id"))
         .distinct()
     )
@@ -113,9 +98,11 @@ ORACLES: dict[str, str] = {
         ),
         sh AS (SELECT doc_id, shingle FROM sh3 WHERE shingle IS NOT NULL),
         sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+        freq AS (SELECT shingle FROM sh GROUP BY shingle HAVING COUNT(*) <= 1000),
+        shf AS (SELECT sh.doc_id, sh.shingle FROM sh JOIN freq USING (shingle)),
         pairs AS (
             SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
-            FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+            FROM shf a JOIN shf b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
             GROUP BY 1, 2
         ),
         dropped AS (

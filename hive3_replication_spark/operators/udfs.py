@@ -75,7 +75,9 @@ def udf_table_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
     @udtf(returnType="pos int, token string")
     class Tokenize:
         def eval(self, text: str):
-            if text:
+            # ''.split(' ') == [''] — one empty token, matching the SQL
+            # string_split semantics the oracle uses; only NULL yields nothing
+            if text is not None:
                 for pos, token in enumerate(text.split(" ")):
                     yield pos, token
 

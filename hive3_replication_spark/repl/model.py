@@ -110,6 +110,13 @@ class ReplConfig:
         ``misc_functions.sh:185-207``)."""
         if not self.db_name:
             raise ValueError("db_name is required (hive3repl.sh:40-42)")
+        # db_name becomes a path component under REPL_ROOT — reject path
+        # metacharacters up front so no write can escape the root
+        # (beeline_functions.sh:123 path sanity, enforced before any I/O)
+        if any(ch in self.db_name for ch in ("/", "\\", "..")):
+            raise ValueError(
+                f"invalid db_name {self.db_name!r}: path separators not allowed"
+            )
         if self.db_allowlist and self.db_name not in self.db_allowlist:
             raise ValueError(
                 f"database {self.db_name!r} not in allowlist (misc_functions.sh:198-206)"

@@ -21,6 +21,7 @@ from ..session import ensure_engine_confs
 from . import incremental as incr
 from . import snapshot as snap
 from .model import ReplConfig, classify_repl_status
+from .registry import RunLock
 
 
 def run_all(
@@ -53,6 +54,21 @@ def run_replication(
     cfg.validate()
     started = dt.datetime.now(dt.timezone.utc)
 
+    # per-db instance lock for the WHOLE run (hive3repl.sh:67-70): two
+    # concurrent runs on one db would race on the state dir overwrite and
+    # the watermark append — bootstrap's dump.lock alone doesn't cover the
+    # incremental path
+    with RunLock(run_dir, f"instance_{cfg.db_name}"):
+        return _run_locked(spark, cfg, run_dir, watermark_dir, started)
+
+
+def _run_locked(
+    spark: SparkSession,
+    cfg: ReplConfig,
+    run_dir: str,
+    watermark_dir: str,
+    started: dt.datetime,
+) -> dict:
     last_repl_id = snap.repl_status(spark, watermark_dir, cfg.db_name)
     synced: list[str] = []
 

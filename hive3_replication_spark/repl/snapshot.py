@@ -100,12 +100,14 @@ def source_tables(cfg: ReplConfig) -> list[str]:
     return [t for t in present if t in managed or t == EVENTS_TABLE]
 
 
-def table_fingerprints(root: str) -> dict[str, tuple[int, ...]]:
-    """Cheap content fingerprint per table payload: sorted (size) tuple of
-    its files. Parquet/ORC files are immutable once written, so (name-set,
-    sizes) changing ⇔ content changing — the same assumption distcp
-    ``-update`` makes (``HQL/replextload.hql:9-11``)."""
-    out: dict[str, tuple[int, ...]] = {}
+def table_fingerprints(root: str) -> dict[str, tuple]:
+    """Cheap content fingerprint per table payload: sorted (relative name,
+    size) pairs of its files. Parquet/ORC files are immutable once written,
+    so the (name, size) set changing ⇔ content changing — the same
+    assumption distcp ``-update`` makes (``HQL/replextload.hql:9-11``).
+    Single-file tables fingerprint by size alone (source ``t.parquet`` and
+    target ``t`` are the same bytes under different names by design)."""
+    out: dict[str, tuple] = {}
     rootp = Path(root)
     if not rootp.exists():
         return out
@@ -116,16 +118,16 @@ def table_fingerprints(root: str) -> dict[str, tuple[int, ...]]:
         # may be single files or spark-written directories)
         name = entry.name.removesuffix(".parquet")
         if entry.is_file():
-            sizes = (entry.stat().st_size,)
+            fp: tuple = (("", entry.stat().st_size),)
         else:
-            sizes = tuple(
+            fp = tuple(
                 sorted(
-                    f.stat().st_size
+                    (str(f.relative_to(entry)), f.stat().st_size)
                     for f in entry.rglob("*")
                     if f.is_file() and not f.name.startswith((".", "_"))
                 )
             )
-        out[name] = sizes
+        out[name] = fp
     return out
 
 
@@ -205,6 +207,12 @@ def bootstrap_dump(
         # difference between hours and minutes.
         tables = source_tables(cfg)
         staging = str(Path(cfg.repl_root) / cfg.db_name / "_staging")
+        # a crashed prior run may have left a partial/differently-configured
+        # staging dir behind — never merge into it
+        if Path(staging).exists():
+            import shutil
+
+            shutil.rmtree(staging)
 
         def dump_one(t: str) -> None:
             # all payloads (stream included) move as byte copies

@@ -3,11 +3,16 @@ to a JDBC warehouse with batch-id bookkeeping.
 
 The reference's target-side writes go through beeline/JDBC and rely on
 Hive's REPL bookkeeping for idempotency; the engine's equivalent for a
-stream is the standard foreachBatch + transactional-marker pattern: each
-micro-batch writes its rows tagged with ``batch_id``, and a batch that was
-already committed (marker present) is skipped — so checkpoint replay after
-a crash cannot double-write. This is the exactly-once recipe the Spark docs
-prescribe for idempotent JDBC sinks.
+stream is the standard foreachBatch + idempotent-marker pattern:
+
+- the warehouse is DURABLE (on-disk Derby next to the checkpoint by
+  default; any production JDBC URL works the same) so a restarted driver
+  recovers the committed batch-id set from the warehouse itself;
+- each micro-batch's rows are written tagged with ``batch_id`` in a SINGLE
+  coalesced partition, i.e. one JDBC transaction — a crash mid-batch leaves
+  either all of the batch's rows or none, never a partial batch;
+- a batch whose id is already present is skipped, so checkpoint replay
+  cannot double-write.
 """
 
 from __future__ import annotations
@@ -15,55 +20,71 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..sources.readers import jdbc_read, jdbc_write
-from .structured import _event_stream
+from ..sources.readers import jdbc_read
+
+_DRIVER = "org.apache.derby.iapi.jdbc.AutoloadedDriver"
 
 
 def run_jdbc_stream(
     spark: SparkSession,
     sf_dir: str,
     checkpoint_dir: str,
-    db: str = "repl_stream",
+    warehouse_dir: str | None = None,
 ) -> DataFrame:
     """Stream per-type counts into the warehouse exactly once; returns the
     warehouse table contents after the drain."""
+    from .structured import _event_stream
 
-    state = {"initialized": False}
+    if warehouse_dir is None:
+        warehouse_dir = f"{checkpoint_dir}_warehouse"
+    url = f"jdbc:derby:{warehouse_dir};create=true"
 
-    def committed_batches(sess: SparkSession) -> set[int]:
-        """Recover committed batch ids from the warehouse itself, so a
-        restarted driver (fresh process, same checkpoint) still skips
-        already-written batches."""
+    def read_table(sess: SparkSession) -> DataFrame:
+        return (
+            sess.read.format("jdbc")
+            .option("url", url)
+            .option(
+                "query",
+                'SELECT "event_type", "n_events", "batch_id" FROM stream_counts',
+            )
+            .option("driver", _DRIVER)
+            .load()
+        )
+
+    def committed_batches(sess: SparkSession) -> set[int] | None:
+        """Committed batch ids recovered from the warehouse itself; None
+        means the table does not exist yet. Any other JDBC failure is
+        re-raised — swallowing it could flip a later write into a
+        destructive overwrite."""
         try:
-            rows = jdbc_read(
-                sess, db, 'SELECT DISTINCT "batch_id" FROM stream_counts'
-            ).collect()
-            return {r["batch_id"] for r in rows}
-        except Exception:  # table not created yet
-            return set()
+            rows = read_table(sess).select("batch_id").distinct().collect()
+        except Exception as exc:
+            if "does not exist" in str(exc) or "42X05" in str(exc):
+                return None
+            raise
+        return {r["batch_id"] for r in rows}
 
     def sink_batch(batch_df: DataFrame, batch_id: int) -> None:
         sess = batch_df.sparkSession
         done = committed_batches(sess)
-        if batch_id in done:  # checkpoint replay → skip (idempotent)
-            return
+        if done is not None and batch_id in done:
+            return  # checkpoint replay → skip (idempotent)
         agg = (
             batch_df.groupBy("event_type")
             .agg(F.count("*").alias("n_events"))
             .withColumn("batch_id", F.lit(batch_id))
         )
-        mode = "append" if (done or state["initialized"]) else "overwrite"
         (
-            agg.write.format("jdbc")
-            .option("url", f"jdbc:derby:memory:{db};create=true")
+            # coalesce(1): the whole batch commits as ONE JDBC transaction,
+            # so batch presence is atomic (marker == data)
+            agg.coalesce(1)
+            .write.format("jdbc")
+            .option("url", url)
             .option("dbtable", "stream_counts")
-            .option(
-                "driver", "org.apache.derby.iapi.jdbc.AutoloadedDriver"
-            )
-            .mode(mode)
+            .option("driver", _DRIVER)
+            .mode("append" if done is not None else "overwrite")
             .save()
         )
-        state["initialized"] = True
 
     stream = _event_stream(spark, sf_dir)
     query = (
@@ -73,9 +94,7 @@ def run_jdbc_stream(
         .start()
     )
     query.awaitTermination(180)
-    out = jdbc_read(
-        spark, db, 'SELECT "event_type", "n_events", "batch_id" FROM stream_counts'
-    )
+    out = read_table(spark)
     return out.select(
         F.col("event_type").cast("string"),
         F.col("n_events").cast("long"),

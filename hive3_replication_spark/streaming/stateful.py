@@ -82,7 +82,11 @@ def run_stateful_progress_stream(
     from pyspark.sql import Window
 
     raw = spark.sql("SELECT * FROM h3r_user_progress")
-    w = Window.partitionBy("user_id").orderBy(F.desc("max_event_id"))
+    # n_events is the cumulative count and strictly grows per batch, so it
+    # breaks max_event_id ties (a later batch can deliver only lower ids)
+    w = Window.partitionBy("user_id").orderBy(
+        F.desc("max_event_id"), F.desc("n_events")
+    )
     return (
         raw.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") == 1)

@@ -31,9 +31,7 @@ def test_streaming_jdbc_sink_exactly_once(spark, tmp_path):
     over the same checkpoint must not double-write."""
     from hive3_replication_spark.streaming.jdbc_sink import run_jdbc_stream
 
-    out1 = run_jdbc_stream(
-        spark, SF_DIR, str(tmp_path / "ck"), db="repl_stream_t"
-    ).toPandas()
+    out1 = run_jdbc_stream(spark, SF_DIR, str(tmp_path / "ck")).toPandas()
     # warehouse counts equal the batch ground truth
     ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
     expected = (
@@ -42,9 +40,7 @@ def test_streaming_jdbc_sink_exactly_once(spark, tmp_path):
     got = out1.groupby("event_type")["n_events"].sum()
     assert got.to_dict() == expected.to_dict()
     # re-drain with the same checkpoint: no new batches, no duplicates
-    out2 = run_jdbc_stream(
-        spark, SF_DIR, str(tmp_path / "ck"), db="repl_stream_t"
-    ).toPandas()
+    out2 = run_jdbc_stream(spark, SF_DIR, str(tmp_path / "ck")).toPandas()
     assert len(out2) == len(out1)
     assert out2.groupby("event_type")["n_events"].sum().to_dict() == expected.to_dict()
 
