@@ -100,6 +100,16 @@ def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A7b — CUBE: all 2^k grouping combinations (db × table × run rollups
+    generalized to every margin)."""
+    events = load_table(spark, sf_dir, "events")
+    bucketed = events.withColumn("user_bucket", F.col("user_id") % 10)
+    return bucketed.cube("event_type", "user_bucket").agg(
+        F.count("*").alias("n_events")
+    )
+
+
 def agg_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A9 — filtered/conditional aggregation: error-vs-info line counts
     (``hive3repl.sh:132`` grep + count semantics) as a single pass."""
@@ -143,6 +153,11 @@ ORACLES: dict[str, str] = {
         FROM (SELECT event_type, user_id % 10 AS user_bucket FROM events)
         GROUP BY ROLLUP (event_type, user_bucket)
     """,
+    "agg_cube": """
+        SELECT event_type, user_bucket, COUNT(*) AS n_events
+        FROM (SELECT event_type, user_id % 10 AS user_bucket FROM events)
+        GROUP BY CUBE (event_type, user_bucket)
+    """,
     "agg_conditional": """
         SELECT event_type,
                CAST(SUM(CASE WHEN value > 100 THEN 1 ELSE 0 END) AS BIGINT) AS n_hi,
@@ -159,5 +174,6 @@ QUERY_FNS = {
     "agg_distinct": agg_distinct,
     "agg_approx_distinct": agg_approx_distinct,
     "agg_rollup": agg_rollup,
+    "agg_cube": agg_cube,
     "agg_conditional": agg_conditional,
 }
