@@ -57,6 +57,43 @@ def llm_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def llm_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batched k-NN join: top-5 corpus neighbors for EACH of a set of query
+    vectors (vec_id < 10) — the "compare the corpus against a seed set"
+    shape (contamination checks, seed-set dedup).
+
+    The query set broadcasts (Q × dim is small by construction); scoring is
+    a broadcast nested-loop over the corpus — a narrow O(N·Q) map with no
+    corpus shuffle; per-query top-k via a window over the query partition.
+    At 100 TB with large Q the corpus side would pre-prune via IVF cells
+    (llm_ann_ivf) before this exact scorer.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
+    )
+    scored = (
+        emb.join(F.broadcast(queries))
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .select(
+            "q_id",
+            "vec_id",
+            (
+                _dot(F.col("embedding"), F.col("q_emb"))
+                / (_norm(F.col("embedding")) * _norm(F.col("q_emb")))
+            ).alias("cosine"),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("q_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 5)
+        .select("q_id", "vec_id", F.col("rk"), F.round("cosine", 6).alias("cosine_r"))
+    )
+
+
 def llm_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN via IVF-style coarse quantization (rows-only check: centroid
     averages are float-order dependent).
@@ -161,9 +198,38 @@ ORACLES: dict[str, str] = {
     """,
     # llm_ann_ivf: rows-only (float centroid means are reduction-order
     # dependent; recall vs the exact top-k is asserted in tests instead).
+    "llm_knn_join": """
+        WITH q AS (
+            SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings
+            WHERE vec_id < 10
+        ),
+        scored AS (
+            SELECT q.q_id, e.vec_id,
+                   list_aggregate(
+                       list_transform(range(1, len(e.embedding) + 1),
+                           i -> CAST(e.embedding[i] AS DOUBLE)
+                              * CAST(q.q_emb[i] AS DOUBLE)),
+                       'sum')
+                   / (sqrt(list_aggregate(list_transform(e.embedding,
+                           x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'))
+                      * sqrt(list_aggregate(list_transform(q.q_emb,
+                           x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum')))
+                       AS cosine
+            FROM embeddings e CROSS JOIN q
+            WHERE e.vec_id <> q.q_id
+        )
+        SELECT q_id, vec_id, CAST(rk AS INTEGER) AS rk,
+               ROUND(cosine, 6) AS cosine_r
+        FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
+                                         ORDER BY cosine DESC, vec_id ASC) AS rk
+            FROM scored
+        ) WHERE rk <= 5
+    """,
 }
 
 QUERY_FNS = {
     "llm_similarity_topk": llm_similarity_topk,
+    "llm_knn_join": llm_knn_join,
     "llm_ann_ivf": llm_ann_ivf,
 }
