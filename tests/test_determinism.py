@@ -1,0 +1,38 @@
+"""Partition-count invariance: the engine's float-determinism policy
+(exact-decimal accumulation, index-ordered folds) must make results
+bit-identical when the shuffle partitioning changes — i.e. the same answer
+on a laptop and on a 1000-executor cluster."""
+
+from __future__ import annotations
+
+import pytest
+
+from hive3_replication_spark.registry import build_queries
+from tests.conftest import SF_DIR
+
+FLOAT_HEAVY = [
+    "agg_groupby",
+    "win_running_sum",
+    "join_broadcast",
+    "llm_similarity_topk",
+    "sql_pricing_summary",
+    "udf_grouped_agg",
+]
+
+
+@pytest.mark.parametrize("key", FLOAT_HEAVY)
+def test_partition_count_invariance(spark, key):
+    q = build_queries()[key]
+    original = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "3")
+        few = q(spark, SF_DIR).toPandas()
+        spark.conf.set("spark.sql.shuffle.partitions", "37")
+        many = q(spark, SF_DIR).toPandas()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", original)
+    cols = sorted(few.columns)
+    a = few[cols].sort_values(cols).reset_index(drop=True)
+    b = many[cols].sort_values(cols).reset_index(drop=True)
+    # exact (bitwise) equality — no tolerance
+    assert a.equals(b), f"{key} differs across partition counts"
