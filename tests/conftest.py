@@ -20,11 +20,24 @@ SF_DIR = os.environ.get("H3R_TEST_SF_DIR", "/root/testdata/sf0.001")
 
 @pytest.fixture(scope="session")
 def spark():
-    spark = get_spark(
-        app_name="h3r-tests",
-        master=f"local[{os.environ.get('H3R_TEST_CPUS', '4')}]",
-        shuffle_partitions=8,
-    )
+    if os.environ.get("H3R_PLAIN_SESSION"):
+        # driver-simulation mode: a bare session exactly like the external
+        # verification driver's — engine confs must be injected at runtime
+        # by catalog.load_table, or these tests fail
+        from pyspark.sql import SparkSession
+
+        spark = (
+            SparkSession.builder.appName("h3r-tests-plain")
+            .master(f"local[{os.environ.get('H3R_TEST_CPUS', '4')}]")
+            .config("spark.ui.enabled", "false")
+            .getOrCreate()
+        )
+    else:
+        spark = get_spark(
+            app_name="h3r-tests",
+            master=f"local[{os.environ.get('H3R_TEST_CPUS', '4')}]",
+            shuffle_partitions=8,
+        )
     yield spark
     spark.stop()
 
