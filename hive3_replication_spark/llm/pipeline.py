@@ -17,6 +17,7 @@ from pyspark.sql import functions as F
 
 from ..catalog import load_table
 from .dedup import ngram_pair_jaccard
+from .text import quality_score_expr, token_count_expr
 
 
 def llm_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -25,18 +26,10 @@ def llm_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     → per-lang surviving doc count + total tokens."""
     documents = load_table(spark, sf_dir, "documents")
 
-    # stage 1 — quality score (same formula as llm_text_quality)
-    n_spaces = F.length("text") - F.length(
-        F.regexp_replace(F.col("text"), " ", "")
+    # stage 1 — quality filter (the shared scoring expression)
+    quality = documents.withColumn("q", quality_score_expr()).filter(
+        F.col("q") >= 0.5
     )
-    n_tokens = (n_spaces + 1).cast("double")
-    avg_word_len = (F.length("text") - n_spaces).cast("double") / n_tokens
-    score = (
-        F.least(F.lit(1.0), F.col("n_chars") / 500.0) * 0.5
-        + F.least(F.lit(1.0), n_tokens / 80.0) * 0.3
-        + F.least(F.lit(1.0), avg_word_len / 8.0) * 0.2
-    )
-    quality = documents.withColumn("q", score).filter(F.col("q") >= 0.5)
 
     # stage 2 — exact dedup: canonical = min doc_id per text
     canonical = quality.groupBy("text").agg(
@@ -58,14 +51,9 @@ def llm_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     survivors = canonical.join(drop, "doc_id", "left_anti")
 
     # stage 4 — corpus stats per language
-    tok_count = (
-        F.length("text")
-        - F.length(F.regexp_replace(F.col("text"), " ", ""))
-        + 1
-    ).cast("bigint")
     return survivors.groupBy("lang").agg(
         F.count("*").alias("n_docs"),
-        F.sum(tok_count).alias("total_tokens"),
+        F.sum(token_count_expr()).alias("total_tokens"),
     )
 
 

@@ -86,23 +86,42 @@ def llm_text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def token_count_expr(text_col: str = "text") -> F.Column:
+    """Whitespace token count via length arithmetic (pure codegen)."""
+    n_spaces = F.length(text_col) - F.length(
+        F.regexp_replace(F.col(text_col), " ", "")
+    )
+    return (n_spaces + 1).cast("bigint")
+
+
+def quality_score_expr(
+    text_col: str = "text", n_chars_col: str = "n_chars"
+) -> F.Column:
+    """The engine's [0,1] document quality score: length / token-count /
+    word-shape ratios. Single definition — llm_text_quality and the
+    composed pipeline's stage-1 filter both use this expression, so the
+    weights cannot drift between them."""
+    n_spaces = F.length(text_col) - F.length(
+        F.regexp_replace(F.col(text_col), " ", "")
+    )
+    n_tokens = (n_spaces + 1).cast("double")
+    avg_word_len = (F.length(text_col) - n_spaces).cast("double") / n_tokens
+    return (
+        F.least(F.lit(1.0), F.col(n_chars_col) / 500.0) * 0.5
+        + F.least(F.lit(1.0), n_tokens / 80.0) * 0.3
+        + F.least(F.lit(1.0), avg_word_len / 8.0) * 0.2
+    )
+
+
 def llm_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality scoring: length / token-count / word-shape ratios combined
     into a [0,1] score — the standard cheap pre-filter before expensive
     dedup/classify stages in a training-data pipeline."""
     documents = load_table(spark, sf_dir, "documents")
-    n_spaces = F.length("text") - F.length(F.regexp_replace(F.col("text"), " ", ""))
-    n_tokens = (n_spaces + 1).cast("double")
-    avg_word_len = (F.length("text") - n_spaces).cast("double") / n_tokens
-    score = (
-        F.least(F.lit(1.0), F.col("n_chars") / 500.0) * 0.5
-        + F.least(F.lit(1.0), n_tokens / 80.0) * 0.3
-        + F.least(F.lit(1.0), avg_word_len / 8.0) * 0.2
-    )
     return documents.select(
         "doc_id",
-        n_tokens.cast("bigint").alias("n_tokens"),
-        score.alias("quality_score"),
+        token_count_expr().alias("n_tokens"),
+        quality_score_expr().alias("quality_score"),
     )
 
 

@@ -57,8 +57,10 @@ def run_replication(
     # per-db instance lock for the WHOLE run (hive3repl.sh:67-70): two
     # concurrent runs on one db would race on the state dir overwrite and
     # the watermark append — bootstrap's dump.lock alone doesn't cover the
-    # incremental path
-    with RunLock(run_dir, f"instance_{cfg.db_name}"):
+    # incremental path. The lock lives under the CONTENDED resource
+    # (repl_root), not the caller's run_dir, so runs launched with different
+    # run_dir flags still exclude each other.
+    with RunLock(f"{cfg.repl_root}/_locks", f"instance_{cfg.db_name}"):
         return _run_locked(spark, cfg, run_dir, watermark_dir, started)
 
 

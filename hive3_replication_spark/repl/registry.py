@@ -3,8 +3,16 @@
 The reference guards concurrent runs with PID files + stale-PID detection
 (``misc_functions.sh:151-183``) and serializes bootstrap dumps with a
 ``dump.lock`` (``beeline_functions.sh:92-101``). The engine uses atomic
-directory creation (mkdir is atomic on POSIX and on HDFS/S3A-with-guard) with
-the owner PID recorded for staleness checks — same semantics, no daemon.
+directory creation (mkdir is atomic on POSIX and on HDFS/S3A-with-guard)
+with the owner PID recorded for staleness checks — same semantics, no
+daemon.
+
+Takeover of a stale lock is itself atomic: the claimer RENAMES the stale
+lock dir aside (rename is atomic; exactly one concurrent claimer wins) and
+then re-acquires through the normal mkdir path, so two processes can never
+both conclude they took over. A lock dir whose pid file never appeared
+(holder crashed between mkdir and pid write) is treated as stale once it is
+older than a grace period.
 
 At scale this lock guards *driver-side orchestration only* (one replication
 run per database); executor parallelism inside a run needs no locks because
@@ -15,7 +23,13 @@ rename (see incremental.py).
 from __future__ import annotations
 
 import os
+import shutil
+import time
 from pathlib import Path
+
+#: A lock dir with no pid file older than this is considered stale (the
+#: mkdir→pid-write window of a live holder is milliseconds).
+_NO_PID_GRACE_S = 5.0
 
 
 class LockHeldError(RuntimeError):
@@ -37,19 +51,36 @@ class RunLock:
 
     def acquire(self) -> None:
         self.path.parent.mkdir(parents=True, exist_ok=True)
-        try:
-            self.path.mkdir()
-        except FileExistsError:
-            owner = self._owner_pid()
-            if owner is not None and not _pid_alive(owner):
-                # stale-PID takeover (misc_functions.sh:168-180)
-                self.release(force=True)
+        for _ in range(16):  # bounded retries through takeover races
+            try:
                 self.path.mkdir()
-            else:
-                raise LockHeldError(
-                    f"{self.path} held by pid {owner} (beeline_functions.sh:92-101)"
+            except FileExistsError:
+                owner = self._owner_pid()
+                if owner is not None and _pid_alive(owner):
+                    raise LockHeldError(
+                        f"{self.path} held by pid {owner} "
+                        "(beeline_functions.sh:92-101)"
+                    )
+                if owner is None and self._age_s() < _NO_PID_GRACE_S:
+                    # holder may be mid-acquire; not stale yet
+                    raise LockHeldError(
+                        f"{self.path} being acquired by another process"
+                    )
+                # stale: claim it atomically by renaming it aside — exactly
+                # one concurrent claimer's rename succeeds
+                # (misc_functions.sh:168-180 stale-PID takeover, made atomic)
+                trash = self.path.with_name(
+                    f"{self.path.name}.stale-{os.getpid()}-{time.monotonic_ns()}"
                 )
-        (self.path / "pid").write_text(str(os.getpid()))
+                try:
+                    os.rename(self.path, trash)
+                except OSError:
+                    continue  # lost the claim race; retry from mkdir
+                shutil.rmtree(trash, ignore_errors=True)
+                continue
+            (self.path / "pid").write_text(str(os.getpid()))
+            return
+        raise LockHeldError(f"{self.path}: takeover contention, giving up")
 
     def release(self, force: bool = False) -> None:
         """Remove only if owned (``beeline_functions.sh:112-114``)."""
@@ -67,6 +98,12 @@ class RunLock:
             return int((self.path / "pid").read_text())
         except (OSError, ValueError):
             return None
+
+    def _age_s(self) -> float:
+        try:
+            return time.time() - self.path.stat().st_mtime
+        except OSError:
+            return 0.0
 
 
 def _pid_alive(pid: int) -> bool:

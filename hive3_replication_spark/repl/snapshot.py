@@ -196,7 +196,9 @@ def bootstrap_dump(
     """
     ensure_engine_confs(spark)
     cfg.validate()
-    with RunLock(run_dir, "dump"):
+    # dump mutual exclusion is per REPL_ROOT (the contended staging space),
+    # regardless of which run_dir the caller passed
+    with RunLock(f"{cfg.repl_root}/_locks", "dump"):
         # Consistent cut for an append-only event log: parquet files are
         # immutable, so the FILE SET at listing time is a consistent
         # snapshot — later appends only create new files. Byte-copy that

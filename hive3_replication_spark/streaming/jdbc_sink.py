@@ -20,8 +20,6 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..sources.readers import jdbc_read
-
 _DRIVER = "org.apache.derby.iapi.jdbc.AutoloadedDriver"
 
 
@@ -53,11 +51,22 @@ def run_jdbc_stream(
 
     def committed_batches(sess: SparkSession) -> set[int] | None:
         """Committed batch ids recovered from the warehouse itself; None
-        means the table does not exist yet. Any other JDBC failure is
-        re-raised — swallowing it could flip a later write into a
-        destructive overwrite."""
+        means the table does not exist yet. The DISTINCT is pushed down to
+        the warehouse (dedicated query), so the check transfers one row per
+        batch, not the whole table. Any other JDBC failure is re-raised —
+        swallowing it could flip a later write into a destructive
+        overwrite."""
         try:
-            rows = read_table(sess).select("batch_id").distinct().collect()
+            rows = (
+                sess.read.format("jdbc")
+                .option("url", url)
+                .option(
+                    "query", 'SELECT DISTINCT "batch_id" FROM stream_counts'
+                )
+                .option("driver", _DRIVER)
+                .load()
+                .collect()
+            )
         except Exception as exc:
             if "does not exist" in str(exc) or "42X05" in str(exc):
                 return None

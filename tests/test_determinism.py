@@ -15,6 +15,8 @@ FLOAT_HEAVY = [
     "win_running_sum",
     "join_broadcast",
     "llm_similarity_topk",
+    "llm_knn_join",
+    "llm_pipeline_e2e",
     "sql_pricing_summary",
     "udf_grouped_agg",
 ]
