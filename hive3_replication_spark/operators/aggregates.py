@@ -110,6 +110,64 @@ def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def agg_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A10 — exact interpolated percentiles (median / p90) per group.
+
+    ``F.percentile`` is Spark's exact linear-interpolation percentile —
+    identical definition to ANSI ``percentile_cont`` / DuckDB
+    ``quantile_cont``. Exact percentile sorts within the aggregate; at
+    100 TB switch the same call site to ``approx_percentile`` (t-digest
+    sketch, mergeable, one pass) — the code shape is unchanged.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.percentile("l_quantity", F.lit(0.5)), 6).alias("p50_qty"),
+        F.round(F.percentile("l_quantity", F.lit(0.9)), 6).alias("p90_qty"),
+        F.round(F.percentile("l_extendedprice", F.lit(0.5)), 6).alias("p50_price"),
+    )
+
+
+def agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A11 — variance / stddev / correlation per group, computed from exact
+    decimal moments rather than ``F.stddev``/``F.corr``.
+
+    Spark's built-in moment aggregates use a streaming merge whose float
+    result depends on partition merge order — fine statistically, but not
+    bit-reproducible across cluster sizes. Summing the moments (Σx, Σx²,
+    Σxy) as DECIMAL is exact and associative, so the same formula gives the
+    same bits at 8 partitions and 8000 — the engine-wide determinism policy
+    (module docstring) applied to second moments. Products stay exact in
+    double before the cast: prices have 2 decimals ≤ 1e5, so x·y ≤ 1e14
+    scaled by 1e4 is still inside double's 2^53 integer range.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+
+    def m(expr: F.Column) -> F.Column:
+        return F.sum(expr.cast("decimal(38,6)")).cast("double")
+
+    x, y = F.col("l_quantity"), F.col("l_extendedprice")
+    agg = li.groupBy("l_returnflag").agg(
+        F.count("*").cast("double").alias("n"),
+        m(x).alias("sx"),
+        m(x * x).alias("sx2"),
+        m(y).alias("sy"),
+        m(y * y).alias("sy2"),
+        m(x * y).alias("sxy"),
+    )
+    n, sx, sx2 = F.col("n"), F.col("sx"), F.col("sx2")
+    sy, sy2, sxy = F.col("sy"), F.col("sy2"), F.col("sxy")
+    var_x = (sx2 - sx * sx / n) / (n - 1)
+    var_y = (sy2 - sy * sy / n) / (n - 1)
+    cov = (sxy - sx * sy / n) / (n - 1)
+    return agg.select(
+        "l_returnflag",
+        n.cast("bigint").alias("n_rows"),
+        F.round(var_x, 6).alias("var_qty"),
+        F.round(F.sqrt(var_x), 6).alias("stddev_qty"),
+        F.round(cov / F.sqrt(var_x * var_y), 6).alias("corr_qty_price"),
+    )
+
+
 def agg_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A9 — filtered/conditional aggregation: error-vs-info line counts
     (``hive3repl.sh:132`` grep + count semantics) as a single pass."""
@@ -158,6 +216,33 @@ ORACLES: dict[str, str] = {
         FROM (SELECT event_type, user_id % 10 AS user_bucket FROM events)
         GROUP BY CUBE (event_type, user_bucket)
     """,
+    "agg_percentile": """
+        SELECT l_returnflag,
+               ROUND(quantile_cont(l_quantity, 0.5), 6) AS p50_qty,
+               ROUND(quantile_cont(l_quantity, 0.9), 6) AS p90_qty,
+               ROUND(quantile_cont(l_extendedprice, 0.5), 6) AS p50_price
+        FROM lineitem GROUP BY l_returnflag
+    """,
+    "agg_stats": """
+        WITH mom AS (
+            SELECT l_returnflag,
+                   CAST(COUNT(*) AS DOUBLE) AS n,
+                   CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS sx,
+                   CAST(SUM(CAST(l_quantity * l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS sx2,
+                   CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,6))) AS DOUBLE) AS sy,
+                   CAST(SUM(CAST(l_extendedprice * l_extendedprice AS DECIMAL(38,6))) AS DOUBLE) AS sy2,
+                   CAST(SUM(CAST(l_quantity * l_extendedprice AS DECIMAL(38,6))) AS DOUBLE) AS sxy
+            FROM lineitem GROUP BY l_returnflag
+        )
+        SELECT l_returnflag,
+               CAST(n AS BIGINT) AS n_rows,
+               ROUND((sx2 - sx * sx / n) / (n - 1), 6) AS var_qty,
+               ROUND(sqrt((sx2 - sx * sx / n) / (n - 1)), 6) AS stddev_qty,
+               ROUND(((sxy - sx * sy / n) / (n - 1))
+                     / sqrt(((sx2 - sx * sx / n) / (n - 1))
+                          * ((sy2 - sy * sy / n) / (n - 1))), 6) AS corr_qty_price
+        FROM mom
+    """,
     "agg_conditional": """
         SELECT event_type,
                CAST(SUM(CASE WHEN value > 100 THEN 1 ELSE 0 END) AS BIGINT) AS n_hi,
@@ -175,5 +260,7 @@ QUERY_FNS = {
     "agg_approx_distinct": agg_approx_distinct,
     "agg_rollup": agg_rollup,
     "agg_cube": agg_cube,
+    "agg_percentile": agg_percentile,
+    "agg_stats": agg_stats,
     "agg_conditional": agg_conditional,
 }

@@ -173,7 +173,32 @@ def fn_math(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def fn_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F14 — edit distance (insert/delete/substitute), the classic fuzzy
+    string comparator for entity resolution and typo-tolerant dedup
+    blocking. Built-in JVM expression — O(len²) per pair but zero Python;
+    at 100 TB gate it behind a cheap blocker (length band / first-char)
+    so it only runs on candidate pairs, exactly as llm_dedup_ngram gates
+    its Jaccard."""
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    return nation.join(
+        F.broadcast(region),
+        nation.n_regionkey == region.r_regionkey,
+    ).select(
+        "n_nationkey",
+        F.levenshtein(F.col("n_name"), F.col("r_name")).alias("dist"),
+        F.levenshtein(F.col("n_name"), F.lit("NATION_1")).alias("dist_lit"),
+    )
+
+
 ORACLES: dict[str, str] = {
+    "fn_levenshtein": """
+        SELECT n_nationkey,
+               CAST(levenshtein(n_name, r_name) AS INTEGER) AS dist,
+               CAST(levenshtein(n_name, 'NATION_1') AS INTEGER) AS dist_lit
+        FROM nation JOIN region ON n_regionkey = r_regionkey
+    """,
     "fn_concat": """
         SELECT n_nationkey, 'hdfs://nn1' || '/repl/' || n_name AS dump_path
         FROM nation
@@ -262,4 +287,5 @@ QUERY_FNS = {
     "fn_array": fn_array,
     "fn_map": fn_map,
     "fn_math": fn_math,
+    "fn_levenshtein": fn_levenshtein,
 }

@@ -12,11 +12,13 @@ from pyspark.sql import DataFrame, SparkSession
 from .llm import dedup as _dedup
 from .llm import multimodal as _multimodal
 from .llm import pipeline as _llm_pipeline
+from .llm import sampling as _sampling
 from .llm import similarity as _similarity
 from .llm import text as _text
 from .operators import aggregates as _aggregates
 from .operators import filters as _filters
 from .operators import joins as _joins
+from .operators import reshape as _reshape
 from .operators import scalars as _scalars
 from .operators import sorts_sets as _sorts_sets
 from .operators import sql_queries as _sql_queries
@@ -35,12 +37,14 @@ _MODULES = (
     _windows,
     _sorts_sets,
     _sql_queries,
+    _reshape,
     _scalars,
     _udfs,
     _batch_ops,
     _text,
     _dedup,
     _similarity,
+    _sampling,
     _multimodal,
     _llm_pipeline,
 )

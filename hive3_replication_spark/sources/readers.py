@@ -189,6 +189,61 @@ def scan_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_BUCKETED_READY: set[str] = set()
+_N_BUCKETS = 8
+
+
+def bucketed_tables(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
+    """Materialize orders + lineitem as bucketed tables on the join key.
+
+    Bucketing pre-shuffles ONCE at write time: both sides are hash-split
+    into the same number of buckets on ``orderkey``, so every later join
+    or aggregation on that key runs with zero exchange — the 100 TB answer
+    to "this fact-fact join shuffles 100 TB every run". Registered in the
+    session catalog; cached per (process, sf_dir) like the partitioned
+    layout above.
+    """
+    ensure_engine_confs(spark)
+    tag = sf_dir.rstrip("/").rsplit("sf", 1)[-1].replace(".", "_")
+    names = (f"h3r_orders_b{tag}", f"h3r_lineitem_b{tag}")
+    if sf_dir not in _BUCKETED_READY:
+        root = tempfile.mkdtemp(prefix="h3r_bucketed_")
+        for name, table, key in (
+            (names[0], "orders", "o_orderkey"),
+            (names[1], "lineitem", "l_orderkey"),
+        ):
+            spark.sql(f"DROP TABLE IF EXISTS {name}")
+            (
+                load_table(spark, sf_dir, table)
+                .write.mode("overwrite")
+                .option("path", f"{root}/{name}")
+                .bucketBy(_N_BUCKETS, key)
+                .sortBy(key)
+                .format("parquet")
+                .saveAsTable(name)
+            )
+        _BUCKETED_READY.add(sf_dir)
+    return names
+
+
+def scan_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S5c — co-located join over bucketed tables: orders ⋈ lineitem on the
+    bucket key with NO shuffle on either side (tests/test_plans.py asserts
+    the plan is exchange-free when broadcast is disabled). The aggregation
+    after the join groups by the same key family, so the whole query runs
+    bucket-local."""
+    orders_t, lineitem_t = bucketed_tables(spark, sf_dir)
+    orders = spark.table(orders_t)
+    li = spark.table(lineitem_t)
+    joined = orders.join(li, orders.o_orderkey == li.l_orderkey)
+    return joined.groupBy("o_orderpriority").agg(
+        F.count("*").alias("n_lines"),
+        F.sum(F.col("l_extendedprice").cast("decimal(18,4)"))
+        .cast("double")
+        .alias("sum_price"),
+    )
+
+
 def delimited_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S6 — beeline resultset parsing (``init_variables.sh:47`` pipe
     format; ``beeline_functions.sh:24`` awk parse): build pipe-delimited
@@ -240,6 +295,13 @@ ORACLES: dict[str, str] = {
         WHERE CAST(CAST(ts AS TIMESTAMP) AS DATE) < DATE '2024-01-03'
         GROUP BY 1, 2
     """,
+    "scan_bucketed": """
+        SELECT o_orderpriority,
+               COUNT(*) AS n_lines,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
+        FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        GROUP BY o_orderpriority
+    """,
     "delimited_parse": """
         WITH lines AS (
             SELECT '| ' || n_name || ' | ' || CAST(n_nationkey AS VARCHAR) || ' |'
@@ -260,5 +322,6 @@ QUERY_FNS = {
     "scan_json": scan_json,
     "scan_orc": scan_orc,
     "scan_partitioned": scan_partitioned,
+    "scan_bucketed": scan_bucketed,
     "delimited_parse": delimited_parse,
 }

@@ -13,6 +13,7 @@ from hive3_replication_spark.llm.dedup import (
 )
 from hive3_replication_spark.llm.similarity import (
     llm_ann_ivf,
+    llm_ann_lsh,
     llm_similarity_topk,
 )
 from hive3_replication_spark.operators.aggregates import agg_approx_distinct
@@ -66,6 +67,39 @@ def test_ann_recall_vs_exact(spark):
     # scores it does return must equal the exact scan's scores
     merged = exact.merge(approx, on="vec_id", suffixes=("_e", "_a"))
     assert (merged.cosine_r_e == merged.cosine_r_a).all()
+
+
+def test_lsh_recall_vs_exact(spark):
+    exact = llm_similarity_topk(spark, SF_DIR).toPandas()
+    approx = llm_ann_lsh(spark, SF_DIR).toPandas()
+    recall = len(set(exact.vec_id) & set(approx.vec_id)) / len(exact)
+    # the fixture's neighbors sit near the random-pair cosine level — the
+    # hardest LSH regime (see the operator docstring); measured 6/10 here
+    assert recall >= 0.5, f"LSH recall {recall}"
+    merged = exact.merge(approx, on="vec_id", suffixes=("_e", "_a"))
+    assert (merged.cosine_r_e == merged.cosine_r_a).all()
+
+
+def test_lsh_finds_planted_near_dup(spark, tmp_path):
+    """The actual LSH contract: a true near-duplicate of the query (cosine
+    ≈0.9996) must be bucketed with it and come back as the top hit."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    tbl = pq.read_table(f"{SF_DIR}/embeddings.parquet")
+    pdf = tbl.to_pandas()
+    q = np.array(pdf.loc[pdf.vec_id == 0, "embedding"].iloc[0], dtype=np.float64)
+    noise = np.where(np.arange(len(q)) % 2 == 0, 0.03, -0.03) * np.abs(q).mean()
+    dup = (q + noise).astype(np.float32)
+    planted = pd.DataFrame(
+        {"vec_id": [99990], "embedding": [dup.tolist()], "label": [0]}
+    )
+    out = tmp_path / "lshdocs"
+    out.mkdir()
+    pd.concat([pdf, planted]).to_parquet(out / "embeddings.parquet")
+    top = llm_ann_lsh(spark, str(out)).toPandas()
+    assert top.vec_id.iloc[0] == 99990, top.head(3)
+    assert top.cosine_r.iloc[0] > 0.99
 
 
 def test_approx_distinct_within_rsd(spark):

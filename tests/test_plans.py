@@ -67,6 +67,29 @@ def test_fact_join_shuffles_on_key(spark):
     assert "BroadcastNestedLoopJoin" not in plan
 
 
+def test_bucketed_join_is_exchange_free(spark):
+    """Bucketed orders ⋈ lineitem must read bucket-local: with broadcast
+    disabled, the join runs with ZERO shuffle exchanges — the pre-shuffled
+    layout that keeps a daily 100 TB fact-fact join off the network."""
+    from hive3_replication_spark.sources.readers import bucketed_tables
+
+    orders_t, lineitem_t = bucketed_tables(spark, SF_DIR)
+    with_conf = spark.conf
+    old = with_conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        with_conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        orders = spark.table(orders_t)
+        li = spark.table(lineitem_t)
+        joined = orders.join(li, orders.o_orderkey == li.l_orderkey).select(
+            "o_orderpriority", "l_extendedprice"
+        )
+        plan = _plan(joined, "simple")
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan, plan
+    finally:
+        with_conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
 def test_topk_uses_take_ordered(spark):
     plan = _plan(sort_topk(spark, SF_DIR), "simple")
     assert "TakeOrderedAndProject" in plan
