@@ -143,6 +143,80 @@ def llm_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Convergence backstop for label propagation — fixture components are
+#: near-cliques (diameter ≤ 3); the loop normally exits in 2-4 rounds.
+_MAX_CC_ITERS = 25
+
+
+def llm_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L2f — dedup cluster resolution: connected components over the
+    near-dup pair graph, electing one canonical doc per cluster.
+
+    Pair detection alone is not a dedup policy: if A~B and B~C, keeping
+    "one doc per pair" either drops too much or keeps both A and C.
+    The standard resolution is transitive closure — cluster = connected
+    component of the pair graph, keeper = min doc_id in the component.
+
+    Implementation is iterative min-label propagation (the GraphX/Pregel
+    shape on plain DataFrames): every node starts labeled with itself;
+    each round sends labels across edges and keeps the per-node min;
+    convergence is detected by the (monotonically decreasing, exact
+    integer) global label sum. The driver loop iterates over *plans*,
+    never data — each round is one key-partitioned shuffle, and labels
+    are persisted per round with the previous round unpersisted. Rounds
+    needed = graph diameter; near-dup components are near-cliques, so
+    this is small even at corpus scale. At 100 TB with adversarial long
+    chains, swap the body for the large-star/small-star variant
+    (Kiveris et al., "Connected Components in MapReduce") — same loop
+    skeleton, provably O(log n) rounds.
+
+    Full SQL oracle: the edge set is the exact n-gram Jaccard pair set
+    (shared with llm_dedup_ngram), and DuckDB computes the closure with
+    a recursive CTE — an engine-independent fixpoint to check ours
+    against.
+    """
+    documents = load_table(spark, sf_dir, "documents")
+    pairs = (
+        ngram_pair_jaccard(documents, "ngram_shingles")
+        .filter(F.col("jaccard") >= 0.08)
+        .select("doc_a", "doc_b")
+    )
+    edges = _swap_cache(
+        "cluster_edges",
+        pairs.union(
+            pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
+        ),
+    )
+    labels = _swap_cache(
+        "cluster_labels",
+        edges.select(F.col("doc_a").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node")),
+    )
+    prev_sum = labels.agg(F.sum("label")).first()[0]
+    for _ in range(_MAX_CC_ITERS):
+        msgs = edges.join(labels, edges.doc_a == labels.node).select(
+            F.col("doc_b").alias("node"), "label"
+        )
+        labels = _swap_cache(
+            "cluster_labels",
+            msgs.union(labels.select("node", "label"))
+            .groupBy("node")
+            .agg(F.min("label").alias("label")),
+        )
+        cur_sum = labels.agg(F.sum("label")).first()[0]
+        if cur_sum == prev_sum:
+            break
+        prev_sum = cur_sum
+    sizes = labels.groupBy("label").agg(F.count("*").alias("n_members"))
+    return labels.join(sizes, "label").select(
+        F.col("node").alias("doc_id"),
+        F.col("label").alias("cluster_id"),
+        "n_members",
+        (F.col("node") == F.col("label")).cast("int").alias("is_canonical"),
+    )
+
+
 def llm_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """L2 — MinHash + LSH near-dup (the 100 TB path; no SQL oracle — the
     signature depends on Spark's xxhash64, rows-only check + property tests).
@@ -324,13 +398,11 @@ def llm_dedup_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-ORACLES: dict[str, str] = {
-    "llm_dedup_exact": """
-        SELECT MIN(doc_id) AS canonical_doc_id, COUNT(*) AS n_copies
-        FROM documents GROUP BY text
-    """,
-    "llm_dedup_ngram": """
-        WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+# Shared CTE chain producing the exact n-gram Jaccard pair set (`npairs`):
+# the single source of truth for llm_dedup_ngram's output AND the cluster
+# operator's edge set, so the two oracles cannot drift.
+_NGRAM_PAIR_CTES = """
+        t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
         tok AS (
             SELECT doc_id, unnest(toks) AS tok,
                    generate_subscripts(toks, 1) AS pos
@@ -351,14 +423,44 @@ ORACLES: dict[str, str] = {
             SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
             FROM shf a JOIN shf b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
             GROUP BY a.doc_id, b.doc_id
+        ),
+        npairs AS (
+            SELECT doc_a, doc_b, inter,
+                   CAST(inter AS DOUBLE) / CAST(sa.sz + sb.sz - inter AS DOUBLE)
+                       AS jaccard
+            FROM inter
+            JOIN sizes sa ON sa.doc_id = doc_a
+            JOIN sizes sb ON sb.doc_id = doc_b
         )
-        SELECT doc_a, doc_b, inter,
-               CAST(inter AS DOUBLE) / CAST(sa.sz + sb.sz - inter AS DOUBLE)
-                   AS jaccard
-        FROM inter
-        JOIN sizes sa ON sa.doc_id = doc_a
-        JOIN sizes sb ON sb.doc_id = doc_b
-        WHERE CAST(inter AS DOUBLE) / CAST(sa.sz + sb.sz - inter AS DOUBLE) >= 0.08
+"""
+
+ORACLES: dict[str, str] = {
+    "llm_dedup_exact": """
+        SELECT MIN(doc_id) AS canonical_doc_id, COUNT(*) AS n_copies
+        FROM documents GROUP BY text
+    """,
+    "llm_dedup_ngram": f"""
+        WITH {_NGRAM_PAIR_CTES}
+        SELECT doc_a, doc_b, inter, jaccard
+        FROM npairs WHERE jaccard >= 0.08
+    """,
+    "llm_dedup_clusters": f"""
+        WITH RECURSIVE {_NGRAM_PAIR_CTES},
+        edges AS (
+            SELECT doc_a AS src, doc_b AS dst FROM npairs WHERE jaccard >= 0.08
+            UNION ALL
+            SELECT doc_b, doc_a FROM npairs WHERE jaccard >= 0.08
+        ),
+        reach(node, label) AS (
+            SELECT src, src FROM edges
+            UNION
+            SELECT e.dst, r.label FROM reach r JOIN edges e ON e.src = r.node
+        ),
+        lab AS (SELECT node, MIN(label) AS cluster_id FROM reach GROUP BY node),
+        sz AS (SELECT cluster_id, COUNT(*) AS n_members FROM lab GROUP BY cluster_id)
+        SELECT lab.node AS doc_id, lab.cluster_id, sz.n_members,
+               CAST(lab.node = lab.cluster_id AS INTEGER) AS is_canonical
+        FROM lab JOIN sz USING (cluster_id)
     """,
     # llm_dedup_minhash / llm_dedup_simhash: rows-only (signatures depend on
     # Spark's xxhash64; verified by property tests instead).
@@ -388,6 +490,7 @@ ORACLES: dict[str, str] = {
 QUERY_FNS = {
     "llm_dedup_exact": llm_dedup_exact,
     "llm_dedup_ngram": llm_dedup_ngram,
+    "llm_dedup_clusters": llm_dedup_clusters,
     "llm_dedup_minhash": llm_dedup_minhash,
     "llm_dedup_simhash": llm_dedup_simhash,
     "llm_dedup_embed": llm_dedup_embed,

@@ -168,6 +168,30 @@ def agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A12 — fixed-width histogram: document-length distribution per
+    language, 200-char bins with the top bin clamped (width_bucket
+    semantics via integer arithmetic, so the bin edge math is exact and
+    engine-independent).
+
+    One hash aggregate over (lang, bin) — a single shuffle whose key
+    cardinality is languages × 20 bins regardless of corpus size, so the
+    reduce side is O(1) at 100 TB and the map side combines almost
+    everything locally.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    bin_col = F.least(F.expr("n_chars DIV 200"), F.lit(19)).alias("bin")
+    return (
+        docs.select("lang", bin_col, "n_chars")
+        .groupBy("lang", "bin")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.min("n_chars").alias("min_chars"),
+            F.max("n_chars").alias("max_chars"),
+        )
+    )
+
+
 def agg_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A9 — filtered/conditional aggregation: error-vs-info line counts
     (``hive3repl.sh:132`` grep + count semantics) as a single pass."""
@@ -243,6 +267,15 @@ ORACLES: dict[str, str] = {
                           * ((sy2 - sy * sy / n) / (n - 1))), 6) AS corr_qty_price
         FROM mom
     """,
+    "agg_histogram": """
+        SELECT lang,
+               CAST(LEAST(n_chars // 200, 19) AS BIGINT) AS bin,
+               COUNT(*) AS n_docs,
+               MIN(n_chars) AS min_chars,
+               MAX(n_chars) AS max_chars
+        FROM documents
+        GROUP BY 1, 2
+    """,
     "agg_conditional": """
         SELECT event_type,
                CAST(SUM(CASE WHEN value > 100 THEN 1 ELSE 0 END) AS BIGINT) AS n_hi,
@@ -262,5 +295,6 @@ QUERY_FNS = {
     "agg_cube": agg_cube,
     "agg_percentile": agg_percentile,
     "agg_stats": agg_stats,
+    "agg_histogram": agg_histogram,
     "agg_conditional": agg_conditional,
 }

@@ -22,6 +22,7 @@ from .operators import reshape as _reshape
 from .operators import scalars as _scalars
 from .operators import sorts_sets as _sorts_sets
 from .operators import sql_queries as _sql_queries
+from .operators import timeseries as _timeseries
 from .operators import udfs as _udfs
 from .operators import windows as _windows
 from .sources import readers as _readers
@@ -38,6 +39,7 @@ _MODULES = (
     _sorts_sets,
     _sql_queries,
     _reshape,
+    _timeseries,
     _scalars,
     _udfs,
     _batch_ops,
