@@ -26,11 +26,15 @@ from hive3_replication_spark.session import get_spark
 HEADLINE = (
     "scan_parquet",
     "scan_partitioned",
+    "scan_bucketed",
     "join_broadcast",
     "join_sortmerge",
     "join_asof",
     "agg_groupby",
     "agg_rollup",
+    "agg_percentile",
+    "reshape_pivot",
+    "ts_resample",
     "win_latest_per_group",
     "win_running_sum",
     "stream_incremental_dump",
@@ -40,6 +44,7 @@ HEADLINE = (
     "llm_dedup_exact",
     "llm_dedup_minhash",
     "llm_dedup_ngram",
+    "llm_dedup_clusters",
     "llm_similarity_topk",
     "llm_text_tokens",
     "llm_text_fingerprint",

@@ -81,13 +81,29 @@ def _swap_cache(key: str, df: DataFrame) -> DataFrame:
     return cached
 
 
+#: Memoized scored-pair relations: cache_key → (token, persisted DF). The
+#: token (the sf dir) scopes reuse to one corpus; a different corpus under
+#: the same key swaps the cache. This is shared-subplan materialization:
+#: llm_dedup_ngram and llm_dedup_clusters consume the SAME pair relation,
+#: so within a session the expensive blocking join runs once, not per op.
+_PAIR_MEMO: dict[str, tuple[str, DataFrame]] = {}
+
+
 def ngram_pair_jaccard(
-    documents: DataFrame, cache_key: str, max_bucket: int = MAX_BUCKET
+    documents: DataFrame,
+    cache_key: str,
+    max_bucket: int = MAX_BUCKET,
+    memo_token: str | None = None,
 ) -> DataFrame:
     """Shared exact n-gram Jaccard scorer: shingle-block candidate pairs →
     intersection counts → |A∩B| / |A∪B|. Returns (doc_a, doc_b, inter,
     jaccard). Used by llm_dedup_ngram and the composed pipeline so the
-    blocking/threshold logic cannot drift between them."""
+    blocking/threshold logic cannot drift between them. Pass ``memo_token``
+    (the corpus dir) to persist + reuse the scored pairs across operators."""
+    if memo_token is not None:
+        hit = _PAIR_MEMO.get(cache_key)
+        if hit is not None and hit[0] == memo_token:
+            return hit[1]
     sh = _swap_cache(cache_key, _shingles(documents))
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
     freq = sh.groupBy("shingle").agg(F.count("*").alias("df"))
@@ -107,11 +123,18 @@ def ngram_pair_jaccard(
     jac = F.col("inter").cast("double") / (
         F.col("sz_a") + F.col("sz_b") - F.col("inter")
     ).cast("double")
-    return (
+    scored = (
         inter.join(F.broadcast(sz_a), "doc_a")
         .join(F.broadcast(sz_b), "doc_b")
         .withColumn("jaccard", jac)
     )
+    if memo_token is not None:
+        prev = _PAIR_MEMO.pop(cache_key, None)
+        if prev is not None:
+            prev[1].unpersist(blocking=False)
+        scored = scored.persist()
+        _PAIR_MEMO[cache_key] = (memo_token, scored)
+    return scored
 
 
 def llm_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -137,7 +160,7 @@ def llm_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     shingle; the skew guard drops degenerate stop-shingle buckets."""
     documents = load_table(spark, sf_dir, "documents")
     return (
-        ngram_pair_jaccard(documents, "ngram_shingles")
+        ngram_pair_jaccard(documents, "ngram_shingles", memo_token=sf_dir)
         .filter(F.col("jaccard") >= 0.08)
         .select("doc_a", "doc_b", "inter", "jaccard")
     )
@@ -177,32 +200,55 @@ def llm_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     documents = load_table(spark, sf_dir, "documents")
     pairs = (
-        ngram_pair_jaccard(documents, "ngram_shingles")
+        ngram_pair_jaccard(documents, "ngram_shingles", memo_token=sf_dir)
         .filter(F.col("jaccard") >= 0.08)
         .select("doc_a", "doc_b")
     )
-    edges = _swap_cache(
-        "cluster_edges",
-        pairs.union(
-            pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
-        ),
+    # Both edge orientations from ONE pass over the pair subtree: a union of
+    # pairs with its own mirror would reference the (expensive, unpersisted)
+    # pair pipeline twice and compute it twice — the engine-wide multi-
+    # reference rule. Explode emits (a,b) and (b,a) per row in a single scan.
+    #
+    # localCheckpoint (not persist) on every loop-carried relation: each
+    # round references `labels` twice, so a cached-but-untruncated plan
+    # doubles per round and Catalyst re-analyzes an exponentially growing
+    # tree — driver time, not executor time, dominated the naive loop
+    # (measured: rounds of 1.5 s → 4.7 s on a 500-row label table).
+    # Checkpointing truncates the lineage to the materialized RDD, keeping
+    # every round's plan O(1). On a real cluster use reliable
+    # ``checkpoint()`` to survive executor loss mid-algorithm.
+    edges = (
+        pairs.select(
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+                    ),
+                    F.struct(
+                        F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")
+                    ),
+                )
+            ).alias("e")
+        )
+        .select(F.col("e.src").alias("doc_a"), F.col("e.dst").alias("doc_b"))
+        .localCheckpoint()
     )
-    labels = _swap_cache(
-        "cluster_labels",
+    labels = (
         edges.select(F.col("doc_a").alias("node"))
         .distinct()
-        .withColumn("label", F.col("node")),
+        .withColumn("label", F.col("node"))
+        .localCheckpoint()
     )
     prev_sum = labels.agg(F.sum("label")).first()[0]
     for _ in range(_MAX_CC_ITERS):
         msgs = edges.join(labels, edges.doc_a == labels.node).select(
             F.col("doc_b").alias("node"), "label"
         )
-        labels = _swap_cache(
-            "cluster_labels",
+        labels = (
             msgs.union(labels.select("node", "label"))
             .groupBy("node")
-            .agg(F.min("label").alias("label")),
+            .agg(F.min("label").alias("label"))
+            .localCheckpoint()
         )
         cur_sum = labels.agg(F.sum("label")).first()[0]
         if cur_sum == prev_sum:
