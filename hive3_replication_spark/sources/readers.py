@@ -214,7 +214,14 @@ def bucketed_tables(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
         ):
             spark.sql(f"DROP TABLE IF EXISTS {name}")
             (
+                # Pre-partition on the bucket key with numPartitions ==
+                # numBuckets: HashPartitioning uses the same hash family as
+                # bucket assignment, so each task holds exactly one bucket
+                # and writes exactly one file. Without this, every input
+                # task writes all N bucket files — tasks × buckets small
+                # files at 100 TB, and a per-task N-way sort.
                 load_table(spark, sf_dir, table)
+                .repartition(_N_BUCKETS, key)
                 .write.mode("overwrite")
                 .option("path", f"{root}/{name}")
                 .bucketBy(_N_BUCKETS, key)
