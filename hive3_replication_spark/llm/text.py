@@ -144,6 +144,50 @@ def llm_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def llm_text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text normalization — the canonicalization pass that runs *before*
+    exact/near dedup in a training pipeline (two docs differing only in
+    case/punctuation/whitespace must collapse to one): lowercase → strip
+    non-alphanumerics → collapse runs of spaces → trim. Pure codegen'd
+    string expressions, narrow map, no shuffle at any scale."""
+    documents = load_table(spark, sf_dir, "documents")
+    t = F.lower(F.col("text"))
+    t = F.regexp_replace(t, "[^a-z0-9 ]", " ")
+    t = F.trim(F.regexp_replace(t, " +", " "))
+    return documents.select(
+        "doc_id", t.alias("norm_text"), F.length(t).alias("n_norm_chars")
+    )
+
+
+def llm_text_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction: mask emails, phone numbers, and long id-like digit
+    runs with typed placeholders — the compliance scrub every training
+    corpus goes through. The synthetic fixture has no PII, so the op plants
+    a deterministic doc_id-derived contact line first (same construction in
+    the oracle), then redacts; rule order matters (phones before bare digit
+    runs). All three rules are one regexp_replace chain in codegen."""
+    documents = load_table(spark, sf_dir, "documents")
+    pii = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com or 555-123-4567 ref 9876543210"),
+    )
+    r = F.regexp_replace(
+        pii, "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}", "<EMAIL>"
+    )
+    r = F.regexp_replace(r, "\\d{3}-\\d{3}-\\d{4}", "<PHONE>")
+    r = F.regexp_replace(r, "\\d{9,}", "<ID>")
+    n_pii = (
+        _occurrences(r, "<EMAIL>")
+        + _occurrences(r, "<PHONE>")
+        + _occurrences(r, "<ID>")
+    )
+    return documents.select(
+        "doc_id", r.alias("redacted"), n_pii.alias("n_pii")
+    )
+
+
 ORACLES: dict[str, str] = {
     "llm_text_tokens": """
         SELECT token, COUNT(*) AS cnt
@@ -203,10 +247,50 @@ ORACLES: dict[str, str] = {
     """,
 }
 
+ORACLES["llm_text_normalize"] = """
+    WITH n AS (
+        SELECT doc_id,
+               TRIM(regexp_replace(
+                   regexp_replace(LOWER(text), '[^a-z0-9 ]', ' ', 'g'),
+                   ' +', ' ', 'g')) AS norm_text
+        FROM documents
+    )
+    SELECT doc_id, norm_text, CAST(LENGTH(norm_text) AS INTEGER) AS n_norm_chars
+    FROM n
+"""
+
+ORACLES["llm_text_redact"] = """
+    WITH p AS (
+        SELECT doc_id,
+               text || ' contact user' || CAST(doc_id AS VARCHAR)
+                    || '@example.com or 555-123-4567 ref 9876543210' AS pii
+        FROM documents
+    ),
+    r AS (
+        SELECT doc_id,
+               regexp_replace(
+                   regexp_replace(
+                       regexp_replace(pii,
+                           '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}',
+                           '<EMAIL>', 'g'),
+                       '\\d{3}-\\d{3}-\\d{4}', '<PHONE>', 'g'),
+                   '\\d{9,}', '<ID>', 'g') AS redacted
+        FROM p
+    )
+    SELECT doc_id, redacted,
+           CAST((LENGTH(redacted) - LENGTH(REPLACE(redacted, '<EMAIL>', ''))) / 7
+              + (LENGTH(redacted) - LENGTH(REPLACE(redacted, '<PHONE>', ''))) / 7
+              + (LENGTH(redacted) - LENGTH(REPLACE(redacted, '<ID>', ''))) / 4
+              AS BIGINT) AS n_pii
+    FROM r
+"""
+
 QUERY_FNS = {
     "llm_text_tokens": llm_text_tokens,
     "llm_text_profile": llm_text_profile,
     "llm_text_langid": llm_text_langid,
     "llm_text_quality": llm_text_quality,
     "llm_text_fingerprint": llm_text_fingerprint,
+    "llm_text_normalize": llm_text_normalize,
+    "llm_text_redact": llm_text_redact,
 }

@@ -55,7 +55,57 @@ WHERE r_name = 'ASIA' AND o_orderdate >= TIMESTAMP '1996-01-01'
 GROUP BY n_name
 """
 
-_TABLES = ("lineitem", "orders", "customer", "supplier", "nation", "region")
+_Q13 = """
+SELECT c_count, COUNT(*) AS custdist
+FROM (
+    SELECT c_custkey, COUNT(o_orderkey) AS c_count
+    FROM {customer}
+    LEFT OUTER JOIN {orders}
+        ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+    GROUP BY c_custkey
+) c_orders
+GROUP BY c_count
+ORDER BY custdist DESC, c_count DESC
+"""
+
+_Q15 = """
+WITH revenue AS (
+    SELECT l_suppkey AS supplier_no,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4)))
+               AS DOUBLE) AS total_revenue
+    FROM {lineitem}
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate < TIMESTAMP '1996-04-01'
+    GROUP BY l_suppkey
+),
+ranked AS (
+    SELECT supplier_no, total_revenue,
+           MAX(total_revenue) OVER () AS max_revenue
+    FROM revenue
+)
+SELECT s_suppkey, s_name, total_revenue
+FROM {supplier}
+JOIN ranked ON s_suppkey = supplier_no
+WHERE total_revenue = max_revenue
+ORDER BY s_suppkey
+"""
+
+_Q16 = """
+SELECT p_brand, COUNT(DISTINCT l_suppkey) AS supplier_cnt
+FROM {part}
+JOIN {lineitem} ON p_partkey = l_partkey
+WHERE p_type NOT LIKE 'MEDIUM%'
+  AND l_suppkey NOT IN (
+      SELECT s_suppkey FROM {supplier} WHERE s_acctbal < 0
+  )
+GROUP BY p_brand
+ORDER BY supplier_cnt DESC, p_brand
+LIMIT 20
+"""
+
+_TABLES = (
+    "lineitem", "orders", "customer", "supplier", "nation", "region", "part",
+)
 
 
 def _run(spark: SparkSession, sf_dir: str, template: str) -> DataFrame:
@@ -87,23 +137,53 @@ def sql_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _run(spark, sf_dir, _Q5)
 
 
+def sql_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape: left outer join with a join-time predicate, then a
+    two-level aggregation (orders per customer → customers per order-count).
+    The outer join keeps zero-order customers — the classic distribution
+    query a driver-side loop gets wrong. Plan: one shuffle per grouping
+    level, the second over the (tiny) distinct-count domain."""
+    return _run(spark, sf_dir, _Q13)
+
+
+def sql_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape: aggregate, then keep the max-revenue supplier(s).
+
+    Deliberately written with a window MAX over the aggregated CTE instead
+    of the textbook scalar subquery: Spark plans a scalar subquery as a
+    SEPARATE job that re-scans and re-aggregates lineitem (verified via
+    explain — no exchange reuse across the subquery boundary), while the
+    empty-frame window runs over the already-tiny per-supplier aggregate.
+    One lineitem scan at any scale."""
+    return _run(spark, sf_dir, _Q15)
+
+
+def sql_parts_supplier_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape: NOT IN anti-join against a filtered dim + distinct
+    aggregation per group. The anti side broadcasts; COUNT(DISTINCT) plans
+    as a two-phase partial-distinct expand."""
+    return _run(spark, sf_dir, _Q16)
+
+
+_ORACLE_NAMES = dict(
+    lineitem="lineitem", orders="orders", customer="customer",
+    supplier="supplier", nation="nation", region="region", part="part",
+)
+
 ORACLES: dict[str, str] = {
-    "sql_pricing_summary": _Q1.format(
-        lineitem="lineitem", orders="orders", customer="customer",
-        supplier="supplier", nation="nation", region="region",
-    ),
-    "sql_shipping_priority": _Q3.format(
-        lineitem="lineitem", orders="orders", customer="customer",
-        supplier="supplier", nation="nation", region="region",
-    ),
-    "sql_local_supplier_volume": _Q5.format(
-        lineitem="lineitem", orders="orders", customer="customer",
-        supplier="supplier", nation="nation", region="region",
-    ),
+    "sql_pricing_summary": _Q1.format(**_ORACLE_NAMES),
+    "sql_shipping_priority": _Q3.format(**_ORACLE_NAMES),
+    "sql_local_supplier_volume": _Q5.format(**_ORACLE_NAMES),
+    "sql_customer_distribution": _Q13.format(**_ORACLE_NAMES),
+    "sql_top_supplier": _Q15.format(**_ORACLE_NAMES),
+    "sql_parts_supplier_count": _Q16.format(**_ORACLE_NAMES),
 }
 
 QUERY_FNS = {
     "sql_pricing_summary": sql_pricing_summary,
     "sql_shipping_priority": sql_shipping_priority,
     "sql_local_supplier_volume": sql_local_supplier_volume,
+    "sql_customer_distribution": sql_customer_distribution,
+    "sql_top_supplier": sql_top_supplier,
+    "sql_parts_supplier_count": sql_parts_supplier_count,
 }
