@@ -103,6 +103,52 @@ ORDER BY supplier_cnt DESC, p_brand
 LIMIT 20
 """
 
+_Q4 = """
+SELECT o_orderpriority, COUNT(*) AS order_count
+FROM {orders}
+WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate < TIMESTAMP '1997-01-01'
+  AND EXISTS (
+      SELECT 1 FROM {lineitem}
+      WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate
+  )
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+_Q12 = """
+SELECT l_returnflag,
+       SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END) AS high_line_count,
+       SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END) AS low_line_count
+FROM {orders}
+JOIN {lineitem} ON o_orderkey = l_orderkey
+WHERE l_shipdate > o_orderdate
+  AND l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate < TIMESTAMP '1997-01-01'
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+"""
+
+_Q14 = """
+SELECT CAST(100.0 * promo / total AS DOUBLE) AS promo_revenue_pct,
+       promo AS promo_revenue, total AS total_revenue
+FROM (
+    SELECT
+        CAST(SUM(CASE WHEN p_type = 'PROMO'
+                      THEN CAST(l_extendedprice * (1 - l_discount)
+                               AS DECIMAL(18,4))
+                      ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE) AS promo,
+        CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4)))
+            AS DOUBLE) AS total
+    FROM {lineitem}
+    JOIN {part} ON l_partkey = p_partkey
+    WHERE l_shipdate >= TIMESTAMP '1996-09-01'
+      AND l_shipdate < TIMESTAMP '1996-10-01'
+) sums
+"""
+
 _TABLES = (
     "lineitem", "orders", "customer", "supplier", "nation", "region", "part",
 )
@@ -165,6 +211,31 @@ def sql_parts_supplier_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _run(spark, sf_dir, _Q16)
 
 
+def sql_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: correlated EXISTS rewritten by Catalyst to a left
+    semi join — orders with at least one line shipped after the order date,
+    counted per priority. The semi join deduplicates the fact side without
+    a distinct; at scale the join shuffles on orderkey and the final agg
+    domain is the 5-value priority column (map-side partial collapse)."""
+    return _run(spark, sf_dir, _Q4)
+
+
+def sql_shipmode_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape: fact-fact join + dual conditional aggregation
+    (`SUM(CASE WHEN ...)` pivot on priority class). One shuffle for the
+    join, the grouped agg collapses map-side over the 3-value returnflag
+    domain; the l_shipdate range predicate is pushed to the parquet scan."""
+    return _run(spark, sf_dir, _Q12)
+
+
+def sql_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: global conditional-aggregate ratio over a
+    fact-dim join. Both sums come from a single pass (no self-join);
+    the division happens on already-final DOUBLE scalars so the result is
+    bit-identical across engines and cluster sizes."""
+    return _run(spark, sf_dir, _Q14)
+
+
 _ORACLE_NAMES = dict(
     lineitem="lineitem", orders="orders", customer="customer",
     supplier="supplier", nation="nation", region="region", part="part",
@@ -177,6 +248,9 @@ ORACLES: dict[str, str] = {
     "sql_customer_distribution": _Q13.format(**_ORACLE_NAMES),
     "sql_top_supplier": _Q15.format(**_ORACLE_NAMES),
     "sql_parts_supplier_count": _Q16.format(**_ORACLE_NAMES),
+    "sql_order_priority": _Q4.format(**_ORACLE_NAMES),
+    "sql_shipmode_priority": _Q12.format(**_ORACLE_NAMES),
+    "sql_promo_revenue": _Q14.format(**_ORACLE_NAMES),
 }
 
 QUERY_FNS = {
@@ -186,4 +260,7 @@ QUERY_FNS = {
     "sql_customer_distribution": sql_customer_distribution,
     "sql_top_supplier": sql_top_supplier,
     "sql_parts_supplier_count": sql_parts_supplier_count,
+    "sql_order_priority": sql_order_priority,
+    "sql_shipmode_priority": sql_shipmode_priority,
+    "sql_promo_revenue": sql_promo_revenue,
 }
