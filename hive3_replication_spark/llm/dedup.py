@@ -263,6 +263,43 @@ def llm_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Stand-in eval-set membership rule for the decontamination operator:
+#: every 97th doc plays the held-out benchmark. In production the eval side
+#: is a real benchmark corpus loaded from its own table; the plan shape
+#: (tiny broadcast side vs unbounded corpus side) is identical.
+_EVAL_MOD = 97
+
+
+def llm_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: flag corpus documents that share ≥2
+    distinct 3-gram shingles with any eval-set document.
+
+    The training-data op the dedup family doesn't cover: near-dup dedup
+    compares the corpus against *itself*; decontamination compares it
+    against a tiny, fixed eval set. That asymmetry is the whole scale
+    design — eval shingles are broadcast (a few MB for any real benchmark
+    suite, vs a 100 TB corpus), so the corpus is scanned exactly once with
+    NO self-join and no corpus-side shuffle except the matched-pair count,
+    whose cardinality is bounded by |matches|, not |corpus|.
+
+    Full SQL oracle (shingling + join + HAVING are all ANSI-expressible).
+    """
+    documents = load_table(spark, sf_dir, "documents")
+    sh = _shingles(documents)
+    ev = sh.filter((F.col("doc_id") % _EVAL_MOD) == 0).select(
+        F.col("doc_id").alias("eval_doc"), "shingle"
+    )
+    corpus = sh.filter((F.col("doc_id") % _EVAL_MOD) != 0).select(
+        F.col("doc_id").alias("corpus_doc"), "shingle"
+    )
+    return (
+        corpus.join(F.broadcast(ev), "shingle")
+        .groupBy("corpus_doc", "eval_doc")
+        .agg(F.count("*").alias("n_shared"))
+        .filter(F.col("n_shared") >= 2)
+    )
+
+
 def llm_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """L2 — MinHash + LSH near-dup (the 100 TB path; no SQL oracle — the
     signature depends on Spark's xxhash64, rows-only check + property tests).
@@ -447,7 +484,7 @@ def llm_dedup_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Shared CTE chain producing the exact n-gram Jaccard pair set (`npairs`):
 # the single source of truth for llm_dedup_ngram's output AND the cluster
 # operator's edge set, so the two oracles cannot drift.
-_NGRAM_PAIR_CTES = """
+_SHINGLE_CTES = """
         t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
         tok AS (
             SELECT doc_id, unnest(toks) AS tok,
@@ -461,7 +498,11 @@ _NGRAM_PAIR_CTES = """
             FROM tok
             WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
         ),
-        sh AS (SELECT doc_id, shingle FROM sh3 WHERE shingle IS NOT NULL),
+        sh AS (SELECT doc_id, shingle FROM sh3 WHERE shingle IS NOT NULL)
+"""
+
+_NGRAM_PAIR_CTES = f"""
+        {_SHINGLE_CTES},
         sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
         freq AS (SELECT shingle FROM sh GROUP BY shingle HAVING COUNT(*) <= 1000),
         shf AS (SELECT sh.doc_id, sh.shingle FROM sh JOIN freq USING (shingle)),
@@ -508,6 +549,19 @@ ORACLES: dict[str, str] = {
                CAST(lab.node = lab.cluster_id AS INTEGER) AS is_canonical
         FROM lab JOIN sz USING (cluster_id)
     """,
+    "llm_contamination": f"""
+        WITH {_SHINGLE_CTES},
+        ev AS (
+            SELECT doc_id AS eval_doc, shingle FROM sh WHERE doc_id % 97 = 0
+        ),
+        corpus AS (
+            SELECT doc_id AS corpus_doc, shingle FROM sh WHERE doc_id % 97 <> 0
+        )
+        SELECT corpus_doc, eval_doc, COUNT(*) AS n_shared
+        FROM corpus JOIN ev USING (shingle)
+        GROUP BY corpus_doc, eval_doc
+        HAVING COUNT(*) >= 2
+    """,
     # llm_dedup_minhash / llm_dedup_simhash: rows-only (signatures depend on
     # Spark's xxhash64; verified by property tests instead).
     "llm_dedup_embed": """
@@ -537,6 +591,7 @@ QUERY_FNS = {
     "llm_dedup_exact": llm_dedup_exact,
     "llm_dedup_ngram": llm_dedup_ngram,
     "llm_dedup_clusters": llm_dedup_clusters,
+    "llm_contamination": llm_contamination,
     "llm_dedup_minhash": llm_dedup_minhash,
     "llm_dedup_simhash": llm_dedup_simhash,
     "llm_dedup_embed": llm_dedup_embed,

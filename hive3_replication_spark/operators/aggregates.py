@@ -202,8 +202,30 @@ def agg_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def agg_arg_max(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A13 — argmax/argmin aggregates (max_by/min_by): per nation, the name
+    of the highest- and lowest-numbered customer. The selector key
+    (c_custkey) is unique within each group — the determinism rule for arg
+    aggregates at scale, where tie resolution is partition-order-dependent
+    and therefore not reproducible across cluster sizes. Single hash-agg
+    pass; partial max_by merges carry only (key, value) pairs."""
+    customer = load_table(spark, sf_dir, "customer")
+    return customer.groupBy("c_nationkey").agg(
+        F.max_by("c_name", "c_custkey").alias("newest_customer"),
+        F.min_by("c_name", "c_custkey").alias("oldest_customer"),
+        F.max("c_custkey").alias("max_custkey"),
+    )
+
+
 ORACLES: dict[str, str] = {
     "agg_max_watermark": "SELECT MAX(event_id) AS last_repl_id FROM events",
+    "agg_arg_max": """
+        SELECT c_nationkey,
+               arg_max(c_name, c_custkey) AS newest_customer,
+               arg_min(c_name, c_custkey) AS oldest_customer,
+               MAX(c_custkey) AS max_custkey
+        FROM customer GROUP BY c_nationkey
+    """,
     "agg_pending_count": """
         SELECT COUNT(*) AS pending_txns FROM events
         WHERE event_id > (SELECT MAX(event_id) - 300 FROM events)
@@ -297,4 +319,5 @@ QUERY_FNS = {
     "agg_stats": agg_stats,
     "agg_histogram": agg_histogram,
     "agg_conditional": agg_conditional,
+    "agg_arg_max": agg_arg_max,
 }

@@ -103,6 +103,25 @@ def win_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def win_first_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W7 — frame-navigation values: per customer's order history (ordered
+    by date with the unique orderkey as tie-break), the first, second, and
+    latest order. nth/last use an explicit unbounded-both-sides frame: the
+    default running frame would make them row-position-dependent, which is
+    both semantically wrong for "the latest order" and nondeterministic
+    under distributed ordering."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    wf = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.first("o_orderkey").over(w).alias("first_order"),
+        F.nth_value("o_orderkey", 2).over(wf).alias("second_order"),
+        F.last("o_orderkey").over(wf).alias("last_order"),
+    )
+
+
 ORACLES: dict[str, str] = {
     "win_row_number": """
         SELECT rn, event_id, event_type FROM (
@@ -146,6 +165,16 @@ ORACLES: dict[str, str] = {
                PERCENT_RANK() OVER (ORDER BY o_totalprice, o_orderkey) AS price_pct_rank
         FROM orders
     """,
+    "win_first_value": """
+        SELECT o_custkey, o_orderkey,
+               FIRST_VALUE(o_orderkey) OVER w AS first_order,
+               NTH_VALUE(o_orderkey, 2) OVER wf AS second_order,
+               LAST_VALUE(o_orderkey) OVER wf AS last_order
+        FROM orders
+        WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
+               wf AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+    """,
 }
 
 QUERY_FNS = {
@@ -155,4 +184,5 @@ QUERY_FNS = {
     "win_running_sum": win_running_sum,
     "win_rank": win_rank,
     "win_ntile": win_ntile,
+    "win_first_value": win_first_value,
 }
