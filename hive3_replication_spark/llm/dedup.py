@@ -33,17 +33,24 @@ _PERM_A = [
 _PERM_B = [(k + 1) * 0xC2B2AE3D % _MERSENNE for k in range(MINHASH_PERMS)]
 
 
-def _shingles(documents: DataFrame, n: int = 3) -> DataFrame:
-    """(doc_id, shingle) distinct word n-grams, built array-side: tokenize
-    ONCE into a materialized array column, then a higher-order transform over
-    token offsets — a purely narrow map (no window, no shuffle until the
-    final distinct).
+def _shingles(
+    documents: DataFrame, n: int = 3, distinct: bool = True
+) -> DataFrame:
+    """(doc_id, shingle) word n-grams, built array-side: tokenize ONCE into
+    a materialized array column, then a higher-order transform over token
+    offsets — a purely narrow map (no window, no shuffle until the final
+    distinct).
 
     Two details that matter at scale: the token array must be a bound
     attribute, not an inline ``split`` expression (Catalyst does not CSE the
     split inside the lambda, which would make shingling O(tokens²) per doc);
     and the corpus is repartitioned first so tokenization parallelizes even
     when the input is one big file.
+
+    Pass ``distinct=False`` when the consumer is duplicate-insensitive
+    (MinHash minima, post-join distinct counts): the global dedup is a
+    full-corpus shuffle, the single most expensive step of every shingle
+    pipeline, and skipping it keeps shingle generation entirely narrow.
     """
     sess = documents.sparkSession
     docs = documents.repartition(sess.sparkContext.defaultParallelism)
@@ -60,10 +67,8 @@ def _shingles(documents: DataFrame, n: int = 3) -> DataFrame:
             ),
         ),
     ).otherwise(F.array().cast("array<string>"))
-    return (
-        with_toks.select("doc_id", F.explode(sh_array).alias("shingle"))
-        .distinct()
-    )
+    out = with_toks.select("doc_id", F.explode(sh_array).alias("shingle"))
+    return out.distinct() if distinct else out
 
 
 #: Per-operator cache registry: each keyed persist replaces (and unpersists)
@@ -285,9 +290,15 @@ def llm_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     Full SQL oracle (shingling + join + HAVING are all ANSI-expressible).
     """
     documents = load_table(spark, sf_dir, "documents")
-    sh = _shingles(documents)
-    ev = sh.filter((F.col("doc_id") % _EVAL_MOD) == 0).select(
-        F.col("doc_id").alias("eval_doc"), "shingle"
+    # Non-distinct shingles: generation stays narrow (no corpus-wide
+    # dedup shuffle). The eval side dedups (it is tiny and joins multiply);
+    # corpus-side duplicates are collapsed by the post-join countDistinct,
+    # whose shuffle is bounded by |matches|, not |corpus|.
+    sh = _shingles(documents, distinct=False)
+    ev = (
+        sh.filter((F.col("doc_id") % _EVAL_MOD) == 0)
+        .select(F.col("doc_id").alias("eval_doc"), "shingle")
+        .distinct()
     )
     corpus = sh.filter((F.col("doc_id") % _EVAL_MOD) != 0).select(
         F.col("doc_id").alias("corpus_doc"), "shingle"
@@ -295,7 +306,7 @@ def llm_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         corpus.join(F.broadcast(ev), "shingle")
         .groupBy("corpus_doc", "eval_doc")
-        .agg(F.count("*").alias("n_shared"))
+        .agg(F.count_distinct("shingle").alias("n_shared"))
         .filter(F.col("n_shared") >= 2)
     )
 
@@ -310,7 +321,10 @@ def llm_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     groupBy (signature build) + one band join; every stage is key-partitioned.
     """
     documents = load_table(spark, sf_dir, "documents")
-    sh = _shingles(documents)
+    # distinct=False: per-permutation minima are duplicate-insensitive, so
+    # the signature is identical and shingle generation stays narrow — the
+    # signature groupBy is the FIRST shuffle of the whole pipeline.
+    sh = _shingles(documents, distinct=False)
     h = sh.select(
         "doc_id", (F.abs(F.xxhash64("shingle")) % _MERSENNE).alias("h")
     )
