@@ -53,7 +53,14 @@ def _shingles(
     pipeline, and skipping it keeps shingle generation entirely narrow.
     """
     sess = documents.sparkSession
-    docs = documents.repartition(sess.sparkContext.defaultParallelism)
+    par = sess.sparkContext.defaultParallelism
+    # Repartition ONLY when the scan yields fewer splits than cores (the
+    # one-big-file fixture case). At warehouse scale input splits already
+    # exceed parallelism and an unconditional repartition would round-robin
+    # the entire corpus across the network before any work happens.
+    docs = documents
+    if documents.rdd.getNumPartitions() < par:
+        docs = documents.repartition(par)
     with_toks = docs.select(
         "doc_id", F.split(F.col("text"), " ").alias("toks")
     )

@@ -101,3 +101,34 @@ def test_similarity_topk_plan(spark):
     plan = _plan(llm_similarity_topk(spark, SF_DIR), "simple")
     assert "TakeOrderedAndProject" in plan
     assert "BroadcastExchange" in plan
+
+
+def test_contamination_corpus_side_is_narrow(spark):
+    """Decontamination: the eval side broadcasts, and the corpus side must
+    reach the join WITHOUT a shuffle — shingle generation is narrow and the
+    only corpus exchange is the post-join pair aggregation. A distinct or
+    repartition sneaking in upstream of the join turns a map-side probe
+    into a full-corpus shuffle at 100 TB."""
+    from hive3_replication_spark.llm.dedup import llm_contamination
+
+    plan = _plan(llm_contamination(spark, SF_DIR), "simple")
+    assert "BroadcastHashJoin" in plan
+    # In the simple-mode tree sketch the corpus subtree prints between the
+    # join node and its BroadcastExchange child (streamed side first). That
+    # segment must contain no hash-partitioned shuffle; the eval subtree
+    # (under the broadcast) and the post-join pair agg may shuffle freely.
+    join_pos = plan.index("BroadcastHashJoin")
+    broadcast_pos = plan.index("BroadcastExchange", join_pos)
+    corpus_segment = plan[join_pos:broadcast_pos]
+    assert "Exchange hashpartitioning" not in corpus_segment, corpus_segment
+
+
+def test_minhash_signature_first_shuffle_is_the_groupby(spark):
+    """MinHash: the signature build must be the pipeline's first shuffle —
+    no distinct between shingle generation and the per-doc min aggregation."""
+    from hive3_replication_spark.llm.dedup import _shingles
+    from hive3_replication_spark.catalog import load_table
+
+    docs = load_table(spark, SF_DIR, "documents")
+    plan = _plan(_shingles(docs, distinct=False), "simple")
+    assert "Exchange hashpartitioning" not in plan
