@@ -1,4 +1,5 @@
-"""Stratified sampling for training-data pipelines (SURVEY.md §2.11/2.13).
+"""Corpus assembly for training-data pipelines (SURVEY.md §2.11): stratified
+sampling and fixed-budget sequence packing.
 
 Language/source rebalancing is a standard corpus-construction step: keep a
 different fraction of each stratum (downsample the over-represented
@@ -20,7 +21,7 @@ petabyte-scale id spaces (ANSI mode would fault on overflow — by design).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
@@ -58,7 +59,71 @@ def llm_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_PACK_SHARDS = 64      # independent packing streams (parallelism unit)
+_CTX_TOKENS = 512      # context-window budget per packed sequence
+
+
+def llm_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing — assemble documents into fixed-token-budget
+    context windows for training, the step between dedup/filtering and
+    tokenized shard writing.
+
+    Scale design: a single global greedy pack would serialize on one
+    cumulative sum over the whole corpus. Instead documents are dealt into
+    ``_PACK_SHARDS`` independent streams by a deterministic id mod (NOT a
+    hash of partitioning — reproducible on any cluster size), and packing
+    is greedy *within* a shard: running token total over the unique doc_id
+    order, sequence number = previous-total DIV budget. One hash shuffle
+    on shard + a partition-local sort; 64 streams keep every core busy and
+    the window state is a single counter. Oversized docs (> budget) get a
+    window to themselves rather than an infinite split — the downstream
+    tokenizer truncates, matching standard pipeline behavior."""
+    docs = load_table(spark, sf_dir, "documents")
+    n_tokens = F.least(
+        (F.size(F.split(F.col("text"), " "))).cast("bigint"),
+        F.lit(_CTX_TOKENS),
+    )
+    shard = (F.col("doc_id") % _PACK_SHARDS).alias("shard")
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    staged = docs.select("doc_id", shard, n_tokens.alias("n_tokens"))
+    cum = staged.withColumn("cum_tokens", F.sum("n_tokens").over(w))
+    return cum.select(
+        "doc_id",
+        "shard",
+        "n_tokens",
+        ((F.col("cum_tokens") - F.col("n_tokens")) / _CTX_TOKENS)
+        .cast("bigint")
+        .alias("seq_no"),
+        (F.col("cum_tokens") - F.col("n_tokens")).alias("seq_offset_tokens"),
+    )
+
+
 ORACLES: dict[str, str] = {
+    "llm_pack_sequences": f"""
+        WITH staged AS (
+            SELECT doc_id,
+                   doc_id % {_PACK_SHARDS} AS shard,
+                   LEAST(CAST(LENGTH(string_split(text, ' ')) AS BIGINT),
+                         {_CTX_TOKENS}) AS n_tokens
+            FROM documents
+        ),
+        cum AS (
+            SELECT doc_id, shard, n_tokens,
+                   CAST(SUM(n_tokens) OVER (
+                       PARTITION BY shard ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ) AS BIGINT) AS cum_tokens
+            FROM staged
+        )
+        SELECT doc_id, shard, n_tokens,
+               (cum_tokens - n_tokens) // {_CTX_TOKENS} AS seq_no,
+               cum_tokens - n_tokens AS seq_offset_tokens
+        FROM cum
+    """,
     "llm_sample_stratified": f"""
         WITH b AS (
             SELECT doc_id, lang, source,
@@ -79,4 +144,5 @@ ORACLES: dict[str, str] = {
 
 QUERY_FNS = {
     "llm_sample_stratified": llm_sample_stratified,
+    "llm_pack_sequences": llm_pack_sequences,
 }

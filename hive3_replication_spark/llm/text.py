@@ -188,7 +188,59 @@ def llm_text_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def llm_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Intra-document repetition stats — the Gopher-style quality signal
+    that flags boilerplate/spam: per doc, total words, distinct words, the
+    duplicate-word fraction, and the share held by the single most frequent
+    word (deterministic tie-break: lexicographically largest word via
+    struct-max). Two hash aggregations keyed on doc_id — explode is a
+    narrow map, the per-(doc, word) counts partial-aggregate map-side, and
+    both shuffles key on doc_id so the second agg is exchange-free after
+    the first (same partitioning, reused)."""
+    documents = load_table(spark, sf_dir, "documents")
+    words = documents.select(
+        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("word")
+    ).filter(F.col("word") != "")
+    counts = words.groupBy("doc_id", "word").agg(F.count("*").alias("cnt"))
+    return counts.groupBy("doc_id").agg(
+        F.sum("cnt").alias("n_words"),
+        F.count("*").alias("n_distinct_words"),
+        F.round(
+            1.0 - F.count("*").cast("double") / F.sum("cnt"), 6
+        ).alias("dup_word_ratio"),
+        F.max(F.struct("cnt", "word")).getField("word").alias("top_word"),
+        F.round(
+            F.max("cnt").cast("double") / F.sum("cnt"), 6
+        ).alias("top_word_share"),
+    )
+
+
 ORACLES: dict[str, str] = {
+    "llm_text_repetition": """
+        WITH w AS (
+            SELECT doc_id, unnest(string_split(text, ' ')) AS word
+            FROM documents
+        ),
+        c AS (
+            SELECT doc_id, word, COUNT(*) AS cnt
+            FROM w WHERE word <> '' GROUP BY doc_id, word
+        ),
+        r AS (
+            SELECT doc_id, word, cnt,
+                   ROW_NUMBER() OVER (PARTITION BY doc_id
+                                      ORDER BY cnt DESC, word DESC) AS rn,
+                   CAST(SUM(cnt) OVER (PARTITION BY doc_id) AS BIGINT)
+                       AS n_words,
+                   COUNT(*) OVER (PARTITION BY doc_id) AS n_distinct_words
+            FROM c
+        )
+        SELECT doc_id, n_words, n_distinct_words,
+               ROUND(1.0 - CAST(n_distinct_words AS DOUBLE) / n_words, 6)
+                   AS dup_word_ratio,
+               word AS top_word,
+               ROUND(CAST(cnt AS DOUBLE) / n_words, 6) AS top_word_share
+        FROM r WHERE rn = 1
+    """,
     "llm_text_tokens": """
         SELECT token, COUNT(*) AS cnt
         FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
@@ -293,4 +345,5 @@ QUERY_FNS = {
     "llm_text_fingerprint": llm_text_fingerprint,
     "llm_text_normalize": llm_text_normalize,
     "llm_text_redact": llm_text_redact,
+    "llm_text_repetition": llm_text_repetition,
 }

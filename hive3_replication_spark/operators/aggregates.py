@@ -217,8 +217,42 @@ def agg_arg_max(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def agg_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A14 — deterministic mode: the most frequent order priority per order
+    status. Built-in ``F.mode`` resolves ties by partition order (not
+    reproducible across cluster sizes), so the engine form is two hash
+    aggregations: count per (group, value), then argmax of the
+    (count, value) struct — lexicographic struct comparison makes the
+    tie-break the largest value, identical on any partitioning. Both
+    shuffles key on the tiny group domain; partials collapse map-side."""
+    orders = load_table(spark, sf_dir, "orders")
+    counts = orders.groupBy("o_orderstatus", "o_orderpriority").agg(
+        F.count("*").alias("cnt")
+    )
+    return counts.groupBy("o_orderstatus").agg(
+        F.max(F.struct("cnt", "o_orderpriority"))
+        .getField("o_orderpriority")
+        .alias("mode_priority"),
+        F.max("cnt").alias("mode_count"),
+    )
+
+
 ORACLES: dict[str, str] = {
     "agg_max_watermark": "SELECT MAX(event_id) AS last_repl_id FROM events",
+    "agg_mode": """
+        SELECT o_orderstatus, o_orderpriority AS mode_priority,
+               cnt AS mode_count
+        FROM (
+            SELECT o_orderstatus, o_orderpriority, cnt,
+                   ROW_NUMBER() OVER (PARTITION BY o_orderstatus
+                                      ORDER BY cnt DESC, o_orderpriority DESC)
+                       AS rn
+            FROM (
+                SELECT o_orderstatus, o_orderpriority, COUNT(*) AS cnt
+                FROM orders GROUP BY 1, 2
+            )
+        ) WHERE rn = 1
+    """,
     "agg_arg_max": """
         SELECT c_nationkey,
                arg_max(c_name, c_custkey) AS newest_customer,
@@ -320,4 +354,5 @@ QUERY_FNS = {
     "agg_histogram": agg_histogram,
     "agg_conditional": agg_conditional,
     "agg_arg_max": agg_arg_max,
+    "agg_mode": agg_mode,
 }

@@ -149,6 +149,53 @@ FROM (
 ) sums
 """
 
+_Q10 = """
+SELECT c_custkey, c_name,
+       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE)
+           AS revenue,
+       c_acctbal, n_name
+FROM {customer}
+JOIN {orders} ON c_custkey = o_custkey
+JOIN {lineitem} ON l_orderkey = o_orderkey
+JOIN {nation} ON c_nationkey = n_nationkey
+WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate < TIMESTAMP '1996-07-01'
+  AND l_returnflag = 'R'
+GROUP BY c_custkey, c_name, c_acctbal, n_name
+ORDER BY revenue DESC, c_custkey
+LIMIT 20
+"""
+
+_Q18 = """
+SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS total_qty
+FROM {customer}
+JOIN {orders} ON c_custkey = o_custkey
+JOIN {lineitem} ON o_orderkey = l_orderkey
+WHERE o_orderkey IN (
+    SELECT l_orderkey FROM {lineitem}
+    GROUP BY l_orderkey
+    HAVING SUM(l_quantity) > 250
+)
+GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
+ORDER BY o_totalprice DESC, o_orderkey
+LIMIT 100
+"""
+
+_Q19 = """
+SELECT CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE)
+           AS revenue,
+       COUNT(*) AS line_count
+FROM {lineitem}
+JOIN {part} ON p_partkey = l_partkey
+WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15
+       AND l_quantity >= 1 AND l_quantity <= 21)
+   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 25
+       AND l_quantity >= 10 AND l_quantity <= 30)
+   OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 35
+       AND l_quantity >= 20 AND l_quantity <= 40)
+"""
+
 _TABLES = (
     "lineitem", "orders", "customer", "supplier", "nation", "region", "part",
 )
@@ -236,6 +283,33 @@ def sql_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _run(spark, sf_dir, _Q14)
 
 
+def sql_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape: returned-item customer ranking — 3 joins against a
+    date-windowed fact slice, grouped per customer, top-20 by lost revenue.
+    The nation dim broadcasts; the date-range + returnflag predicates are
+    pushed to the lineitem/orders scans so the join sees only the slice;
+    ORDER BY + LIMIT plans as TakeOrderedAndProject (no global sort)."""
+    return _run(spark, sf_dir, _Q10)
+
+
+def sql_large_volume_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: large-volume customers via an IN subquery with a
+    grouped HAVING — the 'which orders exceed a volume threshold' question.
+    Catalyst rewrites IN to a left semi join on the pre-aggregated key set;
+    lineitem is scanned twice but the semi side collapses to orderkeys that
+    pass the threshold (tiny at any scale), so it broadcasts."""
+    return _run(spark, sf_dir, _Q18)
+
+
+def sql_discount_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: disjunctive bracket predicates (OR of ANDed ranges
+    across both join sides). Tests that Catalyst extracts the common
+    join key and pushes the per-table disjunction halves down to each scan
+    (brand/size brackets to part, quantity brackets to lineitem) instead of
+    evaluating the whole OR post-join."""
+    return _run(spark, sf_dir, _Q19)
+
+
 _ORACLE_NAMES = dict(
     lineitem="lineitem", orders="orders", customer="customer",
     supplier="supplier", nation="nation", region="region", part="part",
@@ -251,6 +325,9 @@ ORACLES: dict[str, str] = {
     "sql_order_priority": _Q4.format(**_ORACLE_NAMES),
     "sql_shipmode_priority": _Q12.format(**_ORACLE_NAMES),
     "sql_promo_revenue": _Q14.format(**_ORACLE_NAMES),
+    "sql_returned_items": _Q10.format(**_ORACLE_NAMES),
+    "sql_large_volume_customer": _Q18.format(**_ORACLE_NAMES),
+    "sql_discount_revenue": _Q19.format(**_ORACLE_NAMES),
 }
 
 QUERY_FNS = {
@@ -263,4 +340,7 @@ QUERY_FNS = {
     "sql_order_priority": sql_order_priority,
     "sql_shipmode_priority": sql_shipmode_priority,
     "sql_promo_revenue": sql_promo_revenue,
+    "sql_returned_items": sql_returned_items,
+    "sql_large_volume_customer": sql_large_volume_customer,
+    "sql_discount_revenue": sql_discount_revenue,
 }

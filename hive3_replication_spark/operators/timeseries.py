@@ -90,6 +90,65 @@ def ts_fill_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def ts_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T3 — linear interpolation over the gap-filled grid: empty slots get
+    a value on the straight line between the nearest observed neighbors
+    (edges clamp to the nearest observation). Two window passes over the
+    same per-group ordering — previous/next observed value and its slot —
+    so Spark plans ONE sort + two Window nodes, no self-join, no as-of
+    re-shuffle; the grid stays bounded by groups × slots at any event
+    volume."""
+    back = (
+        Window.partitionBy("event_type")
+        .orderBy("hour")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    fwd = (
+        Window.partitionBy("event_type")
+        .orderBy("hour")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    grid = _hourly_counts(spark, sf_dir)
+    obs_hour = F.when(F.col("sum_value").isNotNull(), F.col("hour"))
+    t = F.unix_timestamp("hour").cast("double")
+    staged = grid.select(
+        "event_type",
+        "hour",
+        "n_events",
+        "sum_value",
+        F.last("sum_value", ignorenulls=True).over(back).alias("prev_v"),
+        F.first("sum_value", ignorenulls=True).over(fwd).alias("next_v"),
+        F.unix_timestamp(
+            F.last(obs_hour, ignorenulls=True).over(back)
+        ).cast("double").alias("prev_t"),
+        F.unix_timestamp(
+            F.first(obs_hour, ignorenulls=True).over(fwd)
+        ).cast("double").alias("next_t"),
+        t.alias("t"),
+    )
+    interp = (
+        F.when(F.col("sum_value").isNotNull(), F.col("sum_value"))
+        .when(F.col("prev_v").isNull(), F.col("next_v"))
+        .when(F.col("next_v").isNull(), F.col("prev_v"))
+        .otherwise(
+            F.col("prev_v")
+            + (F.col("next_v") - F.col("prev_v"))
+            * (F.col("t") - F.col("prev_t"))
+            / (F.col("next_t") - F.col("prev_t"))
+        )
+    )
+    # +5e-9 rounding stabilizer: midpoint interpolation of 4-decimal values
+    # lands exactly on the 5th decimal, where Spark (BigDecimal HALF_UP) and
+    # the oracle (float multiply) disagree; the bias is far above float error
+    # and far below output precision, and is applied identically in the SQL.
+    return staged.select(
+        "event_type",
+        "hour",
+        "n_events",
+        F.round(interp + F.lit(5e-9), 4).alias("interp_value"),
+    )
+
+
 _GRID_CTES = """
         e AS (
             SELECT event_type,
@@ -134,9 +193,37 @@ ORACLES: dict[str, str] = {
                    ), 0.0), 4) AS filled_value
         FROM filled
     """,
+    "ts_interpolate": f"""
+        WITH {_GRID_CTES},
+        staged AS (
+            SELECT event_type, hour, n_events, sum_value,
+                   last_value(sum_value IGNORE NULLS) OVER back AS prev_v,
+                   first_value(sum_value IGNORE NULLS) OVER fwd AS next_v,
+                   epoch(last_value(CASE WHEN sum_value IS NOT NULL THEN hour END
+                         IGNORE NULLS) OVER back) AS prev_t,
+                   epoch(first_value(CASE WHEN sum_value IS NOT NULL THEN hour END
+                         IGNORE NULLS) OVER fwd) AS next_t,
+                   epoch(hour) AS t
+            FROM filled
+            WINDOW back AS (PARTITION BY event_type ORDER BY hour
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+                   fwd AS (PARTITION BY event_type ORDER BY hour
+                           ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+        )
+        SELECT event_type, hour, n_events,
+               ROUND((CASE
+                   WHEN sum_value IS NOT NULL THEN sum_value
+                   WHEN prev_v IS NULL THEN next_v
+                   WHEN next_v IS NULL THEN prev_v
+                   ELSE prev_v + (next_v - prev_v) * (t - prev_t)
+                                 / (next_t - prev_t)
+               END) + 5e-9, 4) AS interp_value
+        FROM staged
+    """,
 }
 
 QUERY_FNS = {
     "ts_resample": ts_resample,
     "ts_fill_forward": ts_fill_forward,
+    "ts_interpolate": ts_interpolate,
 }

@@ -122,7 +122,38 @@ def win_first_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def win_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W8 — top-k per group: each customer's 3 most expensive orders.
+    row_number (not rank) over a unique composite order key so exactly k
+    rows survive per group deterministically. At scale this is one hash
+    shuffle on the group key followed by a partition-local sort — Spark
+    applies the rn <= k predicate inside the window stage (limit pushdown
+    into WindowGroupLimit), so the full ranked set is never materialized."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return (
+        orders.select(
+            "o_custkey",
+            "o_orderkey",
+            "o_totalprice",
+            F.row_number().over(w).alias("price_rank"),
+        )
+        .filter(F.col("price_rank") <= 3)
+    )
+
+
 ORACLES: dict[str, str] = {
+    "win_topk_per_group": """
+        SELECT o_custkey, o_orderkey, o_totalprice, price_rank FROM (
+            SELECT o_custkey, o_orderkey, o_totalprice,
+                   ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                      ORDER BY o_totalprice DESC, o_orderkey)
+                       AS price_rank
+            FROM orders
+        ) WHERE price_rank <= 3
+    """,
     "win_row_number": """
         SELECT rn, event_id, event_type FROM (
             SELECT event_id, event_type,
@@ -185,4 +216,5 @@ QUERY_FNS = {
     "win_rank": win_rank,
     "win_ntile": win_ntile,
     "win_first_value": win_first_value,
+    "win_topk_per_group": win_topk_per_group,
 }

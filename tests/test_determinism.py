@@ -19,6 +19,10 @@ FLOAT_HEAVY = [
     "llm_pipeline_e2e",
     "sql_pricing_summary",
     "udf_grouped_agg",
+    "ts_interpolate",
+    "llm_text_repetition",
+    "agg_mode",
+    "llm_pack_sequences",
 ]
 
 
