@@ -48,9 +48,15 @@ HEADLINE = (
     "llm_similarity_topk",
     "llm_text_tokens",
     "llm_text_fingerprint",
+    "llm_text_repetition",
+    "llm_pack_sequences",
+    "win_topk_per_group",
+    "ts_interpolate",
     "sql_pricing_summary",
     "sql_shipping_priority",
     "sql_local_supplier_volume",
+    "sql_returned_items",
+    "sql_large_volume_customer",
     "snapshot_load",
 )
 

@@ -132,3 +132,38 @@ def test_minhash_signature_first_shuffle_is_the_groupby(spark):
     docs = load_table(spark, SF_DIR, "documents")
     plan = _plan(_shingles(docs, distinct=False), "simple")
     assert "Exchange hashpartitioning" not in plan
+
+
+def test_topk_per_group_pushes_group_limit(spark):
+    """win_topk_per_group must plan a PARTIAL WindowGroupLimit below the
+    exchange — each map task forwards at most k rows per group, so the
+    shuffle carries O(groups × k), not the whole fact table."""
+    from hive3_replication_spark.operators.windows import win_topk_per_group
+
+    plan = _plan(win_topk_per_group(spark, SF_DIR), "simple")
+    assert "WindowGroupLimit" in plan
+    exchange_pos = plan.index("Exchange hashpartitioning")
+    assert "WindowGroupLimit" in plan[exchange_pos:], (
+        "no map-side (partial) WindowGroupLimit below the shuffle"
+    )
+
+
+def test_pack_sequences_single_shuffle(spark):
+    """Sequence packing: exactly one exchange (on the shard key); the
+    running-total window must not add a second sort-exchange."""
+    from hive3_replication_spark.llm.sampling import llm_pack_sequences
+
+    plan = _plan(llm_pack_sequences(spark, SF_DIR), "simple")
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_disjunctive_predicates_push_to_both_scans(spark):
+    """sql_discount_revenue: Catalyst must split the OR-of-ANDs and push
+    the per-table halves into each parquet scan (quantity brackets to
+    lineitem, brand/size brackets to part) instead of filtering post-join."""
+    from hive3_replication_spark.operators.sql_queries import sql_discount_revenue
+
+    plan = _plan(sql_discount_revenue(spark, SF_DIR))
+    assert "PushedFilters: [IsNotNull(l_partkey), Or(" in plan
+    assert plan.count("PushedFilters: [") >= 2
+    assert "BroadcastHashJoin" in plan
