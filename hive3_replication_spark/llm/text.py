@@ -215,7 +215,85 @@ def llm_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Tokenizer-style classes: letter runs, digit runs, single other-symbols —
+#: the regex is dialect-portable (same semantics in Java regex and RE2/PCRE).
+_BPE_CLASS = "[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]"
+
+
+def llm_text_bpe_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-aware token counting: BPE-style pre-tokenization classes
+    (letter runs / digit runs / individual symbols) counted per document,
+    plus the chars-per-token ratio used for corpus budgeting. One
+    regexp_count per row — JVM regex in codegen, narrow map, no shuffle;
+    at 100 TB this is scan-bound, exactly as a counting pass should be."""
+    documents = load_table(spark, sf_dir, "documents")
+    n_bpe = F.regexp_count(F.col("text"), F.lit(_BPE_CLASS))
+    return documents.select(
+        "doc_id",
+        n_bpe.alias("n_bpe_tokens"),
+        F.round(
+            F.when(
+                n_bpe > 0, F.col("n_chars").cast("double") / n_bpe
+            ).otherwise(F.lit(0.0)),
+            6,
+        ).alias("chars_per_token"),
+    )
+
+
+def llm_text_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-entropy quality signal: Shannon entropy (bits/char) of
+    each document's character distribution — low entropy flags repetitive
+    boilerplate, high entropy flags binary-ish noise. Formulated as
+    H = log2(n) − (Σ c·log2 c)/n over per-char counts so every log input
+    is an exact integer (both engines compute identical doubles; only the
+    Σ fold order differs, stabilized at the 6th decimal)."""
+    documents = load_table(spark, sf_dir, "documents")
+    chars = documents.select(
+        "doc_id",
+        F.explode(F.split(F.col("text"), "")).alias("ch"),
+    ).filter(F.col("ch") != "")
+    counts = chars.groupBy("doc_id", "ch").agg(F.count("*").alias("c"))
+    n = F.sum("c").cast("double")
+    c = F.col("c").cast("double")
+    return counts.groupBy("doc_id").agg(
+        F.sum("c").alias("n_chars_counted"),
+        F.round(
+            F.log2(n) - F.sum(c * F.log2(c)) / n + F.lit(5e-9), 6
+        ).alias("char_entropy_bits"),
+    )
+
+
 ORACLES: dict[str, str] = {
+    "llm_text_bpe_count": f"""
+        WITH c AS (
+            SELECT doc_id, n_chars,
+                   LENGTH(regexp_extract_all(text, '{_BPE_CLASS}'))
+                       AS n_bpe_tokens
+            FROM documents
+        )
+        SELECT doc_id, CAST(n_bpe_tokens AS INTEGER) AS n_bpe_tokens,
+               ROUND(CASE WHEN n_bpe_tokens > 0
+                          THEN CAST(n_chars AS DOUBLE) / n_bpe_tokens
+                          ELSE 0.0 END, 6) AS chars_per_token
+        FROM c
+    """,
+    "llm_text_entropy": """
+        WITH ch AS (
+            SELECT doc_id, unnest(string_split(text, '')) AS ch
+            FROM documents
+        ),
+        cnt AS (
+            SELECT doc_id, ch, COUNT(*) AS c
+            FROM ch WHERE ch <> '' GROUP BY doc_id, ch
+        )
+        SELECT doc_id,
+               CAST(SUM(c) AS BIGINT) AS n_chars_counted,
+               ROUND(log2(CAST(SUM(c) AS DOUBLE))
+                     - SUM(CAST(c AS DOUBLE) * log2(CAST(c AS DOUBLE)))
+                       / CAST(SUM(c) AS DOUBLE)
+                     + 5e-9, 6) AS char_entropy_bits
+        FROM cnt GROUP BY doc_id
+    """,
     "llm_text_repetition": """
         WITH w AS (
             SELECT doc_id, unnest(string_split(text, ' ')) AS word
@@ -346,4 +424,6 @@ QUERY_FNS = {
     "llm_text_normalize": llm_text_normalize,
     "llm_text_redact": llm_text_redact,
     "llm_text_repetition": llm_text_repetition,
+    "llm_text_bpe_count": llm_text_bpe_count,
+    "llm_text_entropy": llm_text_entropy,
 }

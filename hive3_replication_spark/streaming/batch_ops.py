@@ -207,7 +207,30 @@ def stream_retry(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rows_df(spark, "attempt int, status string", attempts)
 
 
+def stream_stateful_progress(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T2/X — custom stateful operator (``applyInPandasWithState``): drain
+    the event stream with per-user (count, max_event_id, last_value) state
+    across micro-batches. The FINAL state is relational — count / max /
+    argmax per user — so the custom operator gets a full SQL oracle: the
+    state machine must converge to exactly what one batch aggregation
+    computes, whatever the micro-batch cut points were."""
+    import tempfile
+
+    from .stateful import run_stateful_progress_stream
+
+    ckpt = tempfile.mkdtemp(prefix="h3r_stateful_ck_")
+    return run_stateful_progress_stream(spark, sf_dir, ckpt).select(
+        "user_id", "n_events", "max_event_id", "last_value"
+    )
+
+
 ORACLES: dict[str, str] = {
+    "stream_stateful_progress": """
+        SELECT user_id, COUNT(*) AS n_events,
+               MAX(event_id) AS max_event_id,
+               arg_max(value, event_id) AS last_value
+        FROM events GROUP BY user_id
+    """,
     "stream_incremental_dump": """
         SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type, value
         FROM events
@@ -312,4 +335,5 @@ QUERY_FNS = {
     "stream_late_data": stream_late_data,
     "stream_consistent_cut": stream_consistent_cut,
     "stream_retry": stream_retry,
+    "stream_stateful_progress": stream_stateful_progress,
 }
