@@ -9,8 +9,10 @@ join against a *broadcast-ineligible* dim.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+from ..catalog import load_table
 
 
 def _salt(n_salts: int) -> F.Column:
@@ -54,3 +56,58 @@ def salted_join(
         "_salt", F.explode(F.array(*[F.lit(i) for i in range(n_salts)]))
     )
     return salted_fact.join(replicated_dim, [key, "_salt"]).drop("_salt")
+
+
+def agg_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted aggregation as a registered operator: per-event-type stats
+    through the two-stage (key, salt) plan. The salt is internal — the
+    oracle is the plain one-stage GROUP BY, proving the hot-key spreading
+    changes the shuffle layout but not one bit of the answer."""
+    events = load_table(spark, sf_dir, "events")
+    return salted_agg(events, "event_type", "value")
+
+
+def join_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted fact×dim join as a registered operator: lineitem joined to
+    supplier through the (key, salt) scheme (the broadcast-ineligible-dim
+    shape), then rolled up per nation. Oracle = the plain equi join +
+    GROUP BY: salting must be invisible in the result."""
+    lineitem = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_suppkey").alias("s_suppkey"), "l_extendedprice"
+    )
+    supplier = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_nationkey"
+    )
+    return (
+        salted_join(lineitem, supplier, "s_suppkey")
+        .groupBy("s_nationkey")
+        .agg(
+            F.count("*").alias("n_lines"),
+            F.sum(F.col("l_extendedprice").cast("decimal(18,4)"))
+            .cast("double")
+            .alias("sum_price"),
+        )
+    )
+
+
+ORACLES: dict[str, str] = {
+    "agg_skew_salted": """
+        SELECT event_type, COUNT(*) AS n_rows,
+               CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value,
+               MAX(value) AS max_value
+        FROM events GROUP BY event_type
+    """,
+    "join_skew_salted": """
+        SELECT s_nationkey, COUNT(*) AS n_lines,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE)
+                   AS sum_price
+        FROM lineitem
+        JOIN supplier ON l_suppkey = s_suppkey
+        GROUP BY s_nationkey
+    """,
+}
+
+QUERY_FNS = {
+    "agg_skew_salted": agg_skew_salted,
+    "join_skew_salted": join_skew_salted,
+}

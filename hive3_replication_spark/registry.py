@@ -20,6 +20,7 @@ from .operators import filters as _filters
 from .operators import joins as _joins
 from .operators import reshape as _reshape
 from .operators import scalars as _scalars
+from .operators import skew as _skew
 from .operators import sorts_sets as _sorts_sets
 from .operators import sql_queries as _sql_queries
 from .operators import timeseries as _timeseries
@@ -37,6 +38,7 @@ _MODULES = (
     _aggregates,
     _windows,
     _sorts_sets,
+    _skew,
     _sql_queries,
     _reshape,
     _timeseries,
