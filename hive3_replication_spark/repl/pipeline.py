@@ -73,6 +73,7 @@ def _run_locked(
 ) -> dict:
     last_repl_id = snap.repl_status(spark, watermark_dir, cfg.db_name)
     synced: list[str] = []
+    dropped: list[str] = []
 
     if last_repl_id is None:
         # Entry B — bootstrap; retries forced to 1 (hive3repl.sh:99-100)
@@ -98,6 +99,9 @@ def _run_locked(
         # distcp -update analog: re-copy only static tables whose payload
         # fingerprint changed since the last run (SURVEY.md §4 row 6)
         synced = snap.sync_static_tables(spark, cfg)
+        # DDL drop replay: tables dropped at source disappear at target
+        # (README.md:38 — incremental events carry DDL)
+        dropped = snap.drop_removed_tables(cfg)
 
     post_load_id = snap.repl_status(spark, watermark_dir, cfg.db_name)
     status = classify_repl_status(dump_txid, last_repl_id, post_load_id)
@@ -110,5 +114,6 @@ def _run_locked(
         "post_load_id": post_load_id,
         "status": status,
         "tables_synced": synced if mode == "incremental" else None,
+        "tables_dropped": dropped if mode == "incremental" else None,
         "duration_s": (finished - started).total_seconds(),
     }

@@ -155,6 +155,39 @@ def sync_static_tables(
     return copied
 
 
+#: Names the drop-replay may ever touch at the target: replicated managed
+#: tables only — never the events transport, state versions, or watermarks.
+_DROPPABLE = {
+    "region", "nation", "customer", "supplier", "part", "orders", "lineitem",
+}
+
+
+def drop_removed_tables(cfg: ReplConfig) -> list[str]:
+    """DDL drop replay (``README.md:38`` — incremental dumps carry DDL
+    events; Hive's REPL LOAD removes tables dropped at the source): a
+    managed table present at the target but no longer at the source is
+    deleted at the target. Scope is a strict allowlist of replicated table
+    names, so state versions, watermarks, and the events transport can
+    never be collateral. Returns the dropped names (observable, like
+    ``tables_synced``)."""
+    import shutil
+
+    src = {p.stem for p in Path(cfg.source_root).glob("*.parquet")}
+    dropped: list[str] = []
+    tgt_root = Path(cfg.target_root)
+    if not tgt_root.exists():
+        return dropped
+    for entry in sorted(tgt_root.iterdir()):
+        name = entry.name.removesuffix(".parquet")
+        if name in _DROPPABLE and name not in src:
+            if entry.is_dir():
+                shutil.rmtree(entry)
+            else:
+                entry.unlink()
+            dropped.append(name)
+    return dropped
+
+
 def repl_status(spark: SparkSession, watermark_dir: str, db_name: str) -> int | None:
     """``repl status`` (``HQL/replstatus.hql:4`` via
     ``beeline_functions.sh:3-25``): latest watermark for the db, or None if
