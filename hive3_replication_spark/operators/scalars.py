@@ -71,6 +71,26 @@ def fn_date_format(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def fn_date_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F5b — date/interval arithmetic suite: offset (+30 days), month
+    start/end, day distance to a fixed horizon, calendar parts. Derived
+    dates are emitted as formatted strings so the cross-engine comparison
+    is representation-exact. All codegen'd JVM date expressions — narrow
+    map, no shuffle."""
+    orders = load_table(spark, sf_dir, "orders")
+    d = F.col("o_orderdate")
+    return orders.select(
+        "o_orderkey",
+        F.date_format(F.date_add(d, 30), "yyyy-MM-dd").alias("due_day"),
+        F.date_format(F.trunc(d, "month"), "yyyy-MM-dd").alias("month_start"),
+        F.date_format(F.last_day(d), "yyyy-MM-dd").alias("month_end"),
+        F.datediff(F.lit("1998-12-31").cast("date"), d).alias("days_to_horizon"),
+        F.month(d).alias("order_month"),
+        F.quarter(d).alias("order_quarter"),
+        (F.dayofweek(d) - 1).alias("dow_sunday0"),
+    )
+
+
 def fn_div_mod(spark: SparkSession, sf_dir: str) -> DataFrame:
     """F6 — integer div/mod (``misc_functions.sh:102``: ``/60``, ``%60``)."""
     events = load_table(spark, sf_dir, "events")
@@ -224,6 +244,19 @@ ORACLES: dict[str, str] = {
         SELECT o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS order_day
         FROM orders
     """,
+    "fn_date_arith": """
+        SELECT o_orderkey,
+               strftime(o_orderdate + INTERVAL 30 DAY, '%Y-%m-%d') AS due_day,
+               strftime(date_trunc('month', o_orderdate), '%Y-%m-%d')
+                   AS month_start,
+               strftime(last_day(o_orderdate), '%Y-%m-%d') AS month_end,
+               CAST(date_diff('day', o_orderdate, TIMESTAMP '1998-12-31')
+                    AS INTEGER) AS days_to_horizon,
+               CAST(month(o_orderdate) AS INTEGER) AS order_month,
+               CAST(quarter(o_orderdate) AS INTEGER) AS order_quarter,
+               CAST(dayofweek(o_orderdate) AS INTEGER) AS dow_sunday0
+        FROM orders
+    """,
     "fn_div_mod": """
         SELECT event_id,
                CAST(FLOOR(event_id / 60) AS BIGINT) AS id_div,
@@ -279,6 +312,7 @@ QUERY_FNS = {
     "fn_split": fn_split,
     "fn_regexp_extract": fn_regexp_extract,
     "fn_date_format": fn_date_format,
+    "fn_date_arith": fn_date_arith,
     "fn_div_mod": fn_div_mod,
     "fn_case_when": fn_case_when,
     "fn_param_sql": fn_param_sql,
