@@ -196,6 +196,38 @@ WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15
        AND l_quantity >= 20 AND l_quantity <= 40)
 """
 
+_Q17 = """
+SELECT CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) / 7.0
+           AS DOUBLE) AS avg_yearly,
+       COUNT(*) AS n_small_lines
+FROM {lineitem}
+JOIN {part} ON p_partkey = l_partkey
+WHERE p_brand = 'Brand#23'
+  AND l_quantity < (
+      SELECT 0.2 * AVG(l_quantity)
+      FROM {lineitem} l2
+      WHERE l2.l_partkey = {lineitem}.l_partkey
+  )
+"""
+
+_Q22 = """
+SELECT c_nationkey,
+       COUNT(*) AS numcust,
+       CAST(SUM(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) AS totacctbal
+FROM {customer}
+WHERE c_acctbal > (
+    -- exact-decimal sum / integer count: the threshold is bit-identical
+    -- across engines and partitionings (a float AVG would not be)
+    SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*)
+    FROM {customer} WHERE c_acctbal > 0.0
+)
+  AND NOT EXISTS (
+      SELECT 1 FROM {orders} WHERE o_custkey = c_custkey
+  )
+GROUP BY c_nationkey
+ORDER BY c_nationkey
+"""
+
 _TABLES = (
     "lineitem", "orders", "customer", "supplier", "nation", "region", "part",
 )
@@ -310,6 +342,25 @@ def sql_discount_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _run(spark, sf_dir, _Q19)
 
 
+def sql_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: correlated scalar subquery (per-part average
+    quantity) gating a fact filter. Catalyst decorrelates into a grouped
+    aggregate on l_partkey joined back to the fact — one extra shuffle on
+    the correlation key instead of a per-row subquery execution; the
+    brand predicate broadcasts from the dim side. The per-part threshold
+    is exact (integer-valued quantities sum exactly in double), so the
+    comparison is engine- and partitioning-invariant."""
+    return _run(spark, sf_dir, _Q17)
+
+
+def sql_inactive_customer_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape: NOT EXISTS anti join + a global scalar-subquery
+    threshold. Catalyst plans the scalar as a separate tiny job whose
+    result is literal-folded into the main scan filter; the anti join
+    against orders runs as broadcast-anti on the distinct custkey set."""
+    return _run(spark, sf_dir, _Q22)
+
+
 _ORACLE_NAMES = dict(
     lineitem="lineitem", orders="orders", customer="customer",
     supplier="supplier", nation="nation", region="region", part="part",
@@ -328,6 +379,8 @@ ORACLES: dict[str, str] = {
     "sql_returned_items": _Q10.format(**_ORACLE_NAMES),
     "sql_large_volume_customer": _Q18.format(**_ORACLE_NAMES),
     "sql_discount_revenue": _Q19.format(**_ORACLE_NAMES),
+    "sql_small_quantity_revenue": _Q17.format(**_ORACLE_NAMES),
+    "sql_inactive_customer_balance": _Q22.format(**_ORACLE_NAMES),
 }
 
 QUERY_FNS = {
@@ -343,4 +396,6 @@ QUERY_FNS = {
     "sql_returned_items": sql_returned_items,
     "sql_large_volume_customer": sql_large_volume_customer,
     "sql_discount_revenue": sql_discount_revenue,
+    "sql_small_quantity_revenue": sql_small_quantity_revenue,
+    "sql_inactive_customer_balance": sql_inactive_customer_balance,
 }
