@@ -91,6 +91,20 @@ def fn_date_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def fn_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F15 — cryptographic content hashing (md5 / sha-256 hex digests):
+    the content-addressing primitive behind exact dedup keys, dump
+    manifest fingerprints, and cache keys. JVM-side digest per row, narrow
+    map; standard algorithms so digests are engine-portable by
+    definition."""
+    documents = load_table(spark, sf_dir, "documents")
+    return documents.select(
+        "doc_id",
+        F.md5(F.col("text")).alias("md5_hex"),
+        F.sha2(F.col("text"), 256).alias("sha256_hex"),
+    )
+
+
 def fn_div_mod(spark: SparkSession, sf_dir: str) -> DataFrame:
     """F6 — integer div/mod (``misc_functions.sh:102``: ``/60``, ``%60``)."""
     events = load_table(spark, sf_dir, "events")
@@ -257,6 +271,10 @@ ORACLES: dict[str, str] = {
                CAST(dayofweek(o_orderdate) AS INTEGER) AS dow_sunday0
         FROM orders
     """,
+    "fn_hash": """
+        SELECT doc_id, md5(text) AS md5_hex, sha256(text) AS sha256_hex
+        FROM documents
+    """,
     "fn_div_mod": """
         SELECT event_id,
                CAST(FLOOR(event_id / 60) AS BIGINT) AS id_div,
@@ -313,6 +331,7 @@ QUERY_FNS = {
     "fn_regexp_extract": fn_regexp_extract,
     "fn_date_format": fn_date_format,
     "fn_date_arith": fn_date_arith,
+    "fn_hash": fn_hash,
     "fn_div_mod": fn_div_mod,
     "fn_case_when": fn_case_when,
     "fn_param_sql": fn_param_sql,
