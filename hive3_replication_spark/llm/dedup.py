@@ -118,15 +118,39 @@ def ngram_pair_jaccard(
             return hit[1]
     sh = _swap_cache(cache_key, _shingles(documents))
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    # Pair generation via grouped postings, not a self-join: one shuffle of
+    # the (filtered) postings instead of two. The frequency pre-filter runs
+    # FIRST (partial-agg exchange carries |vocab| rows) so a stop-shingle's
+    # posting list is dropped before collect_list could materialize it —
+    # the memory guard that makes the array-side expansion 100 TB-safe;
+    # surviving lists are ≤ max_bucket ids. Pairs are expanded array-side
+    # over the sorted list (i < j ⇒ doc_a < doc_b, same order the join
+    # variant produced).
     freq = sh.groupBy("shingle").agg(F.count("*").alias("df"))
     sh_f = sh.join(
-        F.broadcast(freq.filter(F.col("df") <= max_bucket)), "shingle"
+        F.broadcast(
+            freq.filter((F.col("df") >= 2) & (F.col("df") <= max_bucket))
+        ),
+        "shingle",
     )
-    a = sh_f.select(F.col("doc_id").alias("doc_a"), "shingle")
-    b = sh_f.select(F.col("doc_id").alias("doc_b"), "shingle")
+    postings = sh_f.groupBy("shingle").agg(
+        F.sort_array(F.collect_list("doc_id")).alias("docs")
+    )
+    pair_arr = F.flatten(
+        F.transform(
+            F.sequence(F.lit(0), F.size("docs") - 2),
+            lambda i: F.transform(
+                F.sequence(i + 1, F.size("docs") - 1),
+                lambda j: F.struct(
+                    F.element_at("docs", (i + 1).cast("int")).alias("doc_a"),
+                    F.element_at("docs", (j + 1).cast("int")).alias("doc_b"),
+                ),
+            ),
+        )
+    )
     inter = (
-        a.join(b, "shingle")
-        .filter(F.col("doc_a") < F.col("doc_b"))
+        postings.select(F.explode(pair_arr).alias("p"))
+        .select("p.doc_a", "p.doc_b")
         .groupBy("doc_a", "doc_b")
         .agg(F.count("*").alias("inter"))
     )
