@@ -69,7 +69,118 @@ def llm_multimodal(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def llm_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L6b — resize stage: fit each decoded image into a 224×224 box
+    preserving aspect ratio (integer arithmetic only, so the geometry has
+    an exact SQL oracle), and emit a bounded payload slice standing in for
+    the re-encoded thumbnail bytes. Runs as a second ``mapInPandas`` stage
+    over the same Arrow batches — the chained-stage shape a real
+    decode→resize pipeline has; still a narrow map, no shuffle."""
+    documents = load_table(spark, sf_dir, "documents")
+    with_payload = documents.select(
+        "doc_id", F.encode(F.col("text"), "UTF-8").alias("payload")
+    )
+
+    def resize_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            n_bytes = pdf["payload"].map(len).astype("int64")
+            width = (n_bytes % 640 + 16).astype("int64")
+            height = (n_bytes * 7 % 480 + 16).astype("int64")
+            # fit into 224x224: scale = 224 / max(w, h), integer floor math
+            long_side = width.where(width >= height, height)
+            out_w = (width * 224 // long_side).astype("int32")
+            out_h = (height * 224 // long_side).astype("int32")
+            thumb = pdf["payload"].map(lambda b: b[:256])
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "out_width": out_w,
+                    "out_height": out_h,
+                    "thumb_bytes": thumb.map(len).astype("int64"),
+                }
+            )
+
+    return with_payload.mapInPandas(
+        resize_batch,
+        "doc_id long, out_width int, out_height int, thumb_bytes long",
+    )
+
+
+def llm_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L6c — frame sampling: 1→N fanout from each 'video' payload to up to
+    4 evenly spaced frame rows (``idx_j = ⌊j·n_frames/k⌋``) — the
+    table-function shape of a real frame sampler, via ``mapInPandas`` so
+    each Arrow batch fans out in one pass. Integer index math ⇒ exact SQL
+    oracle; output size is bounded by 4× input rows regardless of media
+    length."""
+    documents = load_table(spark, sf_dir, "documents")
+    with_payload = documents.select(
+        "doc_id", F.encode(F.col("text"), "UTF-8").alias("payload")
+    )
+
+    def sample_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            n_bytes = pdf["payload"].map(len).astype("int64")
+            n_frames = (n_bytes % 10 + 1).astype("int64")
+            rows = {"doc_id": [], "frame_idx": [], "frame_offset_bytes": []}
+            for doc_id, nb, nf in zip(pdf["doc_id"], n_bytes, n_frames):
+                k = min(int(nf), 4)
+                frame_sz = int(nb) // int(nf)
+                for j in range(k):
+                    idx = j * int(nf) // k
+                    rows["doc_id"].append(doc_id)
+                    rows["frame_idx"].append(idx)
+                    rows["frame_offset_bytes"].append(idx * frame_sz)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(rows["doc_id"], dtype="int64"),
+                    "frame_idx": pd.Series(rows["frame_idx"], dtype="int32"),
+                    "frame_offset_bytes": pd.Series(
+                        rows["frame_offset_bytes"], dtype="int64"
+                    ),
+                }
+            )
+
+    return with_payload.mapInPandas(
+        sample_batch,
+        "doc_id long, frame_idx int, frame_offset_bytes long",
+    )
+
+
 ORACLES: dict[str, str] = {
+    "llm_multimodal_resize": """
+        WITH d AS (
+            SELECT doc_id,
+                   CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+                   octet_length(encode(text)) % 640 + 16 AS width,
+                   octet_length(encode(text)) * 7 % 480 + 16 AS height
+            FROM documents
+        )
+        SELECT doc_id,
+               CAST(width * 224 // GREATEST(width, height) AS INTEGER)
+                   AS out_width,
+               CAST(height * 224 // GREATEST(width, height) AS INTEGER)
+                   AS out_height,
+               CAST(LEAST(n_bytes, 256) AS BIGINT) AS thumb_bytes
+        FROM d
+    """,
+    "llm_multimodal_frames": """
+        WITH d AS (
+            SELECT doc_id,
+                   CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+                   CAST(octet_length(encode(text)) % 10 + 1 AS BIGINT)
+                       AS n_frames
+            FROM documents
+        )
+        SELECT doc_id,
+               CAST((j * n_frames) // LEAST(n_frames, 4) AS INTEGER)
+                   AS frame_idx,
+               CAST(((j * n_frames) // LEAST(n_frames, 4))
+                    * (n_bytes // n_frames) AS BIGINT) AS frame_offset_bytes
+        FROM d
+        CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS j) g
+        WHERE j < LEAST(n_frames, 4)
+    """,
     "llm_multimodal": """
         SELECT doc_id,
                CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
@@ -82,4 +193,6 @@ ORACLES: dict[str, str] = {
 
 QUERY_FNS = {
     "llm_multimodal": llm_multimodal,
+    "llm_multimodal_resize": llm_multimodal_resize,
+    "llm_multimodal_frames": llm_multimodal_frames,
 }
