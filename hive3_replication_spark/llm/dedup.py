@@ -101,6 +101,19 @@ def _swap_cache(key: str, df: DataFrame) -> DataFrame:
 _PAIR_MEMO: dict[str, tuple[str, DataFrame]] = {}
 
 
+def clear_caches() -> None:
+    """Unpersist and forget all memoized relations (shingle caches, minhash
+    signatures, scored-pair memos). Benchmarks call this between timing
+    passes so each pass measures real work; within a pass the cross-operator
+    memoization (ngram → clusters → pipeline) applies as in production."""
+    for df in _CACHES.values():
+        df.unpersist(blocking=False)
+    _CACHES.clear()
+    for _, df in _PAIR_MEMO.values():
+        df.unpersist(blocking=False)
+    _PAIR_MEMO.clear()
+
+
 def ngram_pair_jaccard(
     documents: DataFrame,
     cache_key: str,
