@@ -147,7 +147,56 @@ def llm_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def llm_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L6d — feature-extraction stage: numeric features per payload (byte
+    count, mean byte value, distinct byte count) computed batch-vectorized
+    in the UDF — the shape of an embedding/feature extractor, with a cheap
+    deterministic feature so the stage has an exact oracle (the fixture
+    payloads are ASCII, so bytes == codepoints on the SQL side). Narrow
+    map; feature width is fixed, so output size is rows × O(1) regardless
+    of media size."""
+    documents = load_table(spark, sf_dir, "documents")
+    with_payload = documents.select(
+        "doc_id", F.encode(F.col("text"), "UTF-8").alias("payload")
+    )
+
+    def feature_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            n_bytes, mean_num, n_distinct = [], [], []
+            for b in pdf["payload"]:
+                n = len(b)
+                n_bytes.append(n)
+                mean_num.append(sum(b))
+                n_distinct.append(len(set(b)))
+            nb = pd.Series(n_bytes, dtype="int64")
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "n_bytes": nb,
+                    # integer byte sum / integer count: exact in double
+                    "mean_byte": pd.Series(mean_num, dtype="float64") / nb,
+                    "n_distinct_bytes": pd.Series(n_distinct, dtype="int32"),
+                }
+            )
+
+    return with_payload.mapInPandas(
+        feature_batch,
+        "doc_id long, n_bytes long, mean_byte double, n_distinct_bytes int",
+    )
+
+
 ORACLES: dict[str, str] = {
+    "llm_multimodal_features": """
+        WITH ch AS (
+            SELECT doc_id, unicode(unnest(string_split(text, ''))) AS cp
+            FROM documents
+        )
+        SELECT doc_id,
+               COUNT(*) AS n_bytes,
+               CAST(SUM(cp) AS DOUBLE) / COUNT(*) AS mean_byte,
+               CAST(COUNT(DISTINCT cp) AS INTEGER) AS n_distinct_bytes
+        FROM ch GROUP BY doc_id
+    """,
     "llm_multimodal_resize": """
         WITH d AS (
             SELECT doc_id,
@@ -195,4 +244,5 @@ QUERY_FNS = {
     "llm_multimodal": llm_multimodal,
     "llm_multimodal_resize": llm_multimodal_resize,
     "llm_multimodal_frames": llm_multimodal_frames,
+    "llm_multimodal_features": llm_multimodal_features,
 }

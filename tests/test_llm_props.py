@@ -111,3 +111,27 @@ def test_approx_distinct_within_rsd(spark):
         .count()
     )
     assert abs(est - exact) <= max(3, 0.1 * exact), (est, exact)
+
+
+def test_pack_sequences_invariants(spark):
+    """Packing contract: within every (shard, seq_no) window the token
+    total never exceeds the budget unless a single oversized doc owns the
+    window start; offsets are consistent with the running total; every doc
+    appears exactly once."""
+    from hive3_replication_spark.llm.sampling import (
+        _CTX_TOKENS,
+        llm_pack_sequences,
+    )
+
+    pdf = llm_pack_sequences(spark, SF_DIR).toPandas()
+    n_docs = pd.read_parquet(f"{SF_DIR}/documents.parquet").shape[0]
+    assert len(pdf) == n_docs
+    assert pdf.doc_id.is_unique
+    # n_tokens is clipped at the budget, so no doc exceeds a window alone
+    assert (pdf.n_tokens <= _CTX_TOKENS).all()
+    # seq_no is exactly the window of the doc's start offset
+    assert (pdf.seq_no == pdf.seq_offset_tokens // _CTX_TOKENS).all()
+    # within a shard, offsets are the prefix sums of n_tokens in doc order
+    for _, grp in pdf.sort_values("doc_id").groupby("shard"):
+        expect = grp.n_tokens.cumsum().shift(fill_value=0)
+        assert (grp.seq_offset_tokens.values == expect.values).all()
