@@ -31,8 +31,13 @@ def _event_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
-    if dict(stream.dtypes).get("ts") == "bigint":
+    ts_type = dict(stream.dtypes).get("ts")
+    if ts_type == "bigint":
         stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    elif ts_type == "timestamp_ntz":
+        # withWatermark requires TIMESTAMP (with tz); session tz is pinned to
+        # UTC so the cast preserves wall-clock values and stays batch-equal.
+        stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
     return stream
 
 
