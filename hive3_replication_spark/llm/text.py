@@ -10,7 +10,7 @@ downstream counts are partial-aggregated before exchange.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
@@ -263,7 +263,59 @@ def llm_text_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def llm_text_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF-style keyword extraction: each document's top-3 terms by an
+    inverse-document-frequency weighted score.
+
+    The score is tf·1e6 DIV df — an exact integer (no transcendental
+    log-idf), so ranks are bit-identical across engines and cluster
+    sizes; ties break on the term itself, making the top-3 total-ordered.
+    Plan shape: token explode (narrow) → per-(doc, term) tf (one shuffle)
+    → vocabulary df derived FROM the tf relation (|vocab| rows, partial-
+    aggregated) joined back via broadcast — the corpus is never joined to
+    itself — → per-doc top-3 via row_number, which WindowGroupLimit
+    prunes to 3 rows per doc inside the window stage at any corpus size.
+    """
+    documents = load_table(spark, sf_dir, "documents")
+    toks = documents.select(
+        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("term")
+    )
+    tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    # df = documents containing the term — tf already holds one row per
+    # (doc, term), so a count per term is the document frequency with no
+    # second pass over the corpus.
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
+    scored = tf.join(F.broadcast(dfreq), "term").withColumn(
+        "score", F.expr("tf * 1000000 DIV df")
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("term"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("doc_id", "term", "tf", "df", "score", "rn")
+    )
+
+
 ORACLES: dict[str, str] = {
+    "llm_text_keywords": """
+        WITH tok AS (
+            SELECT doc_id, unnest(string_split(text, ' ')) AS term
+            FROM documents
+        ),
+        tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
+        dfq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+        scored AS (
+            SELECT doc_id, term, tf, df, (tf * 1000000) // df AS score
+            FROM tf JOIN dfq USING (term)
+        ),
+        ranked AS (
+            SELECT *, row_number() OVER (
+                PARTITION BY doc_id ORDER BY score DESC, term
+            ) AS rn
+            FROM scored
+        )
+        SELECT doc_id, term, tf, df, score, rn FROM ranked WHERE rn <= 3
+    """,
     "llm_text_bpe_count": f"""
         WITH c AS (
             SELECT doc_id, n_chars,
@@ -426,4 +478,5 @@ QUERY_FNS = {
     "llm_text_repetition": llm_text_repetition,
     "llm_text_bpe_count": llm_text_bpe_count,
     "llm_text_entropy": llm_text_entropy,
+    "llm_text_keywords": llm_text_keywords,
 }

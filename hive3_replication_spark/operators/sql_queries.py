@@ -228,6 +228,95 @@ GROUP BY c_nationkey
 ORDER BY c_nationkey
 """
 
+_Q7 = """
+SELECT supp_nation, cust_nation, l_year,
+       CAST(SUM(CAST(volume AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+FROM (
+    SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+           CAST(EXTRACT(YEAR FROM l_shipdate) AS BIGINT) AS l_year,
+           l_extendedprice * (1 - l_discount) AS volume
+    FROM {supplier}
+    JOIN {lineitem} ON s_suppkey = l_suppkey
+    JOIN {orders} ON o_orderkey = l_orderkey
+    JOIN {customer} ON c_custkey = o_custkey
+    JOIN {nation} n1 ON s_nationkey = n1.n_nationkey
+    JOIN {nation} n2 ON c_nationkey = n2.n_nationkey
+    WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+        OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+      AND l_shipdate BETWEEN TIMESTAMP '1996-01-01' AND TIMESTAMP '1997-12-31'
+) shipping
+GROUP BY supp_nation, cust_nation, l_year
+ORDER BY supp_nation, cust_nation, l_year
+"""
+
+_Q8 = """
+SELECT o_year,
+       CAST(CAST(SUM(CASE WHEN supp_nation = 'NATION_3'
+                          THEN CAST(volume AS DECIMAL(18,4))
+                          ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE)
+            / CAST(SUM(CAST(volume AS DECIMAL(18,4))) AS DOUBLE) AS DOUBLE)
+           AS mkt_share
+FROM (
+    SELECT CAST(EXTRACT(YEAR FROM o_orderdate) AS BIGINT) AS o_year,
+           l_extendedprice * (1 - l_discount) AS volume,
+           n2.n_name AS supp_nation
+    FROM {part}
+    JOIN {lineitem} ON p_partkey = l_partkey
+    JOIN {supplier} ON s_suppkey = l_suppkey
+    JOIN {orders} ON l_orderkey = o_orderkey
+    JOIN {customer} ON o_custkey = c_custkey
+    JOIN {nation} n1 ON c_nationkey = n1.n_nationkey
+    JOIN {region} ON n1.n_regionkey = r_regionkey
+    JOIN {nation} n2 ON s_nationkey = n2.n_nationkey
+    WHERE r_name = 'AMERICA' AND p_type = 'ECONOMY'
+      AND o_orderdate BETWEEN TIMESTAMP '1996-01-01' AND TIMESTAMP '1997-12-31'
+) all_nations
+GROUP BY o_year
+ORDER BY o_year
+"""
+
+_Q9 = """
+SELECT nation, o_year,
+       CAST(SUM(CAST(amount AS DECIMAL(18,4))) AS DOUBLE) AS sum_profit
+FROM (
+    SELECT n_name AS nation,
+           CAST(EXTRACT(YEAR FROM o_orderdate) AS BIGINT) AS o_year,
+           l_extendedprice * (1 - l_discount) - p_retailprice * l_quantity / 10
+               AS amount
+    FROM {part}
+    JOIN {lineitem} ON p_partkey = l_partkey
+    JOIN {supplier} ON s_suppkey = l_suppkey
+    JOIN {orders} ON o_orderkey = l_orderkey
+    JOIN {nation} ON s_nationkey = n_nationkey
+    WHERE p_name LIKE '%red%'
+) profit
+GROUP BY nation, o_year
+ORDER BY nation, o_year DESC
+"""
+
+_Q21 = """
+SELECT s_name, COUNT(*) AS numwait
+FROM {supplier}
+JOIN {lineitem} l1 ON s_suppkey = l1.l_suppkey
+JOIN {orders} ON o_orderkey = l1.l_orderkey
+JOIN {nation} ON s_nationkey = n_nationkey
+WHERE o_orderstatus = 'F'
+  AND l1.l_returnflag = 'R'
+  AND n_name = 'NATION_5'
+  AND EXISTS (
+      SELECT 1 FROM {lineitem} l2
+      WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey
+  )
+  AND NOT EXISTS (
+      SELECT 1 FROM {lineitem} l3
+      WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+        AND l3.l_returnflag = 'R'
+  )
+GROUP BY s_name
+ORDER BY numwait DESC, s_name
+LIMIT 100
+"""
+
 _TABLES = (
     "lineitem", "orders", "customer", "supplier", "nation", "region", "part",
 )
@@ -361,6 +450,51 @@ def sql_inactive_customer_balance(spark: SparkSession, sf_dir: str) -> DataFrame
     return _run(spark, sf_dir, _Q22)
 
 
+def sql_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape: two-nation trade volume — the same fact joined to
+    the nation dim TWICE (supplier side and customer side) under a
+    disjunctive nation-pair predicate, grouped by both nations and ship
+    year. Both nation dims broadcast; the pair disjunction survives as a
+    post-join filter while the date range pushes to the lineitem scan.
+    The year column is extracted once in the subquery, so the group-by
+    key is a plain attribute, not a repeated expression."""
+    return _run(spark, sf_dir, _Q7)
+
+
+def sql_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape: market share — a 7-relation star (two nation roles
+    + region) feeding a conditional-aggregate ratio per year. Numerator
+    and denominator come from ONE pass (SUM(CASE)/SUM over the same
+    grouped rows — no self-join); decimal sums are finalized to DOUBLE
+    before the division so the ratio is bit-identical across engines and
+    partitionings."""
+    return _run(spark, sf_dir, _Q8)
+
+
+def sql_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape: product-type profit — LIKE-filtered part dim
+    gating a 5-way join, profit = revenue minus a cost proxy
+    (p_retailprice · quantity / 10; the fixture schema carries no
+    partsupp/ps_supplycost table), aggregated per supplier nation per
+    order year. The '%red%' LIKE cannot push below the dim scan's row
+    filter but prunes part before the join fans out; the profit
+    expression stays in the fact projection so the shuffle carries one
+    decimal, not three doubles."""
+    return _run(spark, sf_dir, _Q9)
+
+
+def sql_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape: the hardest correlation pattern in the suite —
+    EXISTS and NOT EXISTS both correlated to the same fact alias
+    (multi-supplier orders where exactly this supplier's line is flagged
+    'R'; receipt/commit lateness reformulated over the fixture's
+    returnflag column). Catalyst plans the EXISTS as a left-semi and the
+    NOT EXISTS as a left-anti join against the same lineitem relation,
+    both shuffling on l_orderkey — three scans of the fact, each pruned
+    to (orderkey, suppkey, returnflag) columns."""
+    return _run(spark, sf_dir, _Q21)
+
+
 _ORACLE_NAMES = dict(
     lineitem="lineitem", orders="orders", customer="customer",
     supplier="supplier", nation="nation", region="region", part="part",
@@ -381,6 +515,10 @@ ORACLES: dict[str, str] = {
     "sql_discount_revenue": _Q19.format(**_ORACLE_NAMES),
     "sql_small_quantity_revenue": _Q17.format(**_ORACLE_NAMES),
     "sql_inactive_customer_balance": _Q22.format(**_ORACLE_NAMES),
+    "sql_nation_volume": _Q7.format(**_ORACLE_NAMES),
+    "sql_market_share": _Q8.format(**_ORACLE_NAMES),
+    "sql_product_profit": _Q9.format(**_ORACLE_NAMES),
+    "sql_waiting_supplier": _Q21.format(**_ORACLE_NAMES),
 }
 
 QUERY_FNS = {
@@ -398,4 +536,8 @@ QUERY_FNS = {
     "sql_discount_revenue": sql_discount_revenue,
     "sql_small_quantity_revenue": sql_small_quantity_revenue,
     "sql_inactive_customer_balance": sql_inactive_customer_balance,
+    "sql_nation_volume": sql_nation_volume,
+    "sql_market_share": sql_market_share,
+    "sql_product_profit": sql_product_profit,
+    "sql_waiting_supplier": sql_waiting_supplier,
 }

@@ -149,6 +149,42 @@ def ts_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def ts_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T4 — OHLC downsampling: per (event_type, hour) open / high / low /
+    close / count in ONE hash-aggregate pass. Open and close are selected
+    by ``min_by``/``max_by`` over the (ts, event_id) order packed into a
+    single decimal scalar — event_id is unique, so the tie-break is total
+    and the result is deterministic on any partitioning. No window, no sort, no grid: the classic
+    "downsample a tick stream" reshape costs exactly one key-partitioned
+    shuffle whose output cardinality is groups × hours, independent of
+    event volume — the property that makes it the 100 TB-safe form (the
+    window-function formulation the oracle uses would sort every event).
+    """
+    events = load_table(spark, sf_dir, "events")
+    # The tie-broken event order (ts, event_id) packed into ONE scalar:
+    # ord = ts_µs · 10¹⁹ + event_id as DECIMAL(38,0) — exact for every
+    # non-negative int64 pair (ts_µs < 10¹⁹ until year 2286, event_id <
+    # 2⁶³ < 10¹⁹, product < 10³⁸). A struct ordering key would be
+    # semantically identical but forces SortAggregate (struct agg buffers
+    # are not hash-mutable), which sorts every input partition; the
+    # fixed-width decimal keeps the whole aggregate in HashAggregate.
+    ord_ = (
+        F.unix_micros(F.col("ts").cast("timestamp")).cast("decimal(38,0)")
+        * F.lit("10000000000000000000").cast("decimal(20,0)")
+        + F.col("event_id").cast("decimal(38,0)")
+    ).alias("ord")
+    e = events.select(
+        "event_type", F.date_trunc("hour", F.col("ts")).alias("hour"), ord_, "value"
+    )
+    return e.groupBy("event_type", "hour").agg(
+        F.min_by("value", F.col("ord")).alias("open"),
+        F.max("value").alias("high"),
+        F.min("value").alias("low"),
+        F.max_by("value", F.col("ord")).alias("close"),
+        F.count("*").alias("n_events"),
+    )
+
+
 _GRID_CTES = """
         e AS (
             SELECT event_type,
@@ -220,10 +256,35 @@ ORACLES: dict[str, str] = {
                END) + 5e-9, 4) AS interp_value
         FROM staged
     """,
+    "ts_ohlc": """
+        WITH e AS (
+            SELECT event_type,
+                   date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hour,
+                   ts, event_id, value
+            FROM events
+        ),
+        ranked AS (
+            SELECT event_type, hour, value,
+                   row_number() OVER (PARTITION BY event_type, hour
+                                      ORDER BY ts, event_id) AS rn_a,
+                   row_number() OVER (PARTITION BY event_type, hour
+                                      ORDER BY ts DESC, event_id DESC) AS rn_d
+            FROM e
+        )
+        SELECT event_type, hour,
+               MAX(CASE WHEN rn_a = 1 THEN value END) AS open,
+               MAX(value) AS high,
+               MIN(value) AS low,
+               MAX(CASE WHEN rn_d = 1 THEN value END) AS close,
+               COUNT(*) AS n_events
+        FROM ranked
+        GROUP BY event_type, hour
+    """,
 }
 
 QUERY_FNS = {
     "ts_resample": ts_resample,
     "ts_fill_forward": ts_fill_forward,
     "ts_interpolate": ts_interpolate,
+    "ts_ohlc": ts_ohlc,
 }

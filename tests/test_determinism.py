@@ -23,6 +23,8 @@ FLOAT_HEAVY = [
     "llm_text_repetition",
     "agg_mode",
     "llm_pack_sequences",
+    "ts_ohlc",
+    "sql_market_share",
 ]
 
 

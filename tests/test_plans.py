@@ -157,6 +157,42 @@ def test_pack_sequences_single_shuffle(spark):
     assert plan.count("Exchange hashpartitioning") == 1
 
 
+def test_waiting_supplier_plans_semi_and_anti(spark):
+    """sql_waiting_supplier: the correlated EXISTS must plan as a left-semi
+    join and the NOT EXISTS as a left-anti join (no nested-loop re-execution
+    of the subqueries per row), and the fact scans must prune to the three
+    columns the correlation needs."""
+    from hive3_replication_spark.operators.sql_queries import sql_waiting_supplier
+
+    plan = _plan(sql_waiting_supplier(spark, SF_DIR), "simple")
+    assert "LeftSemi" in plan
+    assert "LeftAnti" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_keywords_push_group_limit(spark):
+    """llm_text_keywords: the per-doc top-3 must plan a WindowGroupLimit
+    (rank predicate pushed into the window stage) and the vocabulary df
+    side must broadcast — the corpus is never shuffled twice."""
+    from hive3_replication_spark.llm.text import llm_text_keywords
+
+    plan = _plan(llm_text_keywords(spark, SF_DIR), "simple")
+    assert "WindowGroupLimit" in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_ohlc_is_single_pass_hash_agg(spark):
+    """ts_ohlc: one hash-aggregate pass — no Sort, no Window node; the only
+    exchange carries the partial aggregates (groups × hours rows), which is
+    what keeps tick-stream downsampling shuffle-light at any event volume."""
+    from hive3_replication_spark.operators.timeseries import ts_ohlc
+
+    plan = _plan(ts_ohlc(spark, SF_DIR), "simple")
+    assert "Window" not in plan
+    assert "Sort" not in plan
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
 def test_disjunctive_predicates_push_to_both_scans(spark):
     """sql_discount_revenue: Catalyst must split the OR-of-ANDs and push
     the per-table halves into each parquet scan (quantity brackets to
