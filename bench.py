@@ -57,6 +57,10 @@ HEADLINE = (
     "sql_local_supplier_volume",
     "sql_returned_items",
     "sql_large_volume_customer",
+    "sql_market_share",
+    "sql_waiting_supplier",
+    "ts_ohlc",
+    "llm_text_keywords",
     "snapshot_load",
 )
 
