@@ -185,6 +185,42 @@ def ts_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def ts_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T5 — batch sessionization (gaps-and-islands): per-user sessions cut
+    at >30-minute silences, one row per session with start/end/count.
+
+    The classic two-window formulation: a lag detects gap starts, a
+    running sum of gap flags numbers the sessions. Both windows share ONE
+    partitioning and ordering — (user_id) × (ts, event_id), the unique
+    composite making the numbering total — so Spark plans a single
+    exchange + sort for both Window nodes, and the final per-session
+    groupBy needs no further exchange (user_id partitioning already
+    clusters (user_id, session_idx)). Contrast with stream_session: same
+    semantics, but this form is a plain batch plan with a full SQL
+    oracle, while the streaming form maintains per-key state across
+    micro-batches."""
+    events = load_table(spark, sf_dir, "events")
+    e = events.select("user_id", "event_id", "ts")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    t_us = F.unix_micros(F.col("ts").cast("timestamp"))
+    prev_us = F.unix_micros(F.lag("ts").over(w).cast("timestamp"))
+    new_session = (
+        F.when(prev_us.isNull() | (t_us - prev_us > 1_800_000_000), 1)
+        .otherwise(0)
+    )
+    numbered = e.withColumn("new_session", new_session).withColumn(
+        "session_idx",
+        F.sum("new_session").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    return numbered.groupBy("user_id", "session_idx").agg(
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+        F.count("*").alias("n_events"),
+    )
+
+
 _GRID_CTES = """
         e AS (
             SELECT event_type,
@@ -256,6 +292,34 @@ ORACLES: dict[str, str] = {
                END) + 5e-9, 4) AS interp_value
         FROM staged
     """,
+    "ts_sessionize": """
+        WITH e AS (
+            SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts
+            FROM events
+        ),
+        flagged AS (
+            SELECT user_id, event_id, ts,
+                   CASE WHEN LAG(ts) OVER w IS NULL
+                             OR epoch_us(ts) - epoch_us(LAG(ts) OVER w)
+                                > 1800000000
+                        THEN 1 ELSE 0 END AS new_session
+            FROM e
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ),
+        numbered AS (
+            SELECT user_id, ts,
+                   CAST(SUM(new_session) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS UNBOUNDED PRECEDING
+                   ) AS BIGINT) AS session_idx
+            FROM flagged
+        )
+        SELECT user_id, session_idx,
+               MIN(ts) AS session_start, MAX(ts) AS session_end,
+               COUNT(*) AS n_events
+        FROM numbered
+        GROUP BY user_id, session_idx
+    """,
     "ts_ohlc": """
         WITH e AS (
             SELECT event_type,
@@ -287,4 +351,5 @@ QUERY_FNS = {
     "ts_fill_forward": ts_fill_forward,
     "ts_interpolate": ts_interpolate,
     "ts_ohlc": ts_ohlc,
+    "ts_sessionize": ts_sessionize,
 }

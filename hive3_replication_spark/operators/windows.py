@@ -144,7 +144,55 @@ def win_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def win_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W9 — time-range frame: per event, the count and exact-decimal value
+    sum of the same user's events in the trailing hour (RANGE, not ROWS —
+    the frame is defined by the *order value*, so ties and gaps are handled
+    by time distance, not row position; the result is deterministic even
+    with duplicate timestamps, no tie-break needed).
+
+    The order key is integer microseconds (``unix_micros``) so the frame
+    bound is an exact integer offset — identical in both engines, no
+    interval/calendar arithmetic in the hot path. One hash shuffle on
+    user_id + one partition-local sort; Spark evaluates the sliding frame
+    with two pointers over the sorted run, O(n) per partition, state
+    bounded by the widest in-frame run — no self-join, which is the
+    O(n·k) formulation this operator exists to avoid at 100 TB."""
+    events = load_table(spark, sf_dir, "events")
+    e = events.select(
+        "event_id",
+        "user_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("t_us"),
+        "value",
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("t_us")
+        .rangeBetween(-3_600_000_000, 0)
+    )
+    return e.select(
+        "event_id",
+        "user_id",
+        "t_us",
+        F.count("*").over(w).alias("n_1h"),
+        F.sum(F.col("value").cast("decimal(18,4)"))
+        .over(w)
+        .cast("double")
+        .alias("sum_1h"),
+    )
+
+
 ORACLES: dict[str, str] = {
+    "win_range_frame": """
+        SELECT event_id, user_id,
+               epoch_us(CAST(ts AS TIMESTAMP)) AS t_us,
+               COUNT(*) OVER w AS n_1h,
+               CAST(SUM(CAST(value AS DECIMAL(18,4))) OVER w AS DOUBLE) AS sum_1h
+        FROM events
+        WINDOW w AS (PARTITION BY user_id
+                     ORDER BY epoch_us(CAST(ts AS TIMESTAMP))
+                     RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+    """,
     "win_topk_per_group": """
         SELECT o_custkey, o_orderkey, o_totalprice, price_rank FROM (
             SELECT o_custkey, o_orderkey, o_totalprice,
@@ -217,4 +265,5 @@ QUERY_FNS = {
     "win_ntile": win_ntile,
     "win_first_value": win_first_value,
     "win_topk_per_group": win_topk_per_group,
+    "win_range_frame": win_range_frame,
 }

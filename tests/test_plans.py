@@ -193,6 +193,28 @@ def test_ohlc_is_single_pass_hash_agg(spark):
     assert plan.count("Exchange hashpartitioning") == 1
 
 
+def test_sessionize_single_exchange(spark):
+    """ts_sessionize: both window passes AND the per-session rollup must
+    reuse one user_id exchange — lag + running-sum share a window spec,
+    and HashPartitioning(user_id) already clusters (user_id, session_idx),
+    so the whole gaps-and-islands pipeline is a single shuffle."""
+    from hive3_replication_spark.operators.timeseries import ts_sessionize
+
+    plan = _plan(ts_sessionize(spark, SF_DIR), "simple")
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_range_frame_no_self_join(spark):
+    """win_range_frame: the trailing-hour rolling agg must plan as ONE
+    Window node over one exchange+sort — no join in the plan (the O(n·k)
+    self-join formulation is what this operator exists to avoid)."""
+    from hive3_replication_spark.operators.windows import win_range_frame
+
+    plan = _plan(win_range_frame(spark, SF_DIR), "simple")
+    assert "Join" not in plan
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
 def test_disjunctive_predicates_push_to_both_scans(spark):
     """sql_discount_revenue: Catalyst must split the OR-of-ANDs and push
     the per-table halves into each parquet scan (quantity brackets to
