@@ -224,7 +224,34 @@ def stream_stateful_progress(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T12 — streaming dedup, batch-expressible form: one row per
+    (user_id, event_type) carrying the FIRST arrival (min event_id — the
+    arrival order of the change stream) plus the duplicate count.
+
+    ``min_by`` over the unique event_id gives a total, partitioning-
+    independent pick, so this batch form has a full SQL oracle. The
+    genuine streaming form (``dropDuplicates`` on the key columns over
+    ``readStream``, state = one entry per key, exercised in
+    streaming/structured.py + tests) must emit exactly this operator's
+    key set — at 100 TB the state store holds |keys| entries, bounded by
+    ``dropDuplicatesWithinWatermark`` when keys churn."""
+    events = load_table(spark, sf_dir, "events")
+    return events.groupBy("user_id", "event_type").agg(
+        F.min("event_id").alias("first_event_id"),
+        F.min_by("value", "event_id").alias("first_value"),
+        F.count("*").alias("n_arrivals"),
+    )
+
+
 ORACLES: dict[str, str] = {
+    "stream_dedup": """
+        SELECT user_id, event_type,
+               MIN(event_id) AS first_event_id,
+               arg_min(value, event_id) AS first_value,
+               COUNT(*) AS n_arrivals
+        FROM events GROUP BY user_id, event_type
+    """,
     "stream_stateful_progress": """
         SELECT user_id, COUNT(*) AS n_events,
                MAX(event_id) AS max_event_id,
@@ -336,4 +363,5 @@ QUERY_FNS = {
     "stream_consistent_cut": stream_consistent_cut,
     "stream_retry": stream_retry,
     "stream_stateful_progress": stream_stateful_progress,
+    "stream_dedup": stream_dedup,
 }

@@ -67,6 +67,31 @@ def run_tumbling_stream(
     return spark.sql("SELECT * FROM h3r_tumbling")
 
 
+def run_dedup_stream(
+    spark: SparkSession, sf_dir: str, checkpoint_dir: str
+) -> DataFrame:
+    """T12 as a real stream: ``dropDuplicates`` on the dedup key over
+    ``readStream`` — the state store keeps one entry per key and forwards
+    only first arrivals. Which physical row represents a key within one
+    micro-batch is engine-chosen, so the batch-equality contract (tested)
+    is on the KEY SET; the batch form (``stream_dedup``) additionally
+    pins values via min_by, which is the deterministic surface."""
+    stream = _event_stream(spark, sf_dir)
+    deduped = stream.select("user_id", "event_type", "event_id").dropDuplicates(
+        ["user_id", "event_type"]
+    )
+    query = (
+        deduped.writeStream.format("memory")
+        .queryName("h3r_stream_dedup")
+        .outputMode("append")
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination(120)
+    return spark.sql("SELECT * FROM h3r_stream_dedup")
+
+
 def run_replay_stream(
     spark: SparkSession,
     sf_dir: str,

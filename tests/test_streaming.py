@@ -26,6 +26,20 @@ def test_streaming_tumbling_matches_batch(spark, tmp_path):
     assert a[key + ["n_events"]].equals(b[key + ["n_events"]])
 
 
+def test_streaming_dedup_matches_batch_keyset(spark, tmp_path):
+    """dropDuplicates over the stream must emit exactly one row per key,
+    and the key set must equal the batch dedup operator's."""
+    from hive3_replication_spark.streaming.batch_ops import stream_dedup
+    from hive3_replication_spark.streaming.structured import run_dedup_stream
+
+    streamed = run_dedup_stream(spark, SF_DIR, str(tmp_path / "ckpt")).toPandas()
+    batch = stream_dedup(spark, SF_DIR).toPandas()
+    assert len(streamed) == len(batch)
+    skeys = set(map(tuple, streamed[["user_id", "event_type"]].values))
+    bkeys = set(map(tuple, batch[["user_id", "event_type"]].values))
+    assert skeys == bkeys
+
+
 def test_streaming_jdbc_sink_exactly_once(spark, tmp_path):
     """Stream → JDBC warehouse with batch-id bookkeeping: a second drain
     over the same checkpoint must not double-write."""
