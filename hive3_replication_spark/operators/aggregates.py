@@ -90,6 +90,33 @@ def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def agg_hll_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A16 — mergeable distinct-count sketches (Apache DataSketches HLL,
+    native in Spark): per-event-type user sketches via ``hll_sketch_agg``,
+    then a '__all__' row whose estimate comes from ``hll_union_agg`` over
+    the per-type sketches — NOT from re-scanning the events.
+
+    This is what `approx_count_distinct` (A6) cannot do: the sketch is a
+    first-class, storable value, so a day-partitioned 100 TB pipeline
+    aggregates each new partition once, persists |keys| kilobyte-sized
+    sketches, and answers any-window distinct queries by sketch union —
+    no history re-scan. Rows-only check (estimates are sketch-seeded);
+    the property test asserts per-type accuracy AND that the union row
+    equals the union's estimate over exact data within HLL error."""
+    events = load_table(spark, sf_dir, "events")
+    per_type = events.groupBy("event_type").agg(
+        F.hll_sketch_agg("user_id").alias("sk")
+    )
+    by_type = per_type.select(
+        "event_type", F.hll_sketch_estimate("sk").alias("n_users_est")
+    )
+    merged = per_type.agg(F.hll_union_agg("sk").alias("sk")).select(
+        F.lit("__all__").alias("event_type"),
+        F.hll_sketch_estimate("sk").alias("n_users_est"),
+    )
+    return by_type.unionByName(merged)
+
+
 def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A7 — multi-level rollup (db × table × run status rollups generalized):
     ROLLUP(event_type, user bucket)."""
@@ -347,6 +374,7 @@ QUERY_FNS = {
     "agg_duration": agg_duration,
     "agg_distinct": agg_distinct,
     "agg_approx_distinct": agg_approx_distinct,
+    "agg_hll_sketch": agg_hll_sketch,
     "agg_rollup": agg_rollup,
     "agg_cube": agg_cube,
     "agg_percentile": agg_percentile,

@@ -113,6 +113,30 @@ def test_approx_distinct_within_rsd(spark):
     assert abs(est - exact) <= max(3, 0.1 * exact), (est, exact)
 
 
+def test_hll_sketch_estimates_and_union(spark):
+    """Per-type DataSketches estimates within HLL error of exact distinct
+    counts, and the '__all__' row — computed by sketch UNION, not a
+    re-scan — within error of the global exact count (mergeability is the
+    property the 100 TB incremental-distinct path depends on)."""
+    from hive3_replication_spark.operators.aggregates import agg_hll_sketch
+
+    got = {
+        r["event_type"]: r["n_users_est"]
+        for r in agg_hll_sketch(spark, SF_DIR).collect()
+    }
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    exact = {
+        r["event_type"]: r["n"]
+        for r in ev.groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    exact["__all__"] = ev.select("user_id").distinct().count()
+    assert set(got) == set(exact)
+    for k, est in got.items():
+        assert abs(est - exact[k]) <= max(3, 0.05 * exact[k]), (k, est, exact[k])
+
+
 def test_pack_sequences_invariants(spark):
     """Packing contract: within every (shard, seq_no) window the token
     total never exceeds the budget unless a single oversized doc owns the
