@@ -117,6 +117,46 @@ def agg_hll_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     return by_type.unionByName(merged)
 
 
+#: Columns profiled by agg_table_profile (numeric lineitem measures).
+_PROFILE_COLS = ("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+
+
+def agg_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A17 — table profiling (the ANALYZE/data-QA surface): per-column
+    row count, null count, exact distinct count, min, max, and exact-
+    decimal sum for the lineitem measures, one output row per column.
+
+    ONE aggregation over ONE scan computes all 4×6 statistics — Catalyst
+    plans multi-distinct aggregates with a single Expand (one shuffle
+    carrying (row × 4) expanded keys), not one job per column, which is
+    the difference between profiling a 100 TB table once and scanning it
+    24 times. The wide 1-row aggregate is then unpivoted driver-lite
+    (stack over literals) into the long (column, stats) form."""
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    aggs = []
+    for c in _PROFILE_COLS:
+        aggs += [
+            F.count(F.lit(1)).alias(f"{c}__n"),
+            F.sum(F.col(c).isNull().cast("bigint")).alias(f"{c}__n_null"),
+            F.count_distinct(F.col(c)).alias(f"{c}__n_distinct"),
+            F.min(c).alias(f"{c}__vmin"),
+            F.max(c).alias(f"{c}__vmax"),
+            F.sum(F.col(c).cast("decimal(18,4)"))
+            .cast("double")
+            .alias(f"{c}__vsum"),
+        ]
+    wide = lineitem.agg(*aggs)
+    stacked = ", ".join(
+        f"'{c}', `{c}__n`, `{c}__n_null`, `{c}__n_distinct`, "
+        f"`{c}__vmin`, `{c}__vmax`, `{c}__vsum`"
+        for c in _PROFILE_COLS
+    )
+    return wide.selectExpr(
+        f"stack({len(_PROFILE_COLS)}, {stacked}) AS "
+        "(col_name, n, n_null, n_distinct, vmin, vmax, vsum)"
+    )
+
+
 def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A7 — multi-level rollup (db × table × run status rollups generalized):
     ROLLUP(event_type, user bucket)."""
@@ -264,7 +304,20 @@ def agg_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_PROFILE_ORACLE = " UNION ALL ".join(
+    f"""
+    SELECT '{c}' AS col_name, COUNT(*) AS n,
+           SUM(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS n_null,
+           COUNT(DISTINCT {c}) AS n_distinct,
+           MIN({c}) AS vmin, MAX({c}) AS vmax,
+           CAST(SUM(CAST({c} AS DECIMAL(18,4))) AS DOUBLE) AS vsum
+    FROM lineitem
+    """
+    for c in _PROFILE_COLS
+)
+
 ORACLES: dict[str, str] = {
+    "agg_table_profile": _PROFILE_ORACLE,
     "agg_max_watermark": "SELECT MAX(event_id) AS last_repl_id FROM events",
     "agg_mode": """
         SELECT o_orderstatus, o_orderpriority AS mode_priority,
@@ -375,6 +428,7 @@ QUERY_FNS = {
     "agg_distinct": agg_distinct,
     "agg_approx_distinct": agg_approx_distinct,
     "agg_hll_sketch": agg_hll_sketch,
+    "agg_table_profile": agg_table_profile,
     "agg_rollup": agg_rollup,
     "agg_cube": agg_cube,
     "agg_percentile": agg_percentile,
