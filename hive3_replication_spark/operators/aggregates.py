@@ -117,6 +117,27 @@ def agg_hll_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     return by_type.unionByName(merged)
 
 
+def agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A18 — approximate percentiles (the 100 TB drop-in for A10's exact
+    `percentile`): per-returnflag p50/p90 of extended price via the
+    Greenwald-Khanna sketch (`percentile_approx`, accuracy 10000 ⇒ rank
+    error ≤ 1e-4). Exact percentiles materialize every group's values;
+    the GK summary is fixed-size per group and merges associatively —
+    the same partial/final shape as any hash agg. Rows-only check
+    (sketch merge order is partitioning-dependent within rank error);
+    the property test brackets each estimate between the exact
+    (q−ε) and (q+ε) quantiles."""
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    pct = F.percentile_approx(
+        "l_extendedprice", F.array(F.lit(0.5), F.lit(0.9)), 10000
+    )
+    return lineitem.groupBy("l_returnflag").agg(
+        pct.getItem(0).alias("p50_approx"),
+        pct.getItem(1).alias("p90_approx"),
+        F.count("*").alias("n_rows"),
+    )
+
+
 #: Columns profiled by agg_table_profile (numeric lineitem measures).
 _PROFILE_COLS = ("l_quantity", "l_extendedprice", "l_discount", "l_tax")
 
@@ -429,6 +450,7 @@ QUERY_FNS = {
     "agg_approx_distinct": agg_approx_distinct,
     "agg_hll_sketch": agg_hll_sketch,
     "agg_table_profile": agg_table_profile,
+    "agg_approx_percentile": agg_approx_percentile,
     "agg_rollup": agg_rollup,
     "agg_cube": agg_cube,
     "agg_percentile": agg_percentile,

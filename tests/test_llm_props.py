@@ -137,6 +137,26 @@ def test_hll_sketch_estimates_and_union(spark):
         assert abs(est - exact[k]) <= max(3, 0.05 * exact[k]), (k, est, exact[k])
 
 
+def test_approx_percentile_within_rank_error(spark):
+    """Each GK estimate must lie between the exact (q−ε) and (q+ε)
+    quantiles for ε = 1/accuracy (the sketch's rank-error contract)."""
+    from hive3_replication_spark.operators.aggregates import agg_approx_percentile
+
+    got = agg_approx_percentile(spark, SF_DIR).toPandas()
+    li = (
+        spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+        .select("l_returnflag", "l_extendedprice")
+        .toPandas()
+    )
+    eps = 1e-4
+    for _, row in got.iterrows():
+        vals = li[li.l_returnflag == row.l_returnflag].l_extendedprice
+        for q, est in ((0.5, row.p50_approx), (0.9, row.p90_approx)):
+            lo = vals.quantile(max(0.0, q - eps - 1 / len(vals)))
+            hi = vals.quantile(min(1.0, q + eps + 1 / len(vals)))
+            assert lo <= est <= hi, (row.l_returnflag, q, est, lo, hi)
+
+
 def test_pack_sequences_invariants(spark):
     """Packing contract: within every (shard, seq_no) window the token
     total never exceeds the budget unless a single oversized doc owns the
