@@ -249,7 +249,88 @@ def join_full(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def join_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J11 — content-level snapshot divergence audit: the reference's
+    manual "verify the rows replicated" step (``ManualSteps.md:25``)
+    generalized from row counts to row CONTENT. Source and target
+    snapshots are reduced to (key, md5-of-payload) fingerprints, full-
+    outer-joined on the key, and classified source_only / target_only /
+    changed; identical rows are dropped pre-output.
+
+    Scale design: the fingerprint is computed in the scan projection, so
+    the shuffle carries (key, 32-byte hash) — independent of row width;
+    a 100-column 100 TB fact diffs with the same exchange as a 2-column
+    one. md5 over a '|'-joined string of the compared columns keeps the
+    fingerprint engine-portable (string-typed columns only here; doubles
+    would need a canonical rendering first). The target side simulates
+    drift deterministically: every 97th key missing, every 101st key's
+    priority changed, every 499th key present only at the target."""
+    orders = load_table(spark, sf_dir, "orders")
+    base = orders.select("o_orderkey", "o_orderstatus", "o_orderpriority")
+    fp = F.md5(F.concat_ws("|", "o_orderstatus", "o_orderpriority"))
+    src = base.select(F.col("o_orderkey").alias("src_key"), fp.alias("src_fp"))
+    k = F.col("o_orderkey")
+    tgt_rows = base.filter(k % 97 != 0).withColumn(
+        "o_orderpriority",
+        F.when(k % 101 == 1, F.lit("9-DRIFTED")).otherwise(
+            F.col("o_orderpriority")
+        ),
+    )
+    extra = base.filter(k % 499 == 0).withColumn("o_orderkey", -k)
+    tgt = tgt_rows.unionByName(extra).select(
+        F.col("o_orderkey").alias("tgt_key"), fp.alias("tgt_fp")
+    )
+    diff_type = (
+        F.when(F.col("tgt_key").isNull(), F.lit("source_only"))
+        .when(F.col("src_key").isNull(), F.lit("target_only"))
+        .when(F.col("src_fp") != F.col("tgt_fp"), F.lit("changed"))
+        .otherwise(F.lit("equal"))
+    )
+    return (
+        src.join(tgt, F.col("src_key") == F.col("tgt_key"), "full")
+        .select(
+            F.coalesce(F.col("src_key"), F.col("tgt_key")).alias("o_orderkey"),
+            diff_type.alias("diff_type"),
+        )
+        .filter(F.col("diff_type") != "equal")
+    )
+
+
 ORACLES: dict[str, str] = {
+    "join_snapshot_diff": """
+        WITH base AS (
+            SELECT o_orderkey, o_orderstatus, o_orderpriority FROM orders
+        ),
+        src AS (
+            SELECT o_orderkey AS src_key,
+                   md5(concat_ws('|', o_orderstatus, o_orderpriority)) AS src_fp
+            FROM base
+        ),
+        tgt_rows AS (
+            SELECT o_orderkey,
+                   o_orderstatus,
+                   CASE WHEN o_orderkey % 101 = 1 THEN '9-DRIFTED'
+                        ELSE o_orderpriority END AS o_orderpriority
+            FROM base WHERE o_orderkey % 97 <> 0
+            UNION ALL
+            SELECT -o_orderkey, o_orderstatus, o_orderpriority
+            FROM base WHERE o_orderkey % 499 = 0
+        ),
+        tgt AS (
+            SELECT o_orderkey AS tgt_key,
+                   md5(concat_ws('|', o_orderstatus, o_orderpriority)) AS tgt_fp
+            FROM tgt_rows
+        ),
+        joined AS (
+            SELECT COALESCE(src_key, tgt_key) AS o_orderkey,
+                   CASE WHEN tgt_key IS NULL THEN 'source_only'
+                        WHEN src_key IS NULL THEN 'target_only'
+                        WHEN src_fp <> tgt_fp THEN 'changed'
+                        ELSE 'equal' END AS diff_type
+            FROM src FULL OUTER JOIN tgt ON src_key = tgt_key
+        )
+        SELECT o_orderkey, diff_type FROM joined WHERE diff_type <> 'equal'
+    """,
     "join_watermark_compare": """
         WITH ev AS (
             SELECT *, 'db' || CAST(user_id % 4 AS VARCHAR) AS db_name FROM events
@@ -342,4 +423,5 @@ QUERY_FNS = {
     "join_asof": join_asof,
     "join_theta": join_theta,
     "join_full": join_full,
+    "join_snapshot_diff": join_snapshot_diff,
 }
