@@ -61,6 +61,8 @@ HEADLINE = (
     "sql_waiting_supplier",
     "ts_ohlc",
     "llm_text_keywords",
+    "join_snapshot_diff",
+    "agg_table_profile",
     "snapshot_load",
 )
 

