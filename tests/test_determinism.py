@@ -25,6 +25,8 @@ FLOAT_HEAVY = [
     "llm_pack_sequences",
     "ts_ohlc",
     "sql_market_share",
+    "ts_sessionize",
+    "llm_text_keywords",
 ]
 
 
