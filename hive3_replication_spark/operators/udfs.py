@@ -93,6 +93,29 @@ def udf_table_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def udf_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X4 — Arrow-optimized Python UDF (Spark 3.5+ ``useArrow=True``): a
+    row-wise Python function with Arrow-batched transport — the migration
+    path for row-at-a-time ``@udf`` code that can't be vectorized as a
+    Series operation (branchy per-value logic, third-party per-item
+    libraries). Same serialization win as pandas UDFs (one Arrow batch
+    per ~10k rows instead of one pickle round-trip per row); the Python
+    loop itself remains the floor, which is why scalars.py keeps every
+    SQL-expressible function in built-ins."""
+    from pyspark.sql.functions import udf
+
+    @udf("int", useArrow=True)
+    def vowel_count(text: str) -> int:
+        if text is None:
+            return None
+        return sum(1 for ch in text if ch in "aeiou")
+
+    documents = load_table(spark, sf_dir, "documents")
+    return documents.select(
+        "doc_id", vowel_count(F.col("text")).alias("n_vowels")
+    )
+
+
 def udf_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X3 — table function via mapInPandas: tokenize documents into
     (doc_id, token) rows — a 1→N row expansion with Arrow-batched I/O.
@@ -119,6 +142,12 @@ ORACLES: dict[str, str] = {
                CAST(SUM(CAST(FLOOR(value * 100) AS BIGINT)) AS BIGINT) AS scaled_sum
         FROM events GROUP BY event_type
     """,
+    "udf_arrow": """
+        SELECT doc_id,
+               CAST(LENGTH(text) - LENGTH(regexp_replace(text, '[aeiou]', '', 'g'))
+                    AS INTEGER) AS n_vowels
+        FROM documents
+    """,
     "udf_table": """
         SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
     """,
@@ -137,4 +166,5 @@ QUERY_FNS = {
     "udf_grouped_agg": udf_grouped_agg,
     "udf_table": udf_table,
     "udf_table_udtf": udf_table_udtf,
+    "udf_arrow": udf_arrow,
 }
