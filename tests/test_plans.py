@@ -215,6 +215,20 @@ def test_range_frame_no_self_join(spark):
     assert plan.count("Exchange hashpartitioning") == 1
 
 
+def test_ratio_workloads_scan_fact_once(spark):
+    """sql_market_share / sql_promo_revenue: numerator and denominator of
+    the conditional-aggregate ratio must come from ONE pass — exactly one
+    lineitem scan in the plan, no self-join of the fact."""
+    from hive3_replication_spark.operators.sql_queries import (
+        sql_market_share,
+        sql_promo_revenue,
+    )
+
+    for fn in (sql_market_share, sql_promo_revenue):
+        plan = _plan(fn(spark, SF_DIR))
+        assert plan.count("lineitem.parquet") == 1, fn.__name__
+
+
 def test_disjunctive_predicates_push_to_both_scans(spark):
     """sql_discount_revenue: Catalyst must split the OR-of-ANDs and push
     the per-table halves into each parquet scan (quantity brackets to
