@@ -114,6 +114,62 @@ def clear_caches() -> None:
     _PAIR_MEMO.clear()
 
 
+def _pair_expand(docs: F.Column) -> F.Column:
+    """All ordered pairs (i < j ⇒ doc_a < doc_b) from a SORTED posting
+    list, expanded array-side — the shared candidate generator for every
+    blocking scheme (shingle postings, MinHash band buckets, SimHash band
+    buckets). Callers must cap the list length BEFORE the enclosing
+    collect_list (frequency pre-filter), which is what bounds this at
+    O(cap²) per bucket instead of O(bucket²).
+
+    Callers must also drop singleton lists first: ``sequence(0, -1)``
+    counts DOWNWARD in Spark (yielding [0, -1], then invalid element_at
+    probes under ANSI mode). The ngram path guarantees this via its
+    df ≥ 2 frequency filter; ``_capped_bucket_pairs`` filters size ≥ 2
+    explicitly."""
+    return F.flatten(
+        F.transform(
+            F.sequence(F.lit(0), F.size(docs) - 2),
+            lambda i: F.transform(
+                F.sequence(i + 1, F.size(docs) - 1),
+                lambda j: F.struct(
+                    F.element_at(docs, (i + 1).cast("int")).alias("doc_a"),
+                    F.element_at(docs, (j + 1).cast("int")).alias("doc_b"),
+                ),
+            ),
+        )
+    )
+
+
+def _capped_bucket_pairs(
+    bucketed: DataFrame, keys: list[str], max_bucket: int
+) -> DataFrame:
+    """Candidate pairs from bucket blocking with a hard skew cap: bucket
+    sizes are counted first (partial-aggregated — the exchange carries
+    |buckets| rows), buckets above ``max_bucket`` are dropped via a
+    broadcast anti-join (the OVERSIZED list is broadcast — by construction
+    it is tiny, unlike the keep-list), and only surviving buckets reach
+    collect_list + array-side pair expansion. Degenerate buckets
+    (boilerplate-heavy corpora produce them at 100 TB) therefore cost one
+    counted row, never O(bucket²) pairs in one task."""
+    big = (
+        bucketed.groupBy(*keys)
+        .agg(F.count("*").alias("bsz"))
+        .filter(F.col("bsz") > max_bucket)
+        .select(*keys)
+    )
+    kept = bucketed.join(F.broadcast(big), keys, "left_anti")
+    postings = kept.groupBy(*keys).agg(
+        F.sort_array(F.collect_list("doc_id")).alias("docs")
+    )
+    return (
+        postings.filter(F.size("docs") >= 2)
+        .select(F.explode(_pair_expand(F.col("docs"))).alias("p"))
+        .select("p.doc_a", "p.doc_b")
+        .distinct()
+    )
+
+
 def ngram_pair_jaccard(
     documents: DataFrame,
     cache_key: str,
@@ -149,20 +205,8 @@ def ngram_pair_jaccard(
     postings = sh_f.groupBy("shingle").agg(
         F.sort_array(F.collect_list("doc_id")).alias("docs")
     )
-    pair_arr = F.flatten(
-        F.transform(
-            F.sequence(F.lit(0), F.size("docs") - 2),
-            lambda i: F.transform(
-                F.sequence(i + 1, F.size("docs") - 1),
-                lambda j: F.struct(
-                    F.element_at("docs", (i + 1).cast("int")).alias("doc_a"),
-                    F.element_at("docs", (j + 1).cast("int")).alias("doc_b"),
-                ),
-            ),
-        )
-    )
     inter = (
-        postings.select(F.explode(pair_arr).alias("p"))
+        postings.select(F.explode(_pair_expand(F.col("docs"))).alias("p"))
         .select("p.doc_a", "p.doc_b")
         .groupBy("doc_a", "doc_b")
         .agg(F.count("*").alias("inter"))
@@ -215,9 +259,159 @@ def llm_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-#: Convergence backstop for label propagation — fixture components are
-#: near-cliques (diameter ≤ 3); the loop normally exits in 2-4 rounds.
+#: Round budget for large-star/small-star — the algorithm provably
+#: converges in O(log n) rounds (Kiveris et al., "Connected Components in
+#: MapReduce and Beyond"), so 25 covers graphs far beyond 2^20 nodes; hitting
+#: it means a logic bug, and the loop fails loudly rather than returning a
+#: partial closure.
 _MAX_CC_ITERS = 25
+
+
+def _large_star(edges: DataFrame) -> DataFrame:
+    """Large-star round: every node u connects each STRICTLY LARGER
+    neighbor to m = min(N(u) ∪ {u}) — one groupBy (partial-aggregated min)
+    + one key join, both on the node id."""
+    bidir = edges.select(
+        F.explode(
+            F.array(
+                F.struct(F.col("doc_a").alias("u"), F.col("doc_b").alias("v")),
+                F.struct(F.col("doc_b").alias("u"), F.col("doc_a").alias("v")),
+            )
+        ).alias("e")
+    ).select("e.u", "e.v")
+    mins = bidir.groupBy("u").agg(F.min("v").alias("mn"))
+    m = F.least(F.col("mn"), F.col("u"))
+    # no distinct / self-loop filter here: v > u ≥ m rules out self-loops,
+    # and duplicates are collapsed once per round by small-star's distinct —
+    # one dedup shuffle per round instead of two.
+    return (
+        bidir.join(mins, "u")
+        .filter(F.col("v") > F.col("u"))
+        .select(F.col("v").alias("doc_a"), m.alias("doc_b"))
+    )
+
+
+def _small_star(edges: DataFrame) -> DataFrame:
+    """Small-star round: orient each edge toward its larger endpoint, then
+    every node u connects its smaller neighbors AND itself to
+    m = min(N⁻(u))."""
+    directed = edges.select(
+        F.greatest("doc_a", "doc_b").alias("u"),
+        F.least("doc_a", "doc_b").alias("v"),
+    )
+    mins = directed.groupBy("u").agg(F.min("v").alias("m"))
+    nbrs = directed.join(mins, "u").select(F.col("v").alias("doc_a"), "m")
+    selfs = mins.select(F.col("u").alias("doc_a"), "m")
+    return (
+        nbrs.union(selfs)
+        .filter(F.col("doc_a") != F.col("m"))
+        .select("doc_a", F.col("m").alias("doc_b"))
+        .distinct()
+    )
+
+
+def connected_components(
+    pairs: DataFrame, max_rounds: int = _MAX_CC_ITERS
+) -> tuple[DataFrame, int]:
+    """Connected components over an undirected pair graph via alternating
+    large-star/small-star (Kiveris et al.) — O(log n) rounds even on
+    adversarial long chains, vs O(diameter) for plain min-label
+    propagation (templated web text produces exactly those chains at
+    corpus scale). Returns ``(labels, rounds)`` where labels has one
+    (node, label) row per graph node and label = component min.
+
+    Every round is two partial-aggregated groupBys + two key joins; the
+    edge relation is localCheckpointed per round so the driver iterates
+    over O(1) plans, never a growing lineage (on a real cluster use
+    reliable ``checkpoint()`` to survive executor loss). Convergence =
+    stable (count, hash-sum) fingerprint of the edge set — one tiny
+    aggregate per round; the round budget failing loudly is the guard
+    against silently shipping a partial closure."""
+    edges = pairs.select("doc_a", "doc_b").localCheckpoint()
+    fp = None
+    for rnd in range(1, max_rounds + 1):
+        edges = _small_star(_large_star(edges)).localCheckpoint()
+        row = edges.agg(
+            F.count("*").alias("n"),
+            # decimal(38,0) sum: exact and overflow-free under ANSI mode
+            F.coalesce(
+                F.sum(F.xxhash64("doc_a", "doc_b").cast("decimal(38,0)")),
+                F.lit(0).cast("decimal(38,0)"),
+            ).alias("h"),
+        ).first()
+        new_fp = (row["n"], row["h"])
+        if new_fp == fp:
+            # at the fixpoint every edge is (node → component min)
+            labels = edges.select(
+                F.col("doc_a").alias("node"), F.col("doc_b").alias("label")
+            )
+            roots = (
+                edges.select(F.col("doc_b").alias("node"))
+                .distinct()
+                .join(labels.select("node"), "node", "left_anti")
+                .withColumn("label", F.col("node"))
+            )
+            return labels.union(roots), rnd
+        fp = new_fp
+    raise RuntimeError(
+        f"connected_components did not converge in {max_rounds} rounds — "
+        "O(log n) bound violated, refusing to return a partial closure"
+    )
+
+
+#: Min-label-propagation budget before resolve_components falls back to the
+#: star algorithm: covers graph diameter ≤ 4, which near-dup components
+#: (near-cliques) satisfy in practice.
+_PROP_BUDGET = 4
+
+
+def resolve_components(pairs: DataFrame) -> tuple[DataFrame, int]:
+    """Hybrid component resolver: min-label propagation for up to
+    ``_PROP_BUDGET`` rounds — ONE key-partitioned shuffle per round,
+    converging in diameter rounds, optimal for the near-clique components
+    real near-dup graphs produce — then, if unconverged (chain-shaped
+    graph: templated web text at corpus scale), hands the ORIGINAL edge
+    set to ``connected_components`` (large-star/small-star, O(log n)
+    rounds but ~3 shuffles per round). Total rounds are therefore
+    O(log n) with a small additive constant, while the common case pays
+    only the cheap propagation rounds. Returns (labels, total_rounds).
+
+    Loop-carried relations are localCheckpointed per round so the driver
+    iterates over O(1) plans (on a real cluster use reliable
+    ``checkpoint()`` to survive executor loss mid-algorithm)."""
+    base = pairs.select("doc_a", "doc_b").localCheckpoint()
+    edges = base.select(
+        F.explode(
+            F.array(
+                F.struct(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")),
+                F.struct(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")),
+            )
+        ).alias("e")
+    ).select("e.src", "e.dst")
+    labels = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+        .localCheckpoint()
+    )
+    # exact-integer label sum decreases monotonically; equal sum ⇒ fixpoint
+    prev_sum = labels.agg(F.sum("label")).first()[0]
+    for rnd in range(1, _PROP_BUDGET + 1):
+        msgs = edges.join(labels, edges.src == labels.node).select(
+            F.col("dst").alias("node"), "label"
+        )
+        labels = (
+            msgs.union(labels.select("node", "label"))
+            .groupBy("node")
+            .agg(F.min("label").alias("label"))
+            .localCheckpoint()
+        )
+        cur_sum = labels.agg(F.sum("label")).first()[0]
+        if cur_sum == prev_sum:
+            return labels, rnd
+        prev_sum = cur_sum
+    star_labels, star_rounds = connected_components(base)
+    return star_labels, _PROP_BUDGET + star_rounds
 
 
 def llm_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -229,18 +423,12 @@ def llm_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     The standard resolution is transitive closure — cluster = connected
     component of the pair graph, keeper = min doc_id in the component.
 
-    Implementation is iterative min-label propagation (the GraphX/Pregel
-    shape on plain DataFrames): every node starts labeled with itself;
-    each round sends labels across edges and keeps the per-node min;
-    convergence is detected by the (monotonically decreasing, exact
-    integer) global label sum. The driver loop iterates over *plans*,
-    never data — each round is one key-partitioned shuffle, and labels
-    are persisted per round with the previous round unpersisted. Rounds
-    needed = graph diameter; near-dup components are near-cliques, so
-    this is small even at corpus scale. At 100 TB with adversarial long
-    chains, swap the body for the large-star/small-star variant
-    (Kiveris et al., "Connected Components in MapReduce") — same loop
-    skeleton, provably O(log n) rounds.
+    Implementation: ``resolve_components`` — budgeted min-label
+    propagation (1 shuffle/round, diameter rounds, optimal for the
+    near-clique components near-dup graphs actually form) falling back to
+    alternating large-star/small-star (Kiveris et al., O(log n) rounds)
+    when the budget trips, so adversarial chain-shaped dup graphs
+    (templated web text) stay O(log n) instead of O(diameter).
 
     Full SQL oracle: the edge set is the exact n-gram Jaccard pair set
     (shared with llm_dedup_ngram), and DuckDB computes the closure with
@@ -253,56 +441,7 @@ def llm_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("jaccard") >= 0.08)
         .select("doc_a", "doc_b")
     )
-    # Both edge orientations from ONE pass over the pair subtree: a union of
-    # pairs with its own mirror would reference the (expensive, unpersisted)
-    # pair pipeline twice and compute it twice — the engine-wide multi-
-    # reference rule. Explode emits (a,b) and (b,a) per row in a single scan.
-    #
-    # localCheckpoint (not persist) on every loop-carried relation: each
-    # round references `labels` twice, so a cached-but-untruncated plan
-    # doubles per round and Catalyst re-analyzes an exponentially growing
-    # tree — driver time, not executor time, dominated the naive loop
-    # (measured: rounds of 1.5 s → 4.7 s on a 500-row label table).
-    # Checkpointing truncates the lineage to the materialized RDD, keeping
-    # every round's plan O(1). On a real cluster use reliable
-    # ``checkpoint()`` to survive executor loss mid-algorithm.
-    edges = (
-        pairs.select(
-            F.explode(
-                F.array(
-                    F.struct(
-                        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
-                    ),
-                    F.struct(
-                        F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")
-                    ),
-                )
-            ).alias("e")
-        )
-        .select(F.col("e.src").alias("doc_a"), F.col("e.dst").alias("doc_b"))
-        .localCheckpoint()
-    )
-    labels = (
-        edges.select(F.col("doc_a").alias("node"))
-        .distinct()
-        .withColumn("label", F.col("node"))
-        .localCheckpoint()
-    )
-    prev_sum = labels.agg(F.sum("label")).first()[0]
-    for _ in range(_MAX_CC_ITERS):
-        msgs = edges.join(labels, edges.doc_a == labels.node).select(
-            F.col("doc_b").alias("node"), "label"
-        )
-        labels = (
-            msgs.union(labels.select("node", "label"))
-            .groupBy("node")
-            .agg(F.min("label").alias("label"))
-            .localCheckpoint()
-        )
-        cur_sum = labels.agg(F.sum("label")).first()[0]
-        if cur_sum == prev_sum:
-            break
-        prev_sum = cur_sum
+    labels, _rounds = resolve_components(pairs)
     sizes = labels.groupBy("label").agg(F.count("*").alias("n_members"))
     return labels.join(sizes, "label").select(
         F.col("node").alias("doc_id"),
@@ -355,14 +494,20 @@ def llm_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def llm_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+def llm_dedup_minhash(
+    spark: SparkSession, sf_dir: str, max_bucket: int = MAX_BUCKET
+) -> DataFrame:
     """L2 — MinHash + LSH near-dup (the 100 TB path; no SQL oracle — the
     signature depends on Spark's xxhash64, rows-only check + property tests).
 
     shingle → xxhash64 → k=32 universal-hash permutations → per-doc min per
-    permutation → 8 bands of 4 → band-bucket join for candidates → estimated
-    Jaccard = fraction of matching signature components. Shuffles: one per
-    groupBy (signature build) + one band join; every stage is key-partitioned.
+    permutation → 8 bands of 4 → band-bucket blocking for candidates →
+    estimated Jaccard = fraction of matching signature components. Band
+    buckets above ``max_bucket`` are dropped before pairing (same skew
+    guard as the shingle path): a degenerate bucket — boilerplate-heavy
+    corpora produce them — would otherwise emit O(bucket²) candidate pairs
+    in one task. Shuffles: one per groupBy (signature build) + the capped
+    bucket pairing; every stage is key-partitioned.
     """
     documents = load_table(spark, sf_dir, "documents")
     # distinct=False: per-permutation minima are duplicate-insensitive, so
@@ -395,15 +540,7 @@ def llm_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     banded = sig.select(
         "doc_id", F.explode(F.array(*band_structs)).alias("bb")
     ).select("doc_id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
-    cand = (
-        banded.alias("x")
-        .join(banded.alias("y"), ["band", "bucket"])
-        .filter(F.col("x.doc_id") < F.col("y.doc_id"))
-        .select(
-            F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b")
-        )
-        .distinct()
-    )
+    cand = _capped_bucket_pairs(banded, ["band", "bucket"], max_bucket)
     sig_a = sig.select(
         F.col("doc_id").alias("doc_a"),
         *[F.col(f"mh{k}").alias(f"a{k}") for k in range(MINHASH_PERMS)],
@@ -425,10 +562,15 @@ def llm_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def llm_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+def llm_dedup_simhash(
+    spark: SparkSession, sf_dir: str, max_bucket: int = MAX_BUCKET
+) -> DataFrame:
     """SimHash near-dup (rows-only): 32-bit simhash from token hashes —
     bit-majority over xxhash64(token) weighted by term frequency — candidates
-    from matching 8-bit bands (Hamming-distance blocking)."""
+    from matching 8-bit bands (Hamming-distance blocking). Band buckets
+    above ``max_bucket`` are dropped before pairing, same skew guard as
+    MinHash: without it one boilerplate bucket yields O(bucket²) pairs in
+    a single task at corpus scale."""
     documents = load_table(spark, sf_dir, "documents")
     toks = documents.select(
         "doc_id", F.explode(F.split(F.col("text"), " ")).alias("tok")
@@ -462,28 +604,24 @@ def llm_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         for bidx in range(4)
     ]
     bands = sim.select(
-        "doc_id", "simhash", F.explode(F.array(*band_structs)).alias("bb")
+        "doc_id", F.explode(F.array(*band_structs)).alias("bb")
     ).select(
         "doc_id",
         F.col("bb.band").alias("band"),
         F.col("bb.bucket").alias("bucket"),
-        "simhash",
     )
-    cand = (
-        bands.alias("x")
-        .join(bands.alias("y"), ["band", "bucket"])
-        .filter(F.col("x.doc_id") < F.col("y.doc_id"))
-        .select(
-            F.col("x.doc_id").alias("doc_a"),
-            F.col("y.doc_id").alias("doc_b"),
-            F.col("x.simhash").alias("sh_a"),
-            F.col("y.simhash").alias("sh_b"),
-        )
-        .distinct()
+    cand = _capped_bucket_pairs(bands, ["band", "bucket"], max_bucket)
+    sh_a = sim.select(
+        F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sh_a")
+    )
+    sh_b = sim.select(
+        F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sh_b")
     )
     ham = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
     return (
-        cand.withColumn("hamming", ham)
+        cand.join(sh_a, "doc_a")
+        .join(sh_b, "doc_b")
+        .withColumn("hamming", ham)
         .filter(F.col("hamming") <= 6)
         .select("doc_a", "doc_b", "hamming")
     )

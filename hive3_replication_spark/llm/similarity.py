@@ -183,36 +183,79 @@ def _planes(dim: int) -> list[list[float]]:
     return _PLANES_CACHE[dim]
 
 
-def _sig_bits(emb: F.Column, dim: int) -> F.Column:
-    """48 sign bits: sign(embedding · plane_j) for each hyperplane."""
-    planes_lit = F.array(
-        *[F.array(*[F.lit(v) for v in row]) for row in _planes(dim)]
-    )
-    return F.transform(
-        planes_lit,
-        lambda p: (
-            F.aggregate(
-                F.zip_with(emb, p, lambda x, h: x.cast("double") * h),
-                F.lit(0.0),
-                lambda acc, x: acc + x,
-            )
-            > 0
-        ).cast("int"),
-    )
+def _band_sig(emb: F.Column, dim: int) -> F.Column:
+    """12 position-keyed band values: band b packs 4 sign bits
+    sign(embedding · plane_j) as ``b·16 + bits`` (LSH banding: any shared
+    (position, bits) value makes a candidate — same AND-OR construction as
+    MinHash LSH; keying by position lets candidate matching be a plain
+    ``arrays_overlap`` instead of an exploded positional join).
 
+    Two formulation rules that dominate cost here:
 
-def _band_values(bits: F.Column) -> F.Column:
-    """Pack the sign bits into 4-bit band integers (LSH banding: any shared
-    band makes a candidate — same AND-OR construction as MinHash LSH)."""
+    - The plane matrix ships as ONE ``from_json`` node over a JSON string
+      literal, which ConstantFolding collapses to a single materialized
+      array<array<double>> Literal at optimization time (verified in the
+      optimized plan) — not 48×dim element-wise ``F.lit`` calls, which
+      build a ~3000-node tree that py4j marshals node-by-node and Catalyst
+      re-walks every pass (measured ~4 s of Column construction alone at
+      dim=64; a 2-D ndarray literal is unsupported in classic mode).
+    - Banding and the dot products are FUSED in one expression, indexing
+      planes per (band, bit) position, so each plane's fold is evaluated
+      exactly once per row. The split bits-column-then-pack form is a trap:
+      CollapseProject inlines the 48-fold bits array into every consumer,
+      and whole-stage codegen then compiles the ×12-unrolled fold into one
+      giant janino method (~16 s of driver compile time at sf0.01).
+    """
+    import json
+
+    planes_lit = F.from_json(
+        F.lit(json.dumps(_planes(dim))), "array<array<double>>"
+    )
     return F.transform(
         F.sequence(F.lit(0), F.lit(_N_PLANES // _BAND_WIDTH - 1)),
         lambda b: F.aggregate(
             F.sequence(F.lit(0), F.lit(_BAND_WIDTH - 1)),
-            F.lit(0),
+            # fold starts at b: after 4 shift-ins the value is b·16 + bits
+            b,
             lambda acc, k: acc * 2
-            + F.element_at(bits, (b * _BAND_WIDTH + k + 1).cast("int")),
+            + (
+                F.aggregate(
+                    F.zip_with(
+                        emb,
+                        F.element_at(
+                            planes_lit, (b * _BAND_WIDTH + k + 1).cast("int")
+                        ),
+                        lambda x, h: x.cast("double") * h,
+                    ),
+                    F.lit(0.0),
+                    lambda a, x: a + x,
+                )
+                > 0
+            ).cast("int"),
         ),
     )
+
+
+def _band_sig_local(vec: list[float]) -> list[int]:
+    """Driver-side twin of ``_band_sig`` for a single query vector: same
+    planes, same LEFT-FOLD accumulation order (a plain Python loop, not
+    numpy's pairwise/SIMD reduction), so the sign bits — and therefore the
+    buckets — are bit-identical to what the distributed expression computes
+    for the same vector."""
+    planes = _planes(len(vec))
+    bits = []
+    for p in planes:
+        acc = 0.0
+        for x, h in zip(vec, p):
+            acc += x * h
+        bits.append(1 if acc > 0 else 0)
+    out = []
+    for b in range(_N_PLANES // _BAND_WIDTH):
+        v = b
+        for k in range(_BAND_WIDTH):
+            v = v * 2 + bits[b * _BAND_WIDTH + k]
+        out.append(v)
+    return out
 
 
 def llm_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -221,11 +264,15 @@ def llm_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     the recall-vs-exact property test in tests/test_llm_props.py is the
     correctness check).
 
-    Corpus side: one narrow pass computes a 48-bit signature per vector,
-    banded 12×4 — cost O(planes · dim) per row, no shuffle. Candidates =
-    vectors sharing ANY band with the query (12-row broadcast semi-join —
-    never a corpus×corpus pair join). Only candidates reach the exact
-    scorer.
+    Corpus side: ONE narrow pass computes the 12×4 band signature per
+    vector, filters to vectors sharing ANY (position, bits) band with the
+    query via ``arrays_overlap`` against a 12-int literal, and exact-scores
+    the survivors — no explode, no join, no distinct; the only wide node is
+    the final TakeOrderedAndProject. The query's bands and embedding are
+    resolved driver-side (one 1-row lookup job) and ship inside the plan as
+    literals: a single query never justifies shuffling the corpus. For
+    query BATCHES, persist the (vec_id, bands) relation once and semi-join
+    it instead — the signature pass amortizes across queries.
 
     Banding is tuned for the fixture corpus, whose nearest neighbors sit
     at cosine ≈0.3-0.48 — close to the random-pair level, the hardest
@@ -236,34 +283,26 @@ def llm_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     for finer buckets.
     """
     emb = load_table(spark, sf_dir, "embeddings")
-    dim = len(emb.select("embedding").first()[0])
-    # Bind bits/bands as real columns (CollapseProject would otherwise
-    # inline the signature fold once per reference — the engine-wide
-    # higher-order-lambda CSE rule).
-    sigs = emb.withColumn("bits", _sig_bits(F.col("embedding"), dim)).withColumn(
-        "bands", _band_values(F.col("bits"))
-    )
-    banded = sigs.select(
-        "vec_id", F.posexplode("bands").alias("band_idx", "band_val")
-    )
-    query_bands = banded.filter(F.col("vec_id") == 0).drop("vec_id")
-    cands = (
-        banded.filter(F.col("vec_id") != 0)
-        .join(F.broadcast(query_bands), ["band_idx", "band_val"], "left_semi")
-        .select("vec_id")
-        .distinct()
-    )
-    query = emb.filter(F.col("vec_id") == 0).select(
-        F.col("embedding").alias("q_emb")
-    )
+    qe = [
+        float(v)
+        for v in emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]
+    ]
+    dim = len(qe)
+    q_bands = _band_sig_local(qe)
+    # query norm driver-side, same left-fold order as _norm
+    acc = 0.0
+    for x in qe:
+        acc += x * x
+    q_norm = acc**0.5
     scored = (
-        emb.join(cands, "vec_id")
-        .join(F.broadcast(query))
+        emb.filter(F.col("vec_id") != 0)
+        .withColumn("bands", _band_sig(F.col("embedding"), dim))
+        .filter(F.arrays_overlap(F.col("bands"), F.lit(q_bands)))
         .select(
             "vec_id",
             (
-                _dot(F.col("embedding"), F.col("q_emb"))
-                / (_norm(F.col("embedding")) * _norm(F.col("q_emb")))
+                _dot(F.col("embedding"), F.lit(qe))
+                / (_norm(F.col("embedding")) * F.lit(q_norm))
             ).alias("cosine"),
         )
     )

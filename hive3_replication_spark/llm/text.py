@@ -272,9 +272,14 @@ def llm_text_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     sizes; ties break on the term itself, making the top-3 total-ordered.
     Plan shape: token explode (narrow) → per-(doc, term) tf (one shuffle)
     → vocabulary df derived FROM the tf relation (|vocab| rows, partial-
-    aggregated) joined back via broadcast — the corpus is never joined to
-    itself — → per-doc top-3 via row_number, which WindowGroupLimit
-    prunes to 3 rows per doc inside the window stage at any corpus size.
+    aggregated) joined back — the corpus is never joined to itself — →
+    per-doc top-3 via row_number, which WindowGroupLimit prunes to 3 rows
+    per doc inside the window stage at any corpus size. The df side
+    carries NO broadcast hint: web-scale vocabularies can exceed driver/
+    broadcast limits, so the join strategy is left to AQE, which picks
+    broadcast-hash when |vocab| is under autoBroadcastJoinThreshold and
+    falls back to a sort-merge on `term` (both sides already partial-
+    aggregated to |vocab| and |doc×term| rows) when it is not.
     """
     documents = load_table(spark, sf_dir, "documents")
     toks = documents.select(
@@ -285,7 +290,7 @@ def llm_text_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (doc, term), so a count per term is the document frequency with no
     # second pass over the corpus.
     dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
-    scored = tf.join(F.broadcast(dfreq), "term").withColumn(
+    scored = tf.join(dfreq, "term").withColumn(
         "score", F.expr("tf * 1000000 DIV df")
     )
     w = Window.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("term"))

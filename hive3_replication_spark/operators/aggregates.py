@@ -351,7 +351,8 @@ def agg_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
 _PROFILE_ORACLE = " UNION ALL ".join(
     f"""
     SELECT '{c}' AS col_name, COUNT(*) AS n,
-           SUM(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS n_null,
+           CAST(SUM(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_null,
            COUNT(DISTINCT {c}) AS n_distinct,
            CAST(MIN({c}) AS DOUBLE) AS vmin, CAST(MAX({c}) AS DOUBLE) AS vmax,
            CAST(SUM(CAST({c} AS DECIMAL(18,4))) AS DOUBLE) AS vsum

@@ -102,7 +102,8 @@ def run_jdbc_stream(
         .trigger(availableNow=True)
         .start()
     )
-    query.awaitTermination(180)
+    if not query.awaitTermination(180):
+        raise TimeoutError("jdbc sink stream did not drain within 180s")
     out = read_table(spark)
     return out.select(
         F.col("event_type").cast("string"),

@@ -77,7 +77,8 @@ def run_stateful_progress_stream(
         .trigger(availableNow=True)
         .start()
     )
-    query.awaitTermination(180)
+    if not query.awaitTermination(180):
+        raise TimeoutError(f"stream {query.name} did not drain within 180s")
     # update mode appends one row per (user, batch); keep the latest per user
     from pyspark.sql import Window
 

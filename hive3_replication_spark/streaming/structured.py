@@ -63,7 +63,8 @@ def run_tumbling_stream(
         .trigger(availableNow=True)
         .start()
     )
-    query.awaitTermination(120)
+    if not query.awaitTermination(120):
+        raise TimeoutError(f"stream {query.name} did not drain within 120s")
     return spark.sql("SELECT * FROM h3r_tumbling")
 
 
@@ -88,7 +89,8 @@ def run_dedup_stream(
         .trigger(availableNow=True)
         .start()
     )
-    query.awaitTermination(120)
+    if not query.awaitTermination(120):
+        raise TimeoutError(f"stream {query.name} did not drain within 120s")
     return spark.sql("SELECT * FROM h3r_stream_dedup")
 
 
@@ -145,5 +147,6 @@ def run_replay_stream(
         .trigger(availableNow=True)
         .start()
     )
-    query.awaitTermination(180)
+    if not query.awaitTermination(180):
+        raise TimeoutError(f"stream {query.name} did not drain within 180s")
     return spark.read.parquet(state_dir)

@@ -179,3 +179,71 @@ def test_pack_sequences_invariants(spark):
     for _, grp in pdf.sort_values("doc_id").groupby("shard"):
         expect = grp.n_tokens.cumsum().shift(fill_value=0)
         assert (grp.seq_offset_tokens.values == expect.values).all()
+
+
+def _boilerplate_corpus(spark, tmp_path, n=40):
+    """n documents with IDENTICAL text — every LSH band bucket degenerates
+    to one bucket of size n (the boilerplate-heavy-corpus skew case)."""
+    import pandas as pd
+
+    text = "the same boilerplate sentence repeated for every single doc here"
+    pdf = pd.DataFrame(
+        {
+            "doc_id": range(n),
+            "text": [text] * n,
+            "lang": ["en"] * n,
+            "source": ["boiler"] * n,
+            "n_chars": [len(text)] * n,
+        }
+    )
+    out = tmp_path / "boiler"
+    out.mkdir()
+    pdf.to_parquet(out / "documents.parquet")
+    return str(out)
+
+
+def test_minhash_band_bucket_cap(spark, tmp_path):
+    """Skew guard contract (VERDICT r1 §wrong 2): a band bucket larger than
+    max_bucket must be DROPPED before pairing — 40 identical docs share
+    every bucket, so cap=10 yields zero candidate pairs while the default
+    cap pairs them all. Without the cap one degenerate bucket emits
+    O(bucket²) pairs in a single task at corpus scale."""
+    from hive3_replication_spark.llm.dedup import (
+        llm_dedup_minhash,
+        llm_dedup_simhash,
+    )
+
+    sf_dir = _boilerplate_corpus(spark, tmp_path)
+    n = 40
+    assert llm_dedup_minhash(spark, sf_dir, max_bucket=10).count() == 0
+    assert llm_dedup_minhash(spark, sf_dir).count() == n * (n - 1) // 2
+    assert llm_dedup_simhash(spark, sf_dir, max_bucket=10).count() == 0
+    assert llm_dedup_simhash(spark, sf_dir).count() == n * (n - 1) // 2
+
+
+def test_connected_components_chain_olog_rounds(spark):
+    """Star-contraction contract (VERDICT r1 §wrong 3): a planted
+    1000-node chain — the worst case for label propagation (diameter 999)
+    — must converge in O(log n) rounds with every node labeled 0."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from hive3_replication_spark.llm.dedup import (
+        connected_components,
+        resolve_components,
+    )
+
+    chain = spark.range(999).select(
+        F.col("id").alias("doc_a"), (F.col("id") + 1).alias("doc_b")
+    )
+    labels, rounds = connected_components(chain)
+    pdf = labels.toPandas()
+    assert len(pdf) == 1000 and (pdf.label == 0).all()
+    assert rounds <= 2 * math.ceil(math.log2(1000)) + 4, rounds
+
+    # the hybrid resolver adds only the constant propagation budget
+    labels_h, rounds_h = resolve_components(chain)
+    pdf_h = labels_h.toPandas()
+    assert len(pdf_h) == 1000 and (pdf_h.label == 0).all()
+    assert rounds_h <= rounds + 4 + 1

@@ -172,13 +172,16 @@ def test_waiting_supplier_plans_semi_and_anti(spark):
 
 def test_keywords_push_group_limit(spark):
     """llm_text_keywords: the per-doc top-3 must plan a WindowGroupLimit
-    (rank predicate pushed into the window stage) and the vocabulary df
-    side must broadcast — the corpus is never shuffled twice."""
+    (rank predicate pushed into the window stage). The vocabulary join
+    deliberately carries NO broadcast hint (web-scale vocab can exceed
+    broadcast limits) — AQE picks the strategy at runtime — so the gate
+    only rejects the catastrophic shape (nested-loop / cartesian)."""
     from hive3_replication_spark.llm.text import llm_text_keywords
 
     plan = _plan(llm_text_keywords(spark, SF_DIR), "simple")
     assert "WindowGroupLimit" in plan
-    assert "BroadcastHashJoin" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
 
 
 def test_ohlc_is_single_pass_hash_agg(spark):
