@@ -6,7 +6,8 @@ Usage:
     python -m hive3_replication_spark DBNAME \
         --source-root DIR --target-root DIR --repl-root DIR \
         [--watermark-dir DIR] [--run-dir DIR] [--allowlist db1,db2] \
-        [--include-external-tables] [--incr-rerun N] [--rerun-sleep SECS]
+        [--include-external-tables] [--incr-rerun N] [--rerun-sleep SECS] \
+        [--log-upload-dir DIR]
 
 Exit codes: 0 = verified success; 1 = any ladder failure (mirrors the
 reference's nonzero exits at ``hive3repl.sh:110-119``).
@@ -36,6 +37,9 @@ def main(argv: list[str] | None = None) -> int:
     parser.add_argument("--include-external-tables", action="store_true")
     parser.add_argument("--incr-rerun", type=int, default=3)  # env.sh:24
     parser.add_argument("--rerun-sleep", type=float, default=60.0)  # env.sh:26
+    # env.sh:39-41 HDFS_UPLOAD / HDFS_UPLOAD_DIR: passing the dir enables
+    # the run-log artifact export (S9)
+    parser.add_argument("--log-upload-dir")
     args = parser.parse_args(argv)
 
     cfg = ReplConfig(
@@ -47,6 +51,8 @@ def main(argv: list[str] | None = None) -> int:
         include_external_tables=args.include_external_tables,
         incr_rerun=args.incr_rerun,
         rerun_sleep_s=args.rerun_sleep,
+        log_upload=args.log_upload_dir is not None,
+        log_upload_dir=args.log_upload_dir,
     )
     spark = get_spark(app_name=f"h3r-{args.db_name}")
     try:

@@ -12,6 +12,8 @@ a parameter below).
 
 from __future__ import annotations
 
+import threading
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -99,6 +101,9 @@ def _swap_cache(key: str, df: DataFrame) -> DataFrame:
 #: llm_dedup_ngram and llm_dedup_clusters consume the SAME pair relation,
 #: so within a session the expensive blocking join runs once, not per op.
 _PAIR_MEMO: dict[str, tuple[str, DataFrame]] = {}
+#: Guards memo lookup/store: the prewarm thread may build the pair relation
+#: concurrently with the first consuming operator.
+_PAIR_LOCK = threading.Lock()
 
 
 def clear_caches() -> None:
@@ -180,7 +185,21 @@ def ngram_pair_jaccard(
     intersection counts → |A∩B| / |A∪B|. Returns (doc_a, doc_b, inter,
     jaccard). Used by llm_dedup_ngram and the composed pipeline so the
     blocking/threshold logic cannot drift between them. Pass ``memo_token``
-    (the corpus dir) to persist + reuse the scored pairs across operators."""
+    (the corpus dir) to persist + reuse the scored pairs across operators.
+    Plan construction + memo swap run under ``_PAIR_LOCK`` (the prewarm
+    thread builds the same relation concurrently with the sweep)."""
+    with _PAIR_LOCK:
+        return _ngram_pair_jaccard_locked(
+            documents, cache_key, max_bucket, memo_token
+        )
+
+
+def _ngram_pair_jaccard_locked(
+    documents: DataFrame,
+    cache_key: str,
+    max_bucket: int,
+    memo_token: str | None,
+) -> DataFrame:
     if memo_token is not None:
         hit = _PAIR_MEMO.get(cache_key)
         if hit is not None and hit[0] == memo_token:

@@ -81,12 +81,30 @@ def agg_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A6 — HyperLogLog++ approximate distinct: the 100 TB form of A5 (a
-    fixed-size sketch per partition instead of a distinct shuffle). No SQL
-    oracle — sketch estimates are engine-specific; the driver records a
-    rows-only check and tests assert the estimate is within rsd of exact."""
+    fixed-size sketch per partition instead of a distinct shuffle).
+
+    The sketch ESTIMATE is engine-specific, so the verifiable contract is
+    its error bound: the query emits the exact count plus a boolean
+    asserting the estimate landed within 5·rsd of it, which a SQL oracle
+    reproduces as (exact, TRUE) — converting this key from a rows-only
+    check to a full value-hash row. The exact count exists here only to
+    ground the bound; production callers use the estimate alone (the whole
+    point at 100 TB), and the tighter accuracy assertion lives in the
+    property test."""
     events = load_table(spark, sf_dir, "events")
-    return events.agg(
-        F.approx_count_distinct("user_id", 0.02).alias("n_users_approx")
+    est = events.agg(
+        F.approx_count_distinct("user_id", 0.02).alias("n_users_approx"),
+        F.countDistinct("user_id").alias("n_users"),
+    )
+    bound = F.greatest(
+        (F.lit(5 * 0.02) * F.col("n_users")).cast("double"), F.lit(5.0)
+    )
+    return est.select(
+        "n_users",
+        (
+            F.abs(F.col("n_users_approx") - F.col("n_users")).cast("double")
+            <= bound
+        ).alias("approx_within_rsd"),
     )
 
 
@@ -123,18 +141,46 @@ def agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     Greenwald-Khanna sketch (`percentile_approx`, accuracy 10000 ⇒ rank
     error ≤ 1e-4). Exact percentiles materialize every group's values;
     the GK summary is fixed-size per group and merges associatively —
-    the same partial/final shape as any hash agg. Rows-only check
-    (sketch merge order is partitioning-dependent within rank error);
-    the property test brackets each estimate between the exact
-    (q−ε) and (q+ε) quantiles."""
+    the same partial/final shape as any hash agg.
+
+    The estimates themselves are partitioning-dependent within rank
+    error, so the verifiable contract is the RANK of each estimate: the
+    fact table is re-joined against the (broadcast, groups-sized)
+    estimate relation to count values ≤ estimate, and the query emits
+    per-group booleans asserting |rank/n − q| ≤ 0.01 — which the SQL
+    oracle reproduces as TRUE, making this a full value-hash row instead
+    of rows-only. The tighter (q ± ε + 1/n) bracket stays in the
+    property test."""
     lineitem = load_table(spark, sf_dir, "lineitem")
     pct = F.percentile_approx(
         "l_extendedprice", F.array(F.lit(0.5), F.lit(0.9)), 10000
     )
-    return lineitem.groupBy("l_returnflag").agg(
+    est = lineitem.groupBy("l_returnflag").agg(
         pct.getItem(0).alias("p50_approx"),
         pct.getItem(1).alias("p90_approx"),
+    )
+    joined = lineitem.select("l_returnflag", "l_extendedprice").join(
+        F.broadcast(est), "l_returnflag"
+    )
+    ranks = joined.groupBy("l_returnflag").agg(
         F.count("*").alias("n_rows"),
+        F.sum(
+            (F.col("l_extendedprice") <= F.col("p50_approx")).cast("bigint")
+        ).alias("n_le_p50"),
+        F.sum(
+            (F.col("l_extendedprice") <= F.col("p90_approx")).cast("bigint")
+        ).alias("n_le_p90"),
+    )
+    tol = 0.01
+    return ranks.select(
+        "l_returnflag",
+        "n_rows",
+        (
+            F.abs(F.col("n_le_p50") / F.col("n_rows") - F.lit(0.5)) <= tol
+        ).alias("p50_rank_ok"),
+        (
+            F.abs(F.col("n_le_p90") / F.col("n_rows") - F.lit(0.9)) <= tol
+        ).alias("p90_rank_ok"),
     )
 
 
@@ -364,6 +410,18 @@ _PROFILE_ORACLE = " UNION ALL ".join(
 ORACLES: dict[str, str] = {
     "agg_table_profile": _PROFILE_ORACLE,
     "agg_max_watermark": "SELECT MAX(event_id) AS last_repl_id FROM events",
+    # bracketing oracles: the sketch ops emit (exact stats, within-bound
+    # booleans), which SQL reproduces as (exact, TRUE) — hard-signal rows
+    # for estimates that are engine-specific by nature
+    "agg_approx_distinct": """
+        SELECT COUNT(DISTINCT user_id) AS n_users, TRUE AS approx_within_rsd
+        FROM events
+    """,
+    "agg_approx_percentile": """
+        SELECT l_returnflag, COUNT(*) AS n_rows,
+               TRUE AS p50_rank_ok, TRUE AS p90_rank_ok
+        FROM lineitem GROUP BY l_returnflag
+    """,
     "agg_mode": """
         SELECT o_orderstatus, o_orderpriority AS mode_priority,
                cnt AS mode_count

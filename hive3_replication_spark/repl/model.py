@@ -104,6 +104,8 @@ class ReplConfig:
     include_external_tables: bool = False     # env.sh:8
     incr_rerun: int = 3                        # env.sh:24 INCR_RERUN
     rerun_sleep_s: float = 0.0                 # env.sh:26 RERUN_SLEEP (60s prod)
+    log_upload: bool = False                   # env.sh:39 HDFS_UPLOAD
+    log_upload_dir: str | None = None          # env.sh:41 HDFS_UPLOAD_DIR
 
     def validate(self) -> None:
         """Arg/allowlist validation (``hive3repl.sh:40-57`` →

@@ -8,12 +8,19 @@ Flow per run (mirrors ``hive3repl.sh:81-186``):
 4. replay at target (with retry for incremental; bootstrap retries are
    forced to 1 per ``hive3repl.sh:99-100``);
 5. verify: re-probe status and classify via the 5-way ladder;
-6. append a run-log row (the log sink, ``misc_functions.sh:16-18``).
+6. append a run-log row (the log sink, ``misc_functions.sh:16-18``) and,
+   when enabled, export the run-log artifact to the configured upload
+   directory (``misc_functions.sh:115-149``; flags ``env.sh:39-41``) — on
+   BOTH the success and the failure path, since failed-run triage is the
+   reason the upload exists.
 """
 
 from __future__ import annotations
 
 import datetime as dt
+import json
+import logging
+import os
 
 from pyspark.sql import SparkSession
 
@@ -45,6 +52,46 @@ def run_all(
     return reports
 
 
+def export_run_log(cfg: ReplConfig, report: dict) -> str | None:
+    """S9 — run-log artifact export (``misc_functions.sh:115-149``,
+    ``upload_logs_to_hdfs``; flags ``env.sh:39-41`` HDFS_UPLOAD /
+    HDFS_UPLOAD_DIR): copy the run's log artifact to a configured upload
+    directory at pipeline end so failed runs can be triaged without shell
+    access to the replication host.
+
+    Fidelity notes: the export is FLAG-GATED and defaults off; the upload
+    directory must pre-exist (the reference ``hdfs dfs -test -d``s it and
+    warn-skips — it never creates it, and neither do we); and upload
+    failure never fails the replication run itself (the reference only
+    echoes an ERROR line). The artifact is a JSON file — the engine analog
+    of the reference's text log file, carrying the run report rather than
+    raw log lines. Returns the written path, or None when skipped."""
+    if not cfg.log_upload:
+        return None
+    if not cfg.log_upload_dir or not os.path.isdir(cfg.log_upload_dir):
+        logging.warning(
+            "run-log upload dir %r does not exist; skipping log upload "
+            "(misc_functions.sh:144-146)",
+            cfg.log_upload_dir,
+        )
+        return None
+    stamp = dt.datetime.now(dt.timezone.utc).strftime("%Y%m%dT%H%M%S_%f")
+    path = os.path.join(
+        cfg.log_upload_dir, f"replog_{cfg.db_name}_{stamp}.json"
+    )
+    try:
+        with open(path, "w", encoding="utf-8") as f:
+            json.dump(report, f, default=str, indent=1)
+    except OSError as exc:  # upload failure must not fail the run
+        logging.error(
+            "run-log upload to %r failed: %s (misc_functions.sh:140-142)",
+            path,
+            exc,
+        )
+        return None
+    return path
+
+
 def run_replication(
     spark: SparkSession, cfg: ReplConfig, run_dir: str, watermark_dir: str
 ) -> dict:
@@ -60,8 +107,24 @@ def run_replication(
     # incremental path. The lock lives under the CONTENDED resource
     # (repl_root), not the caller's run_dir, so runs launched with different
     # run_dir flags still exclude each other.
-    with RunLock(f"{cfg.repl_root}/_locks", f"instance_{cfg.db_name}"):
-        return _run_locked(spark, cfg, run_dir, watermark_dir, started)
+    try:
+        with RunLock(f"{cfg.repl_root}/_locks", f"instance_{cfg.db_name}"):
+            report = _run_locked(spark, cfg, run_dir, watermark_dir, started)
+    except Exception as exc:
+        # failure-path export: the triage artifact matters MOST here
+        export_run_log(
+            cfg,
+            {
+                "db_name": cfg.db_name,
+                "status": "error",
+                "error": str(exc),
+                "started": started.isoformat(),
+                "finished": dt.datetime.now(dt.timezone.utc).isoformat(),
+            },
+        )
+        raise
+    export_run_log(cfg, report)
+    return report
 
 
 def _run_locked(

@@ -9,6 +9,7 @@ payloads (vectorized reader + pushdown), JDBC for warehouse endpoints
 from __future__ import annotations
 
 import tempfile
+import threading
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -154,13 +155,22 @@ def scan_json(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _PARTITIONED_CACHE: dict[str, str] = {}
+#: Serializes layout materialization: the prewarm thread (entry() smoke
+#: check) and the verify sweep may request the same layout concurrently.
+_LAYOUT_LOCK = threading.Lock()
 
 
 def partitioned_events_path(spark: SparkSession, sf_dir: str) -> str:
     """Materialize the events table partitioned by event date — the 100 TB
     layout for the change stream (SURVEY.md §4: partitioned writes +
     partition pruning make incremental runs O(delta)). Cached per (process,
-    sf_dir) so repeated queries reuse the layout."""
+    sf_dir) so repeated queries reuse the layout; lock-guarded against the
+    concurrent prewarm thread."""
+    with _LAYOUT_LOCK:
+        return _partitioned_events_path_locked(spark, sf_dir)
+
+
+def _partitioned_events_path_locked(spark: SparkSession, sf_dir: str) -> str:
     if sf_dir not in _PARTITIONED_CACHE:
         out = tempfile.mkdtemp(prefix="h3r_part_") + "/events_by_day"
         events = load_table(spark, sf_dir, "events")
@@ -201,8 +211,13 @@ def bucketed_tables(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
     or aggregation on that key runs with zero exchange — the 100 TB answer
     to "this fact-fact join shuffles 100 TB every run". Registered in the
     session catalog; cached per (process, sf_dir) like the partitioned
-    layout above.
+    layout above, and lock-guarded against the concurrent prewarm thread.
     """
+    with _LAYOUT_LOCK:
+        return _bucketed_tables_locked(spark, sf_dir)
+
+
+def _bucketed_tables_locked(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
     ensure_engine_confs(spark)
     tag = sf_dir.rstrip("/").rsplit("sf", 1)[-1].replace(".", "_")
     names = (f"h3r_orders_b{tag}", f"h3r_lineitem_b{tag}")

@@ -40,6 +40,9 @@ def main() -> None:
     spec = importlib.util.spec_from_file_location("__spark_entry__", "__spark_entry__.py")
     m = importlib.util.module_from_spec(spec)
     spec.loader.exec_module(m)
+    t_e = time.time()
+    m.entry(spark).collect()  # driver smoke check — also kicks off prewarm
+    t_entry = time.time() - t_e
     q, o = m.queries(), m.oracle_sql()
 
     con = duckdb.connect()
@@ -75,7 +78,10 @@ def main() -> None:
         print(f"{k:32s} spark={t_spark:6.2f}s oracle={t_oracle:6.2f}s rows={n} {err or ''}", flush=True)
 
     total = sum(r["spark_s"] + r["oracle_s"] for r in rows)
-    print(f"\nsession={t_session:.1f}s  total sweep={total:.1f}s  keys={len(rows)}")
+    print(
+        f"\nsession={t_session:.1f}s  entry={t_entry:.1f}s  "
+        f"total sweep={total:.1f}s  keys={len(rows)}"
+    )
     rows.sort(key=lambda r: -(r["spark_s"] + r["oracle_s"]))
     print("\nslowest 20:")
     for r in rows[:20]:

@@ -103,13 +103,17 @@ def test_lsh_finds_planted_near_dup(spark, tmp_path):
 
 
 def test_approx_distinct_within_rsd(spark):
-    est = agg_approx_distinct(spark, SF_DIR).collect()[0]["n_users_approx"]
-    exact = (
-        spark.read.parquet(f"{SF_DIR}/events.parquet")
-        .select("user_id")
-        .distinct()
-        .count()
-    )
+    """The op's own bound column must hold, its exact count must match a
+    direct distinct, and the raw HLL++ estimate (re-run here, since the
+    bracketed output intentionally omits it) must sit within rsd slack."""
+    row = agg_approx_distinct(spark, SF_DIR).collect()[0]
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    exact = ev.select("user_id").distinct().count()
+    assert row["n_users"] == exact
+    assert row["approx_within_rsd"] is True
+    est = ev.agg(F.approx_count_distinct("user_id", 0.02).alias("e")).collect()[
+        0
+    ]["e"]
     assert abs(est - exact) <= max(3, 0.1 * exact), (est, exact)
 
 
@@ -138,20 +142,32 @@ def test_hll_sketch_estimates_and_union(spark):
 
 
 def test_approx_percentile_within_rank_error(spark):
-    """Each GK estimate must lie between the exact (q−ε) and (q+ε)
-    quantiles for ε = 1/accuracy (the sketch's rank-error contract)."""
+    """The op's rank-bound booleans must hold for every group, and the raw
+    GK estimates (re-run here, since the bracketed output intentionally
+    omits them) must lie between the exact (q−ε) and (q+ε) quantiles for
+    ε = 1/accuracy (the sketch's rank-error contract)."""
     from hive3_replication_spark.operators.aggregates import agg_approx_percentile
 
     got = agg_approx_percentile(spark, SF_DIR).toPandas()
+    assert got.p50_rank_ok.all() and got.p90_rank_ok.all()
     li = (
         spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
         .select("l_returnflag", "l_extendedprice")
         .toPandas()
     )
+    pct = F.percentile_approx(
+        "l_extendedprice", F.array(F.lit(0.5), F.lit(0.9)), 10000
+    )
+    ests = (
+        spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+        .groupBy("l_returnflag")
+        .agg(pct.getItem(0).alias("p50"), pct.getItem(1).alias("p90"))
+        .toPandas()
+    )
     eps = 1e-4
-    for _, row in got.iterrows():
+    for _, row in ests.iterrows():
         vals = li[li.l_returnflag == row.l_returnflag].l_extendedprice
-        for q, est in ((0.5, row.p50_approx), (0.9, row.p90_approx)):
+        for q, est in ((0.5, row.p50), (0.9, row.p90)):
             lo = vals.quantile(max(0.0, q - eps - 1 / len(vals)))
             hi = vals.quantile(min(1.0, q + eps + 1 / len(vals)))
             assert lo <= est <= hi, (row.l_returnflag, q, est, lo, hi)

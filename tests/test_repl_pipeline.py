@@ -257,3 +257,52 @@ def test_ddl_replay_table_create_and_drop(spark, repl_env):
     # a further no-op incremental drops nothing more
     r3 = run_replication(spark, cfg, run_dir, wm_dir)
     assert r3["tables_dropped"] == []
+
+
+def test_run_log_export_success_failure_and_gating(spark, repl_env, tmp_path):
+    """S9 run-log upload (misc_functions.sh:115-149, flags env.sh:39-41):
+    artifacts must land on BOTH the success and the failure path when the
+    flag is on and the dir exists; a missing upload dir warn-skips without
+    failing the run (the reference never creates it); flag off → nothing."""
+    import dataclasses
+    import json as _json
+
+    cfg, run_dir, wm_dir, ev, cut, max_id = repl_env
+    up = tmp_path / "uploads"
+    up.mkdir()
+
+    # flag off (default): no artifact
+    report = run_replication(spark, cfg, run_dir, wm_dir)
+    assert report["status"] == STATUS_SUCCESS
+    assert list(up.glob("replog_*")) == []
+
+    # success path with flag on
+    cfg_on = dataclasses.replace(
+        cfg, log_upload=True, log_upload_dir=str(up)
+    )
+    report = run_replication(spark, cfg_on, run_dir, wm_dir)
+    arts = sorted(up.glob("replog_repltest_*.json"))
+    assert len(arts) == 1
+    logged = _json.loads(arts[0].read_text())
+    assert logged["status"] == report["status"]
+    assert logged["db_name"] == "repltest"
+
+    # failure path: break the source root so the run raises — the artifact
+    # must still land, carrying the error
+    cfg_bad = dataclasses.replace(
+        cfg_on, source_root=str(tmp_path / "nonexistent_source")
+    )
+    with pytest.raises(Exception):
+        run_replication(spark, cfg_bad, run_dir, wm_dir)
+    arts = sorted(up.glob("replog_repltest_*.json"))
+    assert len(arts) == 2
+    failed = _json.loads(arts[-1].read_text())
+    assert failed["status"] == "error" and failed["error"]
+
+    # missing upload dir: warn-skip, run still succeeds
+    cfg_missing = dataclasses.replace(
+        cfg, log_upload=True, log_upload_dir=str(tmp_path / "no_such_dir")
+    )
+    report = run_replication(spark, cfg_missing, run_dir, wm_dir)
+    assert report["status"] in (STATUS_SUCCESS, STATUS_NO_PROGRESS)
+    assert not (tmp_path / "no_such_dir").exists()
