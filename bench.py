@@ -64,6 +64,8 @@ HEADLINE = (
     "join_snapshot_diff",
     "agg_table_profile",
     "snapshot_load",
+    "llm_chunk_windows",
+    "llm_mix_sources",
 )
 
 

@@ -213,12 +213,13 @@ def _ngram_pair_jaccard_locked(
     # the memory guard that makes the array-side expansion 100 TB-safe;
     # surviving lists are ≤ max_bucket ids. Pairs are expanded array-side
     # over the sorted list (i < j ⇒ doc_a < doc_b, same order the join
-    # variant produced).
+    # variant produced). The kept-frequency relation carries NO broadcast
+    # hint: it is |vocab|-sized, which exceeds broadcast limits on web-
+    # scale corpora — AQE broadcasts it when it is actually small, and the
+    # fallback join is co-partitioned on the shingle key either way.
     freq = sh.groupBy("shingle").agg(F.count("*").alias("df"))
     sh_f = sh.join(
-        F.broadcast(
-            freq.filter((F.col("df") >= 2) & (F.col("df") <= max_bucket))
-        ),
+        freq.filter((F.col("df") >= 2) & (F.col("df") <= max_bucket)),
         "shingle",
     )
     postings = sh_f.groupBy("shingle").agg(
@@ -235,9 +236,12 @@ def _ngram_pair_jaccard_locked(
     jac = F.col("inter").cast("double") / (
         F.col("sz_a") + F.col("sz_b") - F.col("inter")
     ).cast("double")
+    # size joins also un-hinted: the per-doc size relation is |corpus|-
+    # sized — a forced broadcast OOMs the driver on billion-doc corpora;
+    # keyed on doc id both joins shuffle only |pairs| + |docs| narrow rows
     scored = (
-        inter.join(F.broadcast(sz_a), "doc_a")
-        .join(F.broadcast(sz_b), "doc_b")
+        inter.join(sz_a, "doc_a")
+        .join(sz_b, "doc_b")
         .withColumn("jaccard", jac)
     )
     if memo_token is not None:

@@ -1,5 +1,6 @@
 """Corpus assembly for training-data pipelines (SURVEY.md §2.11): stratified
-sampling and fixed-budget sequence packing.
+sampling, fixed-budget sequence packing, context-window chunking, and
+token-budget source mixing.
 
 Language/source rebalancing is a standard corpus-construction step: keep a
 different fraction of each stratum (downsample the over-represented
@@ -102,6 +103,99 @@ def llm_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Chunking parameters: window W tokens with stride S (overlap W-S). Sized
+#: to the fixture's ~55-token docs so every doc yields 2-3 chunks; a
+#: production pipeline uses the model context (e.g. W=2048, S=1792) — the
+#: plan shape is identical at any W.
+_CHUNK_W = 32
+_CHUNK_S = 24
+
+
+def llm_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window chunking: split each document into overlapping
+    fixed-token windows — the step that turns variable-length documents
+    into model-sized training samples (overlap preserves cross-boundary
+    context).
+
+    Fully narrow: tokenize once into a bound array column, compute the
+    chunk count with INTEGER arithmetic (engine-identical, hence the full
+    SQL oracle), explode the chunk indices, and slice the token array per
+    chunk — no shuffle anywhere, so the operator is embarrassingly
+    parallel at any corpus size. Chunk count = 1 for docs within one
+    window, else 1 + ceil((n−W)/S) via (n−W+S−1) DIV S."""
+    docs = load_table(spark, sf_dir, "documents")
+    with_toks = docs.select(
+        "doc_id",
+        F.split(F.col("text"), " ").alias("toks"),
+        F.size(F.split(F.col("text"), " ")).cast("bigint").alias("n_toks"),
+    )
+    # integer DIV, not `/`: float division loses exactness past 2^53 and
+    # this arithmetic must be bit-identical to the SQL oracle at any scale
+    n_chunks = F.when(
+        F.col("n_toks") <= _CHUNK_W, F.lit(1).cast("bigint")
+    ).otherwise(
+        F.expr(
+            f"1 + (n_toks - {_CHUNK_W} + {_CHUNK_S} - 1) DIV {_CHUNK_S}"
+        )
+    )
+    chunks = with_toks.select(
+        "doc_id",
+        "toks",
+        F.explode(F.sequence(F.lit(0).cast("bigint"), n_chunks - 1)).alias(
+            "chunk_idx"
+        ),
+    )
+    start = (F.col("chunk_idx") * _CHUNK_S).cast("int")
+    piece = F.slice(F.col("toks"), start + 1, _CHUNK_W)
+    return chunks.select(
+        "doc_id",
+        "chunk_idx",
+        start.cast("bigint").alias("chunk_start_tok"),
+        F.size(piece).cast("bigint").alias("n_chunk_tokens"),
+        F.array_join(piece, " ").alias("chunk_text"),
+    )
+
+
+def llm_mix_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget source mixing: downsample every source to the SMALLEST
+    source's token budget — the corpus-mixture step that stops one crawl
+    from dominating the training distribution.
+
+    Two-phase: (1) per-source token totals — a partial-aggregated groupBy
+    whose exchange carries |sources| rows; (2) a narrow keep-filter via
+    the same deterministic LCG bucket as stratified sampling, with
+    per-source thresholds (min_tokens · BUCKETS) DIV source_tokens — all
+    integer arithmetic, so the kept set is reproducible on any cluster
+    size AND SQL-verifiable. The threshold relation is |sources|-sized and
+    joins back without a hint (AQE broadcasts it when small). At 100 TB
+    phase 1 reads precomputed per-source stats instead of re-scanning;
+    the keep-filter pass is unchanged."""
+    docs = load_table(spark, sf_dir, "documents")
+    with_n = docs.select(
+        "doc_id",
+        "source",
+        F.size(F.split(F.col("text"), " ")).cast("bigint").alias("n_tokens"),
+    )
+    totals = with_n.groupBy("source").agg(
+        F.sum("n_tokens").alias("src_tokens")
+    )
+    min_row = totals.agg(F.min("src_tokens").alias("min_tokens"))
+    thresholds = totals.crossJoin(min_row).select(
+        "source",
+        "src_tokens",
+        # integer DIV (see llm_chunk_windows): exact at any token scale
+        F.expr(f"(min_tokens * {_BUCKETS}) DIV src_tokens").alias(
+            "keep_threshold"
+        ),
+    )
+    return (
+        with_n.join(thresholds, "source")
+        .withColumn("mix_bucket", sample_bucket(F.col("doc_id")))
+        .filter(F.col("mix_bucket") < F.col("keep_threshold"))
+        .select("doc_id", "source", "n_tokens", "mix_bucket")
+    )
+
+
 ORACLES: dict[str, str] = {
     "llm_pack_sequences": f"""
         WITH staged AS (
@@ -140,9 +234,61 @@ ORACLES: dict[str, str] = {
             WHEN 'zh' THEN 1536
             ELSE {_DEFAULT_KEEP} END
     """,
+    "llm_chunk_windows": f"""
+        WITH t AS (
+            SELECT doc_id, string_split(text, ' ') AS toks,
+                   CAST(len(string_split(text, ' ')) AS BIGINT) AS n
+            FROM documents
+        ),
+        c AS (
+            SELECT doc_id, toks,
+                   CASE WHEN n <= {_CHUNK_W} THEN 1
+                        ELSE 1 + (n - {_CHUNK_W} + {_CHUNK_S} - 1) // {_CHUNK_S}
+                   END AS n_chunks
+            FROM t
+        ),
+        idx AS (
+            SELECT doc_id, toks, unnest(range(n_chunks)) AS chunk_idx FROM c
+        )
+        SELECT doc_id, chunk_idx,
+               CAST(chunk_idx * {_CHUNK_S} AS BIGINT) AS chunk_start_tok,
+               CAST(len(list_slice(toks, chunk_idx * {_CHUNK_S} + 1,
+                                   chunk_idx * {_CHUNK_S} + {_CHUNK_W}))
+                    AS BIGINT) AS n_chunk_tokens,
+               array_to_string(
+                   list_slice(toks, chunk_idx * {_CHUNK_S} + 1,
+                              chunk_idx * {_CHUNK_S} + {_CHUNK_W}), ' ')
+                   AS chunk_text
+        FROM idx
+    """,
+    "llm_mix_sources": f"""
+        WITH n AS (
+            SELECT doc_id, source,
+                   CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+            FROM documents
+        ),
+        tot AS (
+            SELECT source, SUM(n_tokens) AS src_tokens FROM n GROUP BY source
+        ),
+        m AS (SELECT MIN(src_tokens) AS min_tokens FROM tot),
+        thr AS (
+            SELECT source,
+                   CAST((min_tokens * {_BUCKETS}) // src_tokens AS BIGINT)
+                       AS keep_threshold
+            FROM tot, m
+        )
+        SELECT n.doc_id, n.source, n.n_tokens,
+               ((n.doc_id % {_PRIME}) * {_MULT} + {_INC}) % {_BUCKETS}
+                   AS mix_bucket
+        FROM n JOIN thr USING (source)
+        WHERE ((n.doc_id % {_PRIME}) * {_MULT} + {_INC}) % {_BUCKETS}
+              < keep_threshold
+    """,
 }
 
 QUERY_FNS = {
     "llm_sample_stratified": llm_sample_stratified,
     "llm_pack_sequences": llm_pack_sequences,
+    "llm_chunk_windows": llm_chunk_windows,
+    "llm_mix_sources": llm_mix_sources,
 }

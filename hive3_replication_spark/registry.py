@@ -65,7 +65,8 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 #: registration never breaks on an unprofiled key.
 _SWEEP_ORDER: tuple[str, ...] = (
     "stream_retry", "fn_concat", "fn_hash", "fn_regexp_replace",
-    "fn_regexp_extract", "llm_sample_stratified", "sort_topk",
+    "fn_regexp_extract", "llm_sample_stratified", "llm_chunk_windows",
+    "llm_mix_sources", "sort_topk",
     "filter_multi_rlike", "fn_param_sql", "llm_text_bpe_count",
     "fn_div_mod", "llm_text_quality", "reshape_explode", "filter_negative",
     "fn_date_format", "llm_dedup_exact", "reshape_unpivot",

@@ -242,3 +242,14 @@ def test_disjunctive_predicates_push_to_both_scans(spark):
     assert "PushedFilters: [IsNotNull(l_partkey), Or(" in plan
     assert plan.count("PushedFilters: [") >= 2
     assert "BroadcastHashJoin" in plan
+
+
+def test_chunk_windows_is_fully_narrow(spark):
+    """llm_chunk_windows: overlapping-window chunking must plan ZERO
+    exchanges — tokenize, integer chunk-count, explode, slice are all
+    narrow, which is what makes chunking embarrassingly parallel over a
+    100 TB corpus."""
+    from hive3_replication_spark.llm.sampling import llm_chunk_windows
+
+    plan = _plan(llm_chunk_windows(spark, SF_DIR), "simple")
+    assert "Exchange" not in plan, plan
