@@ -118,19 +118,45 @@ def agg_hll_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     first-class, storable value, so a day-partitioned 100 TB pipeline
     aggregates each new partition once, persists |keys| kilobyte-sized
     sketches, and answers any-window distinct queries by sketch union —
-    no history re-scan. Rows-only check (estimates are sketch-seeded);
-    the property test asserts per-type accuracy AND that the union row
-    equals the union's estimate over exact data within HLL error."""
+    no history re-scan.
+
+    Verified via a BRACKETING oracle (same pattern as A6): estimates are
+    sketch-seeded and engine-specific, so each row emits the EXACT
+    distinct count plus a boolean asserting the sketch estimate — and for
+    '__all__', the UNION's estimate, the mergeability contract — landed
+    within 5% of it; SQL reproduces the pair as (exact, TRUE). The raw
+    estimates stay asserted in the property test."""
     events = load_table(spark, sf_dir, "events")
     per_type = events.groupBy("event_type").agg(
-        F.hll_sketch_agg("user_id").alias("sk")
+        F.hll_sketch_agg("user_id").alias("sk"),
+        F.countDistinct("user_id").alias("n_users"),
+    )
+    bound = lambda est, exact: (  # noqa: E731 — local readability helper
+        F.abs(est - exact) <= F.greatest(0.05 * exact, F.lit(3.0))
     )
     by_type = per_type.select(
-        "event_type", F.hll_sketch_estimate("sk").alias("n_users_est")
+        "event_type",
+        "n_users",
+        bound(
+            F.hll_sketch_estimate("sk").cast("double"),
+            F.col("n_users").cast("double"),
+        ).alias("est_within_bound"),
     )
-    merged = per_type.agg(F.hll_union_agg("sk").alias("sk")).select(
-        F.lit("__all__").alias("event_type"),
-        F.hll_sketch_estimate("sk").alias("n_users_est"),
+    merged = (
+        per_type.agg(
+            F.hll_union_agg("sk").alias("sk"),
+        )
+        .crossJoin(
+            events.agg(F.countDistinct("user_id").alias("n_users"))
+        )
+        .select(
+            F.lit("__all__").alias("event_type"),
+            "n_users",
+            bound(
+                F.hll_sketch_estimate("sk").cast("double"),
+                F.col("n_users").cast("double"),
+            ).alias("est_within_bound"),
+        )
     )
     return by_type.unionByName(merged)
 
@@ -421,6 +447,13 @@ ORACLES: dict[str, str] = {
         SELECT l_returnflag, COUNT(*) AS n_rows,
                TRUE AS p50_rank_ok, TRUE AS p90_rank_ok
         FROM lineitem GROUP BY l_returnflag
+    """,
+    "agg_hll_sketch": """
+        SELECT event_type, COUNT(DISTINCT user_id) AS n_users,
+               TRUE AS est_within_bound
+        FROM events GROUP BY event_type
+        UNION ALL
+        SELECT '__all__', COUNT(DISTINCT user_id), TRUE FROM events
     """,
     "agg_mode": """
         SELECT o_orderstatus, o_orderpriority AS mode_priority,

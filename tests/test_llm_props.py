@@ -124,10 +124,8 @@ def test_hll_sketch_estimates_and_union(spark):
     property the 100 TB incremental-distinct path depends on)."""
     from hive3_replication_spark.operators.aggregates import agg_hll_sketch
 
-    got = {
-        r["event_type"]: r["n_users_est"]
-        for r in agg_hll_sketch(spark, SF_DIR).collect()
-    }
+    rows = agg_hll_sketch(spark, SF_DIR).collect()
+    got = {r["event_type"]: r for r in rows}
     ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
     exact = {
         r["event_type"]: r["n"]
@@ -137,7 +135,26 @@ def test_hll_sketch_estimates_and_union(spark):
     }
     exact["__all__"] = ev.select("user_id").distinct().count()
     assert set(got) == set(exact)
-    for k, est in got.items():
+    for k, r in got.items():
+        assert r["n_users"] == exact[k], (k, r)
+        assert r["est_within_bound"] is True, (k, r)
+    # raw estimates (re-run here — the bracketed output omits them): the
+    # union row's estimate comes from hll_union_agg over per-type sketches
+    per_type = ev.groupBy("event_type").agg(
+        F.hll_sketch_agg("user_id").alias("sk")
+    )
+    ests = {
+        r["event_type"]: r["e"]
+        for r in per_type.select(
+            "event_type", F.hll_sketch_estimate("sk").alias("e")
+        ).collect()
+    }
+    ests["__all__"] = (
+        per_type.agg(F.hll_union_agg("sk").alias("sk"))
+        .select(F.hll_sketch_estimate("sk").alias("e"))
+        .collect()[0]["e"]
+    )
+    for k, est in ests.items():
         assert abs(est - exact[k]) <= max(3, 0.05 * exact[k]), (k, est, exact[k])
 
 
@@ -263,3 +280,46 @@ def test_connected_components_chain_olog_rounds(spark):
     pdf_h = labels_h.toPandas()
     assert len(pdf_h) == 1000 and (pdf_h.label == 0).all()
     assert rounds_h <= rounds + 4 + 1
+
+
+def test_chunk_windows_boundaries(spark, tmp_path):
+    """Chunk-count arithmetic at the window boundaries: n ≤ W → one chunk;
+    n = W+1 → two (the second starting at stride S with W-S+1... i.e. the
+    leftover tail); every token of every doc appears in at least one chunk
+    and consecutive chunks overlap by exactly W−S tokens."""
+    import pandas as pd
+
+    from hive3_replication_spark.llm.sampling import (
+        _CHUNK_S,
+        _CHUNK_W,
+        llm_chunk_windows,
+    )
+
+    def doc(n):
+        return " ".join(f"t{i}" for i in range(n))
+
+    sizes = [1, _CHUNK_W - 1, _CHUNK_W, _CHUNK_W + 1,
+             2 * _CHUNK_W, 3 * _CHUNK_S + _CHUNK_W]
+    pdf = pd.DataFrame(
+        {
+            "doc_id": range(len(sizes)),
+            "text": [doc(n) for n in sizes],
+            "lang": ["en"] * len(sizes),
+            "source": ["s"] * len(sizes),
+            "n_chars": [len(doc(n)) for n in sizes],
+        }
+    )
+    out = tmp_path / "chunkdocs"
+    out.mkdir()
+    pdf.to_parquet(out / "documents.parquet")
+    got = llm_chunk_windows(spark, str(out)).toPandas()
+    for doc_id, n in enumerate(sizes):
+        g = got[got.doc_id == doc_id].sort_values("chunk_idx")
+        expect_chunks = 1 if n <= _CHUNK_W else 1 + -(-(n - _CHUNK_W) // _CHUNK_S)
+        assert len(g) == expect_chunks, (doc_id, n, len(g))
+        # full coverage: last chunk must reach the final token
+        last = g.iloc[-1]
+        assert last.chunk_start_tok + last.n_chunk_tokens == n, (doc_id, n)
+        # overlap: every non-final chunk is full-width W with stride S
+        for _, row in g.iloc[:-1].iterrows():
+            assert row.n_chunk_tokens == _CHUNK_W
