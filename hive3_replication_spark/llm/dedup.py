@@ -650,14 +650,27 @@ def llm_dedup_simhash(
     )
 
 
-def llm_dedup_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
+def llm_dedup_embed(
+    spark: SparkSession, sf_dir: str, max_block: int = MAX_BUCKET
+) -> DataFrame:
     """Embedding-cosine near-dup: block on the cluster label (at scale: an
     ANN partition / coarse quantizer cell), exact cosine within blocks.
+
+    Blocks above ``max_block`` vectors are dropped before pairing — the
+    same skew guard as every other blocking scheme here: a degenerate cell
+    (a quantizer that collapsed, a dominant near-duplicate cluster) would
+    otherwise make the within-block self-join O(block²) in one task. The
+    guard is part of the operator's CONTRACT, so the SQL oracle applies
+    the identical HAVING filter; in production the quantizer is re-trained
+    or the cell sub-split instead of silently paying the quadratic cost.
 
     Dot products fold the arrays in index order (F.aggregate is a sequential
     fold), so scores are bit-deterministic and SQL-verifiable.
     """
     emb = load_table(spark, sf_dir, "embeddings")
+    block_sizes = emb.groupBy("label").agg(F.count("*").alias("bn"))
+    keep = block_sizes.filter(F.col("bn") <= max_block).select("label")
+    emb = emb.join(keep, "label")
     withn = emb.select(
         "vec_id",
         "label",
@@ -784,13 +797,16 @@ ORACLES: dict[str, str] = {
     # llm_dedup_minhash / llm_dedup_simhash: rows-only (signatures depend on
     # Spark's xxhash64; verified by property tests instead).
     "llm_dedup_embed": """
-        WITH n AS (
-            SELECT vec_id, label, embedding,
+        WITH kept AS (
+            SELECT label FROM embeddings GROUP BY label HAVING COUNT(*) <= 1000
+        ),
+        n AS (
+            SELECT vec_id, e.label, embedding,
                    sqrt(list_aggregate(
                        list_transform(embedding,
                                       x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
                        'sum')) AS norm
-            FROM embeddings
+            FROM embeddings e JOIN kept USING (label)
         ),
         pairs AS (
             SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.label,

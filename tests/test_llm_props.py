@@ -323,3 +323,28 @@ def test_chunk_windows_boundaries(spark, tmp_path):
         # overlap: every non-final chunk is full-width W with stride S
         for _, row in g.iloc[:-1].iterrows():
             assert row.n_chunk_tokens == _CHUNK_W
+
+
+def test_embed_block_cap(spark, tmp_path):
+    """llm_dedup_embed skew guard: a label block larger than max_block is
+    dropped before pairing (400 same-label vectors, cap 100 → no pairs;
+    default cap → all close pairs scored)."""
+    import numpy as np
+    import pandas as pd
+
+    from hive3_replication_spark.llm.dedup import llm_dedup_embed
+
+    rng = np.random.default_rng(3)
+    base = rng.standard_normal(16)
+    vecs = [
+        (base + rng.standard_normal(16) * 0.01).astype(np.float32).tolist()
+        for _ in range(400)
+    ]
+    pdf = pd.DataFrame(
+        {"vec_id": range(400), "embedding": vecs, "label": [7] * 400}
+    )
+    out = tmp_path / "embcap"
+    out.mkdir()
+    pdf.to_parquet(out / "embeddings.parquet")
+    assert llm_dedup_embed(spark, str(out), max_block=100).count() == 0
+    assert llm_dedup_embed(spark, str(out)).count() == 400 * 399 // 2

@@ -306,3 +306,39 @@ def test_run_log_export_success_failure_and_gating(spark, repl_env, tmp_path):
     report = run_replication(spark, cfg_missing, run_dir, wm_dir)
     assert report["status"] in (STATUS_SUCCESS, STATUS_NO_PROGRESS)
     assert not (tmp_path / "no_such_dir").exists()
+
+
+def test_cli_end_to_end(tmp_path):
+    """The user-facing entry point (`python -m hive3_replication_spark`):
+    bootstrap a db from the sf0.001 fixtures via the CLI in a subprocess
+    (main() owns and stops its own SparkSession), with the log-upload flag
+    — exit 0, a success report on stdout, and the run-log artifact."""
+    import json as _json
+    import subprocess
+    import sys
+
+    src = tmp_path / "source"
+    src.mkdir()
+    for p in glob.glob("/root/testdata/sf0.001/*.parquet"):
+        shutil.copy(p, src / Path(p).name)
+    up = tmp_path / "uploads"
+    up.mkdir()
+    proc = subprocess.run(
+        [
+            sys.executable, "-m", "hive3_replication_spark", "clidb",
+            "--source-root", str(src),
+            "--target-root", str(tmp_path / "target"),
+            "--repl-root", str(tmp_path / "repl"),
+            "--log-upload-dir", str(up),
+            "--rerun-sleep", "0",
+        ],
+        capture_output=True,
+        text=True,
+        timeout=300,
+        cwd="/root/repo",
+    )
+    assert proc.returncode == 0, proc.stdout[-2000:] + proc.stderr[-2000:]
+    report = _json.loads(proc.stdout.strip().splitlines()[-1])
+    assert report["db_name"] == "clidb" and report["status"] == "success"
+    arts = list(up.glob("replog_clidb_*.json"))
+    assert len(arts) == 1
