@@ -187,7 +187,15 @@ def ngram_pair_jaccard(
     blocking/threshold logic cannot drift between them. Pass ``memo_token``
     (the corpus dir) to persist + reuse the scored pairs across operators.
     Plan construction + memo swap run under ``_PAIR_LOCK`` (the prewarm
-    thread builds the same relation concurrently with the sweep)."""
+    thread builds the same relation concurrently with the sweep).
+
+    Storage note for the 100 TB deployment: the SHINGLE relation persist
+    below is a test-scale optimization (it is referenced by three
+    subtrees). Materialized shingles run ~3× the corpus size, so at
+    warehouse scale prefer recomputing the narrow tokenize+shingle map
+    per consumer (pure CPU, no shuffle) or checkpointing to cheap object
+    storage — the relation worth caching across OPERATORS is the scored
+    pair memo, which is |candidate pairs|-sized."""
     with _PAIR_LOCK:
         return _ngram_pair_jaccard_locked(
             documents, cache_key, max_bucket, memo_token
