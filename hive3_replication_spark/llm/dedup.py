@@ -105,6 +105,26 @@ _PAIR_MEMO: dict[str, tuple[str, DataFrame]] = {}
 #: concurrently with the first consuming operator.
 _PAIR_LOCK = threading.Lock()
 
+#: Signature-matrix memos (MinHash/SimHash), corpus-token-scoped like
+#: _PAIR_MEMO: n_docs × a-few-longs relations, tiny at any corpus scale,
+#: rebuilt whenever the corpus dir changes. Lets the prewarm thread pay the
+#: shingle→hash→groupBy cost before the sweep reaches the dedup keys.
+_SIG_MEMO: dict[str, tuple[str, DataFrame]] = {}
+
+
+def _memo_sig(cache_key: str, token: str, build) -> DataFrame:
+    """Memoized persisted relation keyed by (cache_key, corpus token)."""
+    with _PAIR_LOCK:
+        hit = _SIG_MEMO.get(cache_key)
+        if hit is not None and hit[0] == token:
+            return hit[1]
+        df = build().persist()
+        prev = _SIG_MEMO.pop(cache_key, None)
+        if prev is not None:
+            prev[1].unpersist(blocking=False)
+        _SIG_MEMO[cache_key] = (token, df)
+        return df
+
 
 def clear_caches() -> None:
     """Unpersist and forget all memoized relations (shingle caches, minhash
@@ -117,6 +137,9 @@ def clear_caches() -> None:
     for _, df in _PAIR_MEMO.values():
         df.unpersist(blocking=False)
     _PAIR_MEMO.clear()
+    for _, df in _SIG_MEMO.values():
+        df.unpersist(blocking=False)
+    _SIG_MEMO.clear()
 
 
 def _pair_expand(docs: F.Column) -> F.Column:
@@ -525,6 +548,32 @@ def llm_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def minhash_signatures(documents: DataFrame, token: str) -> DataFrame:
+    """(doc_id, mh0..mh31) MinHash signature matrix, memoized per corpus.
+
+    distinct=False shingles: per-permutation minima are duplicate-
+    insensitive, so the signature is identical and shingle generation
+    stays narrow — the signature groupBy is the FIRST shuffle of the
+    whole pipeline (plan-gated). The matrix is persisted because it is
+    referenced three times downstream (banding + both candidate sides);
+    n_docs × 32 longs is tiny relative to the corpus even at 100 TB."""
+
+    def build() -> DataFrame:
+        sh = _shingles(documents, distinct=False)
+        h = sh.select(
+            "doc_id", (F.abs(F.xxhash64("shingle")) % _MERSENNE).alias("h")
+        )
+        perm_cols = [
+            F.min((F.col("h") * _PERM_A[k] + _PERM_B[k]) % _MERSENNE).alias(
+                f"mh{k}"
+            )
+            for k in range(MINHASH_PERMS)
+        ]
+        return h.groupBy("doc_id").agg(*perm_cols)
+
+    return _memo_sig("minhash_sig", token, build)
+
+
 def llm_dedup_minhash(
     spark: SparkSession, sf_dir: str, max_bucket: int = MAX_BUCKET
 ) -> DataFrame:
@@ -541,22 +590,7 @@ def llm_dedup_minhash(
     bucket pairing; every stage is key-partitioned.
     """
     documents = load_table(spark, sf_dir, "documents")
-    # distinct=False: per-permutation minima are duplicate-insensitive, so
-    # the signature is identical and shingle generation stays narrow — the
-    # signature groupBy is the FIRST shuffle of the whole pipeline.
-    sh = _shingles(documents, distinct=False)
-    h = sh.select(
-        "doc_id", (F.abs(F.xxhash64("shingle")) % _MERSENNE).alias("h")
-    )
-    perm_cols = [
-        F.min((F.col("h") * _PERM_A[k] + _PERM_B[k]) % _MERSENNE).alias(f"mh{k}")
-        for k in range(MINHASH_PERMS)
-    ]
-    # persist the signature matrix: it is referenced three times below
-    # (banding + both sides of the candidate join) and Spark would otherwise
-    # recompute the shingle→hash→groupBy subtree per reference. n_docs × 32
-    # longs is tiny relative to the corpus even at 100 TB.
-    sig = _swap_cache("minhash_sig", h.groupBy("doc_id").agg(*perm_cols))
+    sig = minhash_signatures(documents, sf_dir)
     r = MINHASH_PERMS // MINHASH_BANDS
     band_structs = [
         F.struct(
@@ -593,6 +627,38 @@ def llm_dedup_minhash(
     )
 
 
+def simhash_signatures(documents: DataFrame, token: str) -> DataFrame:
+    """(doc_id, simhash) 32-bit SimHash relation, memoized per corpus —
+    persisted because it is referenced by the band explode and both
+    candidate-join sides; n_docs × 1 long, tiny at any corpus scale."""
+
+    def build() -> DataFrame:
+        toks = documents.select(
+            "doc_id", F.explode(F.split(F.col("text"), " ")).alias("tok")
+        )
+        tf = toks.groupBy("doc_id", "tok").agg(F.count("*").alias("w"))
+        th = tf.withColumn("h", F.xxhash64("tok"))
+        bit_sums = [
+            F.sum(
+                F.when(
+                    F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1,
+                    F.col("w"),
+                ).otherwise(-F.col("w"))
+            ).alias(f"s{b}")
+            for b in range(32)
+        ]
+        agg = th.groupBy("doc_id").agg(*bit_sums)
+        return agg.select(
+            "doc_id",
+            sum(
+                F.when(F.col(f"s{b}") > 0, F.lit(1 << b)).otherwise(F.lit(0))
+                for b in range(32)
+            ).alias("simhash"),
+        )
+
+    return _memo_sig("simhash_sig", token, build)
+
+
 def llm_dedup_simhash(
     spark: SparkSession, sf_dir: str, max_bucket: int = MAX_BUCKET
 ) -> DataFrame:
@@ -603,28 +669,7 @@ def llm_dedup_simhash(
     MinHash: without it one boilerplate bucket yields O(bucket²) pairs in
     a single task at corpus scale."""
     documents = load_table(spark, sf_dir, "documents")
-    toks = documents.select(
-        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("tok")
-    )
-    tf = toks.groupBy("doc_id", "tok").agg(F.count("*").alias("w"))
-    th = tf.withColumn("h", F.xxhash64("tok"))
-    bit_sums = [
-        F.sum(
-            F.when(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1, F.col("w"))
-            .otherwise(-F.col("w"))
-        ).alias(f"s{b}")
-        for b in range(32)
-    ]
-    agg = th.groupBy("doc_id").agg(*bit_sums)
-    # persist: referenced by the band explode and both candidate-join sides
-    sim = agg.select(
-        "doc_id",
-        sum(
-            F.when(F.col(f"s{b}") > 0, F.lit(1 << b)).otherwise(F.lit(0))
-            for b in range(32)
-        ).alias("simhash"),
-    )
-    sim = _swap_cache("simhash_sig", sim)
+    sim = simhash_signatures(documents, sf_dir)
     band_structs = [
         F.struct(
             F.lit(bidx).alias("band"),

@@ -193,6 +193,12 @@ def _prewarm_body(spark: SparkSession, sf_dir: str) -> None:
         ).filter(F.col("jaccard") >= 0.08).count()
     except Exception:  # noqa: BLE001
         pass
+    try:  # MinHash / SimHash signature memos (the dedup keys' first shuffle)
+        docs = load_table(spark, sf_dir, "documents")
+        _dedup.minhash_signatures(docs, sf_dir).count()
+        _dedup.simhash_signatures(docs, sf_dir).count()
+    except Exception:  # noqa: BLE001
+        pass
 
 
 def build_oracles() -> dict[str, str]:
