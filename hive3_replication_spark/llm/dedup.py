@@ -505,6 +505,80 @@ def llm_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Stand-in incoming-batch membership rule for incremental dedup: every
+#: 10th doc plays the new ingestion batch, the rest the existing corpus.
+#: In production the batch is a real incoming partition; the plan shape
+#: (small broadcast batch vs unbounded corpus) is identical.
+_BATCH_MOD = 10
+#: Shared distinct 3-shingles with any corpus doc ⇒ near-dup.
+_INCR_SHINGLES = 3
+
+
+def llm_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental dedup: classify an INCOMING batch against the EXISTING
+    corpus — `exact_dup` (byte-identical text already present), `near_dup`
+    (shares ≥ 3 distinct 3-gram shingles with some corpus doc), or `new`.
+    This is the production ingestion path: a full-corpus self-dedup per
+    arriving partition would re-pay the whole pair space daily; the
+    incremental form compares only batch × corpus.
+
+    Scale design mirrors decontamination's asymmetry, with the roles
+    reversed: the BATCH side (one ingestion partition — small by
+    construction) is broadcast twice, once as text for the exact check and
+    once as deduped shingles for the near check, so the 100 TB corpus is
+    scanned narrowly with no corpus-side shuffle; both match relations are
+    bounded by |batch| after aggregation. The near-dup rule is an overlap
+    THRESHOLD (not Jaccard), so no corpus-side per-doc size aggregation is
+    needed — at warehouse scale per-doc stats would come precomputed.
+    Full SQL oracle (batch rule, shingling, joins, precedence CASE)."""
+    documents = load_table(spark, sf_dir, "documents")
+    is_batch = (F.col("doc_id") % _BATCH_MOD) == 0
+    batch = documents.filter(is_batch)
+    corpus = documents.filter(~is_batch)
+
+    exact_hits = (
+        corpus.select("text")
+        .join(F.broadcast(batch.select("doc_id", "text")), "text")
+        .select("doc_id")
+        .distinct()
+        .withColumn("is_exact", F.lit(True))
+    )
+
+    sh = _shingles(documents, distinct=False)
+    b_sh = (
+        sh.filter((F.col("doc_id") % _BATCH_MOD) == 0)
+        .select(F.col("doc_id").alias("batch_doc"), "shingle")
+        .distinct()
+    )
+    c_sh = sh.filter((F.col("doc_id") % _BATCH_MOD) != 0).select(
+        F.col("doc_id").alias("corpus_doc"), "shingle"
+    )
+    near_hits = (
+        c_sh.join(F.broadcast(b_sh), "shingle")
+        .groupBy("batch_doc", "corpus_doc")
+        .agg(F.count_distinct("shingle").alias("n_shared"))
+        .filter(F.col("n_shared") >= _INCR_SHINGLES)
+        .select(F.col("batch_doc").alias("doc_id"))
+        .distinct()
+        .withColumn("is_near", F.lit(True))
+    )
+
+    return (
+        batch.select("doc_id", "lang", "source")
+        .join(exact_hits, "doc_id", "left")
+        .join(near_hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            "lang",
+            "source",
+            F.when(F.col("is_exact"), F.lit("exact_dup"))
+            .when(F.col("is_near"), F.lit("near_dup"))
+            .otherwise(F.lit("new"))
+            .alias("status"),
+        )
+    )
+
+
 #: Stand-in eval-set membership rule for the decontamination operator:
 #: every 97th doc plays the held-out benchmark. In production the eval side
 #: is a real benchmark corpus loaded from its own table; the plan shape
@@ -834,6 +908,42 @@ ORACLES: dict[str, str] = {
                CAST(lab.node = lab.cluster_id AS INTEGER) AS is_canonical
         FROM lab JOIN sz USING (cluster_id)
     """,
+    "llm_dedup_incremental": f"""
+        WITH {_SHINGLE_CTES},
+        batch AS (
+            SELECT doc_id, text, lang, source FROM documents
+            WHERE doc_id % {_BATCH_MOD} = 0
+        ),
+        corpus AS (
+            SELECT text FROM documents WHERE doc_id % {_BATCH_MOD} <> 0
+        ),
+        exact_hits AS (
+            SELECT DISTINCT b.doc_id FROM batch b
+            JOIN corpus c ON b.text = c.text
+        ),
+        bsh AS (
+            SELECT doc_id AS batch_doc, shingle FROM sh
+            WHERE doc_id % {_BATCH_MOD} = 0
+        ),
+        csh AS (
+            SELECT doc_id AS corpus_doc, shingle FROM sh
+            WHERE doc_id % {_BATCH_MOD} <> 0
+        ),
+        near_hits AS (
+            SELECT DISTINCT batch_doc AS doc_id FROM (
+                SELECT batch_doc, corpus_doc,
+                       COUNT(DISTINCT shingle) AS n_shared
+                FROM csh JOIN bsh USING (shingle) GROUP BY 1, 2
+            ) WHERE n_shared >= {_INCR_SHINGLES}
+        )
+        SELECT b.doc_id, b.lang, b.source,
+               CASE WHEN e.doc_id IS NOT NULL THEN 'exact_dup'
+                    WHEN n.doc_id IS NOT NULL THEN 'near_dup'
+                    ELSE 'new' END AS status
+        FROM batch b
+        LEFT JOIN exact_hits e ON b.doc_id = e.doc_id
+        LEFT JOIN near_hits n ON b.doc_id = n.doc_id
+    """,
     "llm_contamination": f"""
         WITH {_SHINGLE_CTES},
         ev AS (
@@ -879,6 +989,7 @@ QUERY_FNS = {
     "llm_dedup_exact": llm_dedup_exact,
     "llm_dedup_ngram": llm_dedup_ngram,
     "llm_dedup_clusters": llm_dedup_clusters,
+    "llm_dedup_incremental": llm_dedup_incremental,
     "llm_contamination": llm_contamination,
     "llm_dedup_minhash": llm_dedup_minhash,
     "llm_dedup_simhash": llm_dedup_simhash,

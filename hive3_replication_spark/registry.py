@@ -97,7 +97,8 @@ _SWEEP_ORDER: tuple[str, ...] = (
     "agg_approx_distinct", "join_theta", "udf_table", "agg_skew_salted",
     "scan_json", "join_full", "agg_percentile", "scan_orc", "llm_ann_ivf",
     "ts_interpolate", "join_snapshot_diff", "llm_contamination",
-    "agg_mode", "join_broadcast", "join_asof", "join_skew_salted",
+    "agg_mode", "llm_dedup_incremental", "join_broadcast", "join_asof",
+    "join_skew_salted",
     "snapshot_dump", "scan_csv", "log_append", "sql_discount_revenue",
     "join_watermark_compare", "agg_stats", "agg_table_profile",
     "sql_top_supplier", "win_lag", "sql_waiting_supplier",

@@ -348,3 +348,41 @@ def test_embed_block_cap(spark, tmp_path):
     pdf.to_parquet(out / "embeddings.parquet")
     assert llm_dedup_embed(spark, str(out), max_block=100).count() == 0
     assert llm_dedup_embed(spark, str(out)).count() == 400 * 399 // 2
+
+
+def test_incremental_dedup_planted_statuses(spark, tmp_path):
+    """Incremental dedup classification: a batch doc with byte-identical
+    corpus text → exact_dup (wins precedence), a one-word-changed copy →
+    near_dup, an unrelated doc → new."""
+    import pandas as pd
+
+    from hive3_replication_spark.llm.dedup import llm_dedup_incremental
+
+    corpus_text = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    near_text = "CHANGED beta gamma delta epsilon zeta eta theta iota kappa"
+    fresh = "one two three four five six seven eight nine ten eleven twelve"
+    rows = [
+        # corpus (doc_id % 10 != 0)
+        (1, corpus_text), (2, "completely different corpus text here okay"),
+        # batch (doc_id % 10 == 0)
+        (10, corpus_text),   # exact
+        (20, near_text),     # near (shares 7 of the 8 shingles)
+        (30, fresh),         # new
+    ]
+    pdf = pd.DataFrame(
+        {
+            "doc_id": [r[0] for r in rows],
+            "text": [r[1] for r in rows],
+            "lang": ["en"] * len(rows),
+            "source": ["s"] * len(rows),
+            "n_chars": [len(r[1]) for r in rows],
+        }
+    )
+    out = tmp_path / "incdocs"
+    out.mkdir()
+    pdf.to_parquet(out / "documents.parquet")
+    got = {
+        r["doc_id"]: r["status"]
+        for r in llm_dedup_incremental(spark, str(out)).collect()
+    }
+    assert got == {10: "exact_dup", 20: "near_dup", 30: "new"}, got
