@@ -27,6 +27,10 @@ FLOAT_HEAVY = [
     "sql_market_share",
     "ts_sessionize",
     "llm_text_keywords",
+    "llm_chunk_windows",
+    "llm_mix_sources",
+    "llm_dedup_incremental",
+    "llm_dedup_clusters",
 ]
 
 
