@@ -177,9 +177,16 @@ def _capped_bucket_pairs(
     |buckets| rows), buckets above ``max_bucket`` are dropped via a
     broadcast anti-join (the OVERSIZED list is broadcast — by construction
     it is tiny, unlike the keep-list), and only surviving buckets reach
-    collect_list + array-side pair expansion. Degenerate buckets
-    (boilerplate-heavy corpora produce them at 100 TB) therefore cost one
-    counted row, never O(bucket²) pairs in one task."""
+    the within-bucket self-join. Degenerate buckets (boilerplate-heavy
+    corpora produce them at 100 TB) therefore cost one counted row, never
+    O(bucket²) pairs in one task, and no aggregation buffer ever
+    materializes a bucket's full membership list.
+
+    The pairing is a self-join of the SAME filtered relation, so the
+    shuffle is planned once and the probe side is a ReusedExchange —
+    measured faster than the collect_list + array-expansion formulation
+    (fewer stages), with per-task pair fan-out bounded by cap² per
+    bucket."""
     big = (
         bucketed.groupBy(*keys)
         .agg(F.count("*").alias("bsz"))
@@ -187,13 +194,13 @@ def _capped_bucket_pairs(
         .select(*keys)
     )
     kept = bucketed.join(F.broadcast(big), keys, "left_anti")
-    postings = kept.groupBy(*keys).agg(
-        F.sort_array(F.collect_list("doc_id")).alias("docs")
-    )
     return (
-        postings.filter(F.size("docs") >= 2)
-        .select(F.explode(_pair_expand(F.col("docs"))).alias("p"))
-        .select("p.doc_a", "p.doc_b")
+        kept.alias("x")
+        .join(kept.alias("y"), keys)
+        .filter(F.col("x.doc_id") < F.col("y.doc_id"))
+        .select(
+            F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b")
+        )
         .distinct()
     )
 
