@@ -144,17 +144,18 @@ def clear_caches() -> None:
 
 def _pair_expand(docs: F.Column) -> F.Column:
     """All ordered pairs (i < j ⇒ doc_a < doc_b) from a SORTED posting
-    list, expanded array-side — the shared candidate generator for every
-    blocking scheme (shingle postings, MinHash band buckets, SimHash band
-    buckets). Callers must cap the list length BEFORE the enclosing
-    collect_list (frequency pre-filter), which is what bounds this at
-    O(cap²) per bucket instead of O(bucket²).
+    list, expanded array-side — used by the ngram scorer, whose pair
+    counts ARE the shingle-intersection sizes (so it genuinely needs the
+    grouped postings; the band-bucket schemes pair via
+    ``_capped_bucket_pairs``'s self-join instead). Callers must cap the
+    list length BEFORE the enclosing collect_list (frequency pre-filter),
+    which is what bounds this at O(cap²) per bucket instead of
+    O(bucket²).
 
     Callers must also drop singleton lists first: ``sequence(0, -1)``
     counts DOWNWARD in Spark (yielding [0, -1], then invalid element_at
     probes under ANSI mode). The ngram path guarantees this via its
-    df ≥ 2 frequency filter; ``_capped_bucket_pairs`` filters size ≥ 2
-    explicitly."""
+    df ≥ 2 frequency filter."""
     return F.flatten(
         F.transform(
             F.sequence(F.lit(0), F.size(docs) - 2),
