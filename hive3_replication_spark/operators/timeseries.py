@@ -185,6 +185,46 @@ def ts_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def ts_rollup_hypertable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T6 — hypertable-style continuous aggregate: per-event-type metrics
+    at EVERY time granularity (hour, day, per-type total, grand total) in
+    ONE pass via ROLLUP(event_type, day, hour) — the TimescaleDB
+    continuous-aggregate / materialized-rollup shape on Spark.
+
+    One hash-aggregate pass computes all four levels: Catalyst's Expand
+    emits one row per grouping set, partials collapse map-side, and the
+    single exchange carries groups × granularities rows — independent of
+    event volume, so the plan is the 100 TB form of "maintain hourly,
+    daily, and total rollups of the metric stream". At warehouse scale
+    the same query runs per arriving partition and the level-keyed
+    output MERGEs into the stored rollup (counts and decimal sums are
+    associative — the same mergeability argument as the HLL sketches).
+    ``grp_level`` is the grouping_id bitmask (0 = hour row, 1 = day row,
+    3 = per-type total, 7 = grand total), identical to DuckDB's
+    GROUPING(event_type, day, hour)."""
+    events = load_table(spark, sf_dir, "events")
+    e = events.select(
+        "event_type",
+        F.date_trunc("day", F.col("ts")).alias("day"),
+        F.date_trunc("hour", F.col("ts")).alias("hour"),
+        F.col("value").cast("decimal(18,4)").alias("v"),
+    )
+    return (
+        e.rollup("event_type", "day", "hour")
+        .agg(
+            F.grouping_id().alias("grp_level"),
+            F.count("*").alias("n_events"),
+            F.sum("v").cast("double").alias("sum_value"),
+            F.min("v").cast("double").alias("min_value"),
+            F.max("v").cast("double").alias("max_value"),
+        )
+        .select(
+            "grp_level", "event_type", "day", "hour", "n_events",
+            "sum_value", "min_value", "max_value",
+        )
+    )
+
+
 def ts_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T5 — batch sessionization (gaps-and-islands): per-user sessions cut
     at >30-minute silences, one row per session with start/end/count.
@@ -320,6 +360,22 @@ ORACLES: dict[str, str] = {
         FROM numbered
         GROUP BY user_id, session_idx
     """,
+    "ts_rollup_hypertable": """
+        SELECT GROUPING(event_type, day, hour) AS grp_level,
+               event_type, day, hour,
+               COUNT(*) AS n_events,
+               CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value,
+               CAST(MIN(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS min_value,
+               CAST(MAX(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS max_value
+        FROM (
+            SELECT event_type,
+                   date_trunc('day', CAST(ts AS TIMESTAMP)) AS day,
+                   date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hour,
+                   value
+            FROM events
+        )
+        GROUP BY ROLLUP(event_type, day, hour)
+    """,
     "ts_ohlc": """
         WITH e AS (
             SELECT event_type,
@@ -351,5 +407,6 @@ QUERY_FNS = {
     "ts_fill_forward": ts_fill_forward,
     "ts_interpolate": ts_interpolate,
     "ts_ohlc": ts_ohlc,
+    "ts_rollup_hypertable": ts_rollup_hypertable,
     "ts_sessionize": ts_sessionize,
 }

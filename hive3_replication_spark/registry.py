@@ -84,7 +84,8 @@ _SWEEP_ORDER: tuple[str, ...] = (
     "win_topk_per_group", "win_rank", "agg_histogram", "fn_array",
     "project_columns", "stream_event_replay", "filter_rlike",
     "set_intersect", "agg_groupby", "filter_gt_watermark", "scan_parquet",
-    "stream_consistent_cut", "udf_arrow", "agg_rollup", "fn_json",
+    "stream_consistent_cut", "udf_arrow", "agg_rollup",
+    "ts_rollup_hypertable", "fn_json",
     "llm_text_entropy", "sort_events", "fn_date_arith", "join_semi",
     "agg_pending_count", "fn_levenshtein", "ts_ohlc", "set_except",
     "win_row_number", "llm_text_repetition", "win_range_frame",

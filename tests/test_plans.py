@@ -253,3 +253,18 @@ def test_chunk_windows_is_fully_narrow(spark):
 
     plan = _plan(llm_chunk_windows(spark, SF_DIR), "simple")
     assert "Exchange" not in plan, plan
+
+
+def test_hypertable_rollup_single_pass(spark):
+    """ts_rollup_hypertable: all granularities from ONE hash-aggregate pass
+    — an Expand node feeding a single hash-partitioned exchange (one row
+    per grouping set, partial-aggregated map-side). A per-granularity
+    re-scan or a sort would break the continuous-aggregate cost model."""
+    from hive3_replication_spark.operators.timeseries import (
+        ts_rollup_hypertable,
+    )
+
+    plan = _plan(ts_rollup_hypertable(spark, SF_DIR), "simple")
+    assert "Expand" in plan
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "Sort" not in plan
