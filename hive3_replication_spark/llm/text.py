@@ -263,6 +263,42 @@ def llm_text_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def llm_text_unigram_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram negative-log-likelihood quality signal — the CCNet/KenLM-
+    style "perplexity filter" proxy: each document scored by the average
+    surprise of its tokens under the CORPUS's own unigram distribution
+    (bits/token). Documents of common language score low; gibberish and
+    off-distribution boilerplate score high — the standard cheap filter
+    between heuristic quality scores and a real LM.
+
+    Determinism follows the entropy op's integer-log rule: every log2
+    argument is an exact integer COUNT (−log2(cnt/total) unfolded to
+    log2(total) − log2(cnt)), so both engines compute identical doubles
+    and only the Σ fold order differs, stabilized at the 6th decimal.
+
+    Scale shape: vocabulary frequencies via one partial-aggregated
+    groupBy (exchange carries |vocab| rows, NO broadcast hint — web-scale
+    vocab exceeds broadcast limits, AQE decides); the corpus total is a
+    1-row cross join; the token→frequency join is co-partitioned on the
+    token; the per-doc average is one doc-keyed aggregation. In
+    production the unigram table is computed once and reused across
+    scoring runs — the same two-phase split as the source-mixing op."""
+    documents = load_table(spark, sf_dir, "documents")
+    toks = documents.select(
+        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("tok")
+    )
+    freq = toks.groupBy("tok").agg(F.count("*").alias("cnt"))
+    total = freq.agg(F.sum("cnt").alias("total"))
+    scored = toks.join(freq, "tok").crossJoin(total)
+    bits = F.log2(F.col("total").cast("double")) - F.log2(
+        F.col("cnt").cast("double")
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count("*").alias("n_tokens"),
+        F.round(F.avg(bits) + F.lit(5e-9), 6).alias("nll_bits_per_token"),
+    )
+
+
 def llm_text_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TF-IDF-style keyword extraction: each document's top-3 terms by an
     inverse-document-frequency weighted score.
@@ -333,6 +369,21 @@ ORACLES: dict[str, str] = {
                           THEN CAST(n_chars AS DOUBLE) / n_bpe_tokens
                           ELSE 0.0 END, 6) AS chars_per_token
         FROM c
+    """,
+    "llm_text_unigram_nll": """
+        WITH tok AS (
+            SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+            FROM documents
+        ),
+        freq AS (SELECT tok, COUNT(*) AS cnt FROM tok GROUP BY tok),
+        tot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS total FROM freq)
+        SELECT doc_id,
+               COUNT(*) AS n_tokens,
+               ROUND(AVG(log2(CAST(total AS DOUBLE))
+                         - log2(CAST(cnt AS DOUBLE))) + 5e-9, 6)
+                   AS nll_bits_per_token
+        FROM tok JOIN freq USING (tok) CROSS JOIN tot
+        GROUP BY doc_id
     """,
     "llm_text_entropy": """
         WITH ch AS (
@@ -483,5 +534,6 @@ QUERY_FNS = {
     "llm_text_repetition": llm_text_repetition,
     "llm_text_bpe_count": llm_text_bpe_count,
     "llm_text_entropy": llm_text_entropy,
+    "llm_text_unigram_nll": llm_text_unigram_nll,
     "llm_text_keywords": llm_text_keywords,
 }

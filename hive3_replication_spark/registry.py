@@ -86,7 +86,8 @@ _SWEEP_ORDER: tuple[str, ...] = (
     "set_intersect", "agg_groupby", "filter_gt_watermark", "scan_parquet",
     "stream_consistent_cut", "udf_arrow", "agg_rollup",
     "ts_rollup_hypertable", "fn_json",
-    "llm_text_entropy", "sort_events", "fn_date_arith", "join_semi",
+    "llm_text_entropy", "llm_text_unigram_nll", "sort_events",
+    "fn_date_arith", "join_semi",
     "agg_pending_count", "fn_levenshtein", "ts_ohlc", "set_except",
     "win_row_number", "llm_text_repetition", "win_range_frame",
     "agg_distinct", "reshape_pivot", "agg_hll_sketch", "llm_dedup_embed",
