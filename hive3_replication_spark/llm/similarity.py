@@ -313,6 +313,45 @@ def llm_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def llm_embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 quantization of the embedding column — the storage
+    step of a vector pipeline (4× smaller than float32, the format ANN
+    serving tiers read). Per-vector max-abs scaling: q_i = floor(127·x_i /
+    max|x| + 0.5), scale = max|x| / 127 reconstructs.
+
+    Entirely narrow (per-row array transforms, no shuffle, no UDF — the
+    quantizer is codegen'd JVM arithmetic), so it runs at scan speed over
+    any corpus. Rounding is written as floor(v + 0.5) — an explicitly
+    defined half-up — rather than engine ROUND, whose half-way tie rule
+    differs between engines; outputs are exact integers (checksums,
+    extrema) plus the 6-decimal scale, so the op carries a full SQL
+    oracle without shipping the array through the comparator."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    absmax = F.array_max(
+        F.transform(F.col("embedding"), lambda x: F.abs(x.cast("double")))
+    )
+    q = F.transform(
+        F.col("embedding"),
+        lambda x: F.floor(
+            x.cast("double") * 127.0 / F.col("absmax") + 0.5
+        ).cast("int"),
+    )
+    staged = emb.select("vec_id", "embedding", absmax.alias("absmax"))
+    quantized = staged.filter(F.col("absmax") > 0).select(
+        "vec_id", F.col("absmax"), q.alias("q")
+    )
+    return quantized.select(
+        "vec_id",
+        F.size("q").alias("n_dims"),
+        F.round(F.col("absmax") / 127.0 + F.lit(5e-13), 6).alias("scale_r"),
+        F.aggregate(
+            F.col("q"), F.lit(0).cast("bigint"), lambda a, x: a + x
+        ).alias("q_sum"),
+        F.array_min("q").alias("q_min"),
+        F.array_max("q").alias("q_max"),
+    )
+
+
 def _dot_d(a: F.Column, b: F.Column) -> F.Column:
     """Dot where ``a`` is already double[] (centroids)."""
     return F.aggregate(
@@ -351,6 +390,28 @@ ORACLES: dict[str, str] = {
         FROM scored WHERE vec_id <> 0
         ORDER BY cosine DESC, vec_id ASC LIMIT 10
     """,
+    "llm_embed_quantize": """
+        WITH m AS (
+            SELECT vec_id, embedding,
+                   list_max(list_transform(embedding,
+                            x -> abs(CAST(x AS DOUBLE)))) AS absmax
+            FROM embeddings
+        ),
+        q AS (
+            SELECT vec_id, absmax,
+                   list_transform(embedding,
+                       x -> CAST(floor(CAST(x AS DOUBLE) * 127.0 / absmax
+                                       + 0.5) AS INTEGER)) AS qv
+            FROM m WHERE absmax > 0
+        )
+        SELECT vec_id,
+               CAST(len(qv) AS INTEGER) AS n_dims,
+               ROUND(absmax / 127.0 + 5e-13, 6) AS scale_r,
+               CAST(list_aggregate(qv, 'sum') AS BIGINT) AS q_sum,
+               CAST(list_min(qv) AS INTEGER) AS q_min,
+               CAST(list_max(qv) AS INTEGER) AS q_max
+        FROM q
+    """,
     # llm_ann_ivf: rows-only (float centroid means are reduction-order
     # dependent; recall vs the exact top-k is asserted in tests instead).
     "llm_knn_join": """
@@ -388,4 +449,5 @@ QUERY_FNS = {
     "llm_knn_join": llm_knn_join,
     "llm_ann_ivf": llm_ann_ivf,
     "llm_ann_lsh": llm_ann_lsh,
+    "llm_embed_quantize": llm_embed_quantize,
 }

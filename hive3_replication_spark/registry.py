@@ -79,7 +79,8 @@ _SWEEP_ORDER: tuple[str, ...] = (
     "stream_dedup", "llm_multimodal", "stream_tumbling",
     "llm_text_fingerprint", "stream_sliding", "filter_isin",
     "stream_late_data", "stream_watermark_advance", "agg_duration",
-    "llm_similarity_topk", "agg_conditional", "join_anti",
+    "llm_similarity_topk", "llm_embed_quantize", "agg_conditional",
+    "join_anti",
     "llm_multimodal_features", "stream_incremental_dump",
     "win_topk_per_group", "win_rank", "agg_histogram", "fn_array",
     "project_columns", "stream_event_replay", "filter_rlike",
