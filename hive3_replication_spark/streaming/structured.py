@@ -94,6 +94,31 @@ def run_dedup_stream(
     return spark.sql("SELECT * FROM h3r_stream_dedup")
 
 
+def run_file_sink_stream(
+    spark: SparkSession, sf_dir: str, checkpoint_dir: str, out_dir: str
+) -> DataFrame:
+    """The production landing-zone pattern: readStream → append-mode
+    parquet FILE sink with checkpointed offsets. The file sink's
+    _spark_metadata transaction log makes output files exactly-once: a
+    re-run against the same checkpoint (crash recovery, scheduler retry)
+    drains zero new offsets and appends nothing, so downstream batch
+    readers never see duplicates — asserted by the restart test. Returns
+    the read-back relation."""
+    stream = _event_stream(spark, sf_dir).select(
+        "event_id", "user_id", "event_type", "value"
+    )
+    query = (
+        stream.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not query.awaitTermination(120):
+        raise TimeoutError(f"stream {query.name} did not drain within 120s")
+    return spark.read.parquet(out_dir)
+
+
 def run_replay_stream(
     spark: SparkSession,
     sf_dir: str,

@@ -85,3 +85,25 @@ def test_streaming_replay_matches_batch(spark, tmp_path):
         )
     )
     assert got == expected
+
+
+def test_streaming_file_sink_exactly_once(spark, tmp_path):
+    """File-sink landing zone: the drained output must equal the batch
+    events keyset, and a SECOND run against the same checkpoint (crash
+    recovery / scheduler retry) must append NOTHING — the _spark_metadata
+    transaction log is what makes downstream batch readers duplicate-free."""
+    from hive3_replication_spark.streaming.structured import (
+        run_file_sink_stream,
+    )
+
+    ckpt = str(tmp_path / "ckpt")
+    out = str(tmp_path / "landing")
+    got = run_file_sink_stream(spark, SF_DIR, ckpt, out)
+    batch = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    assert got.count() == batch.count()
+    assert (
+        got.agg(F.sum("event_id")).collect()[0][0]
+        == batch.agg(F.sum("event_id")).collect()[0][0]
+    )
+    again = run_file_sink_stream(spark, SF_DIR, ckpt, out)
+    assert again.count() == batch.count(), "re-run appended duplicates"
