@@ -273,6 +273,69 @@ def agg_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+def agg_dq_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A19 — declarative data-quality constraint checking (the Deequ-style
+    expectation surface next to A17's profiling): primary-key uniqueness,
+    referential integrity, domain membership, range and null-rate
+    constraints, each emitting (check_name, violation metric, passed).
+    This is the replication-verification ladder generalized from "row
+    counts match" to content-level invariants a warehouse migration must
+    preserve.
+
+    Every check is its own column-pruned aggregation over exactly the
+    columns it constrains (partial-aggregated — each branch's exchange
+    carries ONE row); the referential check is a key-partitioned anti-join
+    whose output cardinality is |violations|. The union of 1-row branches
+    is driver-negligible at any table size."""
+    orders = load_table(spark, sf_dir, "orders")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+
+    def check(name: str, metric: F.Column, df: DataFrame) -> DataFrame:
+        return df.agg(metric.cast("bigint").alias("metric")).select(
+            F.lit(name).alias("check_name"),
+            "metric",
+            (F.col("metric") == 0).alias("passed"),
+        )
+
+    pk_dupes = F.count("*") - F.countDistinct("o_orderkey")
+    orphans = lineitem.select(F.col("l_orderkey").alias("k")).join(
+        orders.select(F.col("o_orderkey").alias("k")), "k", "left_anti"
+    )
+    checks = [
+        check("orders_pk_unique", pk_dupes, orders.select("o_orderkey")),
+        check(
+            "lineitem_fk_orders",
+            F.count("*"),
+            orphans,
+        ),
+        check(
+            "orders_status_domain",
+            F.sum(
+                (~F.col("o_orderstatus").isin("O", "F", "P")).cast("bigint")
+            ),
+            orders.select("o_orderstatus"),
+        ),
+        check(
+            "lineitem_qty_range",
+            F.sum(
+                (
+                    (F.col("l_quantity") < 1) | (F.col("l_quantity") > 50)
+                ).cast("bigint")
+            ),
+            lineitem.select("l_quantity"),
+        ),
+        check(
+            "orders_date_nonnull",
+            F.sum(F.col("o_orderdate").isNull().cast("bigint")),
+            orders.select("o_orderdate"),
+        ),
+    ]
+    out = checks[0]
+    for c in checks[1:]:
+        out = out.unionByName(c)
+    return out
+
+
 def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A7 — multi-level rollup (db × table × run status rollups generalized):
     ROLLUP(event_type, user bucket)."""
@@ -448,6 +511,38 @@ ORACLES: dict[str, str] = {
                TRUE AS p50_rank_ok, TRUE AS p90_rank_ok
         FROM lineitem GROUP BY l_returnflag
     """,
+    "agg_dq_checks": """
+        SELECT 'orders_pk_unique' AS check_name,
+               CAST(COUNT(*) - COUNT(DISTINCT o_orderkey) AS BIGINT) AS metric,
+               (COUNT(*) - COUNT(DISTINCT o_orderkey)) = 0 AS passed
+        FROM orders
+        UNION ALL
+        SELECT 'lineitem_fk_orders', CAST(COUNT(*) AS BIGINT), COUNT(*) = 0
+        FROM lineitem l
+        WHERE NOT EXISTS (
+            SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey
+        )
+        UNION ALL
+        SELECT 'orders_status_domain',
+               CAST(SUM(CASE WHEN o_orderstatus NOT IN ('O','F','P')
+                             THEN 1 ELSE 0 END) AS BIGINT),
+               SUM(CASE WHEN o_orderstatus NOT IN ('O','F','P')
+                        THEN 1 ELSE 0 END) = 0
+        FROM orders
+        UNION ALL
+        SELECT 'lineitem_qty_range',
+               CAST(SUM(CASE WHEN l_quantity < 1 OR l_quantity > 50
+                             THEN 1 ELSE 0 END) AS BIGINT),
+               SUM(CASE WHEN l_quantity < 1 OR l_quantity > 50
+                        THEN 1 ELSE 0 END) = 0
+        FROM lineitem
+        UNION ALL
+        SELECT 'orders_date_nonnull',
+               CAST(SUM(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END)
+                    AS BIGINT),
+               SUM(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END) = 0
+        FROM orders
+    """,
     "agg_hll_sketch": """
         SELECT event_type, COUNT(DISTINCT user_id) AS n_users,
                TRUE AS est_within_bound
@@ -565,6 +660,7 @@ QUERY_FNS = {
     "agg_approx_distinct": agg_approx_distinct,
     "agg_hll_sketch": agg_hll_sketch,
     "agg_table_profile": agg_table_profile,
+    "agg_dq_checks": agg_dq_checks,
     "agg_approx_percentile": agg_approx_percentile,
     "agg_rollup": agg_rollup,
     "agg_cube": agg_cube,

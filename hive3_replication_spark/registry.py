@@ -91,7 +91,8 @@ _SWEEP_ORDER: tuple[str, ...] = (
     "fn_date_arith", "join_semi",
     "agg_pending_count", "fn_levenshtein", "ts_ohlc", "set_except",
     "win_row_number", "llm_text_repetition", "win_range_frame",
-    "agg_distinct", "reshape_pivot", "agg_hll_sketch", "llm_dedup_embed",
+    "agg_distinct", "agg_dq_checks", "reshape_pivot", "agg_hll_sketch",
+    "llm_dedup_embed",
     "agg_approx_percentile", "win_latest_per_group", "agg_arg_max",
     "stream_session", "win_ntile", "udf_table_udtf", "win_running_sum",
     "llm_knn_join", "llm_text_keywords", "ts_sessionize",
