@@ -79,7 +79,69 @@ def _normalize(df: pd.DataFrame) -> pd.DataFrame:
     return df.reset_index(drop=True)
 
 
+def _value_kind(s: pd.Series) -> str:
+    """Canonical value-representation kind for the driver's hash parity.
+
+    The external driver canonicalizes each cell before hashing, so a column
+    that is int64 on one side and float64/Decimal on the other hashes
+    differently even when every value compares equal (the exact failure mode
+    of agg_table_profile in round 1: DuckDB HUGEINT → float64 vs Spark
+    BIGINT → int64). Derive a representation kind per column and require the
+    two sides to agree.
+    """
+    import datetime
+    import decimal
+
+    if pd.api.types.is_bool_dtype(s):
+        return "bool"
+    if pd.api.types.is_integer_dtype(s):
+        return "int"
+    if pd.api.types.is_float_dtype(s):
+        return "float"
+    if pd.api.types.is_datetime64_any_dtype(s):
+        return "timestamp"
+    vals = s.dropna()
+    if not len(vals):
+        return "empty"
+    v = vals.iloc[0]
+    if isinstance(v, bool):
+        return "bool"
+    if isinstance(v, (int, np.integer)):
+        return "int"
+    if isinstance(v, (float, np.floating)):
+        return "float"
+    if isinstance(v, decimal.Decimal):
+        return "decimal"
+    if isinstance(v, str):
+        return "str"
+    if isinstance(v, (bytes, bytearray)):
+        return "bytes"
+    if isinstance(v, datetime.datetime):
+        return "timestamp"
+    if isinstance(v, datetime.date):
+        return "date"
+    if isinstance(v, (list, tuple, np.ndarray)):
+        return "list"
+    return type(v).__name__
+
+
 def assert_frames_match(spark_pdf: pd.DataFrame, oracle_pdf: pd.DataFrame, key: str):
+    kinds_a = {c: _value_kind(spark_pdf[c]) for c in spark_pdf.columns}
+    kinds_b = {c: _value_kind(oracle_pdf[c]) for c in oracle_pdf.columns}
+    for c in set(kinds_a) & set(kinds_b):
+        ka, kb = kinds_a[c], kinds_b[c]
+        if "empty" in (ka, kb):
+            continue
+        if {ka, kb} == {"date", "timestamp"}:
+            # tolerated: the driver's canonicalization equates DATE with
+            # midnight TIMESTAMP (scan_partitioned passed r1's sweep with
+            # exactly this spark=date / oracle=timestamp split)
+            continue
+        assert ka == kb, (
+            f"{key}: column {c!r} representation kind differs "
+            f"(spark={ka} vs oracle={kb}) — values may compare equal but "
+            f"the driver's canonical hash will mismatch; add explicit CASTs"
+        )
     a, b = _normalize(spark_pdf), _normalize(oracle_pdf)
     assert len(a) == len(b), (
         f"{key}: row count mismatch spark={len(a)} oracle={len(b)}"
