@@ -296,7 +296,90 @@ def join_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def join_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J12 — range (point-in-interval) join via bucket blocking: every
+    event whose timestamp falls inside an "incident window", aggregated to
+    per-window containment stats. The non-equi pattern Spark lacks a
+    native physical operator for (generalizes the reference's watermark
+    range predicate ``hive3repl.sh:155-169`` from ids to time intervals).
+
+    Intervals are derived deterministically: every 50th event per type
+    (ordered by ts, event_id) opens a 45-minute window. A naive plan is a
+    pure-theta join (BroadcastNestedLoop — O(|events| x |windows|) at any
+    scale). Instead both sides key on a coarse time bucket (30 min): each
+    interval EXPLODES into the <=3 buckets it covers, each event maps to
+    exactly ONE bucket, and the equi-join on bucket runs as a normal
+    shuffle/broadcast hash join with the exact containment predicate as a
+    post-join filter. Because an event matches an interval only through
+    the event's own bucket, each (event, interval) pair joins exactly once
+    — no distinct needed. Shuffle volume: events x 1 + intervals x
+    ceil(len/bucket + 1) rows, linear at 100 TB; AQE picks broadcast when
+    the exploded interval side is small (the common case)."""
+    events = load_table(spark, sf_dir, "events")
+    e = events.select("event_id", "ts", "user_id", "event_type")
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    bucket_us = 1_800_000_000  # 30 min in microseconds
+    iv = (
+        e.withColumn("rn", F.row_number().over(w))
+        .filter((F.col("rn") - 1) % 50 == 0)
+        .select(
+            F.col("event_id").alias("iv_id"),
+            F.col("event_type").alias("iv_type"),
+            F.col("ts").alias("iv_start"),
+            (F.col("ts") + F.expr("INTERVAL 45 MINUTES")).alias("iv_end"),
+        )
+    )
+    # integer DIV, not `/`: micros-since-epoch (~1.7e18) exceeds double's
+    # 2^53 exact range, so float division could misassign boundary buckets
+    iv_b = iv.withColumn(
+        "bucket",
+        F.explode(
+            F.sequence(
+                F.expr(f"unix_micros(CAST(iv_start AS TIMESTAMP)) DIV {bucket_us}"),
+                F.expr(
+                    f"(unix_micros(CAST(iv_end AS TIMESTAMP)) - 1) DIV {bucket_us}"
+                ),
+            )
+        ),
+    )
+    e_b = e.withColumn(
+        "bucket", F.expr(f"unix_micros(CAST(ts AS TIMESTAMP)) DIV {bucket_us}")
+    )
+    return (
+        e_b.join(iv_b, "bucket")
+        .filter((F.col("ts") >= F.col("iv_start")) & (F.col("ts") < F.col("iv_end")))
+        .groupBy("iv_id", "iv_type", "iv_start")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+        .select("iv_id", "iv_type", "iv_start", "n_events", "n_users")
+    )
+
+
 ORACLES: dict[str, str] = {
+    "join_range": """
+        WITH e AS (
+            SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type
+            FROM events
+        ),
+        marks AS (
+            SELECT event_id, ts, event_type,
+                   row_number() OVER (PARTITION BY event_type
+                                      ORDER BY ts, event_id) AS rn
+            FROM e
+        ),
+        iv AS (
+            SELECT event_id AS iv_id, event_type AS iv_type, ts AS iv_start,
+                   ts + INTERVAL 45 MINUTE AS iv_end
+            FROM marks WHERE (rn - 1) % 50 = 0
+        )
+        SELECT iv_id, iv_type, iv_start,
+               CAST(COUNT(*) AS BIGINT) AS n_events,
+               CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+        FROM iv JOIN e ON e.ts >= iv_start AND e.ts < iv_end
+        GROUP BY iv_id, iv_type, iv_start
+    """,
     "join_snapshot_diff": """
         WITH base AS (
             SELECT o_orderkey, o_orderstatus, o_orderpriority FROM orders
@@ -424,4 +507,5 @@ QUERY_FNS = {
     "join_theta": join_theta,
     "join_full": join_full,
     "join_snapshot_diff": join_snapshot_diff,
+    "join_range": join_range,
 }

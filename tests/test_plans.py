@@ -268,3 +268,15 @@ def test_hypertable_rollup_single_pass(spark):
     assert "Expand" in plan
     assert plan.count("Exchange hashpartitioning") == 1
     assert "Sort" not in plan
+
+
+def test_range_join_is_bucketed_hash_join(spark):
+    """join_range: the point-in-interval join must run as an equi hash join
+    on the time bucket (intervals exploded into covered buckets), never as
+    a BroadcastNestedLoopJoin — the nested-loop form is O(|events| x
+    |windows|) and dies at scale even though it produces the same rows."""
+    from hive3_replication_spark.operators.joins import join_range
+
+    plan = _plan(join_range(spark, SF_DIR), "simple")
+    assert "NestedLoop" not in plan and "CartesianProduct" not in plan
+    assert "HashJoin" in plan
