@@ -196,7 +196,139 @@ def llm_mix_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def llm_sample_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled source mixing (alpha = 0.5): sample each source
+    proportionally to src_tokens^alpha instead of flattening every source
+    to the minimum — the standard multilingual/multi-source rebalance
+    (sampling temperature in the XLM-R / mT5 sense: alpha=1 keeps the
+    natural distribution, alpha=0 is uniform; 0.5 sits between).
+
+    Keep-rate per source is sqrt(min_tokens / src_tokens), so the smallest
+    source is kept whole and a source 100x larger keeps 10x the minimum's
+    tokens (not 1x like llm_mix_sources' hard flatten). alpha is fixed at
+    0.5 because IEEE-754 defines sqrt as EXACTLY rounded — both engines
+    produce bit-identical doubles, so the floor'd per-source thresholds
+    (and therefore the kept document set) are deterministic cross-engine;
+    an arbitrary pow(x, alpha) carries no such guarantee. Same two-phase
+    shape as llm_mix_sources: a |sources|-row totals exchange, then a
+    narrow LCG-bucket keep-filter — reproducible on any cluster size."""
+    docs = load_table(spark, sf_dir, "documents")
+    with_n = docs.select(
+        "doc_id",
+        "source",
+        F.size(F.split(F.col("text"), " ")).cast("bigint").alias("n_tokens"),
+    )
+    totals = with_n.groupBy("source").agg(
+        F.sum("n_tokens").alias("src_tokens")
+    )
+    min_row = totals.agg(F.min("src_tokens").alias("min_tokens"))
+    thresholds = totals.crossJoin(min_row).select(
+        "source",
+        "src_tokens",
+        F.expr(
+            f"CAST(FLOOR({_BUCKETS} * SQRT(min_tokens) / SQRT(src_tokens))"
+            " AS BIGINT)"
+        ).alias("keep_threshold"),
+    )
+    return (
+        with_n.join(thresholds, "source")
+        .withColumn("mix_bucket", sample_bucket(F.col("doc_id")))
+        .filter(F.col("mix_bucket") < F.col("keep_threshold"))
+        .select("doc_id", "source", "n_tokens", "mix_bucket")
+    )
+
+
+_N_SHARDS = 16
+
+
+def llm_shard_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Balanced training-shard assignment: deal documents onto _N_SHARDS
+    output shards so every shard carries a near-equal token load — the
+    step that decides file boundaries when the corpus is written out for
+    the trainer (unbalanced shards = stragglers in every later epoch).
+
+    Longest-processing-time heuristic made distribution-friendly: within
+    each source, rank documents by (n_tokens DESC, doc_id) and deal
+    SERPENTINE by rank (passes alternate direction: 0..K-1 then K-1..0),
+    so no shard systematically receives every source's largest document —
+    plain round-robin leaves shard 0 ~2-3x heavier. The window partitions
+    by source, so no global sort exists at any corpus size; determinism
+    comes from the unique (n_tokens, doc_id) order, not from
+    partitioning. Output is the
+    per-shard load summary (the balance evidence); the doc->shard map is
+    the same relation before the final groupBy, used as the write
+    partition key in production."""
+    docs = load_table(spark, sf_dir, "documents")
+    staged = docs.select(
+        "doc_id",
+        "source",
+        F.size(F.split(F.col("text"), " ")).cast("bigint").alias("n_tokens"),
+    )
+    w = Window.partitionBy("source").orderBy(F.desc("n_tokens"), "doc_id")
+    assigned = staged.withColumn("rn0", F.row_number().over(w) - 1).withColumn(
+        "shard",
+        F.expr(
+            f"CAST(IF((rn0 DIV {_N_SHARDS}) % 2 = 0, rn0 % {_N_SHARDS},"
+            f" {_N_SHARDS - 1} - rn0 % {_N_SHARDS}) AS BIGINT)"
+        ),
+    )
+    return assigned.groupBy("shard").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+    )
+
+
 ORACLES: dict[str, str] = {
+    "llm_shard_assign": f"""
+        WITH staged AS (
+            SELECT doc_id, source,
+                   CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+            FROM documents
+        ),
+        ranked AS (
+            SELECT n_tokens,
+                   row_number() OVER (
+                       PARTITION BY source
+                       ORDER BY n_tokens DESC, doc_id
+                   ) - 1 AS rn0
+            FROM staged
+        ),
+        assigned AS (
+            SELECT CAST(CASE WHEN (rn0 // {_N_SHARDS}) % 2 = 0
+                             THEN rn0 % {_N_SHARDS}
+                             ELSE {_N_SHARDS - 1} - rn0 % {_N_SHARDS}
+                        END AS BIGINT) AS shard,
+                   n_tokens
+            FROM ranked
+        )
+        SELECT shard, CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
+        FROM assigned GROUP BY shard
+    """,
+    "llm_sample_temperature": f"""
+        WITH n AS (
+            SELECT doc_id, source,
+                   CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+            FROM documents
+        ),
+        tot AS (
+            SELECT source, SUM(n_tokens) AS src_tokens FROM n GROUP BY source
+        ),
+        m AS (SELECT MIN(src_tokens) AS min_tokens FROM tot),
+        thr AS (
+            SELECT source,
+                   CAST(FLOOR({_BUCKETS} * SQRT(min_tokens)
+                              / SQRT(src_tokens)) AS BIGINT)
+                       AS keep_threshold
+            FROM tot, m
+        )
+        SELECT n.doc_id, n.source, n.n_tokens,
+               ((n.doc_id % {_PRIME}) * {_MULT} + {_INC}) % {_BUCKETS}
+                   AS mix_bucket
+        FROM n JOIN thr USING (source)
+        WHERE ((n.doc_id % {_PRIME}) * {_MULT} + {_INC}) % {_BUCKETS}
+              < keep_threshold
+    """,
     "llm_pack_sequences": f"""
         WITH staged AS (
             SELECT doc_id,
@@ -291,4 +423,6 @@ QUERY_FNS = {
     "llm_pack_sequences": llm_pack_sequences,
     "llm_chunk_windows": llm_chunk_windows,
     "llm_mix_sources": llm_mix_sources,
+    "llm_sample_temperature": llm_sample_temperature,
+    "llm_shard_assign": llm_shard_assign,
 }

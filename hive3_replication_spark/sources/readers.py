@@ -290,7 +290,62 @@ def delimited_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_BINARYFILE_CACHE: dict[str, str] = {}
+
+
+def binary_docs_path(spark: SparkSession, sf_dir: str) -> str:
+    """Materialize a directory of one .txt payload file per sampled document
+    — test scaffolding standing in for the object-store binary corpus that
+    already exists in production (raw crawl dumps, image/audio blobs). The
+    driver-side write is setup, not the measured operator; cached per
+    (process, sf_dir) and lock-guarded like the other layouts."""
+    with _LAYOUT_LOCK:
+        if sf_dir not in _BINARYFILE_CACHE:
+            out = tempfile.mkdtemp(prefix="h3r_binfiles_")
+            rows = (
+                load_table(spark, sf_dir, "documents")
+                .filter(F.col("doc_id") % 7 == 0)
+                .select("doc_id", "text")
+                .collect()
+            )
+            for r in rows:
+                with open(f"{out}/doc_{r['doc_id']:08d}.txt", "wb") as f:
+                    f.write(r["text"].encode("utf-8"))
+            _BINARYFILE_CACHE[sf_dir] = out
+    return _BINARYFILE_CACHE[sf_dir]
+
+
+def scan_binaryfile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S7 — opaque-file ingestion via Spark's built-in ``binaryFile``
+    source: one row per file with (path, length, content bytes) — the
+    ingestion edge for multimodal corpora (images/audio land as files, the
+    engine maps them to binary columns; SURVEY.md §2.11 L6 consumes this
+    shape). The reference's distcp file-copy stage (``misc_functions.sh``)
+    reads files as opaque payloads the same way.
+
+    Scale: binaryFile is a standard FileScan — files split across tasks,
+    pathGlobFilter prunes at listing time, and only the projected columns
+    materialize (content is read lazily per-row). Output keys each payload
+    by the doc_id encoded in its filename and its exact byte length."""
+    path = binary_docs_path(spark, sf_dir)
+    df = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.txt")
+        .load(path)
+    )
+    return df.select(
+        F.regexp_extract(F.col("path"), r"doc_(\d+)\.txt$", 1)
+        .cast("long")
+        .alias("doc_id"),
+        F.length(F.col("content")).cast("long").alias("n_bytes"),
+    )
+
+
 ORACLES: dict[str, str] = {
+    "scan_binaryfile": """
+        SELECT doc_id, CAST(n_chars AS BIGINT) AS n_bytes
+        FROM documents WHERE doc_id % 7 = 0
+    """,
     "jdbc_source": """
         SELECT event_id, user_id, value FROM events WHERE event_id < 100
     """,
@@ -345,5 +400,6 @@ QUERY_FNS = {
     "scan_orc": scan_orc,
     "scan_partitioned": scan_partitioned,
     "scan_bucketed": scan_bucketed,
+    "scan_binaryfile": scan_binaryfile,
     "delimited_parse": delimited_parse,
 }
