@@ -496,7 +496,53 @@ _PROFILE_ORACLE = " UNION ALL ".join(
     for c in _PROFILE_COLS
 )
 
+def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A15 — explicit GROUPING SETS: order stats at (status, priority),
+    (status), and grand-total granularities in ONE pass, completing the
+    multi-granularity family next to rollup/cube/hypertable-rollup for
+    the cases where the wanted sets are neither a prefix chain nor the
+    full power set.
+
+    Same physical shape as agg_rollup: Catalyst's Expand emits one row
+    per grouping set, partials collapse map-side, a single exchange
+    carries groups x sets rows. ``grp_level`` is the grouping_id bitmask
+    ((status,priority)=0, (status)=1, ()=3 — identical to DuckDB's
+    GROUPING(status, priority))."""
+    orders = load_table(spark, sf_dir, "orders")
+    base = orders.select(
+        "o_orderstatus",
+        "o_orderpriority",
+        F.col("o_totalprice").cast("decimal(18,4)").alias("p"),
+    )
+    return (
+        base.groupingSets(
+            [["o_orderstatus", "o_orderpriority"], ["o_orderstatus"], []],
+            "o_orderstatus",
+            "o_orderpriority",
+        )
+        .agg(
+            F.grouping_id().alias("grp_level"),
+            F.count("*").alias("n_orders"),
+            F.sum("p").cast("double").alias("sum_price"),
+        )
+        .select(
+            "grp_level", "o_orderstatus", "o_orderpriority", "n_orders",
+            "sum_price",
+        )
+    )
+
+
 ORACLES: dict[str, str] = {
+    "agg_grouping_sets": """
+        SELECT GROUPING(o_orderstatus, o_orderpriority) AS grp_level,
+               o_orderstatus, o_orderpriority,
+               COUNT(*) AS n_orders,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
+                   AS sum_price
+        FROM orders
+        GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+                                (o_orderstatus), ())
+    """,
     "agg_table_profile": _PROFILE_ORACLE,
     "agg_max_watermark": "SELECT MAX(event_id) AS last_repl_id FROM events",
     # bracketing oracles: the sketch ops emit (exact stats, within-bound
@@ -661,6 +707,7 @@ QUERY_FNS = {
     "agg_hll_sketch": agg_hll_sketch,
     "agg_table_profile": agg_table_profile,
     "agg_dq_checks": agg_dq_checks,
+    "agg_grouping_sets": agg_grouping_sets,
     "agg_approx_percentile": agg_approx_percentile,
     "agg_rollup": agg_rollup,
     "agg_cube": agg_cube,

@@ -226,7 +226,54 @@ def fn_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def fn_url(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F17 — URL decomposition via the built-in ``parse_url`` (host /
+    path / query / single query-param extraction): the C4-style
+    provenance step — per-domain grouping, path-based filtering, and
+    tracking-param handling all start from these four pieces. URLs are
+    synthesized deterministically from document provenance columns (the
+    fixture corpus carries no raw URLs); every extraction is a codegen'd
+    JVM expression, no UDFs."""
+    docs = load_table(spark, sf_dir, "documents")
+    url = F.concat(
+        F.lit("https://"),
+        F.col("source"),
+        F.lit(".example.com/"),
+        F.col("lang"),
+        F.lit("/doc/"),
+        F.col("doc_id").cast("string"),
+        F.lit("?ref="),
+        F.col("lang"),
+        F.lit("&n="),
+        F.col("doc_id").cast("string"),
+    )
+    return docs.select(
+        "doc_id",
+        url.alias("url"),
+        F.parse_url(url, F.lit("HOST")).alias("host"),
+        F.parse_url(url, F.lit("PATH")).alias("path"),
+        F.parse_url(url, F.lit("QUERY")).alias("query"),
+        F.parse_url(url, F.lit("QUERY"), F.lit("ref")).alias("ref_param"),
+    )
+
+
 ORACLES: dict[str, str] = {
+    "fn_url": """
+        WITH u AS (
+            SELECT doc_id,
+                   'https://' || source || '.example.com/' || lang
+                   || '/doc/' || CAST(doc_id AS VARCHAR)
+                   || '?ref=' || lang || '&n=' || CAST(doc_id AS VARCHAR)
+                       AS url
+            FROM documents
+        )
+        SELECT doc_id, url,
+               regexp_extract(url, 'https?://([^/]+)', 1) AS host,
+               regexp_extract(url, 'https?://[^/]+(/[^?#]*)', 1) AS path,
+               regexp_extract(url, '\\?([^#]*)', 1) AS query,
+               regexp_extract(url, '[?&]ref=([^&#]*)', 1) AS ref_param
+        FROM u
+    """,
     "fn_levenshtein": """
         SELECT n_nationkey,
                CAST(levenshtein(n_name, r_name) AS INTEGER) AS dist,
@@ -341,4 +388,5 @@ QUERY_FNS = {
     "fn_map": fn_map,
     "fn_math": fn_math,
     "fn_levenshtein": fn_levenshtein,
+    "fn_url": fn_url,
 }

@@ -182,7 +182,35 @@ def win_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def win_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W10 — distribution functions: percent_rank + cume_dist of each
+    event's value within its event type (the "what percentile is this
+    run's duration" question from run-log triage, generalized).
+
+    Both are rank arithmetic over one partitioned sort — (event_type) x
+    (value, event_id) — so the two Window nodes share a single exchange
+    and sort. The ORDER BY includes event_id to make ranks total and
+    therefore cross-engine deterministic; both functions are exact
+    rational values (rank-1)/(n-1) and rank/n computed identically by
+    Spark and DuckDB."""
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    return events.select(
+        "event_id",
+        "event_type",
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cume"),
+    )
+
+
 ORACLES: dict[str, str] = {
+    "win_distribution": """
+        SELECT event_id, event_type,
+               percent_rank() OVER w AS pct_rank,
+               cume_dist() OVER w AS cume
+        FROM events
+        WINDOW w AS (PARTITION BY event_type ORDER BY value, event_id)
+    """,
     "win_range_frame": """
         SELECT event_id, user_id,
                epoch_us(CAST(ts AS TIMESTAMP)) AS t_us,
@@ -266,4 +294,5 @@ QUERY_FNS = {
     "win_first_value": win_first_value,
     "win_topk_per_group": win_topk_per_group,
     "win_range_frame": win_range_frame,
+    "win_distribution": win_distribution,
 }
