@@ -496,6 +496,59 @@ _PROFILE_ORACLE = " UNION ALL ".join(
     for c in _PROFILE_COLS
 )
 
+_CM_D = 4            # sketch depth (hash rows)
+_CM_W = 256          # sketch width (counters per row)
+_CM_P = 2_147_483_647  # Mersenne 2^31-1 — keeps products < 2^62 under ANSI
+
+
+def agg_count_min(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A21 — Count-Min frequency sketch: a fixed d x w counter matrix
+    answering "how often did key k occur" with est >= exact and bounded
+    overcount — the mergeable heavy-hitter/frequency structure next to
+    the HLL distinct sketch (A16). At 100 TB the sketch is d*w counters
+    per partition merged associatively (a groupBy over (row, bucket) —
+    partial-aggregated map-side), vs an unbounded exact key histogram.
+
+    The d hash rows are universal-hash style ((k % P) * A_j + B_j) % P
+    % w with literal constants — plain integer arithmetic, so unlike the
+    seeded-RNG sketches this op carries a FULL SQL oracle: DuckDB rebuilds
+    the identical sketch and the identical estimates. Probed keys are the
+    deterministic user_id % 15 == 0 cohort; output carries exact count,
+    estimate, and the (always >= 0) overcount."""
+    events = load_table(spark, sf_dir, "events")
+    keys = events.select("user_id")
+    expl = keys.withColumn(
+        "j", F.explode(F.array(*[F.lit(j) for j in range(_CM_D)]))
+    )
+    bucket = F.expr(
+        f"((user_id % {_CM_P}) * (2*j + 3) + 7*j + 1) % {_CM_P} % {_CM_W}"
+    )
+    sketch = (
+        expl.select("j", bucket.alias("bucket"))
+        .groupBy("j", "bucket")
+        .agg(F.count("*").alias("counter"))
+    )
+    tracked = (
+        keys.filter(F.col("user_id") % 15 == 0)
+        .groupBy("user_id")
+        .agg(F.count("*").alias("exact_n"))
+    )
+    probes = tracked.withColumn(
+        "j", F.explode(F.array(*[F.lit(j) for j in range(_CM_D)]))
+    ).select("user_id", "exact_n", "j", bucket.alias("bucket"))
+    return (
+        probes.join(F.broadcast(sketch), ["j", "bucket"])
+        .groupBy("user_id", "exact_n")
+        .agg(F.min("counter").alias("cm_estimate"))
+        .select(
+            "user_id",
+            "exact_n",
+            "cm_estimate",
+            (F.col("cm_estimate") - F.col("exact_n")).alias("overcount"),
+        )
+    )
+
+
 def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A15 — explicit GROUPING SETS: order stats at (status, priority),
     (status), and grand-total granularities in ONE pass, completing the
@@ -533,6 +586,34 @@ def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLES: dict[str, str] = {
+    "agg_count_min": f"""
+        WITH j AS (SELECT unnest(range({_CM_D})) AS j),
+        expl AS (
+            SELECT user_id, j,
+                   ((user_id % {_CM_P}) * (2*j + 3) + 7*j + 1)
+                       % {_CM_P} % {_CM_W} AS bucket
+            FROM events CROSS JOIN j
+        ),
+        sketch AS (
+            SELECT j, bucket, COUNT(*) AS counter
+            FROM expl GROUP BY j, bucket
+        ),
+        tracked AS (
+            SELECT user_id, COUNT(*) AS exact_n
+            FROM events WHERE user_id % 15 = 0 GROUP BY user_id
+        ),
+        probes AS (
+            SELECT user_id, exact_n, j,
+                   ((user_id % {_CM_P}) * (2*j + 3) + 7*j + 1)
+                       % {_CM_P} % {_CM_W} AS bucket
+            FROM tracked CROSS JOIN j
+        )
+        SELECT user_id, CAST(exact_n AS BIGINT) AS exact_n,
+               CAST(MIN(counter) AS BIGINT) AS cm_estimate,
+               CAST(MIN(counter) - exact_n AS BIGINT) AS overcount
+        FROM probes JOIN sketch USING (j, bucket)
+        GROUP BY user_id, exact_n
+    """,
     "agg_grouping_sets": """
         SELECT GROUPING(o_orderstatus, o_orderpriority) AS grp_level,
                o_orderstatus, o_orderpriority,
@@ -708,6 +789,7 @@ QUERY_FNS = {
     "agg_table_profile": agg_table_profile,
     "agg_dq_checks": agg_dq_checks,
     "agg_grouping_sets": agg_grouping_sets,
+    "agg_count_min": agg_count_min,
     "agg_approx_percentile": agg_approx_percentile,
     "agg_rollup": agg_rollup,
     "agg_cube": agg_cube,

@@ -244,7 +244,56 @@ def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T13 (batch twin) — stream-stream interval join: each purchase
+    attributed to every click by the same user in the preceding 2 hours —
+    the canonical two-stream correlation (attribution, request/response
+    pairing, cause/effect windows).
+
+    Batch form: equi-join on user_id with the time interval as a
+    post-join predicate — never a theta join, so the plan is a plain
+    hash/sort-merge join bounded by per-user event density. The streaming
+    form (structured.run_stream_stream_join, tested for pair-set equality
+    with this) adds withWatermark on BOTH sides so the state store can
+    evict clicks older than the interval + lateness bound — Spark's
+    bounded-state requirement for stream-stream joins. Interval compare
+    uses unix_micros arithmetic (exact at any timestamp)."""
+    events = load_table(spark, sf_dir, "events")
+    clicks = events.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"),
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("c_ts"),
+    )
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("p_ts"),
+    )
+    lag_us = F.expr(
+        "unix_micros(CAST(p_ts AS TIMESTAMP))"
+        " - unix_micros(CAST(c_ts AS TIMESTAMP))"
+    )
+    return (
+        purchases.join(clicks, purchases.user_id == clicks.c_user)
+        .withColumn("lag_us", lag_us)
+        .filter((F.col("lag_us") >= 0) & (F.col("lag_us") <= 7_200_000_000))
+        .select("user_id", "purchase_id", "click_id", "lag_us")
+    )
+
+
 ORACLES: dict[str, str] = {
+    "stream_stream_join": """
+        SELECT p.user_id,
+               p.event_id AS purchase_id,
+               c.event_id AS click_id,
+               epoch_us(CAST(p.ts AS TIMESTAMP))
+                   - epoch_us(CAST(c.ts AS TIMESTAMP)) AS lag_us
+        FROM events p
+        JOIN events c ON c.user_id = p.user_id
+        WHERE p.event_type = 'purchase' AND c.event_type = 'click'
+          AND epoch_us(CAST(p.ts AS TIMESTAMP))
+              - epoch_us(CAST(c.ts AS TIMESTAMP)) BETWEEN 0 AND 7200000000
+    """,
     "stream_dedup": """
         SELECT user_id, event_type,
                MIN(event_id) AS first_event_id,
@@ -364,4 +413,5 @@ QUERY_FNS = {
     "stream_retry": stream_retry,
     "stream_stateful_progress": stream_stateful_progress,
     "stream_dedup": stream_dedup,
+    "stream_stream_join": stream_stream_join,
 }

@@ -94,6 +94,56 @@ def run_dedup_stream(
     return spark.sql("SELECT * FROM h3r_stream_dedup")
 
 
+def run_stream_stream_join(
+    spark: SparkSession, sf_dir: str, checkpoint_dir: str
+) -> DataFrame:
+    """T13 as a real stream: purchases joined to same-user clicks from the
+    preceding 2 hours — a genuine stream-stream interval join. Both sides
+    carry watermarks (Spark's bounded-state requirement): the state store
+    keeps a click only until watermark passes click_ts + 2h + lateness,
+    so state is O(interval x rate), never O(history). Inner join in
+    append mode; pair-set equality with the batch twin
+    (batch_ops.stream_stream_join) is asserted in tests."""
+    clicks = (
+        _event_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("event_id").alias("click_id"),
+            F.col("ts").alias("c_ts"),
+        )
+        .withWatermark("c_ts", "1 hour")
+    )
+    purchases = (
+        _event_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            "user_id",
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", "1 hour")
+    )
+    joined = purchases.join(
+        clicks,
+        F.expr(
+            "user_id = c_user AND c_ts <= p_ts"
+            " AND c_ts >= p_ts - INTERVAL 2 HOURS"
+        ),
+    ).select("user_id", "purchase_id", "click_id")
+    query = (
+        joined.writeStream.format("memory")
+        .queryName("h3r_ssjoin")
+        .outputMode("append")
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not query.awaitTermination(120):
+        raise TimeoutError(f"stream {query.name} did not drain within 120s")
+    return spark.sql("SELECT * FROM h3r_ssjoin")
+
+
 def run_file_sink_stream(
     spark: SparkSession, sf_dir: str, checkpoint_dir: str, out_dir: str
 ) -> DataFrame:

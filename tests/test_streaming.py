@@ -107,3 +107,22 @@ def test_streaming_file_sink_exactly_once(spark, tmp_path):
     )
     again = run_file_sink_stream(spark, SF_DIR, ckpt, out)
     assert again.count() == batch.count(), "re-run appended duplicates"
+
+
+def test_streaming_stream_stream_join_matches_batch(spark, tmp_path):
+    """The watermarked stream-stream interval join must emit exactly the
+    batch twin's (purchase, click) pair set: the fixture drains in order,
+    so the watermark evicts no still-needed click state."""
+    from hive3_replication_spark.streaming.batch_ops import stream_stream_join
+    from hive3_replication_spark.streaming.structured import (
+        run_stream_stream_join,
+    )
+
+    streamed = run_stream_stream_join(
+        spark, SF_DIR, str(tmp_path / "ckpt")
+    ).toPandas()
+    batch = stream_stream_join(spark, SF_DIR).toPandas()
+    spairs = set(map(tuple, streamed[["purchase_id", "click_id"]].values))
+    bpairs = set(map(tuple, batch[["purchase_id", "click_id"]].values))
+    assert spairs == bpairs
+    assert len(streamed) == len(batch)
