@@ -337,7 +337,72 @@ def llm_text_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_VOCAB_TOP = 100
+
+
+def llm_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L17 — tokenizer-vocabulary induction stats: the top-K tokens by
+    corpus frequency with each prefix's cumulative corpus coverage — the
+    measurement that decides vocab size ("the top 100 tokens cover X% of
+    all token occurrences") before training a tokenizer.
+
+    Counting is the scalable part: explode is narrow and the groupBy
+    partial-aggregates map-side, so the exchange carries |vocab| rows.
+    The top-K cut is TakeOrdered (O(K) memory); only THEN does the
+    cumulative window run, over exactly K rows — the unpartitioned window
+    is deliberate and bounded, never over the full vocabulary. Total
+    token count rides along as a broadcast scalar. Coverage is
+    cum_count/total in doubles — identical division both engines."""
+    documents = load_table(spark, sf_dir, "documents")
+    counts = (
+        documents.select(
+            F.explode(F.split(F.col("text"), " ")).alias("token")
+        )
+        .groupBy("token")
+        .agg(F.count("*").alias("cnt"))
+    )
+    total = counts.agg(F.sum("cnt").alias("total_tokens"))
+    topk = counts.orderBy(F.desc("cnt"), F.asc("token")).limit(_VOCAB_TOP)
+    w = (
+        Window.orderBy(F.desc("cnt"), F.asc("token"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        topk.crossJoin(F.broadcast(total))
+        .withColumn("rank", F.row_number().over(
+            Window.orderBy(F.desc("cnt"), F.asc("token"))
+        ))
+        .withColumn("cum_cnt", F.sum("cnt").over(w))
+        .select(
+            "rank",
+            "token",
+            "cnt",
+            (F.col("cum_cnt").cast("double")
+             / F.col("total_tokens").cast("double")).alias("coverage"),
+        )
+    )
+
+
 ORACLES: dict[str, str] = {
+    "llm_vocab_coverage": f"""
+        WITH counts AS (
+            SELECT unnest(string_split(text, ' ')) AS token
+            FROM documents
+        ),
+        c AS (SELECT token, COUNT(*) AS cnt FROM counts GROUP BY token),
+        tot AS (SELECT SUM(cnt) AS total_tokens FROM c),
+        topk AS (
+            SELECT token, cnt FROM c
+            ORDER BY cnt DESC, token ASC LIMIT {_VOCAB_TOP}
+        )
+        SELECT CAST(row_number() OVER ord AS INTEGER) AS rank,
+               token, cnt,
+               CAST(SUM(cnt) OVER (ord
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS DOUBLE) / CAST(total_tokens AS DOUBLE) AS coverage
+        FROM topk, tot
+        WINDOW ord AS (ORDER BY cnt DESC, token ASC)
+    """,
     "llm_text_keywords": """
         WITH tok AS (
             SELECT doc_id, unnest(string_split(text, ' ')) AS term
@@ -536,4 +601,5 @@ QUERY_FNS = {
     "llm_text_entropy": llm_text_entropy,
     "llm_text_unigram_nll": llm_text_unigram_nll,
     "llm_text_keywords": llm_text_keywords,
+    "llm_vocab_coverage": llm_vocab_coverage,
 }

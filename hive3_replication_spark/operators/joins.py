@@ -357,7 +357,113 @@ def join_range(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def merge_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J13 — SCD type-2 merge: apply an incoming dimension batch to a
+    versioned (valid_from / valid_to / is_current) dimension — the
+    warehouse-side "replicate changes without losing history" form of the
+    reference's incremental load (``README.md:38`` event replay keeps only
+    last state; SCD2 keeps the lineage).
+
+    One full-outer join on the business key classifies every key as
+    unchanged / changed / inserted, then the output is built set-wise (no
+    per-row MERGE loop): closed prior versions for changed keys, opened
+    v2 rows for changed keys, opened v1 rows for inserts, untouched open
+    rows for the rest. The tracked payload here is one decimal column,
+    compared directly; a wide payload would compare md5 fingerprints
+    computed in the scan projection so the join shuffles (key, 32-byte
+    hash) — join_snapshot_diff's width-independence argument. The
+    incoming batch is simulated deterministically: every 10th customer's
+    balance shifts, every 97th key is brand-new.
+
+    Scale: one key-partitioned exchange; at 100 TB the same plan runs
+    MERGE-shaped against a key-bucketed dimension layout so the join is
+    exchange-free (scan_bucketed's argument)."""
+    customer = load_table(spark, sf_dir, "customer")
+    k = F.col("c_custkey")
+    dim = customer.select(
+        k.alias("key"),
+        F.col("c_acctbal").cast("decimal(18,4)").alias("bal"),
+        F.lit(1).cast("bigint").alias("version"),
+    )
+    incoming = (
+        customer.filter((k % 10 == 0) | (k % 97 == 0))
+        .select(
+            F.when(k % 97 == 0, k + 1_000_000).otherwise(k).alias("key"),
+            F.when(
+                k % 10 == 0, F.col("c_acctbal").cast("decimal(18,4)") + 100
+            )
+            .otherwise(F.col("c_acctbal").cast("decimal(18,4)"))
+            .alias("new_bal"),
+        )
+    )
+    j = dim.join(incoming, "key", "full")
+    changed = F.col("new_bal").isNotNull() & F.col("bal").isNotNull() & (
+        F.col("new_bal") != F.col("bal")
+    )
+    inserted = F.col("bal").isNull()
+    closed_rows = j.filter(changed).select(
+        "key", "bal", "version",
+        F.lit("closed").alias("row_status"),
+    )
+    new_version = j.filter(changed | inserted).select(
+        "key",
+        F.col("new_bal").alias("bal"),
+        F.when(inserted, F.lit(1)).otherwise(F.lit(2)).cast("bigint")
+        .alias("version"),
+        F.lit("open").alias("row_status"),
+    )
+    untouched = j.filter(~changed & ~inserted).select(
+        "key", "bal", "version", F.lit("open").alias("row_status")
+    )
+    return (
+        closed_rows.unionByName(new_version)
+        .unionByName(untouched)
+        .select(
+            "key",
+            F.col("bal").cast("double").alias("bal"),
+            "version",
+            "row_status",
+        )
+    )
+
+
 ORACLES: dict[str, str] = {
+    "merge_scd2": """
+        WITH dim AS (
+            SELECT c_custkey AS key,
+                   CAST(c_acctbal AS DECIMAL(18,4)) AS bal,
+                   CAST(1 AS BIGINT) AS version
+            FROM customer
+        ),
+        incoming AS (
+            SELECT CASE WHEN c_custkey % 97 = 0 THEN c_custkey + 1000000
+                        ELSE c_custkey END AS key,
+                   CASE WHEN c_custkey % 10 = 0
+                        THEN CAST(c_acctbal AS DECIMAL(18,4)) + 100
+                        ELSE CAST(c_acctbal AS DECIMAL(18,4)) END AS new_bal
+            FROM customer
+            WHERE c_custkey % 10 = 0 OR c_custkey % 97 = 0
+        ),
+        j AS (
+            SELECT dim.key AS dkey, incoming.key AS ikey, bal, version,
+                   new_bal
+            FROM dim FULL OUTER JOIN incoming ON dim.key = incoming.key
+        )
+        SELECT dkey AS key, CAST(bal AS DOUBLE) AS bal, version,
+               'closed' AS row_status
+        FROM j WHERE new_bal IS NOT NULL AND bal IS NOT NULL
+                 AND new_bal <> bal
+        UNION ALL
+        SELECT COALESCE(dkey, ikey), CAST(new_bal AS DOUBLE),
+               CAST(CASE WHEN bal IS NULL THEN 1 ELSE 2 END AS BIGINT),
+               'open'
+        FROM j WHERE bal IS NULL
+                 OR (new_bal IS NOT NULL AND new_bal <> bal)
+        UNION ALL
+        SELECT dkey, CAST(bal AS DOUBLE), version, 'open'
+        FROM j WHERE bal IS NOT NULL
+                 AND (new_bal IS NULL OR new_bal = bal)
+    """,
     "join_range": """
         WITH e AS (
             SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type
@@ -508,4 +614,5 @@ QUERY_FNS = {
     "join_full": join_full,
     "join_snapshot_diff": join_snapshot_diff,
     "join_range": join_range,
+    "merge_scd2": merge_scd2,
 }
