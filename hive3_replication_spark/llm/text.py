@@ -337,6 +337,35 @@ def llm_text_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def llm_text_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L18 — n-gram extraction (bigrams): global top-20 adjacent token
+    pairs — the n-gram LM / collocation-mining step between unigram
+    counting (L4) and shingle-based dedup (L2).
+
+    Pair construction is a higher-order array expression (transform over
+    an index sequence) — fully NARROW, no posexplode+window round-trip,
+    so the only exchange is the vocab-sized partial-aggregated count;
+    top-k via TakeOrderedAndProject. Single-token documents contribute an
+    empty pair list by construction."""
+    documents = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    pairs = F.when(
+        F.size(toks) >= 2,
+        F.expr(
+            "transform(sequence(1, size(split(text, ' ')) - 1),"
+            " i -> concat(element_at(split(text, ' '), i), ' ',"
+            " element_at(split(text, ' '), i + 1)))"
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return (
+        documents.select(F.explode(pairs).alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count("*").alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("bigram"))
+        .limit(20)
+    )
+
+
 _VOCAB_TOP = 100
 
 
@@ -384,6 +413,19 @@ def llm_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLES: dict[str, str] = {
+    "llm_text_bigrams": """
+        WITH pairs AS (
+            SELECT unnest(list_transform(
+                       range(1, len(string_split(text, ' '))),
+                       i -> string_split(text, ' ')[i] || ' '
+                            || string_split(text, ' ')[i + 1]
+                   )) AS bigram
+            FROM documents
+        )
+        SELECT bigram, COUNT(*) AS cnt
+        FROM pairs GROUP BY bigram
+        ORDER BY cnt DESC, bigram ASC LIMIT 20
+    """,
     "llm_vocab_coverage": f"""
         WITH counts AS (
             SELECT unnest(string_split(text, ' ')) AS token
@@ -602,4 +644,5 @@ QUERY_FNS = {
     "llm_text_unigram_nll": llm_text_unigram_nll,
     "llm_text_keywords": llm_text_keywords,
     "llm_vocab_coverage": llm_vocab_coverage,
+    "llm_text_bigrams": llm_text_bigrams,
 }

@@ -496,6 +496,54 @@ _PROFILE_ORACLE = " UNION ALL ".join(
     for c in _PROFILE_COLS
 )
 
+def agg_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A22 — Pearson correlation / covariance per group, computed from
+    EXACT decimal moment sums instead of the built-in streaming
+    ``corr``/``covar_samp``: n, Σx, Σy, Σxy, Σx², Σy² accumulate as
+    decimals (associative, order-independent — bit-identical on any
+    partitioning and any engine), and the floating-point formula runs
+    once per GROUP on the finalized sums. The built-ins fold doubles in
+    partition order, so their last bits vary run-to-run and engine-to-
+    engine — unusable under a value-hash parity contract, and equally
+    unpleasant for a resumable 100 TB pipeline that wants reproducible
+    stats. Moment sums are also mergeable, so the same shape maintains
+    incremental per-partition stats. quantity×price products fit
+    decimal(38,8) comfortably at fixture scale; a 100 TB run widens the
+    intermediate or pre-scales to integers."""
+    li = load_table(spark, sf_dir, "lineitem")
+    x = F.col("l_quantity").cast("decimal(18,4)")
+    y = F.col("l_extendedprice").cast("decimal(18,4)")
+    sums = li.groupBy("l_returnflag").agg(
+        F.count("*").alias("n"),
+        F.sum(x).alias("sx"),
+        F.sum(y).alias("sy"),
+        F.sum((x * y).cast("decimal(38,8)")).alias("sxy"),
+        F.sum((x * x).cast("decimal(38,8)")).alias("sxx"),
+        F.sum((y * y).cast("decimal(38,8)")).alias("syy"),
+    )
+    n = F.col("n").cast("double")
+    sx = F.col("sx").cast("double")
+    sy = F.col("sy").cast("double")
+    sxy = F.col("sxy").cast("double")
+    sxx = F.col("sxx").cast("double")
+    syy = F.col("syy").cast("double")
+    cov = (sxy - sx * sy / n) / (n - 1)
+    corr = (n * sxy - sx * sy) / F.sqrt(
+        (n * sxx - sx * sx) * (n * syy - sy * sy)
+    )
+    # ROUND before emitting: the decimal moment sums are exact, but their
+    # >17-significant-digit decimal->double conversions differ between
+    # engines at the ~1e-13 relative level; rounding to 4/8 dp puts both
+    # engines on the same representative (repo convention, cf. the
+    # ts_interpolate oracle).
+    return sums.select(
+        "l_returnflag",
+        "n",
+        F.round(cov, 4).alias("covar_qty_price"),
+        F.round(corr, 8).alias("corr_qty_price"),
+    )
+
+
 _CM_D = 4            # sketch depth (hash rows)
 _CM_W = 256          # sketch width (counters per row)
 _CM_P = 2_147_483_647  # Mersenne 2^31-1 — keeps products < 2^62 under ANSI
@@ -586,6 +634,37 @@ def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLES: dict[str, str] = {
+    "agg_corr": """
+        WITH sums AS (
+            SELECT l_returnflag, COUNT(*) AS n,
+                   SUM(CAST(l_quantity AS DECIMAL(18,4))) AS sx,
+                   SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS sy,
+                   SUM(CAST(CAST(l_quantity AS DECIMAL(28,4))
+                            * CAST(l_extendedprice AS DECIMAL(28,4))
+                            AS DECIMAL(38,8))) AS sxy,
+                   SUM(CAST(CAST(l_quantity AS DECIMAL(28,4))
+                            * CAST(l_quantity AS DECIMAL(28,4))
+                            AS DECIMAL(38,8))) AS sxx,
+                   SUM(CAST(CAST(l_extendedprice AS DECIMAL(28,4))
+                            * CAST(l_extendedprice AS DECIMAL(28,4))
+                            AS DECIMAL(38,8))) AS syy
+            FROM lineitem GROUP BY l_returnflag
+        ),
+        d AS (
+            SELECT l_returnflag, n,
+                   CAST(n AS DOUBLE) AS nd, CAST(sx AS DOUBLE) AS sxd,
+                   CAST(sy AS DOUBLE) AS syd, CAST(sxy AS DOUBLE) AS sxyd,
+                   CAST(sxx AS DOUBLE) AS sxxd, CAST(syy AS DOUBLE) AS syyd
+            FROM sums
+        )
+        SELECT l_returnflag, n,
+               ROUND((sxyd - sxd * syd / nd) / (nd - 1), 4)
+                   AS covar_qty_price,
+               ROUND((nd * sxyd - sxd * syd)
+                   / SQRT((nd * sxxd - sxd * sxd)
+                          * (nd * syyd - syd * syd)), 8) AS corr_qty_price
+        FROM d
+    """,
     "agg_count_min": f"""
         WITH j AS (SELECT unnest(range({_CM_D})) AS j),
         expl AS (
@@ -790,6 +869,7 @@ QUERY_FNS = {
     "agg_dq_checks": agg_dq_checks,
     "agg_grouping_sets": agg_grouping_sets,
     "agg_count_min": agg_count_min,
+    "agg_corr": agg_corr,
     "agg_approx_percentile": agg_approx_percentile,
     "agg_rollup": agg_rollup,
     "agg_cube": agg_cube,
