@@ -66,6 +66,15 @@ HEADLINE = (
     "snapshot_load",
     "llm_chunk_windows",
     "llm_mix_sources",
+    "join_range",
+    "merge_scd2",
+    "agg_count_min",
+    "agg_corr",
+    "llm_sample_temperature",
+    "llm_shard_assign",
+    "llm_vocab_coverage",
+    "llm_text_bigrams",
+    "stream_stream_join",
 )
 
 

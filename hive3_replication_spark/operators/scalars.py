@@ -257,7 +257,39 @@ def fn_url(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def fn_datetime_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F18 — calendar-field extraction (year/quarter/month/day/ISO week/
+    ISO weekday/day-of-year): the partitioning-key derivations every
+    date-partitioned layout needs. All codegen'd JVM expressions. Day-of-
+    week uses the ISO numbering (1=Monday..7=Sunday) — Spark's default
+    ``dayofweek`` is Sunday-based while other engines are Monday- or
+    zero-based, so the portable surface pins ISO via ``weekday()+1``."""
+    orders = load_table(spark, sf_dir, "orders")
+    d = F.col("o_orderdate")
+    return orders.select(
+        "o_orderkey",
+        F.year(d).alias("y"),
+        F.quarter(d).alias("q"),
+        F.month(d).alias("m"),
+        F.dayofmonth(d).alias("dom"),
+        F.weekofyear(d).alias("iso_week"),
+        (F.weekday(d) + 1).alias("iso_dow"),
+        F.dayofyear(d).alias("doy"),
+    )
+
+
 ORACLES: dict[str, str] = {
+    "fn_datetime_extract": """
+        SELECT o_orderkey,
+               CAST(year(o_orderdate) AS INTEGER) AS y,
+               CAST(quarter(o_orderdate) AS INTEGER) AS q,
+               CAST(month(o_orderdate) AS INTEGER) AS m,
+               CAST(day(o_orderdate) AS INTEGER) AS dom,
+               CAST(week(o_orderdate) AS INTEGER) AS iso_week,
+               CAST(isodow(o_orderdate) AS INTEGER) AS iso_dow,
+               CAST(dayofyear(o_orderdate) AS INTEGER) AS doy
+        FROM orders
+    """,
     "fn_url": """
         WITH u AS (
             SELECT doc_id,
@@ -389,4 +421,5 @@ QUERY_FNS = {
     "fn_math": fn_math,
     "fn_levenshtein": fn_levenshtein,
     "fn_url": fn_url,
+    "fn_datetime_extract": fn_datetime_extract,
 }

@@ -341,7 +341,98 @@ def scan_binaryfile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SYNTH_N = 5_000
+_SYNTH_PARTS = 8
+_SYNTH_MULT = 1_103_515_245
+_SYNTH_INC = 12_345
+_SYNTH_PRIME = 2_147_483_647
+_PYSOURCE_REGISTERED: set[int] = set()
+
+
+def _register_synth_source(spark: SparkSession) -> None:
+    """Register the Python DataSource once per session (id-keyed guard)."""
+    if id(spark) in _PYSOURCE_REGISTERED:
+        return
+    from pyspark.sql.datasource import (
+        DataSource,
+        DataSourceReader,
+        InputPartition,
+    )
+
+    mult, inc, prime = _SYNTH_MULT, _SYNTH_INC, _SYNTH_PRIME
+
+    class SynthReader(DataSourceReader):
+        def __init__(self, options):
+            self.n = int(options.get("n", _SYNTH_N))
+            self.parts = int(options.get("partitions", _SYNTH_PARTS))
+
+        def partitions(self):
+            return [InputPartition(i) for i in range(self.parts)]
+
+        def read(self, partition):
+            i = partition.value
+            lo = i * self.n // self.parts
+            hi = (i + 1) * self.n // self.parts
+            for eid in range(lo, hi):
+                yield (eid, eid % 32, (eid * mult + inc) % prime)
+
+    class SynthEventsDataSource(DataSource):
+        @classmethod
+        def name(cls) -> str:
+            return "h3r_synth"
+
+        def schema(self) -> str:
+            return "event_id bigint, bucket int, value bigint"
+
+        def reader(self, schema):
+            return SynthReader(self.options)
+
+    spark.dataSource.register(SynthEventsDataSource)
+    _PYSOURCE_REGISTERED.add(id(spark))
+
+
+def scan_pysource(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S10 — custom source via the Python DataSource API (Spark 4): a
+    deterministic synthetic-events generator registered as a first-class
+    ``spark.read.format("h3r_synth")`` source — the extension point for
+    reading systems Spark has no built-in connector for (internal feed
+    formats, bespoke services), exercised here end-to-end through Spark's
+    Arrow-batched Python source runner.
+
+    The source is genuinely partitioned: ``partitions()`` splits the id
+    range into 8 independent InputPartitions, each read by its own task
+    (parallelism scales with the option, not the driver). Generated rows
+    are pure LCG integer arithmetic, so the relation — grouped here to a
+    per-bucket summary — carries a full SQL oracle; arithmetic stays far
+    under 2^63 (ANSI-safe)."""
+    _register_synth_source(spark)
+    df = (
+        spark.read.format("h3r_synth")
+        .option("n", _SYNTH_N)
+        .option("partitions", _SYNTH_PARTS)
+        .load()
+    )
+    return df.groupBy("bucket").agg(
+        F.count("*").alias("n_rows"),
+        F.sum("event_id").alias("sum_id"),
+        F.max("value").alias("max_value"),
+    )
+
+
 ORACLES: dict[str, str] = {
+    "scan_pysource": f"""
+        WITH g AS (
+            SELECT CAST(range AS BIGINT) AS event_id,
+                   CAST(range % 32 AS INTEGER) AS bucket,
+                   (range * {_SYNTH_MULT} + {_SYNTH_INC}) % {_SYNTH_PRIME}
+                       AS value
+            FROM range({_SYNTH_N})
+        )
+        SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(SUM(event_id) AS BIGINT) AS sum_id,
+               CAST(MAX(value) AS BIGINT) AS max_value
+        FROM g GROUP BY bucket
+    """,
     "scan_binaryfile": """
         SELECT doc_id, CAST(n_chars AS BIGINT) AS n_bytes
         FROM documents WHERE doc_id % 7 = 0
@@ -401,5 +492,6 @@ QUERY_FNS = {
     "scan_partitioned": scan_partitioned,
     "scan_bucketed": scan_bucketed,
     "scan_binaryfile": scan_binaryfile,
+    "scan_pysource": scan_pysource,
     "delimited_parse": delimited_parse,
 }

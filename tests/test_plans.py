@@ -280,3 +280,16 @@ def test_range_join_is_bucketed_hash_join(spark):
     plan = _plan(join_range(spark, SF_DIR), "simple")
     assert "NestedLoop" not in plan and "CartesianProduct" not in plan
     assert "HashJoin" in plan
+
+
+def test_bigrams_single_tokenize_and_narrow(spark):
+    """llm_text_bigrams: the tokenized array must materialize ONCE per doc
+    (behind a Generate barrier) — CollapseProject would otherwise inline
+    split(text) into every lambda reference, re-tokenizing per element
+    (O(len^2), 8x slower at sf0.1). Plan must show exactly one split call
+    and no exchange before the vocab-sized aggregate."""
+    from hive3_replication_spark.llm.text import llm_text_bigrams
+
+    plan = _plan(llm_text_bigrams(spark, SF_DIR), "simple")
+    assert plan.count("split(text") == 1
+    assert "TakeOrderedAndProject" in plan
