@@ -64,59 +64,61 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 #: operators between profilings) are appended at the end alphabetically, so
 #: registration never breaks on an unprofiled key.
 _SWEEP_ORDER: tuple[str, ...] = (
-    "stream_retry", "fn_concat", "fn_hash", "fn_regexp_replace",
-    "fn_regexp_extract", "llm_sample_stratified", "llm_chunk_windows",
-    "llm_mix_sources", "sort_topk",
-    "filter_multi_rlike", "fn_param_sql", "llm_text_bpe_count",
-    "fn_div_mod", "llm_text_quality", "reshape_explode", "filter_negative",
-    "fn_date_format", "llm_dedup_exact", "reshape_unpivot",
-    "stream_divergence", "fn_math", "fn_split", "llm_text_langid",
-    "llm_text_redact", "set_union", "agg_max_watermark", "filter_prefix",
-    "fn_case_when", "fn_cast", "llm_pack_sequences", "sort_top1",
-    "filter_null", "llm_text_profile", "delimited_parse",
-    "llm_multimodal_resize", "llm_multimodal_frames", "llm_text_tokens",
-    "string_scrub", "agg_cube", "filter_table_class", "fn_map",
-    "stream_dedup", "llm_multimodal", "stream_tumbling",
-    "llm_text_fingerprint", "stream_sliding", "filter_isin",
-    "stream_late_data", "stream_watermark_advance", "agg_duration",
-    "llm_similarity_topk", "llm_embed_quantize", "agg_conditional",
-    "join_anti",
-    "llm_multimodal_features", "stream_incremental_dump",
-    "win_topk_per_group", "win_rank", "agg_histogram", "fn_array",
-    "project_columns", "stream_event_replay", "filter_rlike",
-    "set_intersect", "agg_groupby", "filter_gt_watermark", "scan_parquet",
-    "stream_consistent_cut", "udf_arrow", "agg_rollup",
-    "ts_rollup_hypertable", "fn_json",
-    "llm_text_entropy", "llm_text_unigram_nll", "sort_events",
-    "fn_date_arith", "join_semi",
-    "agg_pending_count", "fn_levenshtein", "ts_ohlc", "set_except",
-    "win_row_number", "llm_text_repetition", "win_range_frame",
-    "agg_distinct", "agg_dq_checks", "reshape_pivot", "agg_hll_sketch",
-    "llm_dedup_embed",
-    "agg_approx_percentile", "win_latest_per_group", "agg_arg_max",
-    "stream_session", "win_ntile", "udf_table_udtf", "win_running_sum",
-    "llm_knn_join", "llm_text_keywords", "ts_sessionize",
-    "udf_grouped_agg", "win_first_value", "join_left", "row_offset_filter",
-    "ts_fill_forward", "ts_resample", "llm_ann_lsh", "join_sortmerge",
-    "agg_approx_distinct", "join_theta", "udf_table", "agg_skew_salted",
-    "scan_json", "join_full", "agg_percentile", "scan_orc", "llm_ann_ivf",
-    "ts_interpolate", "join_snapshot_diff", "llm_contamination",
-    "agg_mode", "llm_dedup_incremental", "join_broadcast", "join_asof",
-    "join_skew_salted",
-    "snapshot_dump", "scan_csv", "log_append", "sql_discount_revenue",
-    "join_watermark_compare", "agg_stats", "agg_table_profile",
-    "sql_top_supplier", "win_lag", "sql_waiting_supplier",
-    "sql_pricing_summary", "sql_promo_revenue", "sql_order_priority",
-    "sql_shipmode_priority", "sql_customer_distribution",
-    "sql_small_quantity_revenue", "sql_market_share", "sql_returned_items",
-    "sql_inactive_customer_balance", "sql_parts_supplier_count",
-    "sql_product_profit", "llm_text_normalize", "jdbc_sink",
-    "sql_nation_volume", "sql_shipping_priority", "parallel_copy",
-    "sql_large_volume_customer", "llm_dedup_simhash",
-    "sql_local_supplier_volume", "llm_dedup_minhash", "scan_partitioned",
-    "llm_pipeline_e2e", "snapshot_load", "scan_bucketed",
-    "llm_dedup_ngram", "udf_scalar", "llm_dedup_clusters",
-    "stream_stateful_progress", "jdbc_source",
+    "string_scrub", "filter_prefix", "scan_parquet", "filter_null",
+    "filter_isin", "fn_array", "sort_top1", "agg_max_watermark",
+    "delimited_parse", "win_row_number", "filter_table_class",
+    "filter_rlike", "row_offset_filter", "fn_url", "filter_multi_rlike",
+    "filter_negative", "project_columns", "fn_regexp_extract",
+    "agg_conditional", "stream_incremental_dump", "fn_concat",
+    "reshape_explode", "fn_case_when", "llm_text_tokens", "win_rank",
+    "agg_histogram", "filter_gt_watermark", "scan_binaryfile",
+    "fn_datetime_extract", "sort_topk", "fn_map", "agg_pending_count",
+    "fn_levenshtein", "agg_distinct", "agg_duration", "join_semi",
+    "agg_arg_max", "reshape_unpivot", "llm_text_profile", "agg_cube",
+    "join_anti", "stream_event_replay", "agg_rollup", "win_running_sum",
+    "fn_regexp_replace", "fn_math", "fn_cast", "fn_json",
+    "fn_date_arith", "llm_dedup_ngram", "stream_retry",
+    "fn_date_format", "stream_dedup", "llm_text_fingerprint",
+    "agg_groupby", "agg_grouping_sets", "llm_multimodal_frames",
+    "llm_multimodal", "llm_embed_quantize", "sort_events", "set_except",
+    "win_latest_per_group", "win_lag", "stream_stream_join",
+    "fn_param_sql", "stream_watermark_advance", "stream_consistent_cut",
+    "scan_csv", "llm_text_bpe_count", "llm_text_redact",
+    "llm_multimodal_features", "win_topk_per_group", "fn_hash",
+    "fn_div_mod", "reshape_pivot", "agg_mode", "llm_shard_assign",
+    "set_union", "stream_sliding", "agg_skew_salted", "udf_scalar",
+    "win_distribution", "stream_tumbling", "set_intersect", "udf_arrow",
+    "win_ntile", "join_left", "llm_sample_temperature",
+    "llm_sample_stratified", "ts_ohlc", "join_full", "stream_late_data",
+    "ts_resample", "join_theta", "llm_text_repetition",
+    "win_first_value", "scan_json", "llm_vocab_coverage", "udf_table",
+    "join_asof", "jdbc_sink", "win_range_frame", "udf_grouped_agg",
+    "join_watermark_compare", "join_range", "llm_text_bigrams",
+    "stream_divergence", "stream_session", "agg_percentile",
+    "join_snapshot_diff", "agg_hll_sketch", "jdbc_source",
+    "llm_similarity_topk", "ts_rollup_hypertable", "llm_text_entropy",
+    "udf_table_udtf", "join_sortmerge", "merge_scd2", "agg_count_min",
+    "llm_pack_sequences", "scan_bucketed", "fn_split",
+    "llm_text_unigram_nll", "llm_text_keywords", "join_skew_salted",
+    "llm_chunk_windows", "join_broadcast", "ts_sessionize", "scan_orc",
+    "scan_partitioned", "llm_text_langid", "ts_fill_forward",
+    "llm_knn_join", "agg_dq_checks", "agg_table_profile", "log_append",
+    "agg_approx_percentile", "snapshot_dump", "agg_stats",
+    "llm_contamination", "agg_corr", "llm_text_quality",
+    "ts_interpolate", "sql_shipping_priority", "sql_promo_revenue",
+    "llm_ann_ivf", "llm_dedup_embed", "sql_order_priority",
+    "sql_inactive_customer_balance", "sql_discount_revenue",
+    "agg_approx_distinct", "sql_shipmode_priority", "sql_nation_volume",
+    "sql_customer_distribution", "sql_top_supplier",
+    "sql_returned_items", "sql_parts_supplier_count", "llm_ann_lsh",
+    "sql_small_quantity_revenue", "llm_mix_sources", "parallel_copy",
+    "sql_large_volume_customer", "sql_market_share",
+    "llm_dedup_incremental", "sql_product_profit",
+    "sql_pricing_summary", "llm_dedup_simhash", "sql_waiting_supplier",
+    "sql_local_supplier_volume", "llm_text_normalize",
+    "llm_dedup_exact", "snapshot_load", "llm_dedup_minhash",
+    "llm_dedup_clusters", "llm_multimodal_resize", "llm_pipeline_e2e",
+    "stream_stateful_progress", "scan_pysource",
 )
 
 
