@@ -185,7 +185,42 @@ def filter_gt_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def filter_dpp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P12 — dynamic partition pruning: the partition predicate is only
+    known at RUNTIME (it comes out of a filtered dimension), yet the fact
+    scan must still skip non-matching partition directories — Catalyst
+    injects the dim's build-side keys as a dynamicpruning subquery into
+    the fact's PartitionFilters (plan-gated). This is the 100 TB
+    difference between "join then discard 27 of 30 days" and "read 3
+    days": static pruning (scan_partitioned) covers literal predicates,
+    DPP covers the join-driven ones every star query has."""
+    from ..sources.readers import partitioned_events_path
+
+    path = partitioned_events_path(spark, sf_dir)
+    facts = spark.read.parquet(path)
+    dim = spark.createDataFrame(
+        [("2024-01-02", "keep"), ("2024-01-05", "keep"),
+         ("2024-01-09", "drop")],
+        "d string, action string",
+    ).select(F.col("d").cast("date").alias("event_date"), "action")
+    keep = dim.filter(F.col("action") == "keep").select("event_date")
+    return (
+        facts.join(keep, "event_date")
+        .groupBy("event_date")
+        .agg(F.count("*").alias("n_events"))
+    )
+
+
 ORACLES: dict[str, str] = {
+    "filter_dpp": """
+        -- date derived in a subquery: DuckDB mis-prunes the direct
+        -- WHERE CAST(ts AS DATE) IN (...) form against this parquet scan
+        SELECT event_date, COUNT(*) AS n_events FROM (
+            SELECT CAST(ts AS DATE) AS event_date FROM events
+        ) t
+        WHERE event_date IN (DATE '2024-01-02', DATE '2024-01-05')
+        GROUP BY event_date
+    """,
     "project_columns": "SELECT o_orderkey, o_totalprice, o_orderstatus FROM orders",
     "row_offset_filter": """
         SELECT event_id, event_type, user_id FROM (
@@ -252,4 +287,5 @@ QUERY_FNS = {
     "filter_negative": filter_negative,
     "filter_table_class": filter_table_class,
     "filter_gt_watermark": filter_gt_watermark,
+    "filter_dpp": filter_dpp,
 }

@@ -495,12 +495,49 @@ def sql_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _run(spark, sf_dir, _Q21)
 
 
+_QREC = """
+WITH RECURSIVE chain(s_suppkey, root, depth) AS (
+    SELECT s_suppkey, s_suppkey AS root, 0 AS depth
+    FROM {supplier} WHERE s_suppkey = 1
+    UNION ALL
+    SELECT s.s_suppkey, c.root, c.depth + 1
+    FROM {supplier} s JOIN chain c
+      ON CAST(FLOOR(s.s_suppkey / 2.0) AS BIGINT) = c.s_suppkey
+         AND s.s_suppkey > 1
+)
+SELECT depth, CAST(COUNT(*) AS BIGINT) AS n_suppliers,
+       CAST(MIN(s_suppkey) AS BIGINT) AS min_key,
+       CAST(MAX(s_suppkey) AS BIGINT) AS max_key
+FROM chain GROUP BY depth ORDER BY depth
+"""
+
+
+def sql_recursive_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recursive CTE (Spark 4's WITH RECURSIVE, SPARK-24497): hierarchy
+    traversal the reference expresses only procedurally (bash loops) —
+    here the supplier id space forms an implicit binary tree (parent =
+    id DIV 2) walked from the root to produce per-depth level stats.
+
+    Each recursion step is one self-join of the frontier against the
+    supplier relation — Spark executes it as an iterative union of
+    micro-plans, the relational twin of the label-propagation loop in
+    llm_dedup_clusters (which remains the scalable form for billion-edge
+    graphs; this is the declarative surface for catalog-sized
+    hierarchies: org charts, BOM trees, schema lineage). DuckDB runs the
+    identical statement, so the key has a full SQL oracle. The parent
+    edge uses FLOOR(key / 2.0) because bare `/` is float division in
+    both engines (exact for these magnitudes); `id > 1` guards the
+    root's self-edge."""
+    return _run(spark, sf_dir, _QREC)
+
+
 _ORACLE_NAMES = dict(
     lineitem="lineitem", orders="orders", customer="customer",
     supplier="supplier", nation="nation", region="region", part="part",
 )
 
 ORACLES: dict[str, str] = {
+    "sql_recursive_hierarchy": _QREC.format(**_ORACLE_NAMES),
     "sql_pricing_summary": _Q1.format(**_ORACLE_NAMES),
     "sql_shipping_priority": _Q3.format(**_ORACLE_NAMES),
     "sql_local_supplier_volume": _Q5.format(**_ORACLE_NAMES),
@@ -540,4 +577,5 @@ QUERY_FNS = {
     "sql_market_share": sql_market_share,
     "sql_product_profit": sql_product_profit,
     "sql_waiting_supplier": sql_waiting_supplier,
+    "sql_recursive_hierarchy": sql_recursive_hierarchy,
 }

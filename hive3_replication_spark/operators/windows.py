@@ -182,6 +182,34 @@ def win_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def win_distinct_running(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W11 — running DISTINCT count over a window (how many distinct users
+    has this event type seen up to each event): no engine supports
+    COUNT(DISTINCT) OVER directly at scale, so the standard two-window
+    rewrite — a first-occurrence flag (row_number over (type, user) == 1)
+    summed cumulatively over (type) — computes it exactly with bounded
+    state. Both windows order by the unique (ts, event_id), so the
+    running values are total-order deterministic; the rewrite is also the
+    100 TB form (the naive per-row distinct set is O(users) state per
+    row)."""
+    events = load_table(spark, sf_dir, "events")
+    w_first = Window.partitionBy("event_type", "user_id").orderBy(
+        "ts", "event_id"
+    )
+    w_cum = (
+        Window.partitionBy("event_type")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        events.withColumn(
+            "is_first", (F.row_number().over(w_first) == 1).cast("bigint")
+        )
+        .withColumn("running_users", F.sum("is_first").over(w_cum))
+        .select("event_type", "event_id", "running_users")
+    )
+
+
 def win_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """W10 — distribution functions: percent_rank + cume_dist of each
     event's value within its event type (the "what percentile is this
@@ -204,6 +232,22 @@ def win_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLES: dict[str, str] = {
+    "win_distinct_running": """
+        WITH flagged AS (
+            SELECT event_type, event_id, ts,
+                   CASE WHEN row_number() OVER (
+                       PARTITION BY event_type, user_id
+                       ORDER BY ts, event_id) = 1
+                   THEN 1 ELSE 0 END AS is_first
+            FROM events
+        )
+        SELECT event_type, event_id,
+               CAST(SUM(is_first) OVER (
+                   PARTITION BY event_type ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS BIGINT) AS running_users
+        FROM flagged
+    """,
     "win_distribution": """
         SELECT event_id, event_type,
                percent_rank() OVER w AS pct_rank,
@@ -295,4 +339,5 @@ QUERY_FNS = {
     "win_topk_per_group": win_topk_per_group,
     "win_range_frame": win_range_frame,
     "win_distribution": win_distribution,
+    "win_distinct_running": win_distinct_running,
 }

@@ -293,3 +293,14 @@ def test_bigrams_single_tokenize_and_narrow(spark):
     plan = _plan(llm_text_bigrams(spark, SF_DIR), "simple")
     assert plan.count("split(text") == 1
     assert "TakeOrderedAndProject" in plan
+
+
+def test_dpp_injects_runtime_partition_filter(spark):
+    """filter_dpp: the join-driven date predicate must reach the fact scan
+    as a dynamicpruning PartitionFilter — without it the scan reads every
+    partition and the join discards them after IO, which is the plan that
+    dies at 100 TB."""
+    from hive3_replication_spark.operators.filters import filter_dpp
+
+    plan = _plan(filter_dpp(spark, SF_DIR))
+    assert "dynamicpruning" in plan
