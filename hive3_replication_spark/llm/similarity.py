@@ -369,7 +369,203 @@ def _norm_d(a: F.Column) -> F.Column:
     )
 
 
+_KM_K = 8               # clusters
+_KM_ITERS = 3           # Lloyd iterations (assignments; K-1 recomputes)
+_KM_STEP = 61           # init: centroid c seeds from vec_id = 61*c
+_KM_CQ = 1_000_000_000.0   # centroid-sum quantizer (1e-9 resolution)
+_KM_DQ = 1_000_000.0       # inertia quantizer (1e-6 resolution)
+
+
+def _km_dist2(x: F.Column, c: F.Column) -> F.Column:
+    """Squared L2 as an index-ordered fold (bit-deterministic; 0.0+v == v
+    exactly in IEEE, so the zero-init fold equals DuckDB's list_reduce)."""
+    return F.aggregate(
+        F.zip_with(x, c, lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _km_assign(pts: DataFrame, cent: DataFrame) -> DataFrame:
+    """Each point to its nearest centroid: corpus x broadcast centroids,
+    argmin via row_number over the unique (dist2, cluster) order."""
+    from pyspark.sql import Window
+
+    scored = pts.join(F.broadcast(cent)).select(
+        "vec_id",
+        "x",
+        "cluster",
+        _km_dist2(F.col("x"), F.col("c")).alias("d2"),
+    )
+    w = Window.partitionBy("vec_id").orderBy("d2", "cluster")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "x", "cluster", "d2")
+    )
+
+
+def _km_recompute(assigned: DataFrame) -> DataFrame:
+    """Element-wise centroid means from QUANTIZED component sums: each
+    component maps to floor(v*1e9 + 0.5) (exact double arithmetic), sums
+    accumulate as int64 (associative — partitioning-independent, unlike a
+    double fold), and the mean divides once per (cluster, position)."""
+    comps = assigned.select(
+        "cluster", F.posexplode(F.col("x")).alias("i", "v")
+    )
+    return (
+        comps.groupBy("cluster", "i")
+        .agg(
+            F.sum(
+                F.floor(F.col("v") * _KM_CQ + F.lit(0.5)).cast("bigint")
+            ).alias("sq"),
+            F.count("*").alias("n"),
+        )
+        .select(
+            "cluster",
+            "i",
+            ((F.col("sq").cast("double") / F.col("n").cast("double"))
+             / F.lit(_KM_CQ)).alias("m"),
+        )
+        .groupBy("cluster")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("i"), F.col("m")))
+            ).alias("pairs")
+        )
+        .select(
+            "cluster",
+            F.transform(F.col("pairs"), lambda p: p.getField("m")).alias("c"),
+        )
+    )
+
+
+def llm_cluster_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L19 — distributed k-means (Lloyd's), the embedding-space
+    clustering step (semantic dedup blocking, topic bucketing, IVF
+    codebook training — the learned version of llm_ann_ivf's label
+    cells). K=8, 3 assignment passes, centroids seeded from fixed
+    vec_ids (61·c) — fully deterministic, no RNG.
+
+    Scale + determinism design: every iteration is one broadcast join of
+    the corpus against the K x dim centroid relation (centroids never
+    collect to the driver) plus one (cluster, position)-keyed hash agg.
+    Centroid means accumulate QUANTIZED int64 component sums
+    (floor(v·1e9+0.5)) — associative, so results are bit-identical on
+    any partitioning AND expressible in SQL: the DuckDB oracle replays
+    all three unrolled iterations and must land on the identical
+    per-cluster membership and quantized inertia. At 100 TB each
+    iteration localCheckpoints to stop plan growth; here 3 iterations
+    stay one lazy plan. Empty clusters drop out of the recompute
+    identically in both engines."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    pts = emb.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("x")
+    )
+    cent = pts.filter(
+        (F.col("vec_id") % _KM_STEP == 0)
+        & (F.col("vec_id") <= _KM_STEP * (_KM_K - 1))
+    ).select(
+        (F.col("vec_id") / _KM_STEP).cast("bigint").alias("cluster"),
+        F.col("x").alias("c"),
+    )
+    assigned = None
+    for _ in range(_KM_ITERS):
+        assigned = _km_assign(pts, cent)
+        cent = _km_recompute(assigned)
+    return assigned.groupBy("cluster").agg(
+        F.count("*").alias("n_members"),
+        F.sum(
+            F.floor(F.col("d2") * _KM_DQ + F.lit(0.5)).cast("bigint")
+        ).alias("inertia_q"),
+    )
+
+
 ORACLES: dict[str, str] = {
+    "llm_cluster_kmeans": f"""
+        WITH pts AS (
+            SELECT vec_id, list_transform(embedding, a -> a::DOUBLE) AS x
+            FROM embeddings
+        ),
+        c0 AS (
+            SELECT CAST(vec_id / {_KM_STEP} AS BIGINT) AS cluster, x AS c
+            FROM pts
+            WHERE vec_id % {_KM_STEP} = 0
+              AND vec_id <= {_KM_STEP * (_KM_K - 1)}
+        ),
+        s1 AS (
+            SELECT p.vec_id, p.x, c.cluster,
+                   list_reduce(list_transform(range(1, len(p.x) + 1),
+                       i -> (p.x[i] - c.c[i]) * (p.x[i] - c.c[i])),
+                       (acc, v) -> acc + v) AS d2
+            FROM pts p, c0 c
+        ),
+        a1 AS (
+            SELECT vec_id, x, cluster, d2 FROM (
+                SELECT *, row_number() OVER (
+                    PARTITION BY vec_id ORDER BY d2, cluster) AS rn
+                FROM s1
+            ) WHERE rn = 1
+        ),
+        m1 AS (
+            SELECT cluster, i.i AS i,
+                   SUM(CAST(FLOOR(x[i.i] * {_KM_CQ} + 0.5) AS BIGINT)) AS sq,
+                   COUNT(*) AS n
+            FROM a1, (SELECT range AS i FROM range(1, 65)) i
+            GROUP BY cluster, i.i
+        ),
+        c1 AS (
+            SELECT cluster,
+                   list((CAST(sq AS DOUBLE) / CAST(n AS DOUBLE)) / {_KM_CQ}
+                        ORDER BY i) AS c
+            FROM m1 GROUP BY cluster
+        ),
+        s2 AS (
+            SELECT p.vec_id, p.x, c.cluster,
+                   list_reduce(list_transform(range(1, len(p.x) + 1),
+                       i -> (p.x[i] - c.c[i]) * (p.x[i] - c.c[i])),
+                       (acc, v) -> acc + v) AS d2
+            FROM pts p, c1 c
+        ),
+        a2 AS (
+            SELECT vec_id, x, cluster, d2 FROM (
+                SELECT *, row_number() OVER (
+                    PARTITION BY vec_id ORDER BY d2, cluster) AS rn
+                FROM s2
+            ) WHERE rn = 1
+        ),
+        m2 AS (
+            SELECT cluster, i.i AS i,
+                   SUM(CAST(FLOOR(x[i.i] * {_KM_CQ} + 0.5) AS BIGINT)) AS sq,
+                   COUNT(*) AS n
+            FROM a2, (SELECT range AS i FROM range(1, 65)) i
+            GROUP BY cluster, i.i
+        ),
+        c2 AS (
+            SELECT cluster,
+                   list((CAST(sq AS DOUBLE) / CAST(n AS DOUBLE)) / {_KM_CQ}
+                        ORDER BY i) AS c
+            FROM m2 GROUP BY cluster
+        ),
+        s3 AS (
+            SELECT p.vec_id, p.x, c.cluster,
+                   list_reduce(list_transform(range(1, len(p.x) + 1),
+                       i -> (p.x[i] - c.c[i]) * (p.x[i] - c.c[i])),
+                       (acc, v) -> acc + v) AS d2
+            FROM pts p, c2 c
+        ),
+        a3 AS (
+            SELECT vec_id, cluster, d2 FROM (
+                SELECT *, row_number() OVER (
+                    PARTITION BY vec_id ORDER BY d2, cluster) AS rn
+                FROM s3
+            ) WHERE rn = 1
+        )
+        SELECT cluster, CAST(COUNT(*) AS BIGINT) AS n_members,
+               CAST(SUM(CAST(FLOOR(d2 * {_KM_DQ} + 0.5) AS BIGINT))
+                    AS BIGINT) AS inertia_q
+        FROM a3 GROUP BY cluster
+    """,
     "llm_similarity_topk": """
         WITH q AS (SELECT embedding AS q_emb FROM embeddings WHERE vec_id = 0),
         scored AS (
@@ -450,4 +646,5 @@ QUERY_FNS = {
     "llm_ann_ivf": llm_ann_ivf,
     "llm_ann_lsh": llm_ann_lsh,
     "llm_embed_quantize": llm_embed_quantize,
+    "llm_cluster_kmeans": llm_cluster_kmeans,
 }

@@ -257,6 +257,26 @@ def fn_url(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def fn_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F19 — semi-structured access via Spark 4's VARIANT type: props
+    parses once into the binary variant encoding (``parse_json``), fields
+    extract TYPED (``variant_get`` with a target type) — the
+    shred-on-read path that replaces per-access string re-parsing
+    (``get_json_object``, F10) for JSON-heavy event streams; at 100 TB
+    the variant column also stores smaller than the raw string and
+    pushes typed extraction into the scan."""
+    events = load_table(spark, sf_dir, "events")
+    return events.select(
+        "event_id",
+        F.expr("variant_get(parse_json(props), '$.k', 'bigint')").alias(
+            "k_typed"
+        ),
+        F.expr("variant_get(parse_json(props), '$.missing', 'bigint')")
+        .alias("missing_field"),
+        F.expr("is_variant_null(parse_json(props))").alias("is_null_doc"),
+    )
+
+
 def fn_datetime_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """F18 — calendar-field extraction (year/quarter/month/day/ISO week/
     ISO weekday/day-of-year): the partitioning-key derivations every
@@ -279,6 +299,14 @@ def fn_datetime_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLES: dict[str, str] = {
+    "fn_variant": """
+        SELECT event_id,
+               CAST(json_extract(props, '$.k') AS BIGINT) AS k_typed,
+               CAST(json_extract(props, '$.missing') AS BIGINT)
+                   AS missing_field,
+               FALSE AS is_null_doc
+        FROM events
+    """,
     "fn_datetime_extract": """
         SELECT o_orderkey,
                CAST(year(o_orderdate) AS INTEGER) AS y,
@@ -422,4 +450,5 @@ QUERY_FNS = {
     "fn_levenshtein": fn_levenshtein,
     "fn_url": fn_url,
     "fn_datetime_extract": fn_datetime_extract,
+    "fn_variant": fn_variant,
 }
