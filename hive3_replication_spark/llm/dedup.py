@@ -888,7 +888,87 @@ _NGRAM_PAIR_CTES = f"""
         )
 """
 
+_SPAN_W = 8  # tokens per non-overlapping span
+
+
+def llm_dedup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L2h — span-level duplication profile (exact-substring dedup, Lee et
+    al. 2022 "Deduplicating Training Data Makes Language Models Better",
+    in blocked form): every document splits into non-overlapping 8-token
+    spans; a span occurring in more than one place marks duplicated text.
+    Output is the per-document duplication profile (n_spans, n_dup_spans,
+    dup_frac) — the signal used to strip boilerplate/templated spans
+    before training, at finer grain than whole-doc dedup (L1) or
+    near-dup (L2a-d).
+
+    Scale shape: span construction is fully narrow (one tokenize behind
+    the Generate barrier — the llm_text_bigrams lesson — then a
+    slice/transform + explode); the only exchanges are the span-string
+    groupBy (at 100 TB: group on xxhash64(span) to keep shuffle rows
+    narrow; raw strings kept here so the SQL oracle verifies values) and
+    the doc_id re-aggregation. A suffix-array exact-substring pass finds
+    arbitrary-offset duplicates; fixed-boundary spans are the standard
+    shuffle-friendly approximation."""
+    documents = load_table(spark, sf_dir, "documents")
+    toked = documents.select(
+        "doc_id",
+        F.explode(F.array(F.split(F.col("text"), " "))).alias("toks"),
+    )
+    spans = toked.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                f"transform(sequence(0, CAST(CEIL(size(toks) / {_SPAN_W}.0)"
+                f" AS INT) - 1),"
+                f" j -> array_join(slice(toks, j * {_SPAN_W} + 1,"
+                f" {_SPAN_W}), ' '))"
+            )
+        ).alias("span"),
+    )
+    counts = spans.groupBy("span").agg(F.count("*").alias("span_n"))
+    return (
+        spans.join(counts, "span")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_spans"),
+            F.sum((F.col("span_n") > 1).cast("bigint")).alias("n_dup_spans"),
+        )
+        .select(
+            "doc_id",
+            "n_spans",
+            "n_dup_spans",
+            (F.col("n_dup_spans").cast("double")
+             / F.col("n_spans").cast("double")).alias("dup_frac"),
+        )
+    )
+
+
 ORACLES: dict[str, str] = {
+    "llm_dedup_spans": f"""
+        WITH toked AS (
+            SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+        ),
+        spans AS (
+            SELECT doc_id,
+                   unnest(list_transform(
+                       range(0, CAST(CEIL(len(toks) / {_SPAN_W}.0) AS INT)),
+                       j -> array_to_string(
+                           toks[j * {_SPAN_W} + 1 : j * {_SPAN_W}
+                                + {_SPAN_W}], ' ')
+                   )) AS span
+            FROM toked
+        ),
+        counts AS (
+            SELECT span, COUNT(*) AS span_n FROM spans GROUP BY span
+        )
+        SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_spans,
+               CAST(SUM(CASE WHEN span_n > 1 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_dup_spans,
+               CAST(SUM(CASE WHEN span_n > 1 THEN 1 ELSE 0 END) AS DOUBLE)
+                   / CAST(COUNT(*) AS DOUBLE) AS dup_frac
+        FROM spans JOIN counts USING (span)
+        GROUP BY doc_id
+    """,
     "llm_dedup_exact": """
         SELECT MIN(doc_id) AS canonical_doc_id, COUNT(*) AS n_copies
         FROM documents GROUP BY text
@@ -995,6 +1075,7 @@ ORACLES: dict[str, str] = {
 
 QUERY_FNS = {
     "llm_dedup_exact": llm_dedup_exact,
+    "llm_dedup_spans": llm_dedup_spans,
     "llm_dedup_ngram": llm_dedup_ngram,
     "llm_dedup_clusters": llm_dedup_clusters,
     "llm_dedup_incremental": llm_dedup_incremental,

@@ -261,6 +261,86 @@ def ts_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def ts_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T7 — ordered funnel analysis (view → click → purchase per user):
+    stage N counts only users whose stage-N event happens at or after
+    their stage-(N-1) entry time — the event-analytics query behind every
+    conversion dashboard.
+
+    Three conditional min-aggregations chained by user_id joins; all
+    three aggs and both joins key on user_id, so Catalyst reuses ONE
+    hash-partitioning across the whole chain (no re-shuffle between
+    stages). Output is one row of funnel totals; timestamps compare
+    exactly (µs), so the key carries a full SQL oracle."""
+    events = load_table(spark, sf_dir, "events")
+    e = events.select("user_id", "event_type", "ts")
+    t1 = e.filter(F.col("event_type") == "view").groupBy("user_id").agg(
+        F.min("ts").alias("t_view")
+    )
+    t2 = (
+        e.filter(F.col("event_type") == "click")
+        .join(t1, "user_id")
+        .filter(F.col("ts") >= F.col("t_view"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_click"))
+    )
+    t3 = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(t2, "user_id")
+        .filter(F.col("ts") >= F.col("t_click"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_purchase"))
+    )
+    return (
+        t1.agg(F.count("*").alias("n_view"))
+        .crossJoin(t2.agg(F.count("*").alias("n_click_after_view")))
+        .crossJoin(t3.agg(F.count("*").alias("n_purchase_after_click")))
+    )
+
+
+_ZS_WIN = 100  # trailing rows in the anomaly baseline
+
+
+def ts_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T8 — rolling z-score anomaly detection per event type: each value
+    scored against the mean/std of its trailing 100 observations — the
+    standard streaming-metrics outlier monitor, batch form.
+
+    The window sums (Σv, Σv²) accumulate as DECIMALS over the ROWS frame
+    (exact, order-independent), and the float mean/var/z formula runs
+    once per row on the finalized sums — same policy as agg_corr, which
+    is what lets a windowed float statistic carry a full value-hash
+    oracle. z rounded to 6 dp (>17-digit decimal→double conversions
+    differ at ~1e-13 between engines); |z| > 3 flags the anomaly."""
+    events = load_table(spark, sf_dir, "events")
+    v = F.col("value").cast("decimal(18,4)")
+    vv = (v * v).cast("decimal(38,8)")
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-(_ZS_WIN - 1), Window.currentRow)
+    )
+    staged = events.select(
+        "event_id",
+        "event_type",
+        "ts",
+        F.col("value").cast("double").alias("vd"),
+        F.count("*").over(w).alias("n"),
+        F.sum(v).over(w).cast("double").alias("s1"),
+        F.sum(vv).over(w).cast("double").alias("s2"),
+    )
+    nd = F.col("n").cast("double")
+    mean = F.col("s1") / nd
+    var = F.col("s2") / nd - mean * mean
+    z = (F.col("vd") - mean) / F.sqrt(var + F.lit(1e-9))
+    return staged.select(
+        "event_id",
+        "event_type",
+        F.round(z, 6).alias("z"),
+        (F.abs(F.round(z, 6)) > 3.0).alias("is_anomaly"),
+    )
+
+
 _GRID_CTES = """
         e AS (
             SELECT event_type,
@@ -289,6 +369,58 @@ _GRID_CTES = """
 """
 
 ORACLES: dict[str, str] = {
+    "ts_funnel": """
+        WITH e AS (
+            SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts
+            FROM events
+        ),
+        t1 AS (
+            SELECT user_id, MIN(ts) AS t_view FROM e
+            WHERE event_type = 'view' GROUP BY user_id
+        ),
+        t2 AS (
+            SELECT e.user_id, MIN(ts) AS t_click
+            FROM e JOIN t1 USING (user_id)
+            WHERE event_type = 'click' AND ts >= t_view
+            GROUP BY e.user_id
+        ),
+        t3 AS (
+            SELECT e.user_id, MIN(ts) AS t_purchase
+            FROM e JOIN t2 USING (user_id)
+            WHERE event_type = 'purchase' AND ts >= t_click
+            GROUP BY e.user_id
+        )
+        SELECT (SELECT COUNT(*) FROM t1) AS n_view,
+               (SELECT COUNT(*) FROM t2) AS n_click_after_view,
+               (SELECT COUNT(*) FROM t3) AS n_purchase_after_click
+    """,
+    "ts_anomaly_zscore": f"""
+        WITH staged AS (
+            SELECT event_id, event_type, CAST(value AS DOUBLE) AS vd,
+                   COUNT(*) OVER w AS n,
+                   CAST(SUM(CAST(value AS DECIMAL(18,4))) OVER w AS DOUBLE)
+                       AS s1,
+                   CAST(SUM(CAST(CAST(value AS DECIMAL(28,4))
+                                 * CAST(value AS DECIMAL(28,4))
+                                 AS DECIMAL(38,8))) OVER w AS DOUBLE) AS s2
+            FROM events
+            WINDOW w AS (PARTITION BY event_type
+                         ORDER BY CAST(ts AS TIMESTAMP), event_id
+                         ROWS BETWEEN {_ZS_WIN - 1} PRECEDING
+                              AND CURRENT ROW)
+        ),
+        scored AS (
+            SELECT event_id, event_type,
+                   ROUND((vd - s1 / CAST(n AS DOUBLE))
+                         / SQRT(s2 / CAST(n AS DOUBLE)
+                                - (s1 / CAST(n AS DOUBLE))
+                                  * (s1 / CAST(n AS DOUBLE)) + 1e-9), 6)
+                       AS z
+            FROM staged
+        )
+        SELECT event_id, event_type, z, ABS(z) > 3.0 AS is_anomaly
+        FROM scored
+    """,
     "ts_resample": f"""
         WITH {_GRID_CTES}
         SELECT event_type, hour, n_events,
@@ -409,4 +541,6 @@ QUERY_FNS = {
     "ts_ohlc": ts_ohlc,
     "ts_rollup_hypertable": ts_rollup_hypertable,
     "ts_sessionize": ts_sessionize,
+    "ts_funnel": ts_funnel,
+    "ts_anomaly_zscore": ts_anomaly_zscore,
 }
