@@ -496,6 +496,29 @@ _PROFILE_ORACLE = " UNION ALL ".join(
     for c in _PROFILE_COLS
 )
 
+def agg_string_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A23 — ordered string aggregation (LISTAGG / string_agg): the
+    distinct user ids per event type as one sorted comma-joined string —
+    the report/export shape every warehouse emits. Determinism the
+    scalable way: collect_set (order-free, partial-aggregated) →
+    array_sort → join, so the result is identical on any partitioning —
+    a bare collect_list/string_agg without ORDER BY is run-dependent.
+    Output size is |distinct users| per group — bounded by the group's
+    key domain, not the event count."""
+    events = load_table(spark, sf_dir, "events")
+    sample = events.filter(F.col("user_id") % 10 == 0)
+    return sample.groupBy("event_type").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_set("user_id")),
+                lambda x: x.cast("string"),
+            ),
+            ",",
+        ).alias("user_list"),
+        F.countDistinct("user_id").alias("n_users"),
+    )
+
+
 def agg_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A22 — Pearson correlation / covariance per group, computed from
     EXACT decimal moment sums instead of the built-in streaming
@@ -634,6 +657,16 @@ def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLES: dict[str, str] = {
+    "agg_string_agg": """
+        SELECT event_type,
+               array_to_string(
+                   list_transform(list_sort(list(DISTINCT user_id)),
+                                  x -> CAST(x AS VARCHAR)), ',')
+                   AS user_list,
+               COUNT(DISTINCT user_id) AS n_users
+        FROM events WHERE user_id % 10 = 0
+        GROUP BY event_type
+    """,
     "agg_corr": """
         WITH sums AS (
             SELECT l_returnflag, COUNT(*) AS n,
@@ -870,6 +903,7 @@ QUERY_FNS = {
     "agg_grouping_sets": agg_grouping_sets,
     "agg_count_min": agg_count_min,
     "agg_corr": agg_corr,
+    "agg_string_agg": agg_string_agg,
     "agg_approx_percentile": agg_approx_percentile,
     "agg_rollup": agg_rollup,
     "agg_cube": agg_cube,

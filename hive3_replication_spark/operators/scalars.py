@@ -277,6 +277,36 @@ def fn_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def fn_collate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F20 — collation-aware comparison (Spark 4 collations,
+    SPARK-46830): case-insensitive grouping via the UTF8_LCASE collation
+    instead of wrapping every reference in lower() — the collation
+    travels with the type, so every downstream comparison/join/group on
+    the column is case-insensitive by declaration. Grouping normalizes
+    case variants of the order-priority code; output keys re-emitted in
+    canonical lower case so the oracle (DuckDB lower()) matches
+    byte-for-byte."""
+    orders = load_table(spark, sf_dir, "orders")
+    varied = orders.select(
+        F.when(
+            F.col("o_orderkey") % 3 == 0, F.upper(F.col("o_orderpriority"))
+        )
+        .otherwise(F.col("o_orderpriority"))
+        .alias("prio_mixed")
+    )
+    collated = varied.select(
+        F.expr("collate(prio_mixed, 'UTF8_LCASE')").alias("prio_ci")
+    )
+    return (
+        collated.groupBy("prio_ci")
+        .agg(F.count("*").alias("n_orders"))
+        .select(
+            F.lower(F.col("prio_ci").cast("string")).alias("priority"),
+            "n_orders",
+        )
+    )
+
+
 def fn_datetime_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """F18 — calendar-field extraction (year/quarter/month/day/ISO week/
     ISO weekday/day-of-year): the partitioning-key derivations every
@@ -299,6 +329,13 @@ def fn_datetime_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLES: dict[str, str] = {
+    "fn_collate": """
+        SELECT lower(CASE WHEN o_orderkey % 3 = 0
+                          THEN upper(o_orderpriority)
+                          ELSE o_orderpriority END) AS priority,
+               COUNT(*) AS n_orders
+        FROM orders GROUP BY 1
+    """,
     "fn_variant": """
         SELECT event_id,
                CAST(json_extract(props, '$.k') AS BIGINT) AS k_typed,
@@ -451,4 +488,5 @@ QUERY_FNS = {
     "fn_url": fn_url,
     "fn_datetime_extract": fn_datetime_extract,
     "fn_variant": fn_variant,
+    "fn_collate": fn_collate,
 }

@@ -31,6 +31,16 @@ FLOAT_HEAVY = [
     "llm_mix_sources",
     "llm_dedup_incremental",
     "llm_dedup_clusters",
+    # round 2: the float-sensitive additions — quantized k-means centroid
+    # sums, decimal window sums behind the z-score, exact-moment corr,
+    # temperature thresholds (IEEE-exact sqrt), serpentine shard dealing
+    "llm_cluster_kmeans",
+    "ts_anomaly_zscore",
+    "agg_corr",
+    "llm_sample_temperature",
+    "llm_shard_assign",
+    "llm_dedup_spans",
+    "llm_vocab_coverage",
 ]
 
 

@@ -304,3 +304,27 @@ def test_dpp_injects_runtime_partition_filter(spark):
 
     plan = _plan(filter_dpp(spark, SF_DIR))
     assert "dynamicpruning" in plan
+
+
+def test_kmeans_iterations_broadcast_centroids(spark):
+    """llm_cluster_kmeans: every Lloyd iteration must join the corpus
+    against BROADCAST centroids — a shuffled or nested-loop join per
+    iteration multiplies the corpus exchange by the iteration count."""
+    from hive3_replication_spark.llm.similarity import llm_cluster_kmeans
+
+    plan = _plan(llm_cluster_kmeans(spark, SF_DIR), "simple")
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastNestedLoopJoin") >= 3  # K x dim dims ride broadcast
+    from hive3_replication_spark.llm.similarity import _KM_ITERS
+
+    assert _KM_ITERS == 3
+
+
+def test_funnel_reuses_user_partitioning(spark):
+    """ts_funnel: the three stage aggregations and both joins all key on
+    user_id — the plan must not re-shuffle between stages beyond the
+    initial per-branch scans (exchange reuse / same-key partitioning)."""
+    from hive3_replication_spark.operators.timeseries import ts_funnel
+
+    plan = _plan(ts_funnel(spark, SF_DIR), "simple")
+    assert "CartesianProduct" not in plan
