@@ -420,7 +420,116 @@ def llm_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Fixed linear-model weights (a distilled quality classifier's head —
+#: integer so the score is exact; stand-in for fastText-style weights).
+_QC_W_TOKENS = 2
+_QC_W_STOP = 5
+_QC_W_DISTINCT = 3
+_QC_CHARS_DIV = 20
+_QC_THRESHOLD = 900
+
+
+def llm_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L20 — linear quality classifier: features x fixed weights ->
+    integer score -> keep/drop decision — the fastText-classifier shape
+    (CCNet / GPT-3 WebText filtering) with a distilled integer head, so
+    the decision is EXACT and SQL-verifiable (a float sigmoid would
+    only bracket). Features are all codegen expressions: token count,
+    stopword hits, distinct-token count (vocabulary richness), and a
+    length penalty. Fully narrow — classification is a map over the
+    corpus, no shuffle at any scale."""
+    documents = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    f_tokens = F.size(toks).cast("bigint")
+    f_stop = F.regexp_count(
+        F.col("text"), F.lit(r"\b(the|a|of|and|is)\b")
+    ).cast("bigint")
+    f_distinct = F.size(F.array_distinct(toks)).cast("bigint")
+    penalty = F.expr(f"n_chars DIV {_QC_CHARS_DIV}")
+    score = (
+        F.lit(_QC_W_TOKENS) * f_tokens
+        + F.lit(_QC_W_STOP) * f_stop
+        + F.lit(_QC_W_DISTINCT) * f_distinct
+        - penalty
+    )
+    return documents.select(
+        "doc_id",
+        score.alias("quality_score"),
+        (score >= _QC_THRESHOLD).alias("keep"),
+    )
+
+
+_EH_DIMS = 16
+_EH_MOD = 1_000_003
+
+
+def llm_doc_embed_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L21 — document vectors via the hashing trick (Weinberger et al.
+    2009): each token char-folds to a polynomial hash, lands in one of
+    16 dimensions, and the doc vector is the per-dimension token count —
+    the model-free embedding used for cheap clustering/nearest-neighbor
+    when no encoder is available (and the exact-arithmetic stand-in for
+    an encoder head in this pipeline). Output is the (doc_id, dim, cnt)
+    long form — scalar columns, oracle-exact; assembling the array is a
+    collect_list away.
+
+    All integer arithmetic (fold (acc*31 + ascii) % 1000003 — identical
+    in DuckDB via list_reduce with a prepended seed), so the vectors
+    are bit-identical cross-engine; one vocab-free narrow explode + one
+    (doc, dim) hash agg."""
+    documents = load_table(spark, sf_dir, "documents")
+    toked = documents.select(
+        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("tok")
+    )
+    tok_hash = F.expr(
+        "aggregate(transform(sequence(1, length(tok)),"
+        " i -> CAST(ascii(substring(tok, i, 1)) AS BIGINT)),"
+        f" CAST(7 AS BIGINT), (acc, c) -> (acc * 31 + c) % {_EH_MOD})"
+    )
+    return (
+        toked.select("doc_id", (tok_hash % _EH_DIMS).alias("dim"))
+        .groupBy("doc_id", "dim")
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
 ORACLES: dict[str, str] = {
+    "llm_quality_classifier": f"""
+        SELECT doc_id,
+               CAST({_QC_W_TOKENS} * len(string_split(text, ' '))
+                    + {_QC_W_STOP} * len(regexp_extract_all(text,
+                          '\\b(the|a|of|and|is)\\b'))
+                    + {_QC_W_DISTINCT}
+                      * len(list_distinct(string_split(text, ' ')))
+                    - n_chars // {_QC_CHARS_DIV} AS BIGINT)
+                   AS quality_score,
+               CAST({_QC_W_TOKENS} * len(string_split(text, ' '))
+                    + {_QC_W_STOP} * len(regexp_extract_all(text,
+                          '\\b(the|a|of|and|is)\\b'))
+                    + {_QC_W_DISTINCT}
+                      * len(list_distinct(string_split(text, ' ')))
+                    - n_chars // {_QC_CHARS_DIV} AS BIGINT)
+                   >= {_QC_THRESHOLD} AS keep
+        FROM documents
+    """,
+    "llm_doc_embed_hash": f"""
+        WITH toked AS (
+            SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+            FROM documents
+        ),
+        hashed AS (
+            SELECT doc_id,
+                   list_reduce(
+                       list_prepend(CAST(7 AS BIGINT),
+                           list_transform(range(1, len(tok) + 1),
+                               i -> CAST(ascii(tok[i]) AS BIGINT))),
+                       (acc, c) -> (acc * 31 + c) % {_EH_MOD}
+                   ) % {_EH_DIMS} AS dim
+            FROM toked
+        )
+        SELECT doc_id, dim, COUNT(*) AS cnt
+        FROM hashed GROUP BY doc_id, dim
+    """,
     "llm_text_bigrams": """
         WITH pairs AS (
             SELECT unnest(list_transform(
@@ -653,4 +762,6 @@ QUERY_FNS = {
     "llm_text_keywords": llm_text_keywords,
     "llm_vocab_coverage": llm_vocab_coverage,
     "llm_text_bigrams": llm_text_bigrams,
+    "llm_quality_classifier": llm_quality_classifier,
+    "llm_doc_embed_hash": llm_doc_embed_hash,
 }

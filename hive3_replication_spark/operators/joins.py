@@ -427,7 +427,62 @@ def merge_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_BLOOM_BITS = 63  # single-word filter; production sizes an array of words
+
+
+def join_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J14 — bloom-prefiltered semi join: the big side is filtered by a
+    broadcast BIT MASK of the small side's keys BEFORE any shuffle, so
+    only probable members move — the hand-rolled form of Spark's runtime
+    bloom-filter join (which needs size-threshold tuning to trigger; this
+    form is explicit and engine-portable). False positives pass the
+    prefilter and are removed by the real semi join; false negatives are
+    impossible (BIT_OR of exactly the inserted bits).
+
+    One-word (63-bit) filter here; at scale the mask is an array of
+    words (bit i of word h(k) DIV 63), still a few KB broadcast. The
+    prefilter is literal integer arithmetic → full SQL oracle equal to
+    the plain semi join."""
+    events = load_table(spark, sf_dir, "events")
+    hot = (
+        load_table(spark, sf_dir, "customer")
+        .filter(F.col("c_acctbal") > 9000)
+        .select((F.col("c_custkey") % 150).alias("key"))
+        .distinct()
+    )
+    bit = F.expr(f"shiftleft(CAST(1 AS BIGINT), CAST(key % {_BLOOM_BITS} AS INT))")
+    mask = hot.agg(F.bit_or(bit).alias("mask"))
+    probe_bit = F.expr(
+        f"shiftleft(CAST(1 AS BIGINT), CAST(user_id % {_BLOOM_BITS} AS INT))"
+    )
+    prefiltered = (
+        events.join(F.broadcast(mask))
+        .filter((probe_bit.bitwiseAND(F.col("mask"))) != 0)
+    )
+    return (
+        prefiltered.join(
+            F.broadcast(hot), prefiltered.user_id == hot.key, "left_semi"
+        )
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.countDistinct("user_id").alias("n_hot_users"),
+        )
+    )
+
+
 ORACLES: dict[str, str] = {
+    "join_bloom_prefilter": f"""
+        WITH hot AS (
+            SELECT DISTINCT c_custkey % 150 AS key FROM customer
+            WHERE c_acctbal > 9000
+        )
+        SELECT event_type, COUNT(*) AS n_events,
+               CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_hot_users
+        FROM events
+        WHERE user_id IN (SELECT key FROM hot)
+        GROUP BY event_type
+    """,
     "merge_scd2": """
         WITH dim AS (
             SELECT c_custkey AS key,
@@ -615,4 +670,5 @@ QUERY_FNS = {
     "join_snapshot_diff": join_snapshot_diff,
     "join_range": join_range,
     "merge_scd2": merge_scd2,
+    "join_bloom_prefilter": join_bloom_prefilter,
 }

@@ -298,6 +298,29 @@ def ts_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def ts_retention_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T9 — cohort retention matrix: users grouped by first-seen week
+    (the cohort), counted as retained in each later week they appear —
+    the product-analytics staple. Two aggregations sharing the user_id
+    clustering: first-seen week per user, then distinct users per
+    (cohort_week, week_offset). Weeks are integer epoch-day DIV 7 —
+    exact arithmetic, no timezone/week-rule ambiguity between engines."""
+    events = load_table(spark, sf_dir, "events")
+    week = F.expr(
+        "CAST(unix_micros(CAST(ts AS TIMESTAMP)) DIV 604800000000 AS BIGINT)"
+    )
+    e = events.select("user_id", week.alias("week"))
+    first = e.groupBy("user_id").agg(F.min("week").alias("cohort_week"))
+    return (
+        e.join(first, "user_id")
+        .groupBy(
+            "cohort_week",
+            (F.col("week") - F.col("cohort_week")).alias("week_offset"),
+        )
+        .agg(F.countDistinct("user_id").alias("n_active"))
+    )
+
+
 _ZS_WIN = 100  # trailing rows in the anomaly baseline
 
 
@@ -369,6 +392,21 @@ _GRID_CTES = """
 """
 
 ORACLES: dict[str, str] = {
+    "ts_retention_cohort": """
+        WITH e AS (
+            SELECT user_id,
+                   CAST(epoch_us(CAST(ts AS TIMESTAMP)) // 604800000000
+                        AS BIGINT) AS week
+            FROM events
+        ),
+        first AS (
+            SELECT user_id, MIN(week) AS cohort_week FROM e GROUP BY user_id
+        )
+        SELECT cohort_week, week - cohort_week AS week_offset,
+               CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_active
+        FROM e JOIN first USING (user_id)
+        GROUP BY cohort_week, week - cohort_week
+    """,
     "ts_funnel": """
         WITH e AS (
             SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts
@@ -542,5 +580,6 @@ QUERY_FNS = {
     "ts_rollup_hypertable": ts_rollup_hypertable,
     "ts_sessionize": ts_sessionize,
     "ts_funnel": ts_funnel,
+    "ts_retention_cohort": ts_retention_cohort,
     "ts_anomaly_zscore": ts_anomaly_zscore,
 }
