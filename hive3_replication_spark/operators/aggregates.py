@@ -496,6 +496,38 @@ _PROFILE_ORACLE = " UNION ALL ".join(
     for c in _PROFILE_COLS
 )
 
+_BM_WORD = 63  # bits per mask word (single int64, top bit unused)
+
+
+def agg_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A24 — EXACT distinct counting via integer bitmaps (the
+    ClickHouse/Doris bitmap-aggregate pattern): each key sets one bit in
+    a (group, word) mask; BIT_OR merges partials associatively; the
+    distinct count is Σ bit_count(word). Sits between A5 (exact, but
+    shuffles every distinct value) and A6/A16 (approximate sketches):
+    for a dense integer key domain the shuffle carries domain/63 words
+    per group — exact AND mergeable, so day-partitioned pipelines keep
+    stored bitmap words and union them for any-window exact distincts,
+    no history re-scan. Pure integer arithmetic → full SQL oracle (the
+    oracle also cross-checks against plain COUNT(DISTINCT))."""
+    events = load_table(spark, sf_dir, "events")
+    words = events.select(
+        "event_type",
+        F.expr(f"user_id DIV {_BM_WORD}").alias("word_idx"),
+        F.expr(
+            f"shiftleft(CAST(1 AS BIGINT),"
+            f" CAST(user_id % {_BM_WORD} AS INT))"
+        ).alias("bit"),
+    )
+    masks = words.groupBy("event_type", "word_idx").agg(
+        F.bit_or("bit").alias("mask")
+    )
+    return masks.groupBy("event_type").agg(
+        F.sum(F.bit_count("mask").cast("bigint")).alias("n_users_exact"),
+        F.count("*").alias("n_words"),
+    )
+
+
 def agg_string_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A23 — ordered string aggregation (LISTAGG / string_agg): the
     distinct user ids per event type as one sorted comma-joined string —
@@ -657,6 +689,22 @@ def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLES: dict[str, str] = {
+    "agg_bitmap_distinct": f"""
+        WITH words AS (
+            SELECT event_type, user_id // {_BM_WORD} AS word_idx,
+                   (CAST(1 AS BIGINT) << CAST(user_id % {_BM_WORD} AS INT))
+                       AS bit
+            FROM events
+        ),
+        masks AS (
+            SELECT event_type, word_idx, BIT_OR(bit) AS mask
+            FROM words GROUP BY event_type, word_idx
+        )
+        SELECT event_type,
+               CAST(SUM(bit_count(mask)) AS BIGINT) AS n_users_exact,
+               COUNT(*) AS n_words
+        FROM masks GROUP BY event_type
+    """,
     "agg_string_agg": """
         SELECT event_type,
                array_to_string(
@@ -904,6 +952,7 @@ QUERY_FNS = {
     "agg_count_min": agg_count_min,
     "agg_corr": agg_corr,
     "agg_string_agg": agg_string_agg,
+    "agg_bitmap_distinct": agg_bitmap_distinct,
     "agg_approx_percentile": agg_approx_percentile,
     "agg_rollup": agg_rollup,
     "agg_cube": agg_cube,

@@ -64,61 +64,68 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 #: operators between profilings) are appended at the end alphabetically, so
 #: registration never breaks on an unprofiled key.
 _SWEEP_ORDER: tuple[str, ...] = (
-    "string_scrub", "filter_prefix", "scan_parquet", "filter_null",
-    "filter_isin", "fn_array", "sort_top1", "agg_max_watermark",
-    "delimited_parse", "win_row_number", "filter_table_class",
-    "filter_rlike", "row_offset_filter", "fn_url", "filter_multi_rlike",
-    "filter_negative", "project_columns", "fn_regexp_extract",
-    "agg_conditional", "stream_incremental_dump", "fn_concat",
-    "reshape_explode", "fn_case_when", "llm_text_tokens", "win_rank",
-    "agg_histogram", "filter_gt_watermark", "scan_binaryfile",
-    "fn_datetime_extract", "sort_topk", "fn_map", "agg_pending_count",
-    "fn_levenshtein", "agg_distinct", "agg_duration", "join_semi",
-    "agg_arg_max", "reshape_unpivot", "llm_text_profile", "agg_cube",
-    "join_anti", "stream_event_replay", "agg_rollup", "win_running_sum",
-    "fn_regexp_replace", "fn_math", "fn_cast", "fn_json",
-    "fn_date_arith", "llm_dedup_ngram", "stream_retry",
-    "fn_date_format", "stream_dedup", "llm_text_fingerprint",
-    "agg_groupby", "agg_grouping_sets", "llm_multimodal_frames",
-    "llm_multimodal", "llm_embed_quantize", "sort_events", "set_except",
-    "win_latest_per_group", "win_lag", "stream_stream_join",
-    "fn_param_sql", "stream_watermark_advance", "stream_consistent_cut",
-    "scan_csv", "llm_text_bpe_count", "llm_text_redact",
-    "llm_multimodal_features", "win_topk_per_group", "fn_hash",
-    "fn_div_mod", "reshape_pivot", "agg_mode", "llm_shard_assign",
-    "set_union", "stream_sliding", "agg_skew_salted", "udf_scalar",
-    "win_distribution", "stream_tumbling", "set_intersect", "udf_arrow",
-    "win_ntile", "join_left", "llm_sample_temperature",
-    "llm_sample_stratified", "ts_ohlc", "join_full", "stream_late_data",
-    "ts_resample", "join_theta", "llm_text_repetition",
-    "win_first_value", "scan_json", "llm_vocab_coverage", "udf_table",
-    "join_asof", "jdbc_sink", "win_range_frame", "udf_grouped_agg",
-    "join_watermark_compare", "join_range", "llm_text_bigrams",
-    "stream_divergence", "stream_session", "agg_percentile",
-    "join_snapshot_diff", "agg_hll_sketch", "jdbc_source",
-    "llm_similarity_topk", "ts_rollup_hypertable", "llm_text_entropy",
-    "udf_table_udtf", "join_sortmerge", "merge_scd2", "agg_count_min",
-    "llm_pack_sequences", "scan_bucketed", "fn_split",
-    "llm_text_unigram_nll", "llm_text_keywords", "join_skew_salted",
-    "llm_chunk_windows", "join_broadcast", "ts_sessionize", "scan_orc",
-    "scan_partitioned", "llm_text_langid", "ts_fill_forward",
-    "llm_knn_join", "agg_dq_checks", "agg_table_profile", "log_append",
-    "agg_approx_percentile", "snapshot_dump", "agg_stats",
-    "llm_contamination", "agg_corr", "llm_text_quality",
-    "ts_interpolate", "sql_shipping_priority", "sql_promo_revenue",
-    "llm_ann_ivf", "llm_dedup_embed", "sql_order_priority",
-    "sql_inactive_customer_balance", "sql_discount_revenue",
-    "agg_approx_distinct", "sql_shipmode_priority", "sql_nation_volume",
-    "sql_customer_distribution", "sql_top_supplier",
-    "sql_returned_items", "sql_parts_supplier_count", "llm_ann_lsh",
-    "sql_small_quantity_revenue", "llm_mix_sources", "parallel_copy",
-    "sql_large_volume_customer", "sql_market_share",
-    "llm_dedup_incremental", "sql_product_profit",
-    "sql_pricing_summary", "llm_dedup_simhash", "sql_waiting_supplier",
-    "sql_local_supplier_volume", "llm_text_normalize",
-    "llm_dedup_exact", "snapshot_load", "llm_dedup_minhash",
-    "llm_dedup_clusters", "llm_multimodal_resize", "llm_pipeline_e2e",
-    "stream_stateful_progress", "scan_pysource",
+    "stream_retry", "fn_regexp_replace", "fn_hash", "sort_topk",
+    "llm_text_bpe_count", "fn_div_mod", "filter_multi_rlike", "fn_math",
+    "fn_cast", "llm_sample_stratified", "fn_concat", "reshape_unpivot",
+    "set_union", "stream_divergence", "fn_split", "llm_dedup_exact",
+    "scan_parquet", "filter_isin", "agg_max_watermark",
+    "filter_negative", "llm_chunk_windows", "agg_rollup",
+    "fn_date_format", "fn_param_sql", "llm_text_redact",
+    "filter_prefix", "delimited_parse", "row_offset_filter", "fn_map",
+    "llm_text_profile", "win_latest_per_group", "win_topk_per_group",
+    "llm_text_langid", "agg_string_agg", "filter_null",
+    "stream_watermark_advance", "stream_tumbling", "llm_text_quality",
+    "project_columns", "join_anti", "llm_text_fingerprint", "win_lag",
+    "stream_sliding", "llm_quality_classifier", "string_scrub",
+    "agg_cube", "stream_dedup", "agg_groupby", "udf_arrow",
+    "scan_partitioned", "fn_variant", "agg_duration",
+    "agg_grouping_sets", "sort_events", "set_intersect", "win_ntile",
+    "stream_late_data", "sort_top1", "llm_text_tokens", "agg_mode",
+    "llm_pack_sequences", "fn_collate", "udf_scalar",
+    "llm_multimodal_features", "agg_bitmap_distinct",
+    "filter_gt_watermark", "agg_pending_count", "join_semi",
+    "agg_arg_max", "stream_event_replay", "set_except",
+    "stream_stream_join", "reshape_pivot", "fn_levenshtein", "fn_json",
+    "llm_shard_assign", "agg_skew_salted", "llm_dedup_ngram",
+    "llm_multimodal", "join_left", "fn_date_arith", "agg_histogram",
+    "win_distribution", "win_rank", "llm_embed_quantize", "scan_csv",
+    "ts_ohlc", "win_range_frame", "reshape_explode",
+    "llm_multimodal_resize", "filter_rlike", "fn_array",
+    "win_row_number", "scan_json", "llm_mix_sources", "win_running_sum",
+    "llm_sample_temperature", "stream_session", "jdbc_source",
+    "join_full", "join_theta", "udf_table", "udf_grouped_agg",
+    "llm_text_entropy", "agg_conditional", "stream_incremental_dump",
+    "win_first_value", "llm_similarity_topk", "win_distinct_running",
+    "agg_distinct", "filter_table_class", "jdbc_sink",
+    "llm_text_repetition", "llm_text_bigrams", "llm_vocab_coverage",
+    "join_skew_salted", "fn_datetime_extract", "ts_resample",
+    "join_asof", "llm_text_unigram_nll", "ts_retention_cohort",
+    "ts_rollup_hypertable", "join_watermark_compare", "agg_hll_sketch",
+    "join_sortmerge", "join_range", "ts_sessionize", "agg_percentile",
+    "join_broadcast", "filter_dpp", "join_bloom_prefilter",
+    "join_snapshot_diff", "udf_table_udtf", "merge_scd2",
+    "stream_consistent_cut", "agg_count_min", "ts_funnel",
+    "llm_text_keywords", "llm_doc_embed_hash", "ts_fill_forward",
+    "scan_binaryfile", "scan_orc", "scan_bucketed", "llm_dedup_spans",
+    "agg_corr", "llm_knn_join", "sql_returned_items", "agg_dq_checks",
+    "agg_approx_percentile", "sql_shipmode_priority",
+    "sql_top_supplier", "log_append", "fn_url", "llm_ann_lsh",
+    "fn_case_when", "sql_customer_distribution",
+    "sql_parts_supplier_count", "ts_anomaly_zscore",
+    "sql_small_quantity_revenue", "parallel_copy", "agg_stats",
+    "sql_nation_volume", "sql_pricing_summary", "snapshot_dump",
+    "llm_dedup_embed", "agg_table_profile", "sql_promo_revenue",
+    "llm_contamination", "sql_discount_revenue", "agg_approx_distinct",
+    "sql_waiting_supplier", "llm_ann_ivf",
+    "sql_inactive_customer_balance", "ts_interpolate",
+    "sql_product_profit", "sql_order_priority",
+    "sql_large_volume_customer", "sql_local_supplier_volume",
+    "sql_shipping_priority", "llm_dedup_simhash", "sql_market_share",
+    "llm_dedup_incremental", "llm_text_normalize", "snapshot_load",
+    "llm_dedup_minhash", "fn_regexp_extract", "llm_dedup_clusters",
+    "llm_multimodal_frames", "llm_cluster_kmeans",
+    "stream_stateful_progress", "llm_pipeline_e2e",
+    "sql_recursive_hierarchy", "scan_pysource",
 )
 
 
