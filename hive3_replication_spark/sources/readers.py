@@ -154,6 +154,55 @@ def scan_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).json(out)
 
 
+def scan_xml(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S5 (xml edge) — XML ingest via Spark 4's built-in XML source
+    (spark-xml merged upstream, SPARK-44265): write a slice as rowTag
+    records, read it back with an explicit schema — the feed format
+    enterprise CDC/ERP exports still arrive in. Same round-trip contract
+    as scan_csv/scan_json; at scale XML files split per rowTag like any
+    text-based source."""
+    ensure_engine_confs(spark)
+    events = load_table(spark, sf_dir, "events")
+    out = tempfile.mkdtemp(prefix="h3r_xml_") + "/events_xml"
+    slice_df = events.filter(F.col("event_id") < 500).select(
+        "event_id", "event_type", "value"
+    )
+    (
+        slice_df.write.mode("overwrite")
+        .format("xml")
+        .option("rootTag", "events")
+        .option("rowTag", "event")
+        .save(out)
+    )
+    return (
+        spark.read.format("xml")
+        .option("rowTag", "event")
+        .schema("event_id long, event_type string, value double")
+        .load(out)
+    )
+
+
+def scan_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S5 (text edge) — raw line ingest (``spark.read.text``): one row
+    per line, the lowest-common-denominator format crawl dumps and log
+    shippers emit. Reads the per-document payload files (binary_docs_path
+    layout), keys each line by the doc_id in its filename, and emits the
+    line length — proving the text source path end-to-end with an exact
+    oracle against documents.n_chars."""
+    path = binary_docs_path(spark, sf_dir)
+    df = (
+        spark.read.option("pathGlobFilter", "*.txt")
+        .text(path)
+        .withColumn("file", F.input_file_name())
+    )
+    return df.select(
+        F.regexp_extract(F.col("file"), r"doc_(\d+)\.txt$", 1)
+        .cast("long")
+        .alias("doc_id"),
+        F.length(F.col("value")).cast("long").alias("n_line_chars"),
+    )
+
+
 _PARTITIONED_CACHE: dict[str, str] = {}
 #: Serializes layout materialization: the prewarm thread (entry() smoke
 #: check) and the verify sweep may request the same layout concurrently.
@@ -420,6 +469,13 @@ def scan_pysource(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLES: dict[str, str] = {
+    "scan_xml": """
+        SELECT event_id, event_type, value FROM events WHERE event_id < 500
+    """,
+    "scan_text": """
+        SELECT doc_id, CAST(n_chars AS BIGINT) AS n_line_chars
+        FROM documents WHERE doc_id % 7 = 0
+    """,
     "scan_pysource": f"""
         WITH g AS (
             SELECT CAST(range AS BIGINT) AS event_id,
@@ -493,5 +549,7 @@ QUERY_FNS = {
     "scan_bucketed": scan_bucketed,
     "scan_binaryfile": scan_binaryfile,
     "scan_pysource": scan_pysource,
+    "scan_xml": scan_xml,
+    "scan_text": scan_text,
     "delimited_parse": delimited_parse,
 }
