@@ -75,7 +75,37 @@ def reshape_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def reshape_struct_flatten(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R4 — nested-struct flatten: nest order facts into a two-level
+    struct (the shape semi-structured ingests produce) and flatten back
+    to columns with struct-star expansion — pure projection, zero
+    shuffles; Catalyst prunes the nested fields it doesn't need at the
+    scan (schema pruning for nested columns)."""
+    orders = load_table(spark, sf_dir, "orders")
+    nested = orders.select(
+        "o_orderkey",
+        F.struct(
+            F.struct(
+                F.col("o_orderstatus").alias("status"),
+                F.col("o_orderpriority").alias("priority"),
+            ).alias("meta"),
+            F.col("o_totalprice").alias("price"),
+        ).alias("payload"),
+    )
+    return nested.select(
+        "o_orderkey",
+        F.col("payload.meta.status").alias("status"),
+        F.col("payload.meta.priority").alias("priority"),
+        F.col("payload.price").alias("price"),
+    )
+
+
 ORACLES: dict[str, str] = {
+    "reshape_struct_flatten": """
+        SELECT o_orderkey, o_orderstatus AS status,
+               o_orderpriority AS priority, o_totalprice AS price
+        FROM orders
+    """,
     "reshape_pivot": """
         SELECT o_orderpriority,
                CAST(COALESCE(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 END), 0) AS BIGINT) AS n_f,
@@ -106,4 +136,5 @@ QUERY_FNS = {
     "reshape_pivot": reshape_pivot,
     "reshape_unpivot": reshape_unpivot,
     "reshape_explode": reshape_explode,
+    "reshape_struct_flatten": reshape_struct_flatten,
 }

@@ -307,6 +307,30 @@ def fn_collate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def fn_crypto_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F21 — column encryption at rest (``aes_encrypt``/``aes_decrypt``,
+    GCM): the PII-handling primitive for regulated corpora — encrypt the
+    raw value before it lands, decrypt inside the authorized pipeline.
+    Ciphertexts are IV-randomized (GCM), so the VERIFIABLE contract is
+    the round trip: decrypt(encrypt(x)) must equal x for every row, plus
+    a ciphertext-length sanity bound. The oracle reproduces the derived
+    booleans/lengths (exact), not the ciphertext bytes — the same
+    bracketing idea as the sketch oracles, applied to randomized
+    crypto."""
+    events = load_table(spark, sf_dir, "events")
+    key = "0123456789abcdef"  # 128-bit test key; prod keys come from a KMS
+    enc = F.expr(f"aes_encrypt(props, '{key}')")
+    dec = F.expr(
+        f"CAST(aes_decrypt(aes_encrypt(props, '{key}'), '{key}') AS STRING)"
+    )
+    return events.select(
+        "event_id",
+        (dec == F.col("props")).alias("roundtrip_ok"),
+        # GCM layout: 12-byte IV + ciphertext(len(plain)) + 16-byte tag
+        (F.length(enc) == F.length("props") + 28).alias("len_ok"),
+    )
+
+
 def fn_datetime_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """F18 — calendar-field extraction (year/quarter/month/day/ISO week/
     ISO weekday/day-of-year): the partitioning-key derivations every
@@ -329,6 +353,9 @@ def fn_datetime_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLES: dict[str, str] = {
+    "fn_crypto_roundtrip": """
+        SELECT event_id, TRUE AS roundtrip_ok, TRUE AS len_ok FROM events
+    """,
     "fn_collate": """
         SELECT lower(CASE WHEN o_orderkey % 3 = 0
                           THEN upper(o_orderpriority)
@@ -489,4 +516,5 @@ QUERY_FNS = {
     "fn_datetime_extract": fn_datetime_extract,
     "fn_variant": fn_variant,
     "fn_collate": fn_collate,
+    "fn_crypto_roundtrip": fn_crypto_roundtrip,
 }
