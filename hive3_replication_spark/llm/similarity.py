@@ -369,6 +369,66 @@ def _norm_d(a: F.Column) -> F.Column:
     )
 
 
+_RS_CAND = 50   # approximate-phase candidates
+_RS_TOPK = 10   # final exact top-k
+
+
+def llm_ann_rescore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L3f — quantize-then-rescore search (the SQ serving pattern): phase
+    1 scans INT8 codes (llm_embed_quantize's format, 4x less IO) and
+    ranks by the integer code dot product — exact int64 arithmetic, so
+    unlike a float approximate score it is bit-deterministic and fully
+    SQL-replayable; phase 2 re-scores only the top-50 candidates with
+    exact float cosine and returns the top-10.
+
+    This completes the ANN family: brute force (L3) / IVF cells (L3b) /
+    LSH buckets (L3d) prune WHICH vectors to score; rescoring prunes
+    PRECISION — scan cheap codes everywhere, pay float math on 50 rows.
+    At 100 TB phase 1 reads the int8 column only (columnar pruning);
+    phase 2's candidate relation is broadcast-sized. Full SQL oracle
+    (integer phase-1 ranks + the 6-dp-rounded cosine convention of
+    L3)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    absmax = F.array_max(
+        F.transform(F.col("embedding"), lambda x: F.abs(x.cast("double")))
+    )
+    qcode = F.transform(
+        F.col("embedding"),
+        lambda x: F.floor(
+            x.cast("double") * 127.0 / F.col("absmax") + 0.5
+        ).cast("long"),
+    )
+    coded = (
+        emb.select("vec_id", "embedding", absmax.alias("absmax"))
+        .filter(F.col("absmax") > 0)
+        .select("vec_id", "embedding", qcode.alias("qc"))
+    )
+    qry = coded.filter(F.col("vec_id") == 0).select(
+        F.col("qc").alias("q_qc"), F.col("embedding").alias("q_emb")
+    )
+    int_dot = F.aggregate(
+        F.zip_with(F.col("qc"), F.col("q_qc"), lambda a, b: a * b),
+        F.lit(0).cast("bigint"),
+        lambda acc, v: acc + v,
+    )
+    cand = (
+        coded.join(F.broadcast(qry))
+        .filter(F.col("vec_id") != 0)
+        .select("vec_id", "embedding", "q_emb", int_dot.alias("approx_score"))
+        .orderBy(F.desc("approx_score"), F.asc("vec_id"))
+        .limit(_RS_CAND)
+    )
+    cos = _dot(F.col("embedding"), F.col("q_emb")) / (
+        _norm(F.col("embedding")) * _norm(F.col("q_emb"))
+    )
+    return (
+        cand.select("vec_id", "approx_score", cos.alias("cosine"))
+        .orderBy(F.desc("cosine"), F.asc("vec_id"))
+        .limit(_RS_TOPK)
+        .select("vec_id", "approx_score", F.round("cosine", 6).alias("cosine_r"))
+    )
+
+
 _KM_K = 8               # clusters
 _KM_ITERS = 3           # Lloyd iterations (assignments; K-1 recomputes)
 _KM_STEP = 61           # init: centroid c seeds from vec_id = 61*c
@@ -482,6 +542,47 @@ def llm_cluster_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLES: dict[str, str] = {
+    "llm_ann_rescore": f"""
+        WITH coded AS (
+            SELECT vec_id, embedding,
+                   list_transform(range(1, len(embedding) + 1),
+                       i -> CAST(FLOOR(CAST(embedding[i] AS DOUBLE) * 127.0
+                            / list_max(list_transform(embedding,
+                                  x -> abs(CAST(x AS DOUBLE)))) + 0.5)
+                            AS BIGINT)) AS qc
+            FROM embeddings
+            WHERE list_max(list_transform(embedding,
+                      x -> abs(CAST(x AS DOUBLE)))) > 0
+        ),
+        q AS (SELECT qc AS q_qc, embedding AS q_emb FROM coded
+              WHERE vec_id = 0),
+        cand AS (
+            SELECT vec_id, embedding, q_emb,
+                   list_aggregate(
+                       list_transform(range(1, len(qc) + 1),
+                           i -> qc[i] * q_qc[i]), 'sum') AS approx_score
+            FROM coded, q WHERE vec_id <> 0
+            ORDER BY approx_score DESC, vec_id ASC LIMIT {_RS_CAND}
+        ),
+        scored AS (
+            SELECT vec_id, approx_score,
+                   list_aggregate(
+                       list_transform(range(1, len(embedding) + 1),
+                           i -> CAST(embedding[i] AS DOUBLE)
+                              * CAST(q_emb[i] AS DOUBLE)), 'sum')
+                   / (sqrt(list_aggregate(list_transform(embedding,
+                           x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
+                           'sum'))
+                      * sqrt(list_aggregate(list_transform(q_emb,
+                           x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
+                           'sum'))) AS cosine
+            FROM cand
+        )
+        SELECT vec_id, CAST(approx_score AS BIGINT) AS approx_score,
+               ROUND(cosine, 6) AS cosine_r
+        FROM scored
+        ORDER BY cosine DESC, vec_id ASC LIMIT {_RS_TOPK}
+    """,
     "llm_cluster_kmeans": f"""
         WITH pts AS (
             SELECT vec_id, list_transform(embedding, a -> a::DOUBLE) AS x
@@ -647,4 +748,5 @@ QUERY_FNS = {
     "llm_ann_lsh": llm_ann_lsh,
     "llm_embed_quantize": llm_embed_quantize,
     "llm_cluster_kmeans": llm_cluster_kmeans,
+    "llm_ann_rescore": llm_ann_rescore,
 }

@@ -386,3 +386,17 @@ def test_incremental_dedup_planted_statuses(spark, tmp_path):
         for r in llm_dedup_incremental(spark, str(out)).collect()
     }
     assert got == {10: "exact_dup", 20: "near_dup", 30: "new"}, got
+
+
+def test_ann_rescore_recall_vs_exact(spark):
+    """Quantize-then-rescore must agree closely with the exact brute-force
+    top-k: int8 codes lose precision, so demand >= 60% overlap of the
+    top-10 sets (in practice much higher)."""
+    from hive3_replication_spark.llm.similarity import (
+        llm_ann_rescore,
+        llm_similarity_topk,
+    )
+
+    exact = {r.vec_id for r in llm_similarity_topk(spark, SF_DIR).collect()}
+    resc = {r.vec_id for r in llm_ann_rescore(spark, SF_DIR).collect()}
+    assert len(exact & resc) >= 6
