@@ -75,6 +75,18 @@ HEADLINE = (
     "llm_vocab_coverage",
     "llm_text_bigrams",
     "stream_stream_join",
+    "llm_cluster_kmeans",
+    "llm_ann_rescore",
+    "llm_dedup_spans",
+    "llm_quality_classifier",
+    "agg_bitmap_distinct",
+    "agg_regression",
+    "filter_dpp",
+    "ts_funnel",
+    "ts_retention_cohort",
+    "ts_anomaly_zscore",
+    "sql_recursive_hierarchy",
+    "win_distinct_running",
 )
 
 

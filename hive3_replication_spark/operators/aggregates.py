@@ -599,6 +599,46 @@ def agg_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def agg_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A25 — per-group least-squares line (REGR_SLOPE / REGR_INTERCEPT /
+    R²) from the same exact decimal moment sums as agg_corr: slope =
+    (nΣxy − ΣxΣy)/(nΣx² − (Σx)²), intercept = (Σy − slope·Σx)/n, R² =
+    corr². The built-in regr_* aggregates fold doubles in partition
+    order; the moment-sum form is associative (mergeable, bit-identical
+    across partitionings) and runs the float formulas once per finalized
+    group. Outputs rounded (8 dp) for the >17-digit decimal→double
+    conversion spread."""
+    li = load_table(spark, sf_dir, "lineitem")
+    x = F.col("l_quantity").cast("decimal(18,4)")
+    y = F.col("l_extendedprice").cast("decimal(18,4)")
+    sums = li.groupBy("l_linestatus").agg(
+        F.count("*").alias("n"),
+        F.sum(x).alias("sx"),
+        F.sum(y).alias("sy"),
+        F.sum((x * y).cast("decimal(38,8)")).alias("sxy"),
+        F.sum((x * x).cast("decimal(38,8)")).alias("sxx"),
+        F.sum((y * y).cast("decimal(38,8)")).alias("syy"),
+    )
+    n = F.col("n").cast("double")
+    sx = F.col("sx").cast("double")
+    sy = F.col("sy").cast("double")
+    sxy = F.col("sxy").cast("double")
+    sxx = F.col("sxx").cast("double")
+    syy = F.col("syy").cast("double")
+    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    intercept = (sy - slope * sx) / n
+    r2 = ((n * sxy - sx * sy) * (n * sxy - sx * sy)) / (
+        (n * sxx - sx * sx) * (n * syy - sy * sy)
+    )
+    return sums.select(
+        "l_linestatus",
+        "n",
+        F.round(slope, 8).alias("slope"),
+        F.round(intercept, 8).alias("intercept"),
+        F.round(r2, 8).alias("r2"),
+    )
+
+
 _CM_D = 4            # sketch depth (hash rows)
 _CM_W = 256          # sketch width (counters per row)
 _CM_P = 2_147_483_647  # Mersenne 2^31-1 — keeps products < 2^62 under ANSI
@@ -689,6 +729,40 @@ def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLES: dict[str, str] = {
+    "agg_regression": """
+        WITH sums AS (
+            SELECT l_linestatus, COUNT(*) AS n,
+                   SUM(CAST(l_quantity AS DECIMAL(18,4))) AS sx,
+                   SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS sy,
+                   SUM(CAST(CAST(l_quantity AS DECIMAL(28,4))
+                            * CAST(l_extendedprice AS DECIMAL(28,4))
+                            AS DECIMAL(38,8))) AS sxy,
+                   SUM(CAST(CAST(l_quantity AS DECIMAL(28,4))
+                            * CAST(l_quantity AS DECIMAL(28,4))
+                            AS DECIMAL(38,8))) AS sxx,
+                   SUM(CAST(CAST(l_extendedprice AS DECIMAL(28,4))
+                            * CAST(l_extendedprice AS DECIMAL(28,4))
+                            AS DECIMAL(38,8))) AS syy
+            FROM lineitem GROUP BY l_linestatus
+        ),
+        d AS (
+            SELECT l_linestatus, n,
+                   CAST(n AS DOUBLE) AS nd, CAST(sx AS DOUBLE) AS sxd,
+                   CAST(sy AS DOUBLE) AS syd, CAST(sxy AS DOUBLE) AS sxyd,
+                   CAST(sxx AS DOUBLE) AS sxxd, CAST(syy AS DOUBLE) AS syyd
+            FROM sums
+        )
+        SELECT l_linestatus, n,
+               ROUND((nd * sxyd - sxd * syd) / (nd * sxxd - sxd * sxd), 8)
+                   AS slope,
+               ROUND((syd - (nd * sxyd - sxd * syd)
+                            / (nd * sxxd - sxd * sxd) * sxd) / nd, 8)
+                   AS intercept,
+               ROUND(((nd * sxyd - sxd * syd) * (nd * sxyd - sxd * syd))
+                     / ((nd * sxxd - sxd * sxd) * (nd * syyd - syd * syd)),
+                     8) AS r2
+        FROM d
+    """,
     "agg_bitmap_distinct": f"""
         WITH words AS (
             SELECT event_type, user_id // {_BM_WORD} AS word_idx,
@@ -953,6 +1027,7 @@ QUERY_FNS = {
     "agg_corr": agg_corr,
     "agg_string_agg": agg_string_agg,
     "agg_bitmap_distinct": agg_bitmap_distinct,
+    "agg_regression": agg_regression,
     "agg_approx_percentile": agg_approx_percentile,
     "agg_rollup": agg_rollup,
     "agg_cube": agg_cube,

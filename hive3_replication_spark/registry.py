@@ -64,68 +64,69 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 #: operators between profilings) are appended at the end alphabetically, so
 #: registration never breaks on an unprofiled key.
 _SWEEP_ORDER: tuple[str, ...] = (
-    "stream_retry", "fn_regexp_replace", "fn_hash", "sort_topk",
-    "llm_text_bpe_count", "fn_div_mod", "filter_multi_rlike", "fn_math",
-    "fn_cast", "llm_sample_stratified", "fn_concat", "reshape_unpivot",
-    "set_union", "stream_divergence", "fn_split", "llm_dedup_exact",
-    "scan_parquet", "filter_isin", "agg_max_watermark",
-    "filter_negative", "llm_chunk_windows", "agg_rollup",
-    "fn_date_format", "fn_param_sql", "llm_text_redact",
-    "filter_prefix", "delimited_parse", "row_offset_filter", "fn_map",
-    "llm_text_profile", "win_latest_per_group", "win_topk_per_group",
-    "llm_text_langid", "agg_string_agg", "filter_null",
-    "stream_watermark_advance", "stream_tumbling", "llm_text_quality",
-    "project_columns", "join_anti", "llm_text_fingerprint", "win_lag",
-    "stream_sliding", "llm_quality_classifier", "string_scrub",
-    "agg_cube", "stream_dedup", "agg_groupby", "udf_arrow",
-    "scan_partitioned", "fn_variant", "agg_duration",
-    "agg_grouping_sets", "sort_events", "set_intersect", "win_ntile",
-    "stream_late_data", "sort_top1", "llm_text_tokens", "agg_mode",
-    "llm_pack_sequences", "fn_collate", "udf_scalar",
-    "llm_multimodal_features", "agg_bitmap_distinct",
-    "filter_gt_watermark", "agg_pending_count", "join_semi",
-    "agg_arg_max", "stream_event_replay", "set_except",
-    "stream_stream_join", "reshape_pivot", "fn_levenshtein", "fn_json",
-    "llm_shard_assign", "agg_skew_salted", "llm_dedup_ngram",
-    "llm_multimodal", "join_left", "fn_date_arith", "agg_histogram",
-    "win_distribution", "win_rank", "llm_embed_quantize", "scan_csv",
-    "ts_ohlc", "win_range_frame", "reshape_explode",
-    "llm_multimodal_resize", "filter_rlike", "fn_array",
-    "win_row_number", "scan_json", "llm_mix_sources", "win_running_sum",
-    "llm_sample_temperature", "stream_session", "jdbc_source",
-    "join_full", "join_theta", "udf_table", "udf_grouped_agg",
-    "llm_text_entropy", "agg_conditional", "stream_incremental_dump",
-    "win_first_value", "llm_similarity_topk", "win_distinct_running",
-    "agg_distinct", "filter_table_class", "jdbc_sink",
-    "llm_text_repetition", "llm_text_bigrams", "llm_vocab_coverage",
-    "join_skew_salted", "fn_datetime_extract", "ts_resample",
-    "join_asof", "llm_text_unigram_nll", "ts_retention_cohort",
-    "ts_rollup_hypertable", "join_watermark_compare", "agg_hll_sketch",
-    "join_sortmerge", "join_range", "ts_sessionize", "agg_percentile",
-    "join_broadcast", "filter_dpp", "join_bloom_prefilter",
-    "join_snapshot_diff", "udf_table_udtf", "merge_scd2",
-    "stream_consistent_cut", "agg_count_min", "ts_funnel",
-    "llm_text_keywords", "llm_doc_embed_hash", "ts_fill_forward",
-    "scan_binaryfile", "scan_orc", "scan_bucketed", "llm_dedup_spans",
-    "agg_corr", "llm_knn_join", "sql_returned_items", "agg_dq_checks",
-    "agg_approx_percentile", "sql_shipmode_priority",
-    "sql_top_supplier", "log_append", "fn_url", "llm_ann_lsh",
-    "fn_case_when", "sql_customer_distribution",
-    "sql_parts_supplier_count", "ts_anomaly_zscore",
-    "sql_small_quantity_revenue", "parallel_copy", "agg_stats",
-    "sql_nation_volume", "sql_pricing_summary", "snapshot_dump",
-    "llm_dedup_embed", "agg_table_profile", "sql_promo_revenue",
-    "llm_contamination", "sql_discount_revenue", "agg_approx_distinct",
-    "sql_waiting_supplier", "llm_ann_ivf",
-    "sql_inactive_customer_balance", "ts_interpolate",
-    "sql_product_profit", "sql_order_priority",
-    "sql_large_volume_customer", "sql_local_supplier_volume",
-    "sql_shipping_priority", "llm_dedup_simhash", "sql_market_share",
-    "llm_dedup_incremental", "llm_text_normalize", "snapshot_load",
-    "llm_dedup_minhash", "fn_regexp_extract", "llm_dedup_clusters",
-    "llm_multimodal_frames", "llm_cluster_kmeans",
-    "stream_stateful_progress", "llm_pipeline_e2e",
-    "sql_recursive_hierarchy", "scan_pysource",
+    "scan_text", "filter_table_class", "fn_url", "fn_regexp_extract",
+    "string_scrub", "fn_case_when", "llm_text_normalize",
+    "filter_prefix", "reshape_explode", "reshape_struct_flatten",
+    "sort_top1", "project_columns", "fn_array", "win_row_number",
+    "filter_isin", "filter_negative", "scan_binaryfile", "filter_null",
+    "agg_conditional", "fn_concat", "delimited_parse",
+    "filter_multi_rlike", "agg_max_watermark", "llm_text_quality",
+    "filter_gt_watermark", "win_rank", "filter_rlike",
+    "stream_incremental_dump", "fn_div_mod", "fn_json", "agg_histogram",
+    "reshape_unpivot", "agg_duration", "llm_text_tokens",
+    "llm_pack_sequences", "agg_arg_max", "agg_distinct",
+    "stream_consistent_cut", "fn_hash", "fn_datetime_extract",
+    "fn_cast", "llm_text_langid", "scan_partitioned",
+    "agg_pending_count", "llm_multimodal_resize",
+    "llm_quality_classifier", "sort_events", "win_running_sum",
+    "llm_sample_stratified", "stream_tumbling", "stream_dedup",
+    "udf_scalar", "llm_dedup_ngram", "fn_math", "join_anti", "agg_cube",
+    "join_semi", "stream_event_replay", "set_except", "fn_levenshtein",
+    "llm_multimodal", "jdbc_sink", "llm_multimodal_frames", "scan_xml",
+    "fn_regexp_replace", "sort_topk", "fn_split", "fn_param_sql",
+    "win_lag", "stream_sliding", "scan_bucketed", "stream_retry",
+    "llm_text_bpe_count", "fn_date_format", "stream_watermark_advance",
+    "fn_variant", "agg_grouping_sets", "set_intersect",
+    "agg_bitmap_distinct", "scan_json", "ts_rollup_hypertable",
+    "llm_text_fingerprint", "stream_stream_join", "llm_text_repetition",
+    "llm_text_profile", "win_latest_per_group", "agg_groupby",
+    "agg_mode", "reshape_pivot", "fn_date_arith",
+    "llm_sample_temperature", "agg_string_agg",
+    "llm_multimodal_features", "udf_grouped_agg", "llm_text_redact",
+    "win_topk_per_group", "stream_late_data", "agg_skew_salted",
+    "join_left", "win_distribution", "llm_embed_quantize",
+    "row_offset_filter", "win_first_value", "llm_text_bigrams",
+    "agg_percentile", "win_range_frame", "udf_table_udtf",
+    "llm_dedup_exact", "llm_chunk_windows", "scan_csv", "join_full",
+    "win_distinct_running", "ts_ohlc", "ts_sessionize", "win_ntile",
+    "llm_text_entropy", "llm_vocab_coverage", "llm_text_unigram_nll",
+    "join_sortmerge", "join_range", "agg_count_min", "fn_map",
+    "llm_shard_assign", "join_theta", "udf_table",
+    "llm_similarity_topk", "join_asof", "join_broadcast", "agg_corr",
+    "stream_session", "llm_mix_sources", "join_watermark_compare",
+    "join_snapshot_diff", "set_union", "jdbc_source", "scan_orc",
+    "ts_retention_cohort", "agg_hll_sketch", "ts_fill_forward",
+    "filter_dpp", "llm_doc_embed_hash", "fn_crypto_roundtrip",
+    "agg_regression", "join_bloom_prefilter", "merge_scd2",
+    "llm_dedup_spans", "agg_approx_percentile", "agg_dq_checks",
+    "llm_text_keywords", "join_skew_salted", "log_append",
+    "snapshot_dump", "ts_funnel", "llm_ann_lsh", "llm_ann_rescore",
+    "ts_anomaly_zscore", "agg_table_profile", "sql_promo_revenue",
+    "sql_top_supplier", "agg_stats", "llm_knn_join", "llm_ann_ivf",
+    "llm_contamination", "sql_order_priority", "sql_shipmode_priority",
+    "ts_interpolate", "sql_discount_revenue", "llm_dedup_embed",
+    "sql_small_quantity_revenue", "sql_returned_items",
+    "agg_approx_distinct", "sql_customer_distribution",
+    "sql_parts_supplier_count", "sql_pricing_summary",
+    "sql_inactive_customer_balance", "sql_large_volume_customer",
+    "sql_waiting_supplier", "stream_divergence",
+    "sql_shipping_priority", "parallel_copy", "sql_nation_volume",
+    "sql_local_supplier_volume", "sql_market_share", "ts_resample",
+    "llm_dedup_simhash", "agg_rollup", "sql_product_profit",
+    "llm_dedup_incremental", "snapshot_load", "llm_dedup_minhash",
+    "fn_collate", "llm_dedup_clusters", "llm_cluster_kmeans",
+    "scan_parquet", "llm_pipeline_e2e", "sql_recursive_hierarchy",
+    "stream_stateful_progress", "udf_arrow", "scan_pysource",
 )
 
 
