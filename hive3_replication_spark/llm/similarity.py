@@ -541,7 +541,102 @@ def llm_cluster_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def llm_eval_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L23 — retrieval-quality evaluation as a distributed op: recall@10
+    and the rank of the exact-best hit, comparing the quantize-rescore
+    path (L3f) against the exact brute-force baseline (L3) — the metric
+    job a serving tier runs continuously to catch quantization/recall
+    drift. Both sub-pipelines are the registered operators themselves;
+    the comparison is a broadcast-sized join of two 10-row relations."""
+    from pyspark.sql import Window
+
+    exact = (
+        llm_similarity_topk(spark, sf_dir)
+        .withColumn(
+            "exact_rank",
+            F.row_number().over(
+                Window.orderBy(F.desc("cosine_r"), F.asc("vec_id"))
+            ),
+        )
+        .select("vec_id", "exact_rank")
+    )
+    resc = (
+        llm_ann_rescore(spark, sf_dir)
+        .withColumn(
+            "resc_rank",
+            F.row_number().over(
+                Window.orderBy(F.desc("cosine_r"), F.asc("vec_id"))
+            ),
+        )
+        .select("vec_id", "resc_rank")
+    )
+    joined = exact.join(resc, "vec_id")
+    return joined.agg(
+        F.count("*").alias("n_overlap"),
+        (F.count("*").cast("double") / F.lit(10.0)).alias("recall_at_10"),
+        F.min(
+            F.when(F.col("exact_rank") == 1, F.col("resc_rank"))
+        ).alias("rank_of_best"),
+    )
+
+
 ORACLES: dict[str, str] = {
+    "llm_eval_ranking": f"""
+        WITH coded AS (
+            SELECT vec_id, embedding,
+                   list_transform(range(1, len(embedding) + 1),
+                       i -> CAST(FLOOR(CAST(embedding[i] AS DOUBLE) * 127.0
+                            / list_max(list_transform(embedding,
+                                  x -> abs(CAST(x AS DOUBLE)))) + 0.5)
+                            AS BIGINT)) AS qc
+            FROM embeddings
+            WHERE list_max(list_transform(embedding,
+                      x -> abs(CAST(x AS DOUBLE)))) > 0
+        ),
+        q AS (SELECT qc AS q_qc, embedding AS q_emb FROM coded
+              WHERE vec_id = 0),
+        cos_all AS (
+            SELECT c.vec_id, c.qc, q.q_qc,
+                   list_aggregate(
+                       list_transform(range(1, len(c.embedding) + 1),
+                           i -> CAST(c.embedding[i] AS DOUBLE)
+                              * CAST(q_emb[i] AS DOUBLE)), 'sum')
+                   / (sqrt(list_aggregate(list_transform(c.embedding,
+                           x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
+                           'sum'))
+                      * sqrt(list_aggregate(list_transform(q_emb,
+                           x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
+                           'sum'))) AS cosine
+            FROM coded c, q WHERE c.vec_id <> 0
+        ),
+        exact AS (
+            SELECT vec_id, row_number() OVER (
+                       ORDER BY ROUND(cosine, 6) DESC, vec_id ASC)
+                       AS exact_rank
+            FROM (SELECT * FROM cos_all
+                  ORDER BY cosine DESC, vec_id ASC LIMIT {_RS_TOPK})
+        ),
+        cand AS (
+            SELECT vec_id, cosine,
+                   list_aggregate(
+                       list_transform(range(1, len(qc) + 1),
+                           i -> qc[i] * q_qc[i]), 'sum') AS approx_score
+            FROM cos_all
+            ORDER BY approx_score DESC, vec_id ASC LIMIT {_RS_CAND}
+        ),
+        resc AS (
+            SELECT vec_id, row_number() OVER (
+                       ORDER BY ROUND(cosine, 6) DESC, vec_id ASC)
+                       AS resc_rank
+            FROM (SELECT * FROM cand
+                  ORDER BY cosine DESC, vec_id ASC LIMIT {_RS_TOPK})
+        )
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_overlap,
+               CAST(COUNT(*) AS DOUBLE) / 10.0 AS recall_at_10,
+               CAST(MIN(CASE WHEN exact_rank = 1 THEN resc_rank END)
+                    AS BIGINT) AS rank_of_best
+        FROM exact JOIN resc USING (vec_id)
+    """,
     "llm_ann_rescore": f"""
         WITH coded AS (
             SELECT vec_id, embedding,
@@ -749,4 +844,5 @@ QUERY_FNS = {
     "llm_embed_quantize": llm_embed_quantize,
     "llm_cluster_kmeans": llm_cluster_kmeans,
     "llm_ann_rescore": llm_ann_rescore,
+    "llm_eval_ranking": llm_eval_ranking,
 }

@@ -374,6 +374,32 @@ def llm_text_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def llm_eval_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L22 — classifier evaluation as a distributed op: confusion matrix
+    of the lang-ID heuristic (L4c) against the gold ``lang`` labels, one
+    row per (gold, predicted) cell with count and the cell's share of
+    its gold row — the quality-monitoring aggregation every deployed
+    pipeline classifier needs (drift shows up as mass moving off the
+    diagonal). Composes the L4c prediction expression; two hash aggs
+    sharing the gold-key clustering; exact integer counts + one exact
+    division (full SQL oracle)."""
+    preds = llm_text_langid(spark, sf_dir).select("doc_id", "pred_lang")
+    gold = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    cells = (
+        gold.join(preds, "doc_id")
+        .groupBy("lang", "pred_lang")
+        .agg(F.count("*").alias("n"))
+    )
+    row_tot = cells.groupBy("lang").agg(F.sum("n").alias("row_n"))
+    return cells.join(row_tot, "lang").select(
+        F.col("lang").alias("gold_lang"),
+        "pred_lang",
+        "n",
+        (F.col("n").cast("double") / F.col("row_n").cast("double"))
+        .alias("row_share"),
+    )
+
+
 _VOCAB_TOP = 100
 
 
@@ -494,6 +520,33 @@ def llm_doc_embed_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLES: dict[str, str] = {
+    "llm_eval_confusion": """
+        WITH c AS (
+            SELECT doc_id, lang,
+                   CAST((LENGTH(text) - LENGTH(REPLACE(text, 'the', '')))
+                        / 3 AS BIGINT) AS n_the,
+                   CAST((LENGTH(text) - LENGTH(REPLACE(text, 'data', '')))
+                        / 4 AS BIGINT) AS n_data,
+                   CAST((LENGTH(text) - LENGTH(REPLACE(text, 'spark', '')))
+                        / 5 AS BIGINT) AS n_spark
+            FROM documents
+        ),
+        preds AS (
+            SELECT doc_id, lang,
+                   CASE WHEN n_the >= n_data AND n_the >= n_spark THEN 'en'
+                        WHEN n_data >= n_spark THEN 'de'
+                        ELSE 'zh' END AS pred_lang
+            FROM c
+        ),
+        cells AS (
+            SELECT lang, pred_lang, COUNT(*) AS n
+            FROM preds GROUP BY lang, pred_lang
+        ),
+        tot AS (SELECT lang, SUM(n) AS row_n FROM cells GROUP BY lang)
+        SELECT lang AS gold_lang, pred_lang, CAST(n AS BIGINT) AS n,
+               CAST(n AS DOUBLE) / CAST(row_n AS DOUBLE) AS row_share
+        FROM cells JOIN tot USING (lang)
+    """,
     "llm_quality_classifier": f"""
         SELECT doc_id,
                CAST({_QC_W_TOKENS} * len(string_split(text, ' '))
@@ -764,4 +817,5 @@ QUERY_FNS = {
     "llm_text_bigrams": llm_text_bigrams,
     "llm_quality_classifier": llm_quality_classifier,
     "llm_doc_embed_hash": llm_doc_embed_hash,
+    "llm_eval_confusion": llm_eval_confusion,
 }

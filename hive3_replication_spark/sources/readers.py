@@ -203,6 +203,30 @@ def scan_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def scan_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S11 — schema-drift ingestion (``mergeSchema``): batch 1 lands with
+    3 columns, batch 2 adds a 4th — the replication reality the reference
+    handles by replaying DDL events (``README.md`` ALTER replay); on the
+    Spark side the parquet reader merges footer schemas and NULL-backfills
+    the missing column, so downstream plans see ONE stable schema across
+    drift. At scale mergeSchema reads only footers (not data) to build
+    the union schema; pinning an explicit schema after the first merge
+    avoids even that."""
+    ensure_engine_confs(spark)
+    events = load_table(spark, sf_dir, "events")
+    out = tempfile.mkdtemp(prefix="h3r_evo_") + "/events_evo"
+    old = events.filter(F.col("event_id") < 200).select(
+        "event_id", "event_type"
+    )
+    new = events.filter(
+        (F.col("event_id") >= 200) & (F.col("event_id") < 400)
+    ).select("event_id", "event_type", F.col("value").alias("v2"))
+    old.write.mode("overwrite").parquet(out + "/batch=1")
+    new.write.mode("overwrite").parquet(out + "/batch=2")
+    merged = spark.read.option("mergeSchema", "true").parquet(out)
+    return merged.select("event_id", "event_type", "v2")
+
+
 _PARTITIONED_CACHE: dict[str, str] = {}
 #: Serializes layout materialization: the prewarm thread (entry() smoke
 #: check) and the verify sweep may request the same layout concurrently.
@@ -469,6 +493,11 @@ def scan_pysource(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLES: dict[str, str] = {
+    "scan_schema_evolution": """
+        SELECT event_id, event_type,
+               CASE WHEN event_id >= 200 THEN value END AS v2
+        FROM events WHERE event_id < 400
+    """,
     "scan_xml": """
         SELECT event_id, event_type, value FROM events WHERE event_id < 500
     """,
@@ -551,5 +580,6 @@ QUERY_FNS = {
     "scan_pysource": scan_pysource,
     "scan_xml": scan_xml,
     "scan_text": scan_text,
+    "scan_schema_evolution": scan_schema_evolution,
     "delimited_parse": delimited_parse,
 }
