@@ -943,7 +943,54 @@ def llm_dedup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def llm_dedup_graph_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L2i — near-dup graph observability: the degree histogram of the
+    exact-Jaccard pair graph (how many docs have 0, 1, 2, ... near-dup
+    neighbors) — the diagnostic run BEFORE committing to cluster
+    resolution, because a heavy-tailed degree histogram predicts
+    degenerate components (boilerplate) that need capping while a thin
+    tail says plain label propagation converges fast. Reuses the
+    memoized pair relation shared with llm_dedup_ngram/clusters (no
+    second pair computation); zero-degree docs enter via a left join so
+    the histogram covers the whole corpus (full SQL oracle)."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = (
+        ngram_pair_jaccard(docs, "ngram_shingles", memo_token=sf_dir)
+        .filter(F.col("jaccard") >= 0.08)
+        .select("doc_a", "doc_b")
+    )
+    edges = pairs.unionByName(
+        pairs.select(
+            F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b")
+        )
+    )
+    deg = edges.groupBy("doc_a").agg(F.count("*").alias("degree"))
+    per_doc = (
+        docs.select("doc_id")
+        .join(deg, docs.doc_id == deg.doc_a, "left")
+        .select(
+            "doc_id", F.coalesce(F.col("degree"), F.lit(0)).alias("degree")
+        )
+    )
+    return per_doc.groupBy("degree").agg(F.count("*").alias("n_docs"))
+
+
 ORACLES: dict[str, str] = {
+    "llm_dedup_graph_stats": f"""
+        WITH {{NGRAM_PAIR_CTES}},
+        p AS (SELECT doc_a, doc_b FROM npairs WHERE jaccard >= 0.08),
+        edges AS (
+            SELECT doc_a, doc_b FROM p
+            UNION ALL
+            SELECT doc_b, doc_a FROM p
+        ),
+        deg AS (SELECT doc_a, COUNT(*) AS degree FROM edges GROUP BY doc_a),
+        per_doc AS (
+            SELECT d.doc_id, COALESCE(deg.degree, 0) AS degree
+            FROM documents d LEFT JOIN deg ON d.doc_id = deg.doc_a
+        )
+        SELECT degree, COUNT(*) AS n_docs FROM per_doc GROUP BY degree
+    """.replace("{NGRAM_PAIR_CTES}", _NGRAM_PAIR_CTES),
     "llm_dedup_spans": f"""
         WITH toked AS (
             SELECT doc_id, string_split(text, ' ') AS toks FROM documents
@@ -1076,6 +1123,7 @@ ORACLES: dict[str, str] = {
 QUERY_FNS = {
     "llm_dedup_exact": llm_dedup_exact,
     "llm_dedup_spans": llm_dedup_spans,
+    "llm_dedup_graph_stats": llm_dedup_graph_stats,
     "llm_dedup_ngram": llm_dedup_ngram,
     "llm_dedup_clusters": llm_dedup_clusters,
     "llm_dedup_incremental": llm_dedup_incremental,

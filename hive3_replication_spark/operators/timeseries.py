@@ -364,6 +364,49 @@ def ts_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_EWMA_ALPHA = 0.25
+_EWMA_K = 20
+#: Truncated EWMA weights alpha*(1-alpha)^j, j = lag. Generated ONCE in
+#: Python and embedded as identical decimal literals in both the Spark
+#: expression and the SQL oracle — repr() round-trips doubles exactly, so
+#: both engines parse the same 64-bit constants and no cross-engine pow()
+#: is ever evaluated.
+_EWMA_W = [_EWMA_ALPHA * (1 - _EWMA_ALPHA) ** j for j in range(_EWMA_K)]
+_EWMA_W_ARGS = ", ".join(repr(w) for w in _EWMA_W)
+
+
+def ts_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T10 — truncated exponentially-weighted moving average per event
+    type: ewma_t = Σ_j w_j · v_{t-j} over the trailing 20 observations
+    (w_j = α(1−α)^j, α=0.25, untruncated tail mass < 0.4% — documented,
+    not renormalized). The recursive EWMA definition has no bounded
+    window form; truncation turns it into a frame dot product: the ROWS
+    frame collects the trailing values and folds them against the
+    literal weight array in index order — deterministic on both engines
+    because the weights are shared decimal literals and the fold order
+    is the frame order. Output rounded 6 dp."""
+    events = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-(_EWMA_K - 1), Window.currentRow)
+    )
+    staged = events.select(
+        "event_id",
+        "event_type",
+        "ts",
+        F.col("value").cast("double").alias("vd"),
+    ).withColumn("frame", F.collect_list("vd").over(w))
+    ewma = F.expr(
+        f"aggregate(sequence(1, size(frame)), CAST(0.0 AS DOUBLE),"
+        f" (acc, i) -> acc + element_at(frame, i)"
+        f" * element_at(array({_EWMA_W_ARGS}), size(frame) - i + 1))"
+    )
+    return staged.select(
+        "event_id", "event_type", F.round(ewma, 6).alias("ewma")
+    )
+
+
 _GRID_CTES = """
         e AS (
             SELECT event_type,
@@ -392,6 +435,25 @@ _GRID_CTES = """
 """
 
 ORACLES: dict[str, str] = {
+    "ts_ewma": f"""
+        WITH staged AS (
+            SELECT event_id, event_type, CAST(value AS DOUBLE) AS vd,
+                   list(CAST(value AS DOUBLE)) OVER (
+                       PARTITION BY event_type
+                       ORDER BY CAST(ts AS TIMESTAMP), event_id
+                       ROWS BETWEEN {_EWMA_K - 1} PRECEDING AND CURRENT ROW
+                   ) AS frame
+            FROM events
+        )
+        SELECT event_id, event_type,
+               ROUND(list_reduce(
+                   list_prepend(CAST(0.0 AS DOUBLE),
+                       list_transform(range(1, len(frame) + 1),
+                           i -> frame[i]
+                              * ([{_EWMA_W_ARGS}])[len(frame) - i + 1])),
+                   (acc, v) -> acc + v), 6) AS ewma
+        FROM staged
+    """,
     "ts_retention_cohort": """
         WITH e AS (
             SELECT user_id,
@@ -581,5 +643,6 @@ QUERY_FNS = {
     "ts_sessionize": ts_sessionize,
     "ts_funnel": ts_funnel,
     "ts_retention_cohort": ts_retention_cohort,
+    "ts_ewma": ts_ewma,
     "ts_anomaly_zscore": ts_anomaly_zscore,
 }
