@@ -87,6 +87,14 @@ HEADLINE = (
     "ts_anomaly_zscore",
     "sql_recursive_hierarchy",
     "win_distinct_running",
+    "ts_ewma",
+    "llm_dedup_graph_stats",
+    "llm_eval_confusion",
+    "llm_eval_ranking",
+    "scan_schema_evolution",
+    "join_bloom_prefilter",
+    "llm_doc_embed_hash",
+    "fn_try_arith",
 )
 
 

@@ -307,6 +307,28 @@ def fn_collate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def fn_try_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F22 — error-safe arithmetic under ANSI mode: the engine runs with
+    ANSI enabled (overflow/bad-cast/div-zero FAIL the job, by design —
+    silent wraparound at 100 TB is data corruption), so the explicit
+    escape hatches are the try_* family: ``try_divide`` → NULL on zero,
+    ``try_cast`` → NULL on malformed input, ``try_add`` → NULL on
+    overflow. Exercised over real nullable/zero-prone columns; DuckDB
+    oracle via TRY_CAST and NULLIF-guarded division."""
+    events = load_table(spark, sf_dir, "events")
+    return events.select(
+        "event_id",
+        F.expr("try_divide(value, CAST(user_id % 3 AS DOUBLE))").alias(
+            "safe_div"
+        ),
+        F.expr(
+            "try_cast(CASE WHEN event_id % 5 = 0 THEN 'not-a-number'"
+            " ELSE CAST(event_id AS STRING) END AS BIGINT)"
+        ).alias("safe_cast"),
+        F.expr("try_add(event_id, 1)").alias("safe_add"),
+    )
+
+
 def fn_crypto_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """F21 — column encryption at rest (``aes_encrypt``/``aes_decrypt``,
     GCM): the PII-handling primitive for regulated corpora — encrypt the
@@ -353,6 +375,15 @@ def fn_datetime_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLES: dict[str, str] = {
+    "fn_try_arith": """
+        SELECT event_id,
+               value / NULLIF(CAST(user_id % 3 AS DOUBLE), 0.0) AS safe_div,
+               TRY_CAST(CASE WHEN event_id % 5 = 0 THEN 'not-a-number'
+                             ELSE CAST(event_id AS VARCHAR) END AS BIGINT)
+                   AS safe_cast,
+               event_id + 1 AS safe_add
+        FROM events
+    """,
     "fn_crypto_roundtrip": """
         SELECT event_id, TRUE AS roundtrip_ok, TRUE AS len_ok FROM events
     """,
@@ -517,4 +548,5 @@ QUERY_FNS = {
     "fn_variant": fn_variant,
     "fn_collate": fn_collate,
     "fn_crypto_roundtrip": fn_crypto_roundtrip,
+    "fn_try_arith": fn_try_arith,
 }

@@ -64,69 +64,72 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 #: operators between profilings) are appended at the end alphabetically, so
 #: registration never breaks on an unprofiled key.
 _SWEEP_ORDER: tuple[str, ...] = (
-    "scan_text", "filter_table_class", "fn_url", "fn_regexp_extract",
-    "string_scrub", "fn_case_when", "llm_text_normalize",
-    "filter_prefix", "reshape_explode", "reshape_struct_flatten",
-    "sort_top1", "project_columns", "fn_array", "win_row_number",
-    "filter_isin", "filter_negative", "scan_binaryfile", "filter_null",
-    "agg_conditional", "fn_concat", "delimited_parse",
-    "filter_multi_rlike", "agg_max_watermark", "llm_text_quality",
-    "filter_gt_watermark", "win_rank", "filter_rlike",
-    "stream_incremental_dump", "fn_div_mod", "fn_json", "agg_histogram",
-    "reshape_unpivot", "agg_duration", "llm_text_tokens",
-    "llm_pack_sequences", "agg_arg_max", "agg_distinct",
-    "stream_consistent_cut", "fn_hash", "fn_datetime_extract",
-    "fn_cast", "llm_text_langid", "scan_partitioned",
-    "agg_pending_count", "llm_multimodal_resize",
-    "llm_quality_classifier", "sort_events", "win_running_sum",
-    "llm_sample_stratified", "stream_tumbling", "stream_dedup",
-    "udf_scalar", "llm_dedup_ngram", "fn_math", "join_anti", "agg_cube",
-    "join_semi", "stream_event_replay", "set_except", "fn_levenshtein",
-    "llm_multimodal", "jdbc_sink", "llm_multimodal_frames", "scan_xml",
-    "fn_regexp_replace", "sort_topk", "fn_split", "fn_param_sql",
-    "win_lag", "stream_sliding", "scan_bucketed", "stream_retry",
-    "llm_text_bpe_count", "fn_date_format", "stream_watermark_advance",
-    "fn_variant", "agg_grouping_sets", "set_intersect",
-    "agg_bitmap_distinct", "scan_json", "ts_rollup_hypertable",
-    "llm_text_fingerprint", "stream_stream_join", "llm_text_repetition",
-    "llm_text_profile", "win_latest_per_group", "agg_groupby",
-    "agg_mode", "reshape_pivot", "fn_date_arith",
-    "llm_sample_temperature", "agg_string_agg",
-    "llm_multimodal_features", "udf_grouped_agg", "llm_text_redact",
-    "win_topk_per_group", "stream_late_data", "agg_skew_salted",
-    "join_left", "win_distribution", "llm_embed_quantize",
-    "row_offset_filter", "win_first_value", "llm_text_bigrams",
-    "agg_percentile", "win_range_frame", "udf_table_udtf",
-    "llm_dedup_exact", "llm_chunk_windows", "scan_csv", "join_full",
-    "win_distinct_running", "ts_ohlc", "ts_sessionize", "win_ntile",
-    "llm_text_entropy", "llm_vocab_coverage", "llm_text_unigram_nll",
-    "join_sortmerge", "join_range", "agg_count_min", "fn_map",
-    "llm_shard_assign", "join_theta", "udf_table",
-    "llm_similarity_topk", "join_asof", "join_broadcast", "agg_corr",
-    "stream_session", "llm_mix_sources", "join_watermark_compare",
-    "join_snapshot_diff", "set_union", "jdbc_source", "scan_orc",
-    "ts_retention_cohort", "agg_hll_sketch", "ts_fill_forward",
-    "filter_dpp", "llm_doc_embed_hash", "fn_crypto_roundtrip",
-    "agg_regression", "join_bloom_prefilter", "merge_scd2",
-    "llm_dedup_spans", "agg_approx_percentile", "agg_dq_checks",
-    "llm_text_keywords", "join_skew_salted", "log_append",
-    "snapshot_dump", "ts_funnel", "llm_ann_lsh", "llm_ann_rescore",
-    "ts_anomaly_zscore", "agg_table_profile", "sql_promo_revenue",
-    "sql_top_supplier", "agg_stats", "llm_knn_join", "llm_ann_ivf",
-    "llm_contamination", "sql_order_priority", "sql_shipmode_priority",
-    "ts_interpolate", "sql_discount_revenue", "llm_dedup_embed",
-    "sql_small_quantity_revenue", "sql_returned_items",
-    "agg_approx_distinct", "sql_customer_distribution",
-    "sql_parts_supplier_count", "sql_pricing_summary",
-    "sql_inactive_customer_balance", "sql_large_volume_customer",
-    "sql_waiting_supplier", "stream_divergence",
-    "sql_shipping_priority", "parallel_copy", "sql_nation_volume",
-    "sql_local_supplier_volume", "sql_market_share", "ts_resample",
-    "llm_dedup_simhash", "agg_rollup", "sql_product_profit",
-    "llm_dedup_incremental", "snapshot_load", "llm_dedup_minhash",
-    "fn_collate", "llm_dedup_clusters", "llm_cluster_kmeans",
-    "scan_parquet", "llm_pipeline_e2e", "sql_recursive_hierarchy",
-    "stream_stateful_progress", "udf_arrow", "scan_pysource",
+    "scan_parquet", "set_union", "scan_binaryfile", "stream_retry",
+    "row_offset_filter", "stream_divergence", "sort_topk",
+    "fn_try_arith", "fn_hash", "fn_regexp_replace", "fn_concat",
+    "llm_dedup_exact", "agg_max_watermark", "fn_split",
+    "llm_text_bpe_count", "llm_quality_classifier", "llm_text_profile",
+    "filter_prefix", "fn_div_mod", "llm_sample_stratified",
+    "filter_multi_rlike", "llm_chunk_windows", "win_latest_per_group",
+    "llm_text_redact", "agg_groupby", "agg_rollup", "filter_negative",
+    "filter_rlike", "fn_datetime_extract", "fn_cast",
+    "win_topk_per_group", "fn_map", "reshape_unpivot", "agg_duration",
+    "fn_math", "fn_param_sql", "fn_date_format", "fn_collate",
+    "llm_text_fingerprint", "llm_embed_quantize", "stream_dedup",
+    "join_semi", "stream_watermark_advance", "set_intersect",
+    "win_ntile", "filter_isin", "agg_arg_max", "jdbc_source",
+    "agg_histogram", "agg_distinct", "llm_text_langid",
+    "scan_partitioned", "sort_events", "fn_variant", "fn_case_when",
+    "filter_gt_watermark", "agg_pending_count", "join_anti",
+    "stream_event_replay", "scan_json", "stream_stream_join",
+    "agg_mode", "reshape_explode", "stream_incremental_dump",
+    "fn_levenshtein", "stream_sliding", "fn_date_arith",
+    "llm_multimodal_features", "stream_late_data", "agg_skew_salted",
+    "llm_shard_assign", "llm_pack_sequences", "agg_string_agg",
+    "llm_text_quality", "win_lag", "agg_grouping_sets", "reshape_pivot",
+    "join_left", "win_distribution", "udf_arrow", "ts_ohlc",
+    "delimited_parse", "fn_json", "llm_text_tokens",
+    "stream_consistent_cut", "llm_multimodal", "agg_bitmap_distinct",
+    "join_theta", "string_scrub", "stream_tumbling", "udf_scalar",
+    "agg_cube", "join_full", "sort_top1", "udf_grouped_agg",
+    "win_first_value", "llm_mix_sources", "win_running_sum",
+    "win_range_frame", "llm_similarity_topk", "scan_csv",
+    "llm_multimodal_frames", "llm_text_entropy", "llm_vocab_coverage",
+    "udf_table", "merge_scd2", "llm_dedup_ngram",
+    "win_distinct_running", "win_row_number", "set_except",
+    "ts_sessionize", "join_asof", "join_watermark_compare",
+    "join_snapshot_diff", "fn_crypto_roundtrip", "fn_regexp_extract",
+    "project_columns", "ts_rollup_hypertable", "join_sortmerge",
+    "llm_doc_embed_hash", "llm_sample_temperature", "udf_table_udtf",
+    "agg_count_min", "ts_fill_forward", "llm_text_bigrams",
+    "llm_text_unigram_nll", "ts_resample", "agg_hll_sketch",
+    "filter_dpp", "llm_text_keywords", "scan_bucketed", "join_range",
+    "ts_retention_cohort", "join_skew_salted", "agg_regression",
+    "jdbc_sink", "scan_xml", "scan_orc", "llm_dedup_spans", "agg_corr",
+    "win_rank", "llm_text_repetition", "ts_funnel",
+    "scan_schema_evolution", "agg_percentile", "join_bloom_prefilter",
+    "join_broadcast", "agg_approx_percentile", "agg_dq_checks",
+    "snapshot_dump", "filter_null", "llm_dedup_embed",
+    "llm_dedup_graph_stats", "fn_url", "stream_session", "agg_stats",
+    "llm_eval_confusion", "agg_conditional", "sql_promo_revenue",
+    "ts_ewma", "llm_ann_rescore", "agg_table_profile", "llm_ann_lsh",
+    "llm_ann_ivf", "log_append", "llm_knn_join", "sql_discount_revenue",
+    "llm_contamination", "ts_anomaly_zscore", "sql_top_supplier",
+    "ts_interpolate", "sql_pricing_summary", "sql_shipmode_priority",
+    "agg_approx_distinct", "sql_small_quantity_revenue",
+    "sql_returned_items", "sql_inactive_customer_balance",
+    "sql_shipping_priority", "llm_dedup_incremental",
+    "filter_table_class", "sql_order_priority", "sql_product_profit",
+    "sql_customer_distribution", "parallel_copy",
+    "sql_parts_supplier_count", "sql_waiting_supplier",
+    "sql_large_volume_customer", "sql_nation_volume",
+    "sql_market_share", "llm_dedup_simhash", "llm_eval_ranking",
+    "sql_local_supplier_volume", "reshape_struct_flatten",
+    "snapshot_load", "llm_dedup_minhash", "llm_dedup_clusters",
+    "llm_cluster_kmeans", "llm_text_normalize", "scan_text",
+    "llm_pipeline_e2e", "sql_recursive_hierarchy",
+    "llm_multimodal_resize", "fn_array", "stream_stateful_progress",
+    "scan_pysource",
 )
 
 
