@@ -41,6 +41,13 @@ FLOAT_HEAVY = [
     "llm_shard_assign",
     "llm_dedup_spans",
     "llm_vocab_coverage",
+    "agg_count_min",
+    "agg_bitmap_distinct",
+    "agg_regression",
+    "ts_retention_cohort",
+    "ts_ewma",
+    "ts_funnel",
+    "llm_doc_embed_hash",
 ]
 
 

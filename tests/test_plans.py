@@ -328,3 +328,29 @@ def test_funnel_reuses_user_partitioning(spark):
 
     plan = _plan(ts_funnel(spark, SF_DIR), "simple")
     assert "CartesianProduct" not in plan
+
+
+def test_bloom_prefilter_semi_join_shape(spark):
+    """join_bloom_prefilter: the mask must broadcast and the final
+    membership check must plan as a left-semi hash join — a shuffled big
+    side before the prefilter would defeat the point."""
+    from hive3_replication_spark.operators.joins import join_bloom_prefilter
+
+    plan = _plan(join_bloom_prefilter(spark, SF_DIR), "simple")
+    assert "LeftSemi" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_span_dedup_two_hash_aggs(spark):
+    """llm_dedup_spans: span construction must stay narrow — the plan's
+    only hash exchanges are the span-count groupBy, the doc re-agg, and
+    the join back; no sort, no nested loop."""
+    from hive3_replication_spark.llm.dedup import llm_dedup_spans
+
+    plan = _plan(llm_dedup_spans(spark, SF_DIR), "simple")
+    assert "NestedLoop" not in plan and "CartesianProduct" not in plan
+    # the span relation feeds both the count groupBy and the join probe, so
+    # the tokenize subtree appears once PER SUBTREE (2 scans) — fine; the
+    # O(len^2) failure mode is split() inlined per lambda ELEMENT, which
+    # showed up as 3+ occurrences in the bigram regression
+    assert plan.count("split(text") <= 2
