@@ -199,6 +199,19 @@ def _prewarm_body(spark: SparkSession, sf_dir: str) -> None:
         _readers.bucketed_tables(spark, sf_dir)
     except Exception:  # noqa: BLE001
         pass
+    try:  # Python DataSource runner spin-up (scan_pysource)
+        from .sources.readers import _register_synth_source
+
+        _register_synth_source(spark)
+        (
+            spark.read.format("h3r_synth")
+            .option("n", 8)
+            .option("partitions", 1)
+            .load()
+            .count()
+        )
+    except Exception:  # noqa: BLE001
+        pass
     try:  # Derby JVM boot (jdbc keys)
         probe = spark.createDataFrame([(1,)], "x int")
         _readers.jdbc_write(probe, "prewarm", "probe")

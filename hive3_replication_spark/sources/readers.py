@@ -414,8 +414,8 @@ def scan_binaryfile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_SYNTH_N = 5_000
-_SYNTH_PARTS = 8
+_SYNTH_N = 2_000
+_SYNTH_PARTS = 4
 _SYNTH_MULT = 1_103_515_245
 _SYNTH_INC = 12_345
 _SYNTH_PRIME = 2_147_483_647
