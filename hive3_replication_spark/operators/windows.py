@@ -210,6 +210,41 @@ def win_distinct_running(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def win_pattern_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W12 — event-sequence pattern detection (MATCH_RECOGNIZE-lite):
+    each user's event types collapse into ONE ordered sequence string and
+    a regex detects the CONSECUTIVE funnel view>click>purchase (no
+    intervening events — the strict form; loosen the regex for the
+    any-gap form) —
+    row-pattern matching expressed with the primitives Spark has (ordered
+    aggregation + regex) instead of the SQL-standard clause it lacks.
+
+    Determinism: the sequence is built by sorting (ts, event_id, type)
+    structs — a total order — then projecting types; the groupBy is one
+    hash agg (collect_list partials merge, sort once per group at
+    finalize). Differs from ts_funnel: that counts stage conversions,
+    this classifies each user's full journey against an arbitrary
+    regex — the general pattern engine."""
+    events = load_table(spark, sf_dir, "events")
+    seq = F.array_join(
+        F.transform(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(
+                        F.col("ts"), F.col("event_id"), F.col("event_type")
+                    )
+                )
+            ),
+            lambda s: s.getField("event_type"),
+        ),
+        ">",
+    )
+    return events.groupBy("user_id").agg(
+        F.count("*").alias("n_events"),
+        seq.rlike("view>click>purchase").alias("has_funnel"),
+    )
+
+
 def win_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """W10 — distribution functions: percent_rank + cume_dist of each
     event's value within its event type (the "what percentile is this
@@ -232,6 +267,14 @@ def win_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLES: dict[str, str] = {
+    "win_pattern_match": """
+        SELECT user_id, COUNT(*) AS n_events,
+               regexp_matches(
+                   string_agg(event_type, '>'
+                              ORDER BY CAST(ts AS TIMESTAMP), event_id),
+                   'view>click>purchase') AS has_funnel
+        FROM events GROUP BY user_id
+    """,
     "win_distinct_running": """
         WITH flagged AS (
             SELECT event_type, event_id, ts,
@@ -340,4 +383,5 @@ QUERY_FNS = {
     "win_range_frame": win_range_frame,
     "win_distribution": win_distribution,
     "win_distinct_running": win_distinct_running,
+    "win_pattern_match": win_pattern_match,
 }
