@@ -64,72 +64,73 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 #: operators between profilings) are appended at the end alphabetically, so
 #: registration never breaks on an unprofiled key.
 _SWEEP_ORDER: tuple[str, ...] = (
-    "scan_parquet", "set_union", "scan_binaryfile", "stream_retry",
-    "row_offset_filter", "stream_divergence", "sort_topk",
-    "fn_try_arith", "fn_hash", "fn_regexp_replace", "fn_concat",
-    "llm_dedup_exact", "agg_max_watermark", "fn_split",
-    "llm_text_bpe_count", "llm_quality_classifier", "llm_text_profile",
-    "filter_prefix", "fn_div_mod", "llm_sample_stratified",
-    "filter_multi_rlike", "llm_chunk_windows", "win_latest_per_group",
-    "llm_text_redact", "agg_groupby", "agg_rollup", "filter_negative",
-    "filter_rlike", "fn_datetime_extract", "fn_cast",
-    "win_topk_per_group", "fn_map", "reshape_unpivot", "agg_duration",
-    "fn_math", "fn_param_sql", "fn_date_format", "fn_collate",
-    "llm_text_fingerprint", "llm_embed_quantize", "stream_dedup",
-    "join_semi", "stream_watermark_advance", "set_intersect",
-    "win_ntile", "filter_isin", "agg_arg_max", "jdbc_source",
-    "agg_histogram", "agg_distinct", "llm_text_langid",
-    "scan_partitioned", "sort_events", "fn_variant", "fn_case_when",
-    "filter_gt_watermark", "agg_pending_count", "join_anti",
-    "stream_event_replay", "scan_json", "stream_stream_join",
-    "agg_mode", "reshape_explode", "stream_incremental_dump",
-    "fn_levenshtein", "stream_sliding", "fn_date_arith",
-    "llm_multimodal_features", "stream_late_data", "agg_skew_salted",
-    "llm_shard_assign", "llm_pack_sequences", "agg_string_agg",
-    "llm_text_quality", "win_lag", "agg_grouping_sets", "reshape_pivot",
-    "join_left", "win_distribution", "udf_arrow", "ts_ohlc",
-    "delimited_parse", "fn_json", "llm_text_tokens",
-    "stream_consistent_cut", "llm_multimodal", "agg_bitmap_distinct",
-    "join_theta", "string_scrub", "stream_tumbling", "udf_scalar",
-    "agg_cube", "join_full", "sort_top1", "udf_grouped_agg",
-    "win_first_value", "llm_mix_sources", "win_running_sum",
-    "win_range_frame", "llm_similarity_topk", "scan_csv",
-    "llm_multimodal_frames", "llm_text_entropy", "llm_vocab_coverage",
-    "udf_table", "merge_scd2", "llm_dedup_ngram",
-    "win_distinct_running", "win_row_number", "set_except",
-    "ts_sessionize", "join_asof", "join_watermark_compare",
-    "join_snapshot_diff", "fn_crypto_roundtrip", "fn_regexp_extract",
-    "project_columns", "ts_rollup_hypertable", "join_sortmerge",
-    "llm_doc_embed_hash", "llm_sample_temperature", "udf_table_udtf",
-    "agg_count_min", "ts_fill_forward", "llm_text_bigrams",
-    "llm_text_unigram_nll", "ts_resample", "agg_hll_sketch",
-    "filter_dpp", "llm_text_keywords", "scan_bucketed", "join_range",
-    "ts_retention_cohort", "join_skew_salted", "agg_regression",
-    "jdbc_sink", "scan_xml", "scan_orc", "llm_dedup_spans", "agg_corr",
-    "win_rank", "llm_text_repetition", "ts_funnel",
-    "scan_schema_evolution", "agg_percentile", "join_bloom_prefilter",
-    "join_broadcast", "agg_approx_percentile", "agg_dq_checks",
-    "snapshot_dump", "filter_null", "llm_dedup_embed",
-    "llm_dedup_graph_stats", "fn_url", "stream_session", "agg_stats",
-    "llm_eval_confusion", "agg_conditional", "sql_promo_revenue",
-    "ts_ewma", "llm_ann_rescore", "agg_table_profile", "llm_ann_lsh",
-    "llm_ann_ivf", "log_append", "llm_knn_join", "sql_discount_revenue",
-    "llm_contamination", "ts_anomaly_zscore", "sql_top_supplier",
-    "ts_interpolate", "sql_pricing_summary", "sql_shipmode_priority",
-    "agg_approx_distinct", "sql_small_quantity_revenue",
-    "sql_returned_items", "sql_inactive_customer_balance",
-    "sql_shipping_priority", "llm_dedup_incremental",
-    "filter_table_class", "sql_order_priority", "sql_product_profit",
-    "sql_customer_distribution", "parallel_copy",
-    "sql_parts_supplier_count", "sql_waiting_supplier",
-    "sql_large_volume_customer", "sql_nation_volume",
-    "sql_market_share", "llm_dedup_simhash", "llm_eval_ranking",
-    "sql_local_supplier_volume", "reshape_struct_flatten",
-    "snapshot_load", "llm_dedup_minhash", "llm_dedup_clusters",
-    "llm_cluster_kmeans", "llm_text_normalize", "scan_text",
-    "llm_pipeline_e2e", "sql_recursive_hierarchy",
-    "llm_multimodal_resize", "fn_array", "stream_stateful_progress",
-    "scan_pysource",
+    "fn_regexp_extract", "scan_text", "filter_prefix", "filter_null",
+    "fn_array", "fn_url", "filter_multi_rlike", "sort_top1",
+    "filter_table_class", "filter_negative", "filter_isin",
+    "string_scrub", "llm_text_normalize", "reshape_unpivot",
+    "reshape_explode", "delimited_parse", "fn_case_when",
+    "win_row_number", "agg_conditional", "filter_rlike", "fn_cast",
+    "llm_sample_stratified", "fn_math", "fn_hash", "win_rank",
+    "project_columns", "scan_parquet", "fn_regexp_replace", "fn_split",
+    "fn_date_format", "win_pattern_match", "sort_topk",
+    "llm_text_bpe_count", "fn_map", "fn_json", "llm_text_redact",
+    "llm_text_quality", "stream_tumbling", "agg_cube", "stream_retry",
+    "llm_quality_classifier", "fn_div_mod", "filter_gt_watermark",
+    "stream_incremental_dump", "udf_scalar", "reshape_struct_flatten",
+    "llm_multimodal_resize", "scan_partitioned", "agg_pending_count",
+    "agg_duration", "agg_distinct", "llm_pack_sequences", "win_lag",
+    "llm_text_tokens", "agg_arg_max", "llm_text_langid", "join_anti",
+    "set_except", "stream_divergence", "llm_text_profile",
+    "fn_datetime_extract", "agg_histogram", "llm_dedup_exact",
+    "llm_chunk_windows", "stream_sliding", "agg_string_agg",
+    "agg_grouping_sets", "llm_multimodal", "win_running_sum",
+    "llm_dedup_ngram", "win_topk_per_group", "fn_levenshtein",
+    "agg_bitmap_distinct", "agg_groupby", "stream_late_data",
+    "win_range_frame", "win_latest_per_group", "stream_consistent_cut",
+    "scan_bucketed", "llm_text_fingerprint", "stream_dedup",
+    "join_semi", "scan_csv", "llm_multimodal_frames", "stream_session",
+    "fn_try_arith", "fn_concat", "agg_rollup", "fn_variant",
+    "fn_date_arith", "reshape_pivot", "set_union", "win_distribution",
+    "sort_events", "stream_stream_join", "agg_mode",
+    "llm_multimodal_features", "agg_skew_salted", "join_theta",
+    "win_first_value", "join_left", "win_ntile", "llm_text_repetition",
+    "llm_shard_assign", "jdbc_sink", "row_offset_filter", "udf_arrow",
+    "ts_ohlc", "llm_text_bigrams", "ts_resample", "set_intersect",
+    "ts_rollup_hypertable", "scan_xml", "join_range",
+    "join_skew_salted", "agg_corr", "agg_percentile", "scan_binaryfile",
+    "llm_embed_quantize", "fn_crypto_roundtrip",
+    "llm_sample_temperature", "scan_json", "udf_grouped_agg",
+    "join_full", "llm_mix_sources", "llm_similarity_topk",
+    "llm_text_entropy", "udf_table_udtf", "join_sortmerge",
+    "ts_retention_cohort", "join_snapshot_diff", "udf_table",
+    "llm_doc_embed_hash", "scan_schema_evolution", "join_broadcast",
+    "llm_vocab_coverage", "win_distinct_running", "join_asof",
+    "agg_dq_checks", "join_watermark_compare", "agg_regression",
+    "log_append", "llm_text_unigram_nll", "agg_approx_percentile",
+    "stream_event_replay", "ts_sessionize", "agg_count_min",
+    "agg_hll_sketch", "scan_orc", "llm_knn_join",
+    "join_bloom_prefilter", "jdbc_source", "ts_fill_forward",
+    "agg_max_watermark", "merge_scd2", "llm_eval_confusion", "ts_ewma",
+    "filter_dpp", "llm_text_keywords", "llm_dedup_graph_stats",
+    "llm_dedup_spans", "llm_contamination", "sql_promo_revenue",
+    "llm_ann_rescore", "ts_funnel", "ts_anomaly_zscore",
+    "ts_interpolate", "agg_stats", "agg_table_profile", "llm_ann_lsh",
+    "llm_ann_ivf", "snapshot_dump", "sql_pricing_summary",
+    "llm_dedup_embed", "sql_discount_revenue",
+    "stream_watermark_advance", "sql_shipmode_priority",
+    "agg_approx_distinct", "scan_pysource",
+    "sql_small_quantity_revenue", "sql_top_supplier",
+    "sql_returned_items", "sql_order_priority",
+    "sql_inactive_customer_balance", "sql_waiting_supplier",
+    "sql_shipping_priority", "sql_parts_supplier_count",
+    "sql_product_profit", "sql_customer_distribution", "parallel_copy",
+    "sql_nation_volume", "sql_large_volume_customer",
+    "sql_market_share", "sql_local_supplier_volume", "llm_eval_ranking",
+    "llm_dedup_incremental", "llm_dedup_simhash", "fn_param_sql",
+    "snapshot_load", "llm_dedup_minhash", "fn_collate",
+    "llm_dedup_clusters", "llm_cluster_kmeans",
+    "sql_recursive_hierarchy", "stream_stateful_progress",
+    "llm_pipeline_e2e",
 )
 
 
