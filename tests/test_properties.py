@@ -6,6 +6,8 @@ from __future__ import annotations
 from hypothesis import given
 from hypothesis import strategies as st
 
+from tests.conftest import SF_DIR
+
 from hive3_replication_spark.repl.model import (
     STATUS_LOAD_FAILED,
     STATUS_NO_PROGRESS,
@@ -61,3 +63,51 @@ def test_behind_vs_ahead_sign(dump, delta):
     ahead = classify_repl_status(dump, None, dump + delta)
     assert behind == STATUS_PARTIAL_LOAD
     assert ahead == STATUS_TARGET_AHEAD
+
+
+def test_scd2_merge_invariants(spark):
+    """SCD2 output must be internally coherent: every changed key carries
+    exactly one closed v1 and one open v2; inserted keys are open v1;
+    open-row count equals |dim| + |inserts| (one current row per live
+    key); nothing is both open and closed at the same version."""
+    from hive3_replication_spark.operators.joins import merge_scd2
+
+    pdf = merge_scd2(spark, SF_DIR).toPandas()
+    closed = pdf[pdf.row_status == "closed"]
+    open_rows = pdf[pdf.row_status == "open"]
+    # closed rows are always version 1 (the prior version)
+    assert (closed.version == 1).all()
+    # every closed key has exactly one open v2 successor
+    v2 = open_rows[open_rows.version == 2]
+    assert set(closed.key) == set(v2.key)
+    assert v2.key.is_unique and closed.key.is_unique
+    # exactly one open (current) row per key
+    assert open_rows.key.is_unique
+    # inserted keys (>= 1e6 shift) enter as open version 1
+    inserted = open_rows[open_rows.key >= 1_000_000]
+    assert (inserted.version == 1).all() and len(inserted) > 0
+
+
+def test_ewma_first_row_weight(spark):
+    """ts_ewma: a partition's first row has a single-element frame, so its
+    EWMA must be exactly alpha * value (weight w0 = alpha = 0.25)."""
+    from pyspark.sql import functions as F
+
+    from hive3_replication_spark.operators.timeseries import ts_ewma
+    from hive3_replication_spark.catalog import load_table
+
+    ewma = ts_ewma(spark, SF_DIR).toPandas()
+    events = (
+        load_table(spark, SF_DIR, "events")
+        .select("event_id", "event_type", "ts", "value")
+        .toPandas()
+    )
+    firsts = (
+        events.sort_values(["ts", "event_id"])
+        .groupby("event_type")
+        .first()
+        .reset_index()
+    )
+    merged = firsts.merge(ewma, on=["event_id", "event_type"])
+    assert len(merged) == events.event_type.nunique()
+    assert (abs(merged.ewma - (0.25 * merged.value).round(6)) < 1e-9).all()
