@@ -427,6 +427,41 @@ def merge_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def join_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J15 — FORWARD as-of: for every event, the same user's next 'error'
+    event at-or-after it, and the microsecond gap — the time-to-failure /
+    time-to-conversion labeling join ML training sets are built with
+    (J7's backward as-of answers "latest state before"; this answers
+    "first outcome after").
+
+    Same scalable shape as J7: no non-equi join at all — one partitioned
+    window ordered DESC carries the most-recently-seen error timestamp
+    backwards through each user's history (running min of future error
+    times), so the plan is one exchange + one sort at any event volume.
+    Events with no later error yield NULLs (right-censored)."""
+    events = load_table(spark, sf_dir, "events")
+    e = events.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.expr("unix_micros(CAST(ts AS TIMESTAMP))").alias("t_us"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.desc("t_us"), F.desc("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    next_err = F.min(
+        F.when(F.col("event_type") == "error", F.col("t_us"))
+    ).over(w)
+    return e.select(
+        "event_id",
+        "user_id",
+        next_err.alias("next_error_us"),
+        (next_err - F.col("t_us")).alias("us_to_error"),
+    )
+
+
 _BLOOM_BITS = 63  # single-word filter; production sizes an array of words
 
 
@@ -472,6 +507,25 @@ def join_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLES: dict[str, str] = {
+    "join_asof_forward": """
+        WITH e AS (
+            SELECT event_id, user_id, event_type,
+                   epoch_us(CAST(ts AS TIMESTAMP)) AS t_us
+            FROM events
+        )
+        SELECT event_id, user_id,
+               MIN(CASE WHEN event_type = 'error' THEN t_us END) OVER (
+                   PARTITION BY user_id
+                   ORDER BY t_us DESC, event_id DESC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS next_error_us,
+               MIN(CASE WHEN event_type = 'error' THEN t_us END) OVER (
+                   PARTITION BY user_id
+                   ORDER BY t_us DESC, event_id DESC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) - t_us AS us_to_error
+        FROM e
+    """,
     "join_bloom_prefilter": f"""
         WITH hot AS (
             SELECT DISTINCT c_custkey % 150 AS key FROM customer
@@ -671,4 +725,5 @@ QUERY_FNS = {
     "join_range": join_range,
     "merge_scd2": merge_scd2,
     "join_bloom_prefilter": join_bloom_prefilter,
+    "join_asof_forward": join_asof_forward,
 }
