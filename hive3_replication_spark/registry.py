@@ -79,7 +79,7 @@ _SWEEP_ORDER: tuple[str, ...] = (
     "stream_incremental_dump", "udf_scalar", "reshape_struct_flatten",
     "llm_multimodal_resize", "scan_partitioned", "agg_pending_count",
     "agg_duration", "agg_distinct", "llm_pack_sequences", "win_lag",
-    "llm_text_tokens", "agg_arg_max", "llm_text_langid", "join_anti",
+    "llm_text_tokens", "join_asof_forward", "agg_arg_max", "llm_text_langid", "join_anti",
     "set_except", "stream_divergence", "llm_text_profile",
     "fn_datetime_extract", "agg_histogram", "llm_dedup_exact",
     "llm_chunk_windows", "stream_sliding", "agg_string_agg",
