@@ -267,34 +267,57 @@ def ts_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     their stage-(N-1) entry time — the event-analytics query behind every
     conversion dashboard.
 
-    Three conditional min-aggregations chained by user_id joins; all
-    three aggs and both joins key on user_id, so Catalyst reuses ONE
-    hash-partitioning across the whole chain (no re-shuffle between
-    stages). Output is one row of funnel totals; timestamps compare
-    exactly (µs), so the key carries a full SQL oracle."""
+    Single-pass form: ONE scan of events (filtered to the three funnel
+    types, pushed down) shuffled ONCE on user_id, then three chained
+    unbounded window-mins — t_click conditions on the t_view computed one
+    window earlier, t_purchase on t_click — all riding the same
+    hash-partitioning (no re-shuffle between stages; the plan gate in
+    tests/test_plans.py asserts exactly one user_id exchange). The
+    join-chain formulation this replaced scanned events 3× and shuffled
+    5×, re-computing stage subtrees under each consumer — at 100 TB the
+    window form wins on both scan and shuffle volume. Output is one row
+    of funnel totals; timestamps compare exactly (µs), so the key carries
+    a full SQL oracle."""
     events = load_table(spark, sf_dir, "events")
-    e = events.select("user_id", "event_type", "ts")
-    t1 = e.filter(F.col("event_type") == "view").groupBy("user_id").agg(
-        F.min("ts").alias("t_view")
+    e = events.select("user_id", "event_type", "ts").filter(
+        F.col("event_type").isin("view", "click", "purchase")
     )
-    t2 = (
-        e.filter(F.col("event_type") == "click")
-        .join(t1, "user_id")
-        .filter(F.col("ts") >= F.col("t_view"))
-        .groupBy("user_id")
-        .agg(F.min("ts").alias("t_click"))
+    w = Window.partitionBy("user_id")
+    staged = (
+        e.withColumn(
+            "t_view",
+            F.min(F.when(F.col("event_type") == "view", F.col("ts"))).over(w),
+        )
+        .withColumn(
+            "t_click",
+            F.min(
+                F.when(
+                    (F.col("event_type") == "click")
+                    & (F.col("ts") >= F.col("t_view")),
+                    F.col("ts"),
+                )
+            ).over(w),
+        )
+        .withColumn(
+            "t_purchase",
+            F.min(
+                F.when(
+                    (F.col("event_type") == "purchase")
+                    & (F.col("ts") >= F.col("t_click")),
+                    F.col("ts"),
+                )
+            ).over(w),
+        )
     )
-    t3 = (
-        e.filter(F.col("event_type") == "purchase")
-        .join(t2, "user_id")
-        .filter(F.col("ts") >= F.col("t_click"))
-        .groupBy("user_id")
-        .agg(F.min("ts").alias("t_purchase"))
+    per_user = staged.groupBy("user_id").agg(
+        F.first("t_view").alias("t_view"),
+        F.first("t_click").alias("t_click"),
+        F.first("t_purchase").alias("t_purchase"),
     )
-    return (
-        t1.agg(F.count("*").alias("n_view"))
-        .crossJoin(t2.agg(F.count("*").alias("n_click_after_view")))
-        .crossJoin(t3.agg(F.count("*").alias("n_purchase_after_click")))
+    return per_user.agg(
+        F.count("t_view").alias("n_view"),
+        F.count("t_click").alias("n_click_after_view"),
+        F.count("t_purchase").alias("n_purchase_after_click"),
     )
 
 

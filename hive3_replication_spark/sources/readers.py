@@ -473,7 +473,8 @@ def scan_pysource(spark: SparkSession, sf_dir: str) -> DataFrame:
     Arrow-batched Python source runner.
 
     The source is genuinely partitioned: ``partitions()`` splits the id
-    range into 8 independent InputPartitions, each read by its own task
+    range into ``_SYNTH_PARTS`` (4) independent InputPartitions, each
+    read by its own task
     (parallelism scales with the option, not the driver). Generated rows
     are pure LCG integer arithmetic, so the relation — grouped here to a
     per-bucket summary — carries a full SQL oracle; arithmetic stays far
@@ -502,7 +503,7 @@ ORACLES: dict[str, str] = {
         SELECT event_id, event_type, value FROM events WHERE event_id < 500
     """,
     "scan_text": """
-        SELECT doc_id, CAST(n_chars AS BIGINT) AS n_line_chars
+        SELECT doc_id, CAST(length(text) AS BIGINT) AS n_line_chars
         FROM documents WHERE doc_id % 7 = 0
     """,
     "scan_pysource": f"""
@@ -519,7 +520,7 @@ ORACLES: dict[str, str] = {
         FROM g GROUP BY bucket
     """,
     "scan_binaryfile": """
-        SELECT doc_id, CAST(n_chars AS BIGINT) AS n_bytes
+        SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
         FROM documents WHERE doc_id % 7 = 0
     """,
     "jdbc_source": """

@@ -321,13 +321,16 @@ def test_kmeans_iterations_broadcast_centroids(spark):
 
 
 def test_funnel_reuses_user_partitioning(spark):
-    """ts_funnel: the three stage aggregations and both joins all key on
-    user_id — the plan must not re-shuffle between stages beyond the
-    initial per-branch scans (exchange reuse / same-key partitioning)."""
+    """ts_funnel: the three chained stage window-mins and the per-user
+    rollup all ride ONE user_id hash-partitioning — exactly one user_id
+    exchange in the whole plan (plus the final single-partition total),
+    and no join/cartesian at all."""
     from hive3_replication_spark.operators.timeseries import ts_funnel
 
     plan = _plan(ts_funnel(spark, SF_DIR), "simple")
     assert "CartesianProduct" not in plan
+    assert plan.count("Exchange hashpartitioning(user_id") == 1
+    assert "Join" not in plan
 
 
 def test_bloom_prefilter_semi_join_shape(spark):

@@ -111,3 +111,22 @@ def test_ewma_first_row_weight(spark):
     merged = firsts.merge(ewma, on=["event_id", "event_type"])
     assert len(merged) == events.event_type.nunique()
     assert (abs(merged.ewma - (0.25 * merged.value).round(6)) < 1e-9).all()
+
+
+def test_documents_fixture_text_is_single_line(spark):
+    """Fixture invariant guarding the scan_text oracle (ADVICE r2): the
+    per-document payload files are read line-wise by spark.read.text, so
+    oracle parity (one row per doc, n_line_chars == length(text)) holds
+    only while documents.text is newline-free. If the driver ever ships a
+    multi-line fixture this fails loudly instead of a silent hash
+    mismatch. (scan_binaryfile's byte oracle is already multi-byte-safe
+    via octet_length(encode(text)).)"""
+    from pyspark.sql import functions as F
+
+    from hive3_replication_spark.catalog import load_table
+
+    docs = load_table(spark, SF_DIR, "documents")
+    n_multiline = docs.filter(
+        F.col("text").contains("\n") | F.col("text").contains("\r")
+    ).count()
+    assert n_multiline == 0
