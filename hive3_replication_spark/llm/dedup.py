@@ -40,8 +40,7 @@ def _shingles(
 ) -> DataFrame:
     """(doc_id, shingle) word n-grams, built array-side: tokenize ONCE into
     a materialized array column, then a higher-order transform over token
-    offsets — a purely narrow map (no window, no shuffle until the final
-    distinct).
+    offsets — a purely narrow map with NO shuffle in either mode.
 
     Two details that matter at scale: the token array must be a bound
     attribute, not an inline ``split`` expression (Catalyst does not CSE the
@@ -49,10 +48,15 @@ def _shingles(
     and the corpus is repartitioned first so tokenization parallelizes even
     when the input is one big file.
 
-    Pass ``distinct=False`` when the consumer is duplicate-insensitive
-    (MinHash minima, post-join distinct counts): the global dedup is a
-    full-corpus shuffle, the single most expensive step of every shingle
-    pipeline, and skipping it keeps shingle generation entirely narrow.
+    ``distinct=True`` dedupes with ``array_distinct`` on the per-doc
+    shingle ARRAY before the explode: shingle rows can only duplicate
+    within a document (the key is (doc_id, shingle) and each doc is one
+    row), so the per-doc array dedup is exactly equivalent to the global
+    ``.distinct()`` this replaced — which was a full-corpus shuffle, the
+    single most expensive step of every shingle pipeline. Both modes are
+    now entirely narrow; ``distinct=False`` merely skips the per-row
+    array_distinct CPU for duplicate-insensitive consumers (MinHash
+    minima).
     """
     sess = documents.sparkSession
     par = sess.sparkContext.defaultParallelism
@@ -76,8 +80,9 @@ def _shingles(
             ),
         ),
     ).otherwise(F.array().cast("array<string>"))
-    out = with_toks.select("doc_id", F.explode(sh_array).alias("shingle"))
-    return out.distinct() if distinct else out
+    if distinct:
+        sh_array = F.array_distinct(sh_array)
+    return with_toks.select("doc_id", F.explode(sh_array).alias("shingle"))
 
 
 #: Per-operator cache registry: each keyed persist replaces (and unpersists)
@@ -631,13 +636,18 @@ def llm_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def minhash_signatures(documents: DataFrame, token: str) -> DataFrame:
-    """(doc_id, mh0..mh31) MinHash signature matrix, memoized per corpus.
+    """(doc_id, sig: array<long>[32]) MinHash signatures, memoized per
+    corpus.
 
     distinct=False shingles: per-permutation minima are duplicate-
     insensitive, so the signature is identical and shingle generation
     stays narrow — the signature groupBy is the FIRST shuffle of the
-    whole pipeline (plan-gated). The matrix is persisted because it is
-    referenced three times downstream (banding + both candidate sides);
+    whole pipeline (plan-gated). The 32 per-permutation mins are computed
+    as 32 agg columns (partial-aggregated map-side) but PACKED into one
+    array column before the persist: downstream plans (banding slices,
+    zip_with compares) then carry ONE column instead of 32, which keeps
+    Catalyst optimization + codegen time flat — with 64 signature columns
+    the candidate-scoring plan alone cost ~0.5 s of driver time per run.
     n_docs × 32 longs is tiny relative to the corpus even at 100 TB."""
 
     def build() -> DataFrame:
@@ -651,7 +661,16 @@ def minhash_signatures(documents: DataFrame, token: str) -> DataFrame:
             )
             for k in range(MINHASH_PERMS)
         ]
-        return h.groupBy("doc_id").agg(*perm_cols)
+        return (
+            h.groupBy("doc_id")
+            .agg(*perm_cols)
+            .select(
+                "doc_id",
+                F.array(
+                    *[F.col(f"mh{k}") for k in range(MINHASH_PERMS)]
+                ).alias("sig"),
+            )
+        )
 
     return _memo_sig("minhash_sig", token, build)
 
@@ -677,33 +696,41 @@ def llm_dedup_minhash(
     band_structs = [
         F.struct(
             F.lit(bidx).alias("band"),
-            F.xxhash64(
-                *[F.col(f"mh{k}") for k in range(bidx * r, (bidx + 1) * r)]
-            ).alias("bucket"),
+            F.xxhash64(F.slice("sig", bidx * r + 1, r)).alias("bucket"),
         )
         for bidx in range(MINHASH_BANDS)
     ]
-    # one pass: explode all bands from a single projection of sig
+    # one pass: explode all bands from a single projection of sig; each
+    # band bucket is the hash of the band's SLICE of the packed signature
     banded = sig.select(
         "doc_id", F.explode(F.array(*band_structs)).alias("bb")
     ).select("doc_id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
     cand = _capped_bucket_pairs(banded, ["band", "bucket"], max_bucket)
     sig_a = sig.select(
-        F.col("doc_id").alias("doc_a"),
-        *[F.col(f"mh{k}").alias(f"a{k}") for k in range(MINHASH_PERMS)],
+        F.col("doc_id").alias("doc_a"), F.col("sig").alias("sig_a")
     )
     sig_b = sig.select(
-        F.col("doc_id").alias("doc_b"),
-        *[F.col(f"mh{k}").alias(f"b{k}") for k in range(MINHASH_PERMS)],
+        F.col("doc_id").alias("doc_b"), F.col("sig").alias("sig_b")
     )
-    matches = sum(
-        F.when(F.col(f"a{k}") == F.col(f"b{k}"), 1).otherwise(0)
-        for k in range(MINHASH_PERMS)
+    # component-match count via zip_with over the packed arrays — one
+    # narrow expression instead of 32 column equalities (plan width, not
+    # execution, was the measured cost of the column form)
+    matches = F.aggregate(
+        F.zip_with(
+            "sig_a",
+            "sig_b",
+            lambda x, y: F.when(x == y, 1).otherwise(0),
+        ),
+        F.lit(0),
+        lambda acc, x: acc + x,
     )
     return (
         cand.join(sig_a, "doc_a")
         .join(sig_b, "doc_b")
-        .withColumn("est_jaccard", matches / F.lit(float(MINHASH_PERMS)))
+        .withColumn(
+            "est_jaccard",
+            matches.cast("double") / F.lit(float(MINHASH_PERMS)),
+        )
         .filter(F.col("est_jaccard") >= 0.25)
         .select("doc_a", "doc_b", "est_jaccard")
     )
