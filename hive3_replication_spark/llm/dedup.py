@@ -33,6 +33,11 @@ _PERM_A = [
     ((2 * k + 1) * 0x9E3779B9 % _MERSENNE) or 1 for k in range(MINHASH_PERMS)
 ]
 _PERM_B = [(k + 1) * 0xC2B2AE3D % _MERSENNE for k in range(MINHASH_PERMS)]
+#: Band-bucket polynomial coefficients (literal primes): bucket =
+#: Σ sig[b*r+j]·C_j mod M. SQL-expressible, unlike xxhash64, so the LSH
+#: blocking — and with it the whole MinHash key — carries a full DuckDB
+#: oracle. Each term < 2^51, the 4-term sum < 2^53: ANSI-safe.
+_BAND_C = [1_000_003, 999_983, 786_433, 999_979]
 
 
 def _shingles(
@@ -652,8 +657,19 @@ def minhash_signatures(documents: DataFrame, token: str) -> DataFrame:
 
     def build() -> DataFrame:
         sh = _shingles(documents, distinct=False)
+        # Base hash = first 8 hex chars of md5, mod Mersenne. md5 is a few
+        # GB/s/core slower than xxhash64 but (a) the per-shingle cost is
+        # string-overhead-dominated and (b) md5 is bit-identical in DuckDB
+        # (('0x'||substr(md5(s),1,8))::BIGINT), which upgrades this key
+        # from a rows-only check to a full value-hash oracle.
         h = sh.select(
-            "doc_id", (F.abs(F.xxhash64("shingle")) % _MERSENNE).alias("h")
+            "doc_id",
+            (
+                F.conv(F.substring(F.md5("shingle"), 1, 8), 16, 10).cast(
+                    "long"
+                )
+                % _MERSENNE
+            ).alias("h"),
         )
         perm_cols = [
             F.min((F.col("h") * _PERM_A[k] + _PERM_B[k]) % _MERSENNE).alias(
@@ -678,10 +694,11 @@ def minhash_signatures(documents: DataFrame, token: str) -> DataFrame:
 def llm_dedup_minhash(
     spark: SparkSession, sf_dir: str, max_bucket: int = MAX_BUCKET
 ) -> DataFrame:
-    """L2 — MinHash + LSH near-dup (the 100 TB path; no SQL oracle — the
-    signature depends on Spark's xxhash64, rows-only check + property tests).
+    """L2 — MinHash + LSH near-dup (the 100 TB path). Full DuckDB oracle:
+    every hash in the pipeline (md5-derived base hash, literal-constant
+    permutations, polynomial band buckets) is reproducible in ANSI SQL.
 
-    shingle → xxhash64 → k=32 universal-hash permutations → per-doc min per
+    shingle → md5-hash → k=32 universal-hash permutations → per-doc min per
     permutation → 8 bands of 4 → band-bucket blocking for candidates →
     estimated Jaccard = fraction of matching signature components. Band
     buckets above ``max_bucket`` are dropped before pairing (same skew
@@ -693,15 +710,27 @@ def llm_dedup_minhash(
     documents = load_table(spark, sf_dir, "documents")
     sig = minhash_signatures(documents, sf_dir)
     r = MINHASH_PERMS // MINHASH_BANDS
+
+    def band_bucket(bidx: int) -> F.Column:
+        terms = [
+            (F.element_at("sig", bidx * r + j + 1) * _BAND_C[j]) % _MERSENNE
+            for j in range(r)
+        ]
+        acc = terms[0]
+        for t in terms[1:]:
+            acc = acc + t
+        return acc % _MERSENNE
+
     band_structs = [
         F.struct(
             F.lit(bidx).alias("band"),
-            F.xxhash64(F.slice("sig", bidx * r + 1, r)).alias("bucket"),
+            band_bucket(bidx).alias("bucket"),
         )
         for bidx in range(MINHASH_BANDS)
     ]
     # one pass: explode all bands from a single projection of sig; each
-    # band bucket is the hash of the band's SLICE of the packed signature
+    # band bucket is the SQL-expressible polynomial over the band's slice
+    # of the packed signature (see _BAND_C)
     banded = sig.select(
         "doc_id", F.explode(F.array(*band_structs)).alias("bb")
     ).select("doc_id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
@@ -739,14 +768,21 @@ def llm_dedup_minhash(
 def simhash_signatures(documents: DataFrame, token: str) -> DataFrame:
     """(doc_id, simhash) 32-bit SimHash relation, memoized per corpus —
     persisted because it is referenced by the band explode and both
-    candidate-join sides; n_docs × 1 long, tiny at any corpus scale."""
+    candidate-join sides; n_docs × 1 long, tiny at any corpus scale.
+
+    Token hash = first 8 hex chars of md5 (same SQL-reproducible base
+    hash as MinHash) — upgrades llm_dedup_simhash to a full value-hash
+    oracle."""
 
     def build() -> DataFrame:
         toks = documents.select(
             "doc_id", F.explode(F.split(F.col("text"), " ")).alias("tok")
         )
         tf = toks.groupBy("doc_id", "tok").agg(F.count("*").alias("w"))
-        th = tf.withColumn("h", F.xxhash64("tok"))
+        th = tf.withColumn(
+            "h",
+            F.conv(F.substring(F.md5("tok"), 1, 8), 16, 10).cast("long"),
+        )
         bit_sums = [
             F.sum(
                 F.when(
@@ -771,9 +807,10 @@ def simhash_signatures(documents: DataFrame, token: str) -> DataFrame:
 def llm_dedup_simhash(
     spark: SparkSession, sf_dir: str, max_bucket: int = MAX_BUCKET
 ) -> DataFrame:
-    """SimHash near-dup (rows-only): 32-bit simhash from token hashes —
-    bit-majority over xxhash64(token) weighted by term frequency — candidates
-    from matching 8-bit bands (Hamming-distance blocking). Band buckets
+    """SimHash near-dup (full oracle): 32-bit simhash from token hashes —
+    bit-majority over md5-derived hashes weighted by term frequency —
+    candidates from matching 8-bit bands (Hamming-distance blocking). Band
+    buckets
     above ``max_bucket`` are dropped before pairing, same skew guard as
     MinHash: without it one boilerplate bucket yields O(bucket²) pairs in
     a single task at corpus scale."""
@@ -915,6 +952,119 @@ _NGRAM_PAIR_CTES = f"""
         )
 """
 
+def _minhash_oracle_sql() -> str:
+    """DuckDB SQL replaying the EXACT MinHash+LSH pipeline — same md5
+    base hash, same literal permutation/band constants — so the driver's
+    value-hash comparison holds bit-for-bit. Generated from the module
+    constants so Spark code and oracle cannot drift."""
+    m = _MERSENNE
+    r = MINHASH_PERMS // MINHASH_BANDS
+    mins = ",\n                   ".join(
+        f"MIN((h * {_PERM_A[k]} + {_PERM_B[k]}) % {m})"
+        for k in range(MINHASH_PERMS)
+    )
+    def bucket(b: int) -> str:
+        return (
+            "("
+            + " + ".join(
+                f"sig[{b * r + j + 1}] * {_BAND_C[j]} % {m}"
+                for j in range(r)
+            )
+            + f") % {m}"
+        )
+    band_rows = " UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band, {bucket(b)} AS bucket FROM sig"
+        for b in range(MINHASH_BANDS)
+    )
+    return f"""
+        WITH {_SHINGLE_CTES},
+        hsh AS (
+            SELECT doc_id,
+                   CAST(('0x' || substr(md5(shingle), 1, 8)) AS BIGINT)
+                       % {m} AS h
+            FROM sh
+        ),
+        sig AS (
+            SELECT doc_id, [{mins}] AS sig
+            FROM hsh GROUP BY doc_id
+        ),
+        banded AS ({band_rows}),
+        small AS (
+            SELECT band, bucket FROM banded
+            GROUP BY band, bucket HAVING COUNT(*) <= {MAX_BUCKET}
+        ),
+        kept AS (SELECT banded.* FROM banded JOIN small USING (band, bucket)),
+        pairs AS (
+            SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+            FROM kept x
+            JOIN kept y ON x.band = y.band AND x.bucket = y.bucket
+                AND x.doc_id < y.doc_id
+        ),
+        scored AS (
+            SELECT doc_a, doc_b,
+                   CAST(list_sum(list_transform(range(1, {MINHASH_PERMS + 1}),
+                       i -> CASE WHEN sa.sig[i] = sb.sig[i] THEN 1 ELSE 0
+                            END)) AS DOUBLE) / {MINHASH_PERMS}.0
+                       AS est_jaccard
+            FROM pairs
+            JOIN sig sa ON sa.doc_id = doc_a
+            JOIN sig sb ON sb.doc_id = doc_b
+        )
+        SELECT doc_a, doc_b, est_jaccard FROM scored
+        WHERE est_jaccard >= 0.25
+    """
+
+
+def _simhash_oracle_sql() -> str:
+    """DuckDB SQL replaying the SimHash pipeline bit-for-bit (md5 token
+    hash, tf-weighted bit majority, 8-bit Hamming bands, bucket cap)."""
+    bit_sums = ",\n                   ".join(
+        f"SUM(CASE WHEN (h >> {b}) & 1 = 1 THEN w ELSE -w END) AS s{b}"
+        for b in range(32)
+    )
+    simhash = " + ".join(
+        f"CASE WHEN s{b} > 0 THEN {1 << b} ELSE 0 END" for b in range(32)
+    )
+    band_rows = " UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band, (simhash >> {b * 8}) & 255 AS bucket,"
+        f" simhash FROM sim"
+        for b in range(4)
+    )
+    return f"""
+        WITH t AS (
+            SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+        ),
+        tok AS (SELECT doc_id, unnest(toks) AS tok FROM t),
+        tf AS (SELECT doc_id, tok, COUNT(*) AS w FROM tok GROUP BY doc_id, tok),
+        th AS (
+            SELECT doc_id, w,
+                   CAST(('0x' || substr(md5(tok), 1, 8)) AS BIGINT) AS h
+            FROM tf
+        ),
+        bits AS (
+            SELECT doc_id, {bit_sums}
+            FROM th GROUP BY doc_id
+        ),
+        sim AS (SELECT doc_id, {simhash} AS simhash FROM bits),
+        banded AS ({band_rows}),
+        small AS (
+            SELECT band, bucket FROM banded
+            GROUP BY band, bucket HAVING COUNT(*) <= {MAX_BUCKET}
+        ),
+        kept AS (SELECT banded.* FROM banded JOIN small USING (band, bucket)),
+        pairs AS (
+            SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b,
+                   x.simhash AS sh_a, y.simhash AS sh_b
+            FROM kept x
+            JOIN kept y ON x.band = y.band AND x.bucket = y.bucket
+                AND x.doc_id < y.doc_id
+        )
+        SELECT doc_a, doc_b,
+               CAST(bit_count(xor(sh_a, sh_b)) AS INTEGER) AS hamming
+        FROM pairs WHERE bit_count(xor(sh_a, sh_b)) <= 6
+    """
+
+
 _SPAN_W = 8  # tokens per non-overlapping span
 
 
@@ -1047,6 +1197,8 @@ ORACLES: dict[str, str] = {
         SELECT MIN(doc_id) AS canonical_doc_id, COUNT(*) AS n_copies
         FROM documents GROUP BY text
     """,
+    "llm_dedup_minhash": _minhash_oracle_sql(),
+    "llm_dedup_simhash": _simhash_oracle_sql(),
     "llm_dedup_ngram": f"""
         WITH {_NGRAM_PAIR_CTES}
         SELECT doc_a, doc_b, inter, jaccard
