@@ -78,7 +78,12 @@ def get_spark(
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         # Local-mode friendliness; harmless on a cluster (overridden there).
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        # In local mode the driver JVM hosts ALL executor threads, so this
+        # IS the executor heap: 8g across 32 task threads meant constant
+        # old-gen GC once a long suite accumulated garbage (measured 15%
+        # suite-wide slowdown at sf0.1). 24g on the 128 GiB test host
+        # keeps GC off the critical path; still env-overridable.
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "24g"))
     )
     for key, value in RUNTIME_CONFS.items():
         builder = builder.config(key, value)
