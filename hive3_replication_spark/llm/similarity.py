@@ -95,14 +95,20 @@ def llm_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def llm_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ANN via IVF-style coarse quantization (rows-only check: centroid
-    averages are float-order dependent).
+    """ANN via IVF-style coarse quantization — FULL SQL oracle: centroid
+    components accumulate as quantized int64 sums (floor(x·1e6 + 0.5),
+    the same partitioning-independent trick as llm_cluster_kmeans), so
+    centroids — and every ranking derived from them — are bit-identical
+    regardless of partition/merge order and exactly reproducible in
+    DuckDB. Cell ranking and the final top-k order on ROUND(sim, 9/6)
+    with label/vec_id tiebreaks so the selected SET is engine-invariant.
 
     Coarse cells = the label clusters; centroids = element-wise means
     (computed distributed via posexplode + groupBy, never collected); the
     query probes its 4 nearest centroids and exact-scores only those cells —
     at 100 TB with c cells and p probes the scorer reads p/c of the corpus,
-    and the centroid table (c × dim) is a broadcast dim.
+    and the centroid table (c × dim) is a broadcast dim. The int64
+    component sums hold to ~9·10^12 vectors per cell before overflow.
     """
     emb = load_table(spark, sf_dir, "embeddings")
     # element-wise centroid per label, rebuilt as an ordered array
@@ -111,11 +117,27 @@ def llm_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     cent = (
         comps.groupBy("label", "i")
-        .agg(F.avg(F.col("x").cast("double")).alias("c"))
+        .agg(
+            F.sum(
+                F.floor(F.col("x").cast("double") * 1e6 + F.lit(0.5)).cast(
+                    "long"
+                )
+            ).alias("s"),
+            F.count("*").alias("cnt"),
+        )
         .groupBy("label")
         .agg(
             F.array_sort(
-                F.collect_list(F.struct(F.col("i"), F.col("c")))
+                F.collect_list(
+                    F.struct(
+                        F.col("i"),
+                        (
+                            F.col("s").cast("double")
+                            / 1e6
+                            / F.col("cnt").cast("double")
+                        ).alias("c"),
+                    )
+                )
             ).alias("pairs")
         )
         .select(
@@ -132,12 +154,13 @@ def llm_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         cent.join(F.broadcast(query))
         .select(
             "label",
-            (
+            F.round(
                 _dot_d(F.col("centroid"), F.col("q_emb"))
-                / (_norm_d(F.col("centroid")) * _norm(F.col("q_emb")))
-            ).alias("c_sim"),
+                / (_norm_d(F.col("centroid")) * _norm(F.col("q_emb"))),
+                9,
+            ).alias("c_sim_r"),
         )
-        .orderBy(F.desc("c_sim"))
+        .orderBy(F.desc("c_sim_r"), F.asc("label"))
         .limit(4)
         .select("label")
     )
@@ -145,16 +168,17 @@ def llm_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored = pruned.join(F.broadcast(query)).select(
         "vec_id",
         "label",
-        (
+        F.round(
             _dot(F.col("embedding"), F.col("q_emb"))
-            / (_norm(F.col("embedding")) * _norm(F.col("q_emb")))
-        ).alias("cosine"),
+            / (_norm(F.col("embedding")) * _norm(F.col("q_emb"))),
+            6,
+        ).alias("cosine_r"),
     )
     return (
         scored.filter(F.col("vec_id") != 0)
-        .orderBy(F.desc("cosine"), F.asc("vec_id"))
+        .orderBy(F.desc("cosine_r"), F.asc("vec_id"))
         .limit(10)
-        .select("vec_id", "label", F.round("cosine", 6).alias("cosine_r"))
+        .select("vec_id", "label", "cosine_r")
     )
 
 
@@ -260,9 +284,12 @@ def _band_sig_local(vec: list[float]) -> list[int]:
 
 def llm_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN via random-hyperplane (SimHash) LSH bucketing — the second scale
-    path next to IVF (rows-only: bucket membership is hash-design-specific;
-    the recall-vs-exact property test in tests/test_llm_props.py is the
-    correctness check).
+    path next to IVF. FULL SQL oracle: the seeded-Gaussian planes are plain
+    double constants shipped verbatim into the oracle SQL, and both engines
+    compute the sign bits with the identical left-fold dot product, so
+    bucket membership — and the rounded-cosine top-k — replays exactly in
+    DuckDB (plus the recall-vs-exact property test in
+    tests/test_llm_props.py).
 
     Corpus side: ONE narrow pass computes the 12×4 band signature per
     vector, filters to vectors sharing ANY (position, bits) band with the
@@ -300,16 +327,20 @@ def llm_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.arrays_overlap(F.col("bands"), F.lit(q_bands)))
         .select(
             "vec_id",
-            (
+            F.round(
                 _dot(F.col("embedding"), F.lit(qe))
-                / (_norm(F.col("embedding")) * F.lit(q_norm))
-            ).alias("cosine"),
+                / (_norm(F.col("embedding")) * F.lit(q_norm)),
+                6,
+            ).alias("cosine_r"),
         )
     )
+    # rank on the ROUNDED cosine with vec_id tiebreak: the top-10 SET is
+    # then invariant to sub-1e-6 float differences across engines, which
+    # is what lets this key carry a full SQL oracle
     return (
-        scored.orderBy(F.desc("cosine"), F.asc("vec_id"))
+        scored.orderBy(F.desc("cosine_r"), F.asc("vec_id"))
         .limit(10)
-        .select("vec_id", F.round("cosine", 6).alias("cosine_r"))
+        .select("vec_id", "cosine_r")
     )
 
 
@@ -580,7 +611,115 @@ def llm_eval_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Shared SQL fragments for cosine terms (same left-fold order as _dot/_norm)
+_SQL_DOT_EQ = """list_aggregate(
+                       list_transform(range(1, len({a}) + 1),
+                           i -> CAST({a}[i] AS DOUBLE)
+                              * CAST({b}[i] AS DOUBLE)), 'sum')"""
+_SQL_NORM = """sqrt(list_aggregate(list_transform({a},
+                       x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'))"""
+
+
+def _ivf_oracle_sql() -> str:
+    """DuckDB SQL replaying IVF exactly: quantized-int64 centroid sums
+    (order-independent by construction), ROUND(sim, 9/6)-ranked probe and
+    top-k with label/vec_id tiebreaks — the same contract the operator
+    commits to."""
+    dot_cq = _SQL_DOT_EQ.format(a="c.centroid", b="q.q_emb")
+    norm_c = _SQL_NORM.format(a="c.centroid")
+    norm_q = _SQL_NORM.format(a="q.q_emb")
+    dot_eq = _SQL_DOT_EQ.format(a="e.embedding", b="q.q_emb")
+    norm_e = _SQL_NORM.format(a="e.embedding")
+    return f"""
+        WITH q AS (
+            SELECT embedding AS q_emb FROM embeddings WHERE vec_id = 0
+        ),
+        comp AS (
+            SELECT label, i.i AS i,
+                   SUM(CAST(FLOOR(CAST(embedding[i.i] AS DOUBLE) * 1000000
+                       + 0.5) AS BIGINT)) AS s,
+                   COUNT(*) AS cnt
+            FROM embeddings,
+                 LATERAL (SELECT unnest(range(1, len(embedding) + 1)) AS i) i
+            GROUP BY label, i.i
+        ),
+        cent AS (
+            SELECT label,
+                   list(CAST(s AS DOUBLE) / 1000000.0 / CAST(cnt AS DOUBLE)
+                        ORDER BY i) AS centroid
+            FROM comp GROUP BY label
+        ),
+        probe AS (
+            SELECT label FROM (
+                SELECT c.label,
+                       ROUND({dot_cq} / ({norm_c} * {norm_q}), 9) AS c_sim_r
+                FROM cent c, q
+            ) ORDER BY c_sim_r DESC, label ASC LIMIT 4
+        )
+        SELECT e.vec_id, e.label,
+               ROUND({dot_eq} / ({norm_e} * {norm_q}), 6) AS cosine_r
+        FROM embeddings e JOIN probe USING (label), q
+        WHERE e.vec_id <> 0
+        ORDER BY cosine_r DESC, e.vec_id ASC LIMIT 10
+    """
+
+
+def _lsh_oracle_sql() -> str:
+    """DuckDB SQL replaying hyperplane LSH exactly: the seeded-Gaussian
+    plane matrix is inlined as a double-literal 2-D list (repr round-trips
+    doubles losslessly), sign bits use the identical left-fold dot
+    product, band packing is b*16 + 8b1+4b2+2b3+b4 (the unrolled form of
+    the operator's shift-in fold), candidates are band-overlap matches,
+    and the top-10 orders on ROUND(cosine, 6) with vec_id tiebreak.
+
+    The plane literal is generated for the fixture's dim=64 (the operator
+    itself handles any dim)."""
+    planes = _planes(64)
+    planes_lit = (
+        "["
+        + ",".join("[" + ",".join(repr(v) for v in row) + "]" for row in planes)
+        + "]"
+    )
+    dot_pj = """list_aggregate(list_transform(range(1, len(s.embedding) + 1),
+                    i -> CAST(s.embedding[i] AS DOUBLE) * p.pl[j][i]), 'sum')"""
+    dot_eq = _SQL_DOT_EQ.format(a="c.embedding", b="qq.q_emb")
+    norm_e = _SQL_NORM.format(a="c.embedding")
+    norm_q = _SQL_NORM.format(a="qq.q_emb")
+    return f"""
+        WITH planes AS (SELECT {planes_lit} AS pl),
+        sig AS (
+            SELECT vec_id, embedding,
+                   list_transform(range(1, {_N_PLANES + 1}),
+                       j -> CASE WHEN {dot_pj} > 0 THEN 1 ELSE 0 END) AS bits
+            FROM embeddings s, planes p
+        ),
+        banded AS (
+            SELECT vec_id, embedding,
+                   list_transform(range(0, {_N_PLANES // _BAND_WIDTH}),
+                       b -> b * 16 + bits[b * 4 + 1] * 8 + bits[b * 4 + 2] * 4
+                            + bits[b * 4 + 3] * 2 + bits[b * 4 + 4]) AS bands
+            FROM sig
+        ),
+        qq AS (
+            SELECT embedding AS q_emb, bands AS q_bands
+            FROM banded WHERE vec_id = 0
+        ),
+        cand AS (
+            SELECT b.vec_id, b.embedding
+            FROM banded b, qq
+            WHERE b.vec_id <> 0
+              AND len(list_intersect(b.bands, qq.q_bands)) > 0
+        )
+        SELECT c.vec_id,
+               ROUND({dot_eq} / ({norm_e} * {norm_q}), 6) AS cosine_r
+        FROM cand c, qq
+        ORDER BY cosine_r DESC, c.vec_id ASC LIMIT 10
+    """
+
+
 ORACLES: dict[str, str] = {
+    "llm_ann_ivf": _ivf_oracle_sql(),
+    "llm_ann_lsh": _lsh_oracle_sql(),
     "llm_eval_ranking": f"""
         WITH coded AS (
             SELECT vec_id, embedding,
