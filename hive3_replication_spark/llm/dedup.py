@@ -21,6 +21,10 @@ from ..catalog import load_table
 
 #: Drop blocking buckets larger than this before pairing (skew guard).
 MAX_BUCKET = 1000
+#: Near-dup policy threshold shared by every ngram-pair consumer (ngram
+#: dedup, cluster resolution, graph stats, the e2e pipeline) — and by the
+#: SQL oracles, which state it literally.
+NGRAM_MIN_JACCARD = 0.08
 
 #: MinHash parameters: k permutations in b bands of r rows (k = b*r).
 MINHASH_PERMS = 32
@@ -221,11 +225,19 @@ def ngram_pair_jaccard(
     cache_key: str,
     max_bucket: int = MAX_BUCKET,
     memo_token: str | None = None,
+    min_jaccard: float = NGRAM_MIN_JACCARD,
 ) -> DataFrame:
     """Shared exact n-gram Jaccard scorer: shingle-block candidate pairs →
     intersection counts → |A∩B| / |A∪B|. Returns (doc_a, doc_b, inter,
-    jaccard). Used by llm_dedup_ngram and the composed pipeline so the
-    blocking/threshold logic cannot drift between them. Pass ``memo_token``
+    jaccard), already filtered to ``jaccard >= min_jaccard`` — the filter
+    sits INSIDE the scorer, before the memo persist, because every
+    consumer (ngram, clusters, graph stats, the e2e pipeline) applies the
+    same ``NGRAM_MIN_JACCARD`` policy threshold: on the fixture corpus the
+    scored relation is ~1.1M pairs of which 278 survive, so filtering
+    first shrinks the persisted memo by ~4000× (and at 100 TB keeps the
+    cross-operator cache |near-dups|-sized instead of |candidates|-sized).
+    Used by llm_dedup_ngram and the composed pipeline so the blocking/
+    threshold logic cannot drift between them. Pass ``memo_token``
     (the corpus dir) to persist + reuse the scored pairs across operators.
     Plan construction + memo swap run under ``_PAIR_LOCK`` (the prewarm
     thread builds the same relation concurrently with the sweep).
@@ -239,7 +251,7 @@ def ngram_pair_jaccard(
     pair memo, which is |candidate pairs|-sized."""
     with _PAIR_LOCK:
         return _ngram_pair_jaccard_locked(
-            documents, cache_key, max_bucket, memo_token
+            documents, cache_key, max_bucket, memo_token, min_jaccard
         )
 
 
@@ -248,6 +260,7 @@ def _ngram_pair_jaccard_locked(
     cache_key: str,
     max_bucket: int,
     memo_token: str | None,
+    min_jaccard: float,
 ) -> DataFrame:
     if memo_token is not None:
         hit = _PAIR_MEMO.get(cache_key)
@@ -292,6 +305,7 @@ def _ngram_pair_jaccard_locked(
         inter.join(sz_a, "doc_a")
         .join(sz_b, "doc_b")
         .withColumn("jaccard", jac)
+        .filter(F.col("jaccard") >= min_jaccard)
     )
     if memo_token is not None:
         prev = _PAIR_MEMO.pop(cache_key, None)
