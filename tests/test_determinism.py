@@ -48,17 +48,35 @@ FLOAT_HEAVY = [
     "ts_ewma",
     "ts_funnel",
     "llm_doc_embed_hash",
+    # round 3: the full-oracle upgrades must also be partition-invariant —
+    # md5-based MinHash/SimHash signatures, quantized-int64 IVF centroids,
+    # literal-plane hyperplane LSH (rounded tie-broken top-k throughout)
+    "llm_dedup_minhash",
+    "llm_dedup_simhash",
+    "llm_ann_ivf",
+    "llm_ann_lsh",
 ]
+
+#: Keys whose cross-run memo (persisted signature/pair relations) must be
+#: dropped between the two runs — otherwise the second run would read the
+#: first run's cached result and the invariance check would be vacuous.
+_MEMOIZED = {"llm_dedup_minhash", "llm_dedup_simhash", "llm_dedup_clusters"}
 
 
 @pytest.mark.parametrize("key", FLOAT_HEAVY)
 def test_partition_count_invariance(spark, key):
+    from hive3_replication_spark.llm.dedup import clear_caches
+
     q = build_queries()[key]
     original = spark.conf.get("spark.sql.shuffle.partitions")
     try:
         spark.conf.set("spark.sql.shuffle.partitions", "3")
+        if key in _MEMOIZED:
+            clear_caches()
         few = q(spark, SF_DIR).toPandas()
         spark.conf.set("spark.sql.shuffle.partitions", "37")
+        if key in _MEMOIZED:
+            clear_caches()
         many = q(spark, SF_DIR).toPandas()
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", original)
