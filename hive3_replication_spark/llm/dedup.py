@@ -45,7 +45,10 @@ _BAND_C = [1_000_003, 999_983, 786_433, 999_979]
 
 
 def _shingles(
-    documents: DataFrame, n: int = 3, distinct: bool = True
+    documents: DataFrame,
+    n: int = 3,
+    distinct: bool = True,
+    with_size: bool = False,
 ) -> DataFrame:
     """(doc_id, shingle) word n-grams, built array-side: tokenize ONCE into
     a materialized array column, then a higher-order transform over token
@@ -66,6 +69,12 @@ def _shingles(
     now entirely narrow; ``distinct=False`` merely skips the per-row
     array_distinct CPU for duplicate-insensitive consumers (MinHash
     minima).
+
+    ``with_size=True`` additionally emits the per-doc shingle count
+    (``sz``) on every exploded row — it is just ``size()`` of the per-doc
+    array, so the Jaccard denominator travels with the shingle FOR FREE
+    instead of requiring a separate groupBy(doc_id) aggregation plus two
+    |pairs|-sized joins after pair scoring.
     """
     sess = documents.sparkSession
     par = sess.sparkContext.defaultParallelism
@@ -91,6 +100,18 @@ def _shingles(
     ).otherwise(F.array().cast("array<string>"))
     if distinct:
         sh_array = F.array_distinct(sh_array)
+    if with_size:
+        # Generate barrier (explode of a 1-element array) binds the shingle
+        # array ONCE — without it CollapseProject would inline the whole
+        # transform into both size() and the explode (the bigrams lesson)
+        staged = with_toks.select(
+            "doc_id", F.explode(F.array(sh_array)).alias("sh_arr")
+        ).select(
+            "doc_id",
+            F.size("sh_arr").alias("sz"),
+            F.explode("sh_arr").alias("shingle"),
+        )
+        return staged
     return with_toks.select("doc_id", F.explode(sh_array).alias("shingle"))
 
 
@@ -184,6 +205,36 @@ def _pair_expand(docs: F.Column) -> F.Column:
     )
 
 
+def _pair_expand_sized(docs: F.Column) -> F.Column:
+    """``_pair_expand`` over a SORTED array of (doc_id, sz) structs: all
+    ordered pairs, each carrying both per-doc shingle counts so the
+    Jaccard denominator needs no downstream join. Same caps/preconditions
+    as ``_pair_expand`` (list length bounded by the df pre-filter, ≥2
+    elements guaranteed by df ≥ 2)."""
+    return F.flatten(
+        F.transform(
+            F.sequence(F.lit(0), F.size(docs) - 2),
+            lambda i: F.transform(
+                F.sequence(i + 1, F.size(docs) - 1),
+                lambda j: F.struct(
+                    F.element_at(docs, (i + 1).cast("int"))
+                    .getField("doc_id")
+                    .alias("doc_a"),
+                    F.element_at(docs, (j + 1).cast("int"))
+                    .getField("doc_id")
+                    .alias("doc_b"),
+                    F.element_at(docs, (i + 1).cast("int"))
+                    .getField("sz")
+                    .alias("sz_a"),
+                    F.element_at(docs, (j + 1).cast("int"))
+                    .getField("sz")
+                    .alias("sz_b"),
+                ),
+            ),
+        )
+    )
+
+
 def _capped_bucket_pairs(
     bucketed: DataFrame, keys: list[str], max_bucket: int
 ) -> DataFrame:
@@ -266,16 +317,20 @@ def _ngram_pair_jaccard_locked(
         hit = _PAIR_MEMO.get(cache_key)
         if hit is not None and hit[0] == memo_token:
             return hit[1]
-    sh = _swap_cache(cache_key, _shingles(documents))
-    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    # Per-doc shingle counts (the Jaccard denominators) ride each exploded
+    # row for free (with_size: size() of the per-doc array, fully narrow) —
+    # this deletes the groupBy(doc_id) sizes aggregation AND both
+    # |pairs|-sized post-scoring joins the previous formulation paid.
+    sh = _swap_cache(cache_key, _shingles(documents, with_size=True))
     # Pair generation via grouped postings, not a self-join: one shuffle of
     # the (filtered) postings instead of two. The frequency pre-filter runs
     # FIRST (partial-agg exchange carries |vocab| rows) so a stop-shingle's
     # posting list is dropped before collect_list could materialize it —
     # the memory guard that makes the array-side expansion 100 TB-safe;
-    # surviving lists are ≤ max_bucket ids. Pairs are expanded array-side
-    # over the sorted list (i < j ⇒ doc_a < doc_b, same order the join
-    # variant produced). The kept-frequency relation carries NO broadcast
+    # surviving lists are ≤ max_bucket (doc_id, sz) structs. Pairs are
+    # expanded array-side over the doc_id-sorted list (i < j ⇒
+    # doc_a < doc_b, same order the join variant produced), each carrying
+    # both denominators. The kept-frequency relation carries NO broadcast
     # hint: it is |vocab|-sized, which exceeds broadcast limits on web-
     # scale corpora — AQE broadcasts it when it is actually small, and the
     # fallback join is co-partitioned on the shingle key either way.
@@ -285,27 +340,23 @@ def _ngram_pair_jaccard_locked(
         "shingle",
     )
     postings = sh_f.groupBy("shingle").agg(
-        F.sort_array(F.collect_list("doc_id")).alias("docs")
+        F.sort_array(
+            F.collect_list(F.struct("doc_id", "sz"))
+        ).alias("docs")
     )
-    inter = (
-        postings.select(F.explode(_pair_expand(F.col("docs"))).alias("p"))
-        .select("p.doc_a", "p.doc_b")
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count("*").alias("inter"))
+    pairs = postings.select(
+        F.explode(_pair_expand_sized(F.col("docs"))).alias("p")
+    ).select("p.doc_a", "p.doc_b", "p.sz_a", "p.sz_b")
+    inter = pairs.groupBy("doc_a", "doc_b", "sz_a", "sz_b").agg(
+        F.count("*").alias("inter")
     )
-    sz_a = sizes.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("sz_a"))
-    sz_b = sizes.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("sz_b"))
     jac = F.col("inter").cast("double") / (
         F.col("sz_a") + F.col("sz_b") - F.col("inter")
     ).cast("double")
-    # size joins also un-hinted: the per-doc size relation is |corpus|-
-    # sized — a forced broadcast OOMs the driver on billion-doc corpora;
-    # keyed on doc id both joins shuffle only |pairs| + |docs| narrow rows
     scored = (
-        inter.join(sz_a, "doc_a")
-        .join(sz_b, "doc_b")
-        .withColumn("jaccard", jac)
+        inter.withColumn("jaccard", jac)
         .filter(F.col("jaccard") >= min_jaccard)
+        .select("doc_a", "doc_b", "sz_a", "sz_b", "inter", "jaccard")
     )
     if memo_token is not None:
         prev = _PAIR_MEMO.pop(cache_key, None)
