@@ -248,11 +248,11 @@ def _capped_bucket_pairs(
     O(bucket²) pairs in one task, and no aggregation buffer ever
     materializes a bucket's full membership list.
 
-    The pairing is a self-join of the SAME filtered relation, so the
-    shuffle is planned once and the probe side is a ReusedExchange —
-    measured faster than the collect_list + array-expansion formulation
-    (fewer stages), with per-task pair fan-out bounded by cap² per
-    bucket."""
+    The pairing is a self-join of the SAME filtered relation: in the
+    sort-merge regime (large corpora) the two sides canonicalize to one
+    exchange with a ReusedExchange probe side; at fixture scale AQE
+    broadcasts one side instead, which is also fine. Per-task pair
+    fan-out is bounded by cap² per bucket either way."""
     big = (
         bucketed.groupBy(*keys)
         .agg(F.count("*").alias("bsz"))
@@ -279,8 +279,9 @@ def ngram_pair_jaccard(
     min_jaccard: float = NGRAM_MIN_JACCARD,
 ) -> DataFrame:
     """Shared exact n-gram Jaccard scorer: shingle-block candidate pairs →
-    intersection counts → |A∩B| / |A∪B|. Returns (doc_a, doc_b, inter,
-    jaccard), already filtered to ``jaccard >= min_jaccard`` — the filter
+    intersection counts → |A∩B| / |A∪B|. Returns (doc_a, doc_b, sz_a,
+    sz_b, inter, jaccard), already filtered to ``jaccard >= min_jaccard``
+    — the filter
     sits INSIDE the scorer, before the memo persist, because every
     consumer (ngram, clusters, graph stats, the e2e pipeline) applies the
     same ``NGRAM_MIN_JACCARD`` policy threshold: on the fixture corpus the
@@ -294,8 +295,9 @@ def ngram_pair_jaccard(
     thread builds the same relation concurrently with the sweep).
 
     Storage note for the 100 TB deployment: the SHINGLE relation persist
-    below is a test-scale optimization (it is referenced by three
-    subtrees). Materialized shingles run ~3× the corpus size, so at
+    below is a test-scale optimization (it is referenced by the df count
+    and the filtered-postings subtree). Materialized shingles run ~3× the
+    corpus size, so at
     warehouse scale prefer recomputing the narrow tokenize+shingle map
     per consumer (pure CPU, no shuffle) or checkpointing to cheap object
     storage — the relation worth caching across OPERATORS is the scored
