@@ -357,3 +357,33 @@ def test_span_dedup_two_hash_aggs(spark):
     # O(len^2) failure mode is split() inlined per lambda ELEMENT, which
     # showed up as 3+ occurrences in the bigram regression
     assert plan.count("split(text") <= 2
+
+
+def test_ngram_scorer_three_exchanges_no_size_joins(spark):
+    """ngram_pair_jaccard (round-3 form): per-doc sizes ride the shingle
+    rows, so the whole scorer is exactly 3 hash exchanges (vocab df count,
+    filtered postings groupBy, pair groupBy) and ONE join (the df
+    pre-filter) — no |pairs|-sized size joins after scoring, ever."""
+    from hive3_replication_spark.catalog import load_table
+    from hive3_replication_spark.llm.dedup import ngram_pair_jaccard
+
+    docs = load_table(spark, SF_DIR, "documents")
+    plan = _plan(ngram_pair_jaccard(docs, "plan_gate_probe"), "simple")
+    assert plan.count("Exchange hashpartitioning") == 3, plan
+    assert plan.count("Join") == 1, plan
+    assert "CartesianProduct" not in plan
+
+
+def test_minhash_pipeline_no_cartesian_no_size_blowup(spark):
+    """llm_dedup_minhash end-to-end: banding + capped pairing + packed-
+    signature scoring must plan with equi-joins only (no cartesian / no
+    nested-loop over the corpus) — the zip_with compare rides the
+    candidate join, it never widens the plan back to 32 columns."""
+    from hive3_replication_spark.llm.dedup import clear_caches, llm_dedup_minhash
+
+    clear_caches()
+    plan = _plan(llm_dedup_minhash(spark, SF_DIR), "simple")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # the packed signature column, not 32 mh columns, crosses the joins
+    assert "mh0" not in plan
