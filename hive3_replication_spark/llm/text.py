@@ -519,7 +519,215 @@ def llm_doc_embed_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_BPE_STEPS = 2
+
+
+def _bpe_symbols_init(documents: DataFrame) -> DataFrame:
+    """(w, wf, p, s): each distinct corpus word split into single-char
+    symbols with its corpus frequency. BPE training (Sennrich et al. 2016)
+    operates on the (word, freq) VOCAB, not the corpus — so the corpus is
+    shuffled exactly once (the word count) and every merge iteration works
+    on vocab-sized relations, which is what makes the op viable at 100 TB
+    (web-scale vocab ≈ 10^7-10^8 rows vs 10^12 corpus tokens)."""
+    words = documents.select(
+        F.explode(F.split(F.col("text"), " ")).alias("w")
+    ).filter(F.length("w") > 0)
+    vocab = words.groupBy("w").agg(F.count("*").alias("wf"))
+    return vocab.select(
+        "w", "wf", F.posexplode(F.split(F.col("w"), "")).alias("p", "s")
+    )
+
+
+def _bpe_step(syms: DataFrame):
+    """One BPE merge round over the (w, wf, p, s) symbol table: count
+    adjacent symbol pairs (weighted by word frequency), pick the global
+    argmax with a total-order tiebreak, and rewrite every word's symbol
+    sequence with that pair merged left-to-right non-overlapping.
+
+    The rewrite is RELATIONAL, not a list fold (a fold needs a list
+    accumulator, which SQL engines lack): within a word, consecutive
+    matching positions form a chain (only possible when sym_a == sym_b,
+    e.g. 'aaa' for pair (a,a)), and left-to-right non-overlapping
+    semantics merge the 1st, 3rd, 5th… chain members — the classic
+    gaps-and-islands `p - row_number()` grouping plus an odd-rank filter,
+    then a lag() drop of each consumed right-hand symbol. Window
+    partitions are per-WORD (bounded by max word length), so no skew."""
+    wnd = Window.partitionBy("w").orderBy("p")
+    with_next = syms.withColumn("s_next", F.lead("s").over(wnd))
+    pair_counts = (
+        with_next.filter(F.col("s_next").isNotNull())
+        .groupBy("s", "s_next")
+        .agg(F.sum("wf").alias("pair_count"))
+    )
+    best = (
+        pair_counts.orderBy(
+            F.desc("pair_count"), F.asc("s"), F.asc("s_next")
+        )
+        .limit(1)
+        .select(
+            F.col("s").alias("sym_a"),
+            F.col("s_next").alias("sym_b"),
+            "pair_count",
+        )
+    )
+    m = (
+        with_next.crossJoin(F.broadcast(best.select("sym_a", "sym_b")))
+        .withColumn(
+            "match",
+            # coalesce: the last symbol's NULL s_next must land in the
+            # FALSE window partition (as in the SQL oracle), not a third
+            # NULL partition that would shift the chain row numbers
+            F.coalesce(
+                (F.col("s") == F.col("sym_a"))
+                & (F.col("s_next") == F.col("sym_b")),
+                F.lit(False),
+            ),
+        )
+        .withColumn(
+            "rn_m",
+            F.row_number().over(
+                Window.partitionBy("w", "match").orderBy("p")
+            ),
+        )
+        .withColumn("grp", F.when(F.col("match"), F.col("p") - F.col("rn_m")))
+        .withColumn(
+            "ord_in_chain",
+            F.row_number().over(Window.partitionBy("w", "grp").orderBy("p")),
+        )
+        .withColumn(
+            "merged_at", F.col("match") & (F.col("ord_in_chain") % 2 == 1)
+        )
+        .withColumn(
+            "prev_merged",
+            F.coalesce(F.lag("merged_at").over(wnd), F.lit(False)),
+        )
+    )
+    new_syms = (
+        m.filter(~F.col("prev_merged"))
+        .withColumn(
+            "s2",
+            F.when(
+                F.col("merged_at"), F.concat("sym_a", "sym_b")
+            ).otherwise(F.col("s")),
+        )
+        .withColumn(
+            "p2",
+            F.row_number().over(Window.partitionBy("w").orderBy("p")) - 1,
+        )
+        .select(
+            "w", "wf", F.col("p2").alias("p"), F.col("s2").alias("s")
+        )
+    )
+    return best, new_syms
+
+
+def llm_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L24 — distributed BPE-merge induction (tokenizer training,
+    Sennrich et al. 2016 "Neural Machine Translation of Rare Words with
+    Subword Units"): the first ``_BPE_STEPS`` merge rules learned from
+    the corpus, each row (step, sym_a, sym_b, merged, pair_count).
+
+    The iterative sibling of llm_cluster_kmeans: sequential global-argmax
+    rounds, each one vocab-sized shuffle (pair count) + per-word window
+    rewrite — the corpus itself is only touched by the initial word
+    count. Every quantity is an integer count and the argmax is
+    total-ordered (count desc, pair asc), so the learned merges are
+    deterministic under any partitioning and the key carries a FULL SQL
+    oracle (DuckDB replays both rounds with the identical
+    gaps-and-islands rewrite)."""
+    documents = load_table(spark, sf_dir, "documents")
+    syms = _bpe_symbols_init(documents)
+    outs = []
+    for step in range(1, _BPE_STEPS + 1):
+        best, syms = _bpe_step(syms)
+        outs.append(
+            best.select(
+                F.lit(step).alias("step"),
+                "sym_a",
+                "sym_b",
+                F.concat("sym_a", "sym_b").alias("merged"),
+                "pair_count",
+            )
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out
+
+
+def _bpe_oracle_sql() -> str:
+    """DuckDB SQL replaying ``llm_bpe_merges`` exactly: same char split,
+    same weighted pair counts (cast to BIGINT — DuckDB SUM yields
+    HUGEINT), same total-ordered argmax, same gaps-and-islands
+    non-overlapping rewrite. Generated per step so the two rounds cannot
+    drift from each other."""
+    ctes = [
+        """words AS (
+            SELECT w, COUNT(*) AS wf FROM (
+                SELECT unnest(string_split(text, ' ')) AS w FROM documents
+            ) WHERE len(w) > 0 GROUP BY w
+        )""",
+        """s0 AS (
+            SELECT w, wf, CAST(i.i - 1 AS BIGINT) AS p,
+                   substr(w, CAST(i.i AS INT), 1) AS s
+            FROM words,
+                 LATERAL (SELECT unnest(range(1, len(w) + 1)) AS i) i
+        )""",
+    ]
+    for k in range(1, _BPE_STEPS + 1):
+        prev = f"s{k - 1}"
+        ctes.append(f"""n{k} AS (
+            SELECT *, LEAD(s) OVER (PARTITION BY w ORDER BY p) AS s_next
+            FROM {prev}
+        )""")
+        ctes.append(f"""pc{k} AS (
+            SELECT s, s_next, CAST(SUM(wf) AS BIGINT) AS pair_count
+            FROM n{k} WHERE s_next IS NOT NULL GROUP BY s, s_next
+        )""")
+        ctes.append(f"""b{k} AS (
+            SELECT s AS sym_a, s_next AS sym_b, pair_count
+            FROM pc{k}
+            ORDER BY pair_count DESC, s ASC, s_next ASC LIMIT 1
+        )""")
+        ctes.append(f"""m{k} AS (
+            SELECT n{k}.*, b{k}.sym_a, b{k}.sym_b,
+                   (n{k}.s = b{k}.sym_a AND n{k}.s_next = b{k}.sym_b
+                    AND n{k}.s_next IS NOT NULL) AS match
+            FROM n{k}, b{k}
+        )""")
+        ctes.append(f"""o{k} AS (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY w, grp ORDER BY p)
+                       AS oc
+            FROM (
+                SELECT *, CASE WHEN match THEN p - ROW_NUMBER() OVER (
+                           PARTITION BY w, match ORDER BY p) END AS grp
+                FROM m{k}
+            )
+        )""")
+        ctes.append(f"""pm{k} AS (
+            SELECT *,
+                   (match AND oc % 2 = 1) AS merged_at,
+                   COALESCE(LAG(match AND oc % 2 = 1) OVER (
+                       PARTITION BY w ORDER BY p), FALSE) AS prev_merged
+            FROM o{k}
+        )""")
+        ctes.append(f"""s{k} AS (
+            SELECT w, wf,
+                   CAST(ROW_NUMBER() OVER (PARTITION BY w ORDER BY p) - 1
+                        AS BIGINT) AS p,
+                   CASE WHEN merged_at THEN sym_a || sym_b ELSE s END AS s
+            FROM pm{k} WHERE NOT prev_merged
+        )""")
+    selects = " UNION ALL ".join(
+        f"SELECT CAST({k} AS INTEGER) AS step, sym_a, sym_b,"
+        f" sym_a || sym_b AS merged, pair_count FROM b{k}"
+        for k in range(1, _BPE_STEPS + 1)
+    )
+    return "WITH " + ",\n".join(ctes) + "\n" + selects
+
+
 ORACLES: dict[str, str] = {
+    "llm_bpe_merges": _bpe_oracle_sql(),
     "llm_eval_confusion": """
         WITH c AS (
             SELECT doc_id, lang,
@@ -818,4 +1026,5 @@ QUERY_FNS = {
     "llm_quality_classifier": llm_quality_classifier,
     "llm_doc_embed_hash": llm_doc_embed_hash,
     "llm_eval_confusion": llm_eval_confusion,
+    "llm_bpe_merges": llm_bpe_merges,
 }

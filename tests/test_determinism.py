@@ -55,6 +55,7 @@ FLOAT_HEAVY = [
     "llm_dedup_simhash",
     "llm_ann_ivf",
     "llm_ann_lsh",
+    "llm_bpe_merges",
 ]
 
 #: Keys whose cross-run memo (persisted signature/pair relations) must be
