@@ -278,7 +278,87 @@ def llm_shard_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SHUF_SHARDS = 64
+_SHUF_SEED = "epoch0"
+_SHUF_MOD = 1_000_000_007
+
+
+def llm_corpus_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L25 — deterministic epoch shuffle: give the corpus a seed-keyed
+    pseudo-random training order, the step every epoch of pretraining
+    needs between shard assignment and the data loader. A true global
+    sort at 100 TB is one giant range exchange; instead each doc gets a
+    deterministic shuffle key (md5 of seed:doc_id — the SQL-reproducible
+    base hash, new seed per epoch), lands on key-mod shard, and is
+    ordered (key, doc_id) WITHIN its shard — one hash exchange plus a
+    partition-local external sort, the same shape the shard writer needs
+    anyway. Shard count is fixed, so the layout is reproducible on any
+    cluster size.
+
+    Output proves the ORDER, not just membership: per shard, the
+    position-weighted checksum Σ (doc_id·pos mod p) mod-free-summed —
+    any transposition of two docs changes it — plus the pos-1 doc and
+    the max key. All integers (products < 2^60 even at 10^10 docs per
+    shard), so the key carries a full SQL oracle."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    k = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws(":", F.lit(_SHUF_SEED), F.col("doc_id"))
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+    )
+    staged = docs.select(
+        "doc_id", k.alias("k"), (k % _SHUF_SHARDS).alias("shard")
+    )
+    w = Window.partitionBy("shard").orderBy("k", "doc_id")
+    per = staged.withColumn(
+        "pos", F.row_number().over(w).cast("bigint")
+    )
+    term = (
+        (F.col("doc_id") % _SHUF_MOD) * (F.col("pos") % _SHUF_MOD)
+    ) % _SHUF_MOD
+    return per.groupBy("shard").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(term).alias("order_checksum"),
+        F.min(F.when(F.col("pos") == 1, F.col("doc_id"))).alias(
+            "first_doc"
+        ),
+        F.max("k").alias("max_key"),
+    )
+
+
 ORACLES: dict[str, str] = {
+    "llm_corpus_shuffle": f"""
+        WITH keyed AS (
+            SELECT doc_id,
+                   CAST(('0x' || substr(md5('{_SHUF_SEED}:' || doc_id), 1, 8))
+                        AS BIGINT) AS k
+            FROM documents
+        ),
+        sharded AS (
+            SELECT doc_id, k, k % {_SHUF_SHARDS} AS shard FROM keyed
+        ),
+        positioned AS (
+            SELECT doc_id, k, shard,
+                   CAST(ROW_NUMBER() OVER (
+                       PARTITION BY shard ORDER BY k, doc_id
+                   ) AS BIGINT) AS pos
+            FROM sharded
+        )
+        SELECT shard, COUNT(*) AS n_docs,
+               CAST(SUM((doc_id % {_SHUF_MOD}) * (pos % {_SHUF_MOD})
+                    % {_SHUF_MOD}) AS BIGINT) AS order_checksum,
+               MIN(CASE WHEN pos = 1 THEN doc_id END) AS first_doc,
+               MAX(k) AS max_key
+        FROM positioned GROUP BY shard
+    """,
     "llm_shard_assign": f"""
         WITH staged AS (
             SELECT doc_id, source,
@@ -425,4 +505,5 @@ QUERY_FNS = {
     "llm_mix_sources": llm_mix_sources,
     "llm_sample_temperature": llm_sample_temperature,
     "llm_shard_assign": llm_shard_assign,
+    "llm_corpus_shuffle": llm_corpus_shuffle,
 }

@@ -56,6 +56,7 @@ FLOAT_HEAVY = [
     "llm_ann_ivf",
     "llm_ann_lsh",
     "llm_bpe_merges",
+    "llm_corpus_shuffle",
 ]
 
 #: Keys whose cross-run memo (persisted signature/pair relations) must be
