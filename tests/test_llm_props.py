@@ -400,3 +400,43 @@ def test_ann_rescore_recall_vs_exact(spark):
     exact = {r.vec_id for r in llm_similarity_topk(spark, SF_DIR).collect()}
     resc = {r.vec_id for r in llm_ann_rescore(spark, SF_DIR).collect()}
     assert len(exact & resc) >= 6
+
+
+def test_bpe_rewrite_nonoverlapping_chains(spark, tmp_path):
+    """BPE merge rewrite: left-to-right NON-OVERLAPPING semantics on
+    repeated-symbol chains — 'aaaa' under merge (a,a) must become two
+    'aa' symbols and 'aaa' must become ['aa','a'], which is exactly what
+    the gaps-and-islands odd-rank filter encodes. Built on a planted
+    corpus where (a,a) is guaranteed to be the top pair."""
+    import pandas as pd
+
+    from hive3_replication_spark.llm.text import _bpe_step, _bpe_symbols_init
+
+    sf_dir = str(tmp_path / "bpe")
+    docs = spark.createDataFrame(
+        # 'aaaa' x3 and 'aaa' x2: pair (a,a) count = 3*3 + 2*2 = 13, any
+        # other pair <= 5
+        pd.DataFrame(
+            {
+                "doc_id": [1, 2, 3, 4, 5, 6],
+                "text": ["aaaa", "aaaa", "aaaa", "aaa", "aaa", "xy xy xy xy xy"],
+            }
+        )
+    )
+    docs.write.parquet(f"{sf_dir}/documents.parquet")
+    syms = _bpe_symbols_init(
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+    )
+    best, new_syms = _bpe_step(syms)
+    b = best.collect()[0]
+    assert (b["sym_a"], b["sym_b"]) == ("a", "a") and b["pair_count"] == 13
+    out = {
+        r["w"]: r["ss"]
+        for r in new_syms.groupBy("w")
+        .agg(F.sort_array(F.collect_list(F.struct("p", "s"))).alias("ps"))
+        .selectExpr("w", "transform(ps, x -> x.s) AS ss")
+        .collect()
+    }
+    assert out["aaaa"] == ["aa", "aa"]
+    assert out["aaa"] == ["aa", "a"]
+    assert out["xy"] == ["x", "y"]
