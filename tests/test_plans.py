@@ -365,10 +365,18 @@ def test_ngram_scorer_three_exchanges_no_size_joins(spark):
     filtered postings groupBy, pair groupBy) and ONE join (the df
     pre-filter) — no |pairs|-sized size joins after scoring, ever."""
     from hive3_replication_spark.catalog import load_table
-    from hive3_replication_spark.llm.dedup import ngram_pair_jaccard
+    from hive3_replication_spark.llm.dedup import (
+        clear_caches,
+        ngram_pair_jaccard,
+    )
 
+    # drop any persisted shingle relation from earlier tests: Spark's
+    # CacheManager substitutes cached plans BY PLAN MATCH, which would
+    # swap InMemoryTableScan nodes into this plan and skew the counts
+    clear_caches()
     docs = load_table(spark, SF_DIR, "documents")
     plan = _plan(ngram_pair_jaccard(docs, "plan_gate_probe"), "simple")
+    clear_caches()
     assert plan.count("Exchange hashpartitioning") == 3, plan
     assert plan.count("Join") == 1, plan
     assert "CartesianProduct" not in plan
