@@ -655,12 +655,63 @@ def llm_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
-def _bpe_oracle_sql() -> str:
-    """DuckDB SQL replaying ``llm_bpe_merges`` exactly: same char split,
+def llm_tokenizer_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L26 — tokenizer application (BPE encode): run the ``_BPE_STEPS``
+    learned merges over the corpus and report per-language compression —
+    the metric that tells you whether a tokenizer fits a corpus before
+    committing a multi-week pretraining run (chars/token and
+    words→subwords growth per language).
+
+    Same scale shape as training (llm_bpe_merges): merges are learned
+    AND applied on the (word, freq) VOCAB, so the corpus contributes one
+    (lang, word) count exchange and the per-word subword counts join
+    back vocab-sized. Output per language: total_words, total_chars,
+    total_subwords (all exact integer sums) plus chars_per_token rounded
+    to 6 — fully SQL-replayable end-to-end."""
+    documents = load_table(spark, sf_dir, "documents")
+    lang_words = (
+        documents.select(
+            "lang", F.explode(F.split(F.col("text"), " ")).alias("w")
+        )
+        .filter(F.length("w") > 0)
+        .groupBy("lang", "w")
+        .agg(F.count("*").alias("cnt"))
+    )
+    syms = _bpe_symbols_init(documents)
+    for _ in range(_BPE_STEPS):
+        _, syms = _bpe_step(syms)
+    n_sub = syms.groupBy("w").agg(F.count("*").alias("n_subwords"))
+    joined = lang_words.join(n_sub, "w")
+    return (
+        joined.groupBy("lang")
+        .agg(
+            F.sum("cnt").alias("total_words"),
+            F.sum(F.col("cnt") * F.length("w")).alias("total_chars"),
+            F.sum(F.col("cnt") * F.col("n_subwords")).alias(
+                "total_subwords"
+            ),
+        )
+        .select(
+            "lang",
+            "total_words",
+            "total_chars",
+            "total_subwords",
+            F.round(
+                F.col("total_chars").cast("double")
+                / F.col("total_subwords").cast("double"),
+                6,
+            ).alias("chars_per_token"),
+        )
+    )
+
+
+def _bpe_ctes() -> list[str]:
+    """Shared DuckDB CTE chain replaying BPE training: same char split,
     same weighted pair counts (cast to BIGINT — DuckDB SUM yields
     HUGEINT), same total-ordered argmax, same gaps-and-islands
-    non-overlapping rewrite. Generated per step so the two rounds cannot
-    drift from each other."""
+    non-overlapping rewrite as the Spark operator. Generated per step so
+    the rounds cannot drift; used by both the train (llm_bpe_merges) and
+    apply (llm_tokenizer_apply) oracles."""
     ctes = [
         """words AS (
             SELECT w, COUNT(*) AS wf FROM (
@@ -718,16 +769,51 @@ def _bpe_oracle_sql() -> str:
                    CASE WHEN merged_at THEN sym_a || sym_b ELSE s END AS s
             FROM pm{k} WHERE NOT prev_merged
         )""")
+    return ctes
+
+
+def _bpe_oracle_sql() -> str:
+    """Train oracle: the learned merge rows from the shared CTE chain."""
     selects = " UNION ALL ".join(
         f"SELECT CAST({k} AS INTEGER) AS step, sym_a, sym_b,"
         f" sym_a || sym_b AS merged, pair_count FROM b{k}"
         for k in range(1, _BPE_STEPS + 1)
     )
-    return "WITH " + ",\n".join(ctes) + "\n" + selects
+    return "WITH " + ",\n".join(_bpe_ctes()) + "\n" + selects
+
+
+def _tokenizer_apply_oracle_sql() -> str:
+    """Apply oracle: per-language compression from the final symbol
+    table (s{_BPE_STEPS}) of the shared CTE chain."""
+    ctes = _bpe_ctes()
+    ctes.append("""lang_words AS (
+            SELECT lang, w, COUNT(*) AS cnt FROM (
+                SELECT lang, unnest(string_split(text, ' ')) AS w
+                FROM documents
+            ) WHERE len(w) > 0 GROUP BY lang, w
+        )""")
+    ctes.append(f"""nsub AS (
+            SELECT w, COUNT(*) AS n_subwords FROM s{_BPE_STEPS} GROUP BY w
+        )""")
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + """
+        SELECT lang,
+               CAST(SUM(cnt) AS BIGINT) AS total_words,
+               CAST(SUM(cnt * len(w)) AS BIGINT) AS total_chars,
+               CAST(SUM(cnt * n_subwords) AS BIGINT) AS total_subwords,
+               ROUND(CAST(SUM(cnt * len(w)) AS DOUBLE)
+                     / CAST(SUM(cnt * n_subwords) AS DOUBLE), 6)
+                   AS chars_per_token
+        FROM lang_words JOIN nsub USING (w) GROUP BY lang
+    """
+    )
 
 
 ORACLES: dict[str, str] = {
     "llm_bpe_merges": _bpe_oracle_sql(),
+    "llm_tokenizer_apply": _tokenizer_apply_oracle_sql(),
     "llm_eval_confusion": """
         WITH c AS (
             SELECT doc_id, lang,
@@ -1027,4 +1113,5 @@ QUERY_FNS = {
     "llm_doc_embed_hash": llm_doc_embed_hash,
     "llm_eval_confusion": llm_eval_confusion,
     "llm_bpe_merges": llm_bpe_merges,
+    "llm_tokenizer_apply": llm_tokenizer_apply,
 }

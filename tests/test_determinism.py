@@ -57,6 +57,7 @@ FLOAT_HEAVY = [
     "llm_ann_lsh",
     "llm_bpe_merges",
     "llm_corpus_shuffle",
+    "llm_tokenizer_apply",
 ]
 
 #: Keys whose cross-run memo (persisted signature/pair relations) must be
