@@ -996,7 +996,7 @@ _SHINGLE_CTES = """
             FROM tok
             WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
         ),
-        sh AS (SELECT doc_id, shingle FROM sh3 WHERE shingle IS NOT NULL)
+        sh AS MATERIALIZED (SELECT doc_id, shingle FROM sh3 WHERE shingle IS NOT NULL)
 """
 
 _NGRAM_PAIR_CTES = f"""
@@ -1004,12 +1004,12 @@ _NGRAM_PAIR_CTES = f"""
         sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
         freq AS (SELECT shingle FROM sh GROUP BY shingle HAVING COUNT(*) <= 1000),
         shf AS (SELECT sh.doc_id, sh.shingle FROM sh JOIN freq USING (shingle)),
-        inter AS (
+        inter AS MATERIALIZED (
             SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
             FROM shf a JOIN shf b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
             GROUP BY a.doc_id, b.doc_id
         ),
-        npairs AS (
+        npairs AS MATERIALIZED (
             SELECT doc_a, doc_b, inter,
                    CAST(inter AS DOUBLE) / CAST(sa.sz + sb.sz - inter AS DOUBLE)
                        AS jaccard
@@ -1051,11 +1051,11 @@ def _minhash_oracle_sql() -> str:
                        % {m} AS h
             FROM sh
         ),
-        sig AS (
+        sig AS MATERIALIZED (
             SELECT doc_id, [{mins}] AS sig
             FROM hsh GROUP BY doc_id
         ),
-        banded AS ({band_rows}),
+        banded AS MATERIALIZED ({band_rows}),
         small AS (
             SELECT band, bucket FROM banded
             GROUP BY band, bucket HAVING COUNT(*) <= {MAX_BUCKET}
@@ -1112,8 +1112,8 @@ def _simhash_oracle_sql() -> str:
             SELECT doc_id, {bit_sums}
             FROM th GROUP BY doc_id
         ),
-        sim AS (SELECT doc_id, {simhash} AS simhash FROM bits),
-        banded AS ({band_rows}),
+        sim AS MATERIALIZED (SELECT doc_id, {simhash} AS simhash FROM bits),
+        banded AS MATERIALIZED ({band_rows}),
         small AS (
             SELECT band, bucket FROM banded
             GROUP BY band, bucket HAVING COUNT(*) <= {MAX_BUCKET}
