@@ -9,7 +9,7 @@ cells before scoring so the exact scorer touches ~n/cells vectors.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
@@ -341,6 +341,74 @@ def llm_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored.orderBy(F.desc("cosine_r"), F.asc("vec_id"))
         .limit(10)
         .select("vec_id", "cosine_r")
+    )
+
+
+def llm_ann_batch(
+    spark: SparkSession, sf_dir: str, max_bucket: int = 1000
+) -> DataFrame:
+    """L3e — BATCHED hyperplane-LSH ANN: the "query batches switch to a
+    persisted-signature semi-join" path that llm_ann_lsh's docstring
+    promises, as a first-class operator. Queries = vec_id < 10 (the
+    seed-set convention of llm_knn_join); corpus = the rest.
+
+    Both sides compute the 12 position-keyed band values in ONE narrow
+    pass (shared ``_band_sig``); candidates come from an equi-join on
+    the exploded band value (the band id is baked into the value, so a
+    single int column is the join key — no struct keys, no
+    arrays_overlap scan per query). Corpus-side band buckets above
+    ``max_bucket`` are dropped first (broadcast anti-join on the counted
+    oversized list — the same skew guard as every blocking scheme here),
+    so a boilerplate bucket can never fan out O(bucket × Q) rows in one
+    task. Survivor pairs dedupe on (query, candidate), exact-score once,
+    and take top-3 per query through a WindowGroupLimit-prunable
+    row_number. Scale: ONE corpus-band shuffle + a |pairs| dedupe — the
+    corpus never joins the query set at large, unlike the O(N·Q) exact
+    llm_knn_join this prunes for.
+
+    Full SQL oracle: same plane literals, same band packing, same
+    rounded tie-broken ranking as llm_ann_lsh's."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    dim = len(emb.select("embedding").first()[0])
+    banded = emb.select(
+        "vec_id",
+        "embedding",
+        F.explode(_band_sig(F.col("embedding"), dim)).alias("band"),
+    )
+    q_bands = banded.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("embedding").alias("q_emb"),
+        "band",
+    )
+    c_bands = banded.filter(F.col("vec_id") >= 10)
+    big = (
+        c_bands.groupBy("band")
+        .agg(F.count("*").alias("bsz"))
+        .filter(F.col("bsz") > max_bucket)
+        .select("band")
+    )
+    kept = c_bands.join(F.broadcast(big), "band", "left_anti")
+    cand = (
+        kept.join(q_bands, "band")
+        .select("q_id", "q_emb", "vec_id", "embedding")
+        .dropDuplicates(["q_id", "vec_id"])
+    )
+    scored = cand.select(
+        "q_id",
+        "vec_id",
+        F.round(
+            _dot(F.col("embedding"), F.col("q_emb"))
+            / (_norm(F.col("embedding")) * _norm(F.col("q_emb"))),
+            6,
+        ).alias("cosine_r"),
+    )
+    w = Window.partitionBy("q_id").orderBy(
+        F.desc("cosine_r"), F.asc("vec_id")
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select("q_id", "rk", "vec_id", "cosine_r")
     )
 
 
@@ -717,9 +785,70 @@ def _lsh_oracle_sql() -> str:
     """
 
 
+def _ann_batch_oracle_sql() -> str:
+    """DuckDB SQL replaying ``llm_ann_batch`` exactly: the same plane
+    literals and band packing as the single-query LSH oracle, then the
+    exploded band equi-join with the corpus-side bucket cap, pair
+    dedupe, exact rounded scoring, and top-3 per query."""
+    planes = _planes(64)
+    planes_lit = (
+        "["
+        + ",".join("[" + ",".join(repr(v) for v in row) + "]" for row in planes)
+        + "]"
+    )
+    dot_pj = """list_aggregate(list_transform(range(1, len(s.embedding) + 1),
+                    i -> CAST(s.embedding[i] AS DOUBLE) * p.pl[j][i]), 'sum')"""
+    dot_eq = _SQL_DOT_EQ.format(a="ce.embedding", b="qe.embedding")
+    norm_c = _SQL_NORM.format(a="ce.embedding")
+    norm_q = _SQL_NORM.format(a="qe.embedding")
+    return f"""
+        WITH planes AS (SELECT {planes_lit} AS pl),
+        sig AS MATERIALIZED (
+            SELECT vec_id,
+                   list_transform(range(1, {_N_PLANES + 1}),
+                       j -> CASE WHEN {dot_pj} > 0 THEN 1 ELSE 0 END) AS bits
+            FROM embeddings s, planes p
+        ),
+        expl AS MATERIALIZED (
+            SELECT vec_id,
+                   unnest(list_transform(
+                       range(0, {_N_PLANES // _BAND_WIDTH}),
+                       b -> b * 16 + bits[b * 4 + 1] * 8
+                            + bits[b * 4 + 2] * 4 + bits[b * 4 + 3] * 2
+                            + bits[b * 4 + 4])) AS band
+            FROM sig
+        ),
+        big AS (
+            SELECT band FROM expl WHERE vec_id >= 10
+            GROUP BY band HAVING COUNT(*) > 1000
+        ),
+        cand AS (
+            SELECT DISTINCT q.vec_id AS q_id, c.vec_id
+            FROM expl c
+            JOIN expl q ON c.band = q.band
+            WHERE c.vec_id >= 10 AND q.vec_id < 10
+              AND c.band NOT IN (SELECT band FROM big)
+        ),
+        scored AS (
+            SELECT cand.q_id, cand.vec_id,
+                   ROUND({dot_eq} / ({norm_c} * {norm_q}), 6) AS cosine_r
+            FROM cand
+            JOIN embeddings ce ON ce.vec_id = cand.vec_id
+            JOIN embeddings qe ON qe.vec_id = cand.q_id
+        )
+        SELECT q_id, rk, vec_id, cosine_r FROM (
+            SELECT *, ROW_NUMBER() OVER (
+                PARTITION BY q_id ORDER BY cosine_r DESC, vec_id ASC
+            ) AS rk
+            FROM scored
+        ) WHERE rk <= 3
+    """
+
+
 ORACLES: dict[str, str] = {
     "llm_ann_ivf": _ivf_oracle_sql(),
     "llm_ann_lsh": _lsh_oracle_sql(),
+    "llm_ann_batch": _ann_batch_oracle_sql(),
     "llm_eval_ranking": f"""
         WITH coded AS (
             SELECT vec_id, embedding,
@@ -983,5 +1112,6 @@ QUERY_FNS = {
     "llm_embed_quantize": llm_embed_quantize,
     "llm_cluster_kmeans": llm_cluster_kmeans,
     "llm_ann_rescore": llm_ann_rescore,
+    "llm_ann_batch": llm_ann_batch,
     "llm_eval_ranking": llm_eval_ranking,
 }

@@ -58,6 +58,7 @@ FLOAT_HEAVY = [
     "llm_bpe_merges",
     "llm_corpus_shuffle",
     "llm_tokenizer_apply",
+    "llm_ann_batch",
 ]
 
 #: Keys whose cross-run memo (persisted signature/pair relations) must be
