@@ -440,3 +440,30 @@ def test_bpe_rewrite_nonoverlapping_chains(spark, tmp_path):
     assert out["aaaa"] == ["aa", "aa"]
     assert out["aaa"] == ["aa", "a"]
     assert out["xy"] == ["x", "y"]
+
+
+def test_ann_batch_recall_vs_exact(spark):
+    """llm_ann_batch (batched LSH) vs the exact kNN baseline restricted
+    to the same corpus side: recall@3 across the 10 queries must clear
+    0.6 on the fixture corpus — the hard regime for LSH (neighbors at
+    cosine ≈0.3-0.48, near the random-pair level; on a near-dup corpus
+    the same banding recalls near-certainly, see llm_ann_lsh notes)."""
+    from hive3_replication_spark.llm.similarity import (
+        llm_ann_batch,
+        llm_knn_join,
+    )
+
+    b = llm_ann_batch(spark, SF_DIR).toPandas()
+    k = llm_knn_join(spark, SF_DIR).toPandas()
+    exact3 = (
+        k[k.vec_id >= 10]
+        .sort_values(["q_id", "rk"])
+        .groupby("q_id")
+        .head(3)
+    )
+    hits = sum(
+        1
+        for _, r in exact3.iterrows()
+        if ((b.q_id == r.q_id) & (b.vec_id == r.vec_id)).any()
+    )
+    assert hits >= 0.6 * len(exact3), f"batch ANN recall {hits}/{len(exact3)}"
