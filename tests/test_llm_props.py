@@ -467,3 +467,67 @@ def test_ann_batch_recall_vs_exact(spark):
         if ((b.q_id == r.q_id) & (b.vec_id == r.vec_id)).any()
     )
     assert hits >= 0.6 * len(exact3), f"batch ANN recall {hits}/{len(exact3)}"
+
+
+def test_ngram_jaccard_equals_bruteforce(spark, tmp_path):
+    """ngram_pair_jaccard vs a plain-Python brute force on a random small
+    corpus: every (blocked, above-threshold) pair's inter/sz/jaccard must
+    equal the exact set arithmetic. With df<=cap never binding here (30
+    docs), blocking loses NO pair with >=1 shared shingle shared by >=2
+    docs — so operator output == brute force filtered to the policy
+    threshold, exactly."""
+    import itertools
+    import random
+
+    from hive3_replication_spark.llm.dedup import (
+        NGRAM_MIN_JACCARD,
+        clear_caches,
+        ngram_pair_jaccard,
+    )
+
+    rng = random.Random(20260814)
+    vocab = [f"w{i}" for i in range(12)]
+    texts = {
+        i: " ".join(rng.choice(vocab) for _ in range(rng.randint(3, 30)))
+        for i in range(30)
+    }
+    sf_dir = str(tmp_path / "ng")
+    spark.createDataFrame(
+        pd.DataFrame({"doc_id": list(texts), "text": list(texts.values())})
+    ).write.parquet(f"{sf_dir}/documents.parquet")
+
+    def shingles(t):
+        toks = t.split(" ")
+        return {
+            " ".join(toks[i : i + 3]) for i in range(len(toks) - 2)
+        }
+
+    sets = {i: shingles(t) for i, t in texts.items()}
+    expected = {}
+    for a, b in itertools.combinations(sorted(texts), 2):
+        inter = len(sets[a] & sets[b])
+        if inter == 0:
+            continue
+        jac = inter / len(sets[a] | sets[b])
+        if jac >= NGRAM_MIN_JACCARD:
+            expected[(a, b)] = (inter, len(sets[a]), len(sets[b]), jac)
+
+    clear_caches()
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    got = {
+        (r["doc_a"], r["doc_b"]): (
+            r["inter"],
+            r["sz_a"],
+            r["sz_b"],
+            r["jaccard"],
+        )
+        for r in ngram_pair_jaccard(docs, "bruteforce_probe").collect()
+    }
+    clear_caches()
+    assert set(got) == set(expected), (
+        set(got) ^ set(expected)
+    )
+    for pair, (inter, sz_a, sz_b, jac) in expected.items():
+        gi, ga, gb, gj = got[pair]
+        assert (gi, ga, gb) == (inter, sz_a, sz_b), pair
+        assert abs(gj - jac) < 1e-12, pair
