@@ -531,3 +531,93 @@ def test_ngram_jaccard_equals_bruteforce(spark, tmp_path):
         gi, ga, gb, gj = got[pair]
         assert (gi, ga, gb) == (inter, sz_a, sz_b), pair
         assert abs(gj - jac) < 1e-12, pair
+
+
+def test_minhash_equals_python_twin(spark, tmp_path):
+    """llm_dedup_minhash vs an independent pure-Python implementation of
+    the same pipeline (hashlib md5 → permutation mins → polynomial band
+    buckets → capped pairing → component-match estimate): output pair
+    sets and est_jaccard values must match EXACTLY — a third
+    implementation, independent of both Spark and the DuckDB oracle."""
+    import hashlib
+    import itertools
+    import random
+
+    from hive3_replication_spark.llm.dedup import (
+        _BAND_C,
+        _MERSENNE,
+        _PERM_A,
+        _PERM_B,
+        MINHASH_BANDS,
+        MINHASH_PERMS,
+        clear_caches,
+        llm_dedup_minhash,
+    )
+
+    rng = random.Random(314159)
+    vocab = [f"t{i}" for i in range(10)]
+    texts = {
+        i: " ".join(rng.choice(vocab) for _ in range(rng.randint(3, 25)))
+        for i in range(40)
+    }
+    sf_dir = str(tmp_path / "mh")
+    spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": list(texts),
+                "text": list(texts.values()),
+                "lang": "en",
+                "source": "synth",
+                "n_chars": [len(t) for t in texts.values()],
+            }
+        )
+    ).write.parquet(f"{sf_dir}/documents.parquet")
+
+    r = MINHASH_PERMS // MINHASH_BANDS
+
+    def sig(t):
+        toks = t.split(" ")
+        hs = [
+            int(
+                hashlib.md5(
+                    " ".join(toks[i : i + 3]).encode()
+                ).hexdigest()[:8],
+                16,
+            )
+            % _MERSENNE
+            for i in range(len(toks) - 2)
+        ]
+        return [
+            min((h * _PERM_A[k] + _PERM_B[k]) % _MERSENNE for h in hs)
+            for k in range(MINHASH_PERMS)
+        ]
+
+    sigs = {i: sig(t) for i, t in texts.items() if len(t.split()) >= 3}
+    buckets: dict[tuple, list] = {}
+    for i, s in sigs.items():
+        for b in range(MINHASH_BANDS):
+            bk = (
+                sum(
+                    s[b * r + j] * _BAND_C[j] % _MERSENNE for j in range(r)
+                )
+                % _MERSENNE
+            )
+            buckets.setdefault((b, bk), []).append(i)
+    expected = {}
+    for members in buckets.values():
+        if len(members) > 1000:
+            continue
+        for a, b in itertools.combinations(sorted(members), 2):
+            est = sum(
+                1 for k in range(MINHASH_PERMS) if sigs[a][k] == sigs[b][k]
+            ) / float(MINHASH_PERMS)
+            if est >= 0.25:
+                expected[(a, b)] = est
+
+    clear_caches()
+    got = {
+        (row["doc_a"], row["doc_b"]): row["est_jaccard"]
+        for row in llm_dedup_minhash(spark, sf_dir).collect()
+    }
+    clear_caches()
+    assert got == expected, set(got) ^ set(expected)
