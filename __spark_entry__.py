@@ -39,8 +39,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    """DuckDB-equivalent SQL per query key; keys absent here (jdbc helpers,
-    sketches, hash-seeded LSH, wall-clock sinks) get the driver's weaker
-    rows-only check — see the module ORACLES comments for why each is
-    excluded."""
+    """DuckDB-equivalent SQL per query key — since round 3 EVERY
+    ``queries()`` key has one (the formerly rows-only seeded-hash/ANN
+    paths were made SQL-reproducible: md5-hex base hashes, literal
+    permutation/plane constants, quantized-int64 centroid sums)."""
     return registry.build_oracles()
