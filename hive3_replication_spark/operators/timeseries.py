@@ -457,7 +457,107 @@ _GRID_CTES = """
         )
 """
 
+def ts_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T11 — CUSUM change-point detection per event stream: the point
+    where the cumulative deviation from the stream mean peaks — the
+    standard mean-shift detector a feed-monitoring job runs over every
+    metric stream (a regime change in event values shows up as the
+    |CUSUM| maximum).
+
+    Exact-integer formulation (the ts_ewma/z-score lesson, taken
+    further): values quantize to micro-units v = floor(value·1e4 + 0.5);
+    the deviation sum is kept UNdivided as S_i = n·Σ_{j≤i} v_j − i·Σv
+    (both terms integers, so S_i is exact — no float mean, no rounding
+    drift), and the peak is argmax |S_i| with earliest-event tiebreak
+    via an integer struct max. ONE event_type partitioning serves the
+    running sum, the row number, and the type totals (three window
+    specs, same partition key — one exchange); magnitudes stay under
+    2^63 up to ~10^9 rows × |v|≤10^7 per stream, and the whole thing is
+    bit-reproducible at any partition count (determinism suite) with a
+    full SQL oracle."""
+    events = load_table(spark, sf_dir, "events")
+    v = F.floor(F.col("value").cast("double") * 1e4 + F.lit(0.5)).cast(
+        "long"
+    )
+    w_cum = (
+        Window.partitionBy("event_type")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_all = Window.partitionBy("event_type")
+    w_rn = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    staged = (
+        events.select("event_type", "ts", "event_id", v.alias("v"))
+        .withColumn("cum", F.sum("v").over(w_cum))
+        .withColumn("rn", F.row_number().over(w_rn).cast("long"))
+        .withColumn("total", F.sum("v").over(w_all))
+        .withColumn("n", F.count("*").over(w_all))
+    )
+    s_i = F.col("cum") * F.col("n") - F.col("rn") * F.col("total")
+    scored = staged.withColumn("abs_s", F.abs(s_i))
+    peak = F.max(
+        F.struct(
+            F.col("abs_s").alias("a"), (-F.col("event_id")).alias("nid")
+        )
+    )
+    return (
+        scored.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum("v").alias("total_micro"),
+            peak.alias("pk"),
+        )
+        .select(
+            "event_type",
+            "n_events",
+            "total_micro",
+            F.col("pk.a").alias("peak_abs_cusum"),
+            (-F.col("pk.nid")).alias("peak_event_id"),
+        )
+    )
+
+
 ORACLES: dict[str, str] = {
+    "ts_changepoint": """
+        WITH staged AS (
+            SELECT event_type, event_id,
+                   CAST(FLOOR(CAST(value AS DOUBLE) * 10000 + 0.5)
+                        AS BIGINT) AS v,
+                   CAST(ts AS TIMESTAMP) AS tss
+            FROM events
+        ),
+        scored AS (
+            SELECT event_type, event_id, v,
+                   CAST(SUM(v) OVER (
+                       PARTITION BY event_type ORDER BY tss, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ) AS BIGINT) AS cum,
+                   CAST(ROW_NUMBER() OVER (
+                       PARTITION BY event_type ORDER BY tss, event_id
+                   ) AS BIGINT) AS rn,
+                   CAST(SUM(v) OVER (PARTITION BY event_type) AS BIGINT)
+                       AS total,
+                   CAST(COUNT(*) OVER (PARTITION BY event_type) AS BIGINT)
+                       AS n
+            FROM staged
+        ),
+        dev AS (
+            SELECT event_type, event_id, v,
+                   abs(cum * n - rn * total) AS abs_s
+            FROM scored
+        )
+        SELECT event_type,
+               COUNT(*) AS n_events,
+               CAST(SUM(v) AS BIGINT) AS total_micro,
+               CAST(MAX(abs_s) AS BIGINT) AS peak_abs_cusum,
+               CAST(MIN(CASE WHEN abs_s = m THEN event_id END)
+                    AS BIGINT) AS peak_event_id
+        FROM (
+            SELECT *, MAX(abs_s) OVER (PARTITION BY event_type) AS m
+            FROM dev
+        )
+        GROUP BY event_type
+    """,
     "ts_ewma": f"""
         WITH staged AS (
             SELECT event_id, event_type, CAST(value AS DOUBLE) AS vd,
@@ -668,4 +768,5 @@ QUERY_FNS = {
     "ts_retention_cohort": ts_retention_cohort,
     "ts_ewma": ts_ewma,
     "ts_anomaly_zscore": ts_anomaly_zscore,
+    "ts_changepoint": ts_changepoint,
 }

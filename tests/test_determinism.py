@@ -59,6 +59,7 @@ FLOAT_HEAVY = [
     "llm_corpus_shuffle",
     "llm_tokenizer_apply",
     "llm_ann_batch",
+    "ts_changepoint",
 ]
 
 #: Keys whose cross-run memo (persisted signature/pair relations) must be
