@@ -316,8 +316,11 @@ def _ngram_pair_jaccard_locked(
     min_jaccard: float,
 ) -> DataFrame:
     if memo_token is not None:
+        # memo validity = (corpus, blocking cap, policy threshold): a hit
+        # computed under different parameters must NOT be returned —
+        # min_jaccard/max_bucket are part of the relation's identity
         hit = _PAIR_MEMO.get(cache_key)
-        if hit is not None and hit[0] == memo_token:
+        if hit is not None and hit[0] == (memo_token, max_bucket, min_jaccard):
             return hit[1]
     # Per-doc shingle counts (the Jaccard denominators) ride each exploded
     # row for free (with_size: size() of the per-doc array, fully narrow) —
@@ -365,7 +368,7 @@ def _ngram_pair_jaccard_locked(
         if prev is not None:
             prev[1].unpersist(blocking=False)
         scored = scored.persist()
-        _PAIR_MEMO[cache_key] = (memo_token, scored)
+        _PAIR_MEMO[cache_key] = ((memo_token, max_bucket, min_jaccard), scored)
     return scored
 
 
@@ -393,7 +396,7 @@ def llm_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     documents = load_table(spark, sf_dir, "documents")
     return (
         ngram_pair_jaccard(documents, "ngram_shingles", memo_token=sf_dir)
-        .filter(F.col("jaccard") >= 0.08)
+        .filter(F.col("jaccard") >= NGRAM_MIN_JACCARD)
         .select("doc_a", "doc_b", "inter", "jaccard")
     )
 
@@ -577,7 +580,7 @@ def llm_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     documents = load_table(spark, sf_dir, "documents")
     pairs = (
         ngram_pair_jaccard(documents, "ngram_shingles", memo_token=sf_dir)
-        .filter(F.col("jaccard") >= 0.08)
+        .filter(F.col("jaccard") >= NGRAM_MIN_JACCARD)
         .select("doc_a", "doc_b")
     )
     labels, _rounds = resolve_components(pairs)
@@ -1200,7 +1203,7 @@ def llm_dedup_graph_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     pairs = (
         ngram_pair_jaccard(docs, "ngram_shingles", memo_token=sf_dir)
-        .filter(F.col("jaccard") >= 0.08)
+        .filter(F.col("jaccard") >= NGRAM_MIN_JACCARD)
         .select("doc_a", "doc_b")
     )
     edges = pairs.unionByName(

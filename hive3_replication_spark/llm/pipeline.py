@@ -16,7 +16,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
-from .dedup import ngram_pair_jaccard
+from .dedup import NGRAM_MIN_JACCARD, ngram_pair_jaccard
 from .text import quality_score_expr, token_count_expr
 
 
@@ -44,7 +44,7 @@ def llm_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         ngram_pair_jaccard(
             canonical.select("doc_id", "text"), "pipeline_shingles"
         )
-        .filter(F.col("jaccard") >= 0.08)
+        .filter(F.col("jaccard") >= NGRAM_MIN_JACCARD)
         .select(F.col("doc_b").alias("doc_id"))
         .distinct()
     )

@@ -376,11 +376,9 @@ def llm_ann_batch(
         F.explode(_band_sig(F.col("embedding"), dim)).alias("band"),
     )
     q_bands = banded.filter(F.col("vec_id") < 10).select(
-        F.col("vec_id").alias("q_id"),
-        F.col("embedding").alias("q_emb"),
-        "band",
+        F.col("vec_id").alias("q_id"), "band"
     )
-    c_bands = banded.filter(F.col("vec_id") >= 10)
+    c_bands = banded.filter(F.col("vec_id") >= 10).select("vec_id", "band")
     big = (
         c_bands.groupBy("band")
         .agg(F.count("*").alias("bsz"))
@@ -388,19 +386,30 @@ def llm_ann_batch(
         .select("band")
     )
     kept = c_bands.join(F.broadcast(big), "band", "left_anti")
+    # dedupe on the ID PAIR alone — the band join and the dedupe exchange
+    # carry 2 longs/row, not two 64-float arrays; embeddings join back
+    # onto the (much smaller) surviving pair set for scoring, with the
+    # 10-row query side broadcast
     cand = (
         kept.join(q_bands, "band")
-        .select("q_id", "q_emb", "vec_id", "embedding")
+        .select("q_id", "vec_id")
         .dropDuplicates(["q_id", "vec_id"])
     )
-    scored = cand.select(
-        "q_id",
-        "vec_id",
-        F.round(
-            _dot(F.col("embedding"), F.col("q_emb"))
-            / (_norm(F.col("embedding")) * _norm(F.col("q_emb"))),
-            6,
-        ).alias("cosine_r"),
+    q_emb = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
+    )
+    scored = (
+        cand.join(emb.select("vec_id", "embedding"), "vec_id")
+        .join(F.broadcast(q_emb), "q_id")
+        .select(
+            "q_id",
+            "vec_id",
+            F.round(
+                _dot(F.col("embedding"), F.col("q_emb"))
+                / (_norm(F.col("embedding")) * _norm(F.col("q_emb"))),
+                6,
+            ).alias("cosine_r"),
+        )
     )
     w = Window.partitionBy("q_id").orderBy(
         F.desc("cosine_r"), F.asc("vec_id")

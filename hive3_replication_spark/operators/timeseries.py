@@ -466,15 +466,18 @@ def ts_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Exact-integer formulation (the ts_ewma/z-score lesson, taken
     further): values quantize to micro-units v = floor(value·1e4 + 0.5);
-    the deviation sum is kept UNdivided as S_i = n·Σ_{j≤i} v_j − i·Σv
-    (both terms integers, so S_i is exact — no float mean, no rounding
-    drift), and the peak is argmax |S_i| with earliest-event tiebreak
-    via an integer struct max. ONE event_type partitioning serves the
-    running sum, the row number, and the type totals (three window
-    specs, same partition key — one exchange); magnitudes stay under
-    2^63 up to ~10^9 rows × |v|≤10^7 per stream, and the whole thing is
-    bit-reproducible at any partition count (determinism suite) with a
-    full SQL oracle."""
+    the deviation sum is kept UNdivided as S_i = n·Σ_{j≤i} v_j − i·Σv,
+    computed in DECIMAL(38,0) because each product is bounded by
+    n²·|v|max — int64 would overflow at n ≈ 3·10^4 rows for |v| ≤ 10^7,
+    while 38 digits hold to n ≈ 3·10^15 — and the peak is argmax |S_i|
+    with earliest-event tiebreak via a struct max. The REPORTED peak is
+    the n-normalized max|S_i| div n = max|Σv_j − i·mean| in micro-units
+    (exact integral division, identical in both engines), which is
+    bounded by n·|v|max and fits BIGINT through the full claimed scale.
+    ONE event_type partitioning serves the running sum, the row number,
+    and the type totals (three window specs, same partition key — one
+    exchange); bit-reproducible at any partition count (determinism
+    suite) with a full SQL oracle."""
     events = load_table(spark, sf_dir, "events")
     v = F.floor(F.col("value").cast("double") * 1e4 + F.lit(0.5)).cast(
         "long"
@@ -493,7 +496,9 @@ def ts_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("total", F.sum("v").over(w_all))
         .withColumn("n", F.count("*").over(w_all))
     )
-    s_i = F.col("cum") * F.col("n") - F.col("rn") * F.col("total")
+    s_i = F.col("cum").cast("decimal(38,0)") * F.col("n") - F.col(
+        "rn"
+    ) * F.col("total").cast("decimal(38,0)")
     scored = staged.withColumn("abs_s", F.abs(s_i))
     peak = F.max(
         F.struct(
@@ -511,7 +516,9 @@ def ts_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
             "event_type",
             "n_events",
             "total_micro",
-            F.col("pk.a").alias("peak_abs_cusum"),
+            F.expr("CAST(pk.a div n_events AS BIGINT)").alias(
+                "peak_cusum_micro"
+            ),
             (-F.col("pk.nid")).alias("peak_event_id"),
         )
     )
@@ -542,14 +549,15 @@ ORACLES: dict[str, str] = {
             FROM staged
         ),
         dev AS (
-            SELECT event_type, event_id, v,
-                   abs(cum * n - rn * total) AS abs_s
+            SELECT event_type, event_id, v, n,
+                   abs(CAST(cum AS HUGEINT) * n
+                       - CAST(rn AS HUGEINT) * total) AS abs_s
             FROM scored
         )
         SELECT event_type,
                COUNT(*) AS n_events,
                CAST(SUM(v) AS BIGINT) AS total_micro,
-               CAST(MAX(abs_s) AS BIGINT) AS peak_abs_cusum,
+               CAST(MAX(abs_s) // MAX(n) AS BIGINT) AS peak_cusum_micro,
                CAST(MIN(CASE WHEN abs_s = m THEN event_id END)
                     AS BIGINT) AS peak_event_id
         FROM (

@@ -70,7 +70,11 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 #: so registration never breaks on an unprofiled key.
 _SWEEP_ORDER: tuple[str, ...] = (
     "agg_table_profile", "agg_approx_distinct", "agg_hll_sketch",
-    "agg_approx_percentile", "llm_pack_sequences", "win_lag",
+    "agg_approx_percentile",
+    # round-3 additions: brand-new keys join the front of the
+    # never-driver-verified block so they are stamped first
+    "ts_changepoint", "llm_corpus_shuffle", "llm_tokenizer_apply",
+    "llm_bpe_merges", "llm_ann_batch", "llm_pack_sequences", "win_lag",
     "llm_text_tokens", "join_asof_forward", "llm_text_langid",
     "set_except", "stream_divergence", "llm_text_profile",
     "fn_datetime_extract", "llm_dedup_exact", "llm_chunk_windows",
@@ -223,7 +227,7 @@ def _prewarm_body(spark: SparkSession, sf_dir: str) -> None:
         docs = load_table(spark, sf_dir, "documents")
         _dedup.ngram_pair_jaccard(
             docs, "ngram_shingles", memo_token=sf_dir
-        ).filter(F.col("jaccard") >= 0.08).count()
+        ).filter(F.col("jaccard") >= _dedup.NGRAM_MIN_JACCARD).count()
     except Exception:  # noqa: BLE001
         pass
     try:  # MinHash / SimHash signature memos (the dedup keys' first shuffle)
