@@ -130,12 +130,13 @@ def _swap_cache(key: str, df: DataFrame) -> DataFrame:
     return cached
 
 
-#: Memoized scored-pair relations: cache_key → (token, persisted DF). The
-#: token (the sf dir) scopes reuse to one corpus; a different corpus under
-#: the same key swaps the cache. This is shared-subplan materialization:
+#: Memoized scored-pair relations: cache_key → ((token, max_bucket,
+#: min_jaccard), persisted DF). The token (the sf dir) scopes reuse to one
+#: corpus, and the blocking cap + policy threshold are part of the
+#: relation's identity; any parameter change swaps the cache. This is shared-subplan materialization:
 #: llm_dedup_ngram and llm_dedup_clusters consume the SAME pair relation,
 #: so within a session the expensive blocking join runs once, not per op.
-_PAIR_MEMO: dict[str, tuple[str, DataFrame]] = {}
+_PAIR_MEMO: dict[str, tuple[tuple[str, int, float], DataFrame]] = {}
 #: Guards memo lookup/store: the prewarm thread may build the pair relation
 #: concurrently with the first consuming operator.
 _PAIR_LOCK = threading.Lock()
@@ -395,8 +396,8 @@ def llm_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     shingle; the skew guard drops degenerate stop-shingle buckets."""
     documents = load_table(spark, sf_dir, "documents")
     return (
+        # threshold applied INSIDE the scorer (NGRAM_MIN_JACCARD)
         ngram_pair_jaccard(documents, "ngram_shingles", memo_token=sf_dir)
-        .filter(F.col("jaccard") >= NGRAM_MIN_JACCARD)
         .select("doc_a", "doc_b", "inter", "jaccard")
     )
 
@@ -579,8 +580,8 @@ def llm_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     documents = load_table(spark, sf_dir, "documents")
     pairs = (
+        # threshold applied INSIDE the scorer (NGRAM_MIN_JACCARD)
         ngram_pair_jaccard(documents, "ngram_shingles", memo_token=sf_dir)
-        .filter(F.col("jaccard") >= NGRAM_MIN_JACCARD)
         .select("doc_a", "doc_b")
     )
     labels, _rounds = resolve_components(pairs)
@@ -1202,8 +1203,8 @@ def llm_dedup_graph_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     the histogram covers the whole corpus (full SQL oracle)."""
     docs = load_table(spark, sf_dir, "documents")
     pairs = (
+        # threshold applied INSIDE the scorer (NGRAM_MIN_JACCARD)
         ngram_pair_jaccard(docs, "ngram_shingles", memo_token=sf_dir)
-        .filter(F.col("jaccard") >= NGRAM_MIN_JACCARD)
         .select("doc_a", "doc_b")
     )
     edges = pairs.unionByName(

@@ -16,7 +16,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
-from .dedup import NGRAM_MIN_JACCARD, ngram_pair_jaccard
+from .dedup import ngram_pair_jaccard
 from .text import quality_score_expr, token_count_expr
 
 
@@ -37,14 +37,14 @@ def llm_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("lang").alias("lang"),  # deterministic pick among duplicates
     )
 
-    # stage 3 — near-dup removal: doc_b of every candidate pair with
-    # jaccard >= 0.08 is dropped (keep-lowest-id policy); scoring shared
-    # with llm_dedup_ngram so blocking/threshold logic cannot drift
+    # stage 3 — near-dup removal: doc_b of every candidate pair at or
+    # above NGRAM_MIN_JACCARD (applied inside the shared scorer) is
+    # dropped (keep-lowest-id policy); scoring shared with
+    # llm_dedup_ngram so blocking/threshold logic cannot drift
     drop = (
         ngram_pair_jaccard(
             canonical.select("doc_id", "text"), "pipeline_shingles"
         )
-        .filter(F.col("jaccard") >= NGRAM_MIN_JACCARD)
         .select(F.col("doc_b").alias("doc_id"))
         .distinct()
     )

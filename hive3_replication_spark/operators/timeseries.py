@@ -468,12 +468,14 @@ def ts_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
     further): values quantize to micro-units v = floor(value·1e4 + 0.5);
     the deviation sum is kept UNdivided as S_i = n·Σ_{j≤i} v_j − i·Σv,
     computed in DECIMAL(38,0) because each product is bounded by
-    n²·|v|max — int64 would overflow at n ≈ 3·10^4 rows for |v| ≤ 10^7,
-    while 38 digits hold to n ≈ 3·10^15 — and the peak is argmax |S_i|
-    with earliest-event tiebreak via a struct max. The REPORTED peak is
-    the n-normalized max|S_i| div n = max|Σv_j − i·mean| in micro-units
-    (exact integral division, identical in both engines), which is
-    bounded by n·|v|max and fits BIGINT through the full claimed scale.
+    n²·|v|max — int64 overflows at n ≈ 10^6 rows per stream for
+    |v| ≤ 10^7 micro-units (√(2^63/10^7)), while 38 digits hold to
+    n ≈ 3·10^15 — and the peak is argmax |S_i| with earliest-event
+    tiebreak via a struct max. The REPORTED peak is the n-normalized
+    max|S_i| div n ≈ max|Σv_j − i·mean| in micro-units — a TRUNCATING
+    integral division, identical in both engines on these non-negative
+    operands (Spark ``div`` / DuckDB ``//``) — bounded by 2·n·|v|max,
+    which fits BIGINT through the full claimed scale.
     ONE event_type partitioning serves the running sum, the row number,
     and the type totals (three window specs, same partition key — one
     exchange); bit-reproducible at any partition count (determinism

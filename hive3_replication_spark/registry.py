@@ -183,8 +183,6 @@ def prewarm(spark: SparkSession, sf_dir: str) -> None:
 def _prewarm_body(spark: SparkSession, sf_dir: str) -> None:
     import os
 
-    from pyspark.sql import functions as F
-
     from .catalog import load_table
 
     if not os.path.isdir(sf_dir):
@@ -227,7 +225,7 @@ def _prewarm_body(spark: SparkSession, sf_dir: str) -> None:
         docs = load_table(spark, sf_dir, "documents")
         _dedup.ngram_pair_jaccard(
             docs, "ngram_shingles", memo_token=sf_dir
-        ).filter(F.col("jaccard") >= _dedup.NGRAM_MIN_JACCARD).count()
+        ).count()
     except Exception:  # noqa: BLE001
         pass
     try:  # MinHash / SimHash signature memos (the dedup keys' first shuffle)
