@@ -621,3 +621,79 @@ def test_minhash_equals_python_twin(spark, tmp_path):
     }
     clear_caches()
     assert got == expected, set(got) ^ set(expected)
+
+
+def test_bpe_equals_python_twin(spark, tmp_path):
+    """llm_bpe_merges vs an independent pure-Python BPE trainer (classic
+    left-to-right non-overlapping merge on the (word, freq) vocab with
+    the same count-desc/pair-asc argmax): learned merges AND the final
+    symbol table must match exactly on a random corpus."""
+    import random
+    from collections import Counter
+
+    from hive3_replication_spark.llm.text import (
+        _BPE_STEPS,
+        _bpe_step,
+        _bpe_symbols_init,
+    )
+
+    rng = random.Random(97531)
+    alphabet = "abcde"
+    texts = {
+        i: " ".join(
+            "".join(rng.choice(alphabet) for _ in range(rng.randint(1, 7)))
+            for _ in range(rng.randint(1, 15))
+        )
+        for i in range(25)
+    }
+
+    def merge_word(syms, a, b):
+        out = []
+        i = 0
+        while i < len(syms):
+            if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                out.append(a + b)
+                i += 2
+            else:
+                out.append(syms[i])
+                i += 1
+        return out
+
+    vocab = Counter(
+        w for t in texts.values() for w in t.split(" ") if w
+    )
+    words = {w: list(w) for w in vocab}
+    expected_merges = []
+    for _ in range(_BPE_STEPS):
+        pc = Counter()
+        for w, syms in words.items():
+            for x, y in zip(syms, syms[1:]):
+                pc[(x, y)] += vocab[w]
+        best = min(pc.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1]))
+        (a, b), cnt = best
+        expected_merges.append((a, b, cnt))
+        words = {w: merge_word(s, a, b) for w, s in words.items()}
+
+    sf_dir = str(tmp_path / "bpetwin")
+    spark.createDataFrame(
+        pd.DataFrame({"doc_id": list(texts), "text": list(texts.values())})
+    ).write.parquet(f"{sf_dir}/documents.parquet")
+    syms = _bpe_symbols_init(
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+    )
+    for step in range(_BPE_STEPS):
+        best, syms = _bpe_step(syms)
+        row = best.collect()[0]
+        assert (
+            row["sym_a"],
+            row["sym_b"],
+            row["pair_count"],
+        ) == expected_merges[step], f"step {step + 1}"
+    got = {
+        r["w"]: r["ss"]
+        for r in syms.groupBy("w")
+        .agg(F.sort_array(F.collect_list(F.struct("p", "s"))).alias("ps"))
+        .selectExpr("w", "transform(ps, x -> x.s) AS ss")
+        .collect()
+    }
+    assert got == words
