@@ -421,6 +421,164 @@ def llm_ann_batch(
     )
 
 
+_PQ_M = 4        # subspaces
+_PQ_K = 8        # centroids per subspace
+_PQ_SEED_STEP = 7  # codebook init: centroid c seeds from vec_id 1 + 7c
+
+
+def _pq_subvectors(emb: DataFrame, sub_dim: int) -> DataFrame:
+    """(vec_id, s, subvec): each embedding split into _PQ_M contiguous
+    subspace slices — one narrow explode, no shuffle."""
+    slices = F.array(
+        *[
+            F.struct(
+                F.lit(s).alias("s"),
+                F.slice("embedding", s * sub_dim + 1, sub_dim).alias(
+                    "subvec"
+                ),
+            )
+            for s in range(_PQ_M)
+        ]
+    )
+    return emb.select(
+        "vec_id", F.explode(slices).alias("sl")
+    ).select("vec_id", F.col("sl.s").alias("s"), F.col("sl.subvec").alias("subvec"))
+
+
+def _pq_assign(sub: DataFrame, cents: DataFrame) -> DataFrame:
+    """Nearest-centroid assignment per (vec, subspace): distances on the
+    broadcast M×K codebook, ranked by (ROUND(d², 9), centroid) so the
+    chosen code is engine- and partition-invariant."""
+    d2 = F.aggregate(
+        F.zip_with(
+            "subvec",
+            "centroid",
+            lambda x, y: (x.cast("double") - y) * (x.cast("double") - y),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    scored = sub.join(F.broadcast(cents), "s").select(
+        "vec_id",
+        "s",
+        "subvec",
+        "c",
+        "centroid",
+        F.round(d2, 9).alias("d2_r"),
+    )
+    best = F.min(F.struct(F.col("d2_r"), F.col("c"))).alias("bk")
+    chosen = scored.groupBy("vec_id", "s").agg(best).select(
+        "vec_id", "s", F.col("bk.c").alias("c")
+    )
+    return scored.join(chosen, ["vec_id", "s", "c"]).select(
+        "vec_id", "s", "c", "subvec", "centroid"
+    )
+
+
+def llm_embed_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L3g — product quantization (Jégou et al. 2011, "Product
+    Quantization for Nearest Neighbor Search"): the embedding splits into
+    ``_PQ_M`` contiguous subspaces, each quantized against its own
+    ``_PQ_K``-centroid codebook — the compression format ANN serving
+    tiers store (M small codes per vector instead of the float array;
+    here 4 codes ≈ 64× smaller than float32·64).
+
+    One Lloyd refinement round per subspace, all in the engine's
+    deterministic idiom: codebooks seed from fixed vec_ids (1 + 7c, the
+    llm_cluster_kmeans pattern), refined centroids accumulate as
+    quantized int64 component sums (floor(x·1e6 + 0.5) — associative,
+    partition-order-free), assignment ranks on ROUND(d², 9) with
+    centroid tiebreak, and the reported per-cell distortion is the sum
+    of PER-ELEMENT quantized squared errors floor((x−c)²·1e6 + 0.5) —
+    an integer, so no float-summation order can leak into the output.
+    Scale: the codebook is M×K rows (broadcast dim); both assignment
+    passes are narrow corpus maps plus one (vec, subspace) argmin agg;
+    the component aggregation exchanges carry M·K·sub_dim rows. Full SQL
+    oracle replaying init → refine → assign → distortion."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    dim = len(emb.select("embedding").first()[0])
+    sub_dim = dim // _PQ_M
+    sub = _pq_subvectors(emb, sub_dim)
+    seed_ids = [1 + _PQ_SEED_STEP * c for c in range(_PQ_K)]
+    id_to_c = F.create_map(
+        *[F.lit(x) for pair in ((vid, c) for c, vid in enumerate(seed_ids)) for x in pair]
+    )
+    cents0 = (
+        sub.filter(F.col("vec_id").isin(seed_ids))
+        .select(
+            "s",
+            id_to_c[F.col("vec_id")].alias("c"),
+            F.transform("subvec", lambda x: x.cast("double")).alias(
+                "centroid"
+            ),
+        )
+    )
+    assigned = _pq_assign(sub, cents0)
+    comps = assigned.select(
+        "s", "c", F.posexplode("subvec").alias("i", "x")
+    )
+    cents1 = (
+        comps.groupBy("s", "c", "i")
+        .agg(
+            F.sum(
+                F.floor(F.col("x").cast("double") * 1e6 + F.lit(0.5)).cast(
+                    "long"
+                )
+            ).alias("ssum"),
+            F.count("*").alias("cnt"),
+        )
+        .groupBy("s", "c")
+        .agg(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(
+                        F.col("i"),
+                        (
+                            F.col("ssum").cast("double")
+                            / 1e6
+                            / F.col("cnt").cast("double")
+                        ).alias("v"),
+                    )
+                )
+            ).alias("pairs")
+        )
+        .select(
+            "s",
+            "c",
+            F.transform(F.col("pairs"), lambda p: p.getField("v")).alias(
+                "centroid"
+            ),
+        )
+    )
+    final = _pq_assign(sub, cents1)
+    err = F.aggregate(
+        F.zip_with(
+            "subvec",
+            "centroid",
+            lambda x, y: F.floor(
+                (x.cast("double") - y) * (x.cast("double") - y) * 1e6
+                + F.lit(0.5)
+            ).cast("long"),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    return (
+        final.select("s", "c", err.alias("err_micro"))
+        .groupBy("s", "c")
+        .agg(
+            F.count("*").alias("n_vecs"),
+            F.sum("err_micro").alias("distortion_micro"),
+        )
+        .select(
+            F.col("s").alias("subspace"),
+            F.col("c").alias("code"),
+            "n_vecs",
+            "distortion_micro",
+        )
+    )
+
+
 def llm_embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Symmetric int8 quantization of the embedding column — the storage
     step of a vector pipeline (4× smaller than float32, the format ANN
@@ -854,7 +1012,80 @@ def _ann_batch_oracle_sql() -> str:
     """
 
 
+def _pq_oracle_sql() -> str:
+    """DuckDB SQL replaying llm_embed_pq exactly: seed codebooks, one
+    quantized-sum Lloyd round, rounded tie-broken assignment, integer
+    per-element distortion. Generated for the fixture's dim=64
+    (sub_dim=16); the operator itself handles any dim divisible by M."""
+    sd = 16
+    seeds = ",".join(str(1 + _PQ_SEED_STEP * c) for c in range(_PQ_K))
+    d2 = f"""ROUND(list_aggregate(list_transform(range(1, {sd + 1}),
+                 i -> (CAST(sv.subvec[i] AS DOUBLE) - ct.centroid[i])
+                    * (CAST(sv.subvec[i] AS DOUBLE) - ct.centroid[i])),
+                 'sum'), 9)"""
+    err = f"""CAST(list_aggregate(list_transform(range(1, {sd + 1}),
+                 i -> CAST(FLOOR((CAST(sv.subvec[i] AS DOUBLE)
+                        - ct.centroid[i])
+                      * (CAST(sv.subvec[i] AS DOUBLE) - ct.centroid[i])
+                      * 1000000 + 0.5) AS BIGINT)), 'sum') AS BIGINT)"""
+    return f"""
+        WITH sub AS MATERIALIZED (
+            SELECT vec_id, sp.s AS s,
+                   embedding[sp.s * {sd} + 1 : sp.s * {sd} + {sd}] AS subvec
+            FROM embeddings,
+                 LATERAL (SELECT unnest(range(0, {_PQ_M})) AS s) sp
+        ),
+        cents0 AS (
+            SELECT s, CAST((vec_id - 1) / {_PQ_SEED_STEP} AS INT) AS c,
+                   list_transform(subvec, x -> CAST(x AS DOUBLE)) AS centroid
+            FROM sub WHERE vec_id IN ({seeds})
+        ),
+        a0 AS (
+            SELECT sv.vec_id, sv.s, ct.c, {d2} AS d2_r
+            FROM sub sv JOIN cents0 ct USING (s)
+        ),
+        ch0 AS (
+            SELECT vec_id, s, c FROM (
+                SELECT *, ROW_NUMBER() OVER (
+                    PARTITION BY vec_id, s ORDER BY d2_r, c) AS rk
+                FROM a0
+            ) WHERE rk = 1
+        ),
+        comp AS (
+            SELECT sv.s, ch0.c, i.i AS i,
+                   SUM(CAST(FLOOR(CAST(sv.subvec[i.i] AS DOUBLE) * 1000000
+                       + 0.5) AS BIGINT)) AS ssum,
+                   COUNT(*) AS cnt
+            FROM sub sv
+            JOIN ch0 ON sv.vec_id = ch0.vec_id AND sv.s = ch0.s,
+                 LATERAL (SELECT unnest(range(1, {sd + 1})) AS i) i
+            GROUP BY sv.s, ch0.c, i.i
+        ),
+        cents1 AS MATERIALIZED (
+            SELECT s, c,
+                   list(CAST(ssum AS DOUBLE) / 1000000.0
+                        / CAST(cnt AS DOUBLE) ORDER BY i) AS centroid
+            FROM comp GROUP BY s, c
+        ),
+        a1 AS (
+            SELECT sv.vec_id, sv.s, ct.c, {d2} AS d2_r, {err} AS err_micro
+            FROM sub sv JOIN cents1 ct USING (s)
+        ),
+        ch1 AS (
+            SELECT vec_id, s, c, err_micro FROM (
+                SELECT *, ROW_NUMBER() OVER (
+                    PARTITION BY vec_id, s ORDER BY d2_r, c) AS rk
+                FROM a1
+            ) WHERE rk = 1
+        )
+        SELECT s AS subspace, c AS code, COUNT(*) AS n_vecs,
+               CAST(SUM(err_micro) AS BIGINT) AS distortion_micro
+        FROM ch1 GROUP BY s, c
+    """
+
+
 ORACLES: dict[str, str] = {
+    "llm_embed_pq": _pq_oracle_sql(),
     "llm_ann_ivf": _ivf_oracle_sql(),
     "llm_ann_lsh": _lsh_oracle_sql(),
     "llm_ann_batch": _ann_batch_oracle_sql(),
@@ -1122,5 +1353,6 @@ QUERY_FNS = {
     "llm_cluster_kmeans": llm_cluster_kmeans,
     "llm_ann_rescore": llm_ann_rescore,
     "llm_ann_batch": llm_ann_batch,
+    "llm_embed_pq": llm_embed_pq,
     "llm_eval_ranking": llm_eval_ranking,
 }

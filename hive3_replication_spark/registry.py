@@ -74,7 +74,7 @@ _SWEEP_ORDER: tuple[str, ...] = (
     # round-3 additions: brand-new keys join the front of the
     # never-driver-verified block so they are stamped first
     "ts_changepoint", "llm_corpus_shuffle", "llm_tokenizer_apply",
-    "llm_bpe_merges", "llm_ann_batch", "llm_pack_sequences", "win_lag",
+    "llm_bpe_merges", "llm_ann_batch", "llm_embed_pq", "llm_pack_sequences", "win_lag",
     "llm_text_tokens", "join_asof_forward", "llm_text_langid",
     "set_except", "stream_divergence", "llm_text_profile",
     "fn_datetime_extract", "llm_dedup_exact", "llm_chunk_windows",

@@ -60,6 +60,7 @@ FLOAT_HEAVY = [
     "llm_tokenizer_apply",
     "llm_ann_batch",
     "ts_changepoint",
+    "llm_embed_pq",
 ]
 
 #: Keys whose cross-run memo (persisted signature/pair relations) must be
