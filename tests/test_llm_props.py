@@ -697,3 +697,69 @@ def test_bpe_equals_python_twin(spark, tmp_path):
         .collect()
     }
     assert got == words
+
+
+def test_simhash_equals_python_twin(spark, tmp_path):
+    """llm_dedup_simhash vs a pure-Python twin (hashlib md5 token hashes,
+    tf-weighted bit majority, 8-bit Hamming bands with the bucket cap):
+    pair sets and hamming distances must match exactly."""
+    import hashlib
+    import itertools
+    import random
+    from collections import Counter
+
+    from hive3_replication_spark.llm.dedup import (
+        MAX_BUCKET,
+        clear_caches,
+        llm_dedup_simhash,
+    )
+
+    rng = random.Random(8675309)
+    vocab = [f"s{i}" for i in range(8)]
+    texts = {
+        i: " ".join(rng.choice(vocab) for _ in range(rng.randint(1, 20)))
+        for i in range(35)
+    }
+    sf_dir = str(tmp_path / "shtwin")
+    spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": list(texts),
+                "text": list(texts.values()),
+                "lang": "en",
+                "source": "synth",
+                "n_chars": [len(t) for t in texts.values()],
+            }
+        )
+    ).write.parquet(f"{sf_dir}/documents.parquet")
+
+    def simhash(t):
+        tf = Counter(t.split(" "))
+        bits = [0] * 32
+        for tok, w in tf.items():
+            h = int(hashlib.md5(tok.encode()).hexdigest()[:8], 16)
+            for b in range(32):
+                bits[b] += w if (h >> b) & 1 else -w
+        return sum(1 << b for b in range(32) if bits[b] > 0)
+
+    sigs = {i: simhash(t) for i, t in texts.items()}
+    buckets: dict[tuple, list] = {}
+    for i, sh in sigs.items():
+        for b in range(4):
+            buckets.setdefault((b, (sh >> (b * 8)) & 255, ), []).append(i)
+    expected = {}
+    for members in buckets.values():
+        if len(members) > MAX_BUCKET:
+            continue
+        for a, b in itertools.combinations(sorted(members), 2):
+            ham = bin(sigs[a] ^ sigs[b]).count("1")
+            if ham <= 6:
+                expected[(a, b)] = ham
+
+    clear_caches()
+    got = {
+        (r["doc_a"], r["doc_b"]): r["hamming"]
+        for r in llm_dedup_simhash(spark, sf_dir).collect()
+    }
+    clear_caches()
+    assert got == expected, set(got) ^ set(expected)
