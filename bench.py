@@ -2,10 +2,14 @@
 sf0.1) on local[$SPARK_GRAFT_CPUS].
 
 Prints ONE JSON line:
-  {"metric": "...", "value": <total_sec>, "unit": "sec", "runs": 2,
-   "queries": {"<name>": <sec>, ...}, "queries_min": {...},
+  {"metric": "...", "value": <total_sec>, "unit": "sec", "runs": N_PASSES,
+   "queries": {"<name>": <sec>, ...},
    "e2e": {"repl_bootstrap_e2e": <sec>, "repl_incremental_e2e": <sec>},
    "sf": <sf>}
+
+(`queries_min`, emitted in rounds 1-3, was identical to `queries` by
+construction — per-query MIN over the passes — and is dropped as of
+round 4; `queries` IS the per-query min.)
 
 The headline set covers every operator family from SURVEY.md §2: scan
 pushdown, broadcast + shuffle joins, grouped/windowed aggregation, the
@@ -17,8 +21,8 @@ both dominated by fixed overheads — the guard here is per-row throughput).
 HEADLINE-SET POLICY (frozen as of round 3): the measured set is FROZEN at
 the 71 keys below so per-query times are comparable round-over-round;
 new operator families may add at most one representative key each, and
-any change to the set must be called out here. `queries` == `queries_min`
-== per-query MIN over `runs` complete passes (steady-state throughput —
+any change to the set must be called out here. `queries` holds the
+per-query MIN over `runs` complete passes (steady-state throughput —
 local-mode scheduling jitter adds ±30% to sub-second jobs). The `e2e`
 map times the full replication pipeline (bootstrap, then incremental)
 at the bench SF — directly comparable to the reference's transcript
@@ -34,6 +38,11 @@ import time
 
 from hive3_replication_spark.registry import build_queries
 from hive3_replication_spark.session import get_spark
+
+#: Complete measured passes over the headline set; the reported per-query
+#: number is the MIN across passes. Single source of truth for the loop
+#: AND the emitted "runs" field.
+N_PASSES = 2
 
 HEADLINE = (
     "scan_parquet",
@@ -187,7 +196,7 @@ def main() -> None:
         except Exception as exc:
             print(f"warmup failed for {name}: {exc}", file=sys.stderr)
 
-    # Best-of-2 full passes: local-mode scheduling jitter (GC pauses, thread
+    # Best-of-N_PASSES full passes: local-mode jitter (GC pauses, thread
     # contention with 32 executor threads) adds ±30% noise to sub-second
     # jobs; the per-query min over two complete passes is the steady-state
     # throughput number the 100 TB comparison needs. The dedup memo caches
@@ -197,7 +206,7 @@ def main() -> None:
     from hive3_replication_spark.llm.dedup import clear_caches
 
     timings: dict[str, float] = {}
-    for _pass in range(2):
+    for _pass in range(N_PASSES):
         clear_caches()
         for name in HEADLINE:
             t0 = time.perf_counter()
@@ -221,9 +230,8 @@ def main() -> None:
                 "metric": "headline_suite_wall_time",
                 "value": total,
                 "unit": "sec",
-                "runs": 2,
+                "runs": N_PASSES,
                 "queries": timings,
-                "queries_min": timings,
                 "e2e": e2e,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }

@@ -1006,7 +1006,7 @@ _SHINGLE_CTES = """
 _NGRAM_PAIR_CTES = f"""
         {_SHINGLE_CTES},
         sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
-        freq AS (SELECT shingle FROM sh GROUP BY shingle HAVING COUNT(*) <= 1000),
+        freq AS (SELECT shingle FROM sh GROUP BY shingle HAVING COUNT(*) <= {MAX_BUCKET}),
         shf AS (SELECT sh.doc_id, sh.shingle FROM sh JOIN freq USING (shingle)),
         inter AS MATERIALIZED (
             SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
@@ -1226,7 +1226,7 @@ def llm_dedup_graph_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLES: dict[str, str] = {
     "llm_dedup_graph_stats": f"""
         WITH {{NGRAM_PAIR_CTES}},
-        p AS (SELECT doc_a, doc_b FROM npairs WHERE jaccard >= 0.08),
+        p AS (SELECT doc_a, doc_b FROM npairs WHERE jaccard >= {NGRAM_MIN_JACCARD}),
         edges AS (
             SELECT doc_a, doc_b FROM p
             UNION ALL
@@ -1273,14 +1273,15 @@ ORACLES: dict[str, str] = {
     "llm_dedup_ngram": f"""
         WITH {_NGRAM_PAIR_CTES}
         SELECT doc_a, doc_b, inter, jaccard
-        FROM npairs WHERE jaccard >= 0.08
+        FROM npairs WHERE jaccard >= {NGRAM_MIN_JACCARD}
     """,
     "llm_dedup_clusters": f"""
         WITH RECURSIVE {_NGRAM_PAIR_CTES},
         edges AS (
-            SELECT doc_a AS src, doc_b AS dst FROM npairs WHERE jaccard >= 0.08
+            SELECT doc_a AS src, doc_b AS dst FROM npairs
+            WHERE jaccard >= {NGRAM_MIN_JACCARD}
             UNION ALL
-            SELECT doc_b, doc_a FROM npairs WHERE jaccard >= 0.08
+            SELECT doc_b, doc_a FROM npairs WHERE jaccard >= {NGRAM_MIN_JACCARD}
         ),
         reach(node, label) AS (
             SELECT src, src FROM edges
@@ -1342,11 +1343,10 @@ ORACLES: dict[str, str] = {
         GROUP BY corpus_doc, eval_doc
         HAVING COUNT(*) >= 2
     """,
-    # llm_dedup_minhash / llm_dedup_simhash: rows-only (signatures depend on
-    # Spark's xxhash64; verified by property tests instead).
-    "llm_dedup_embed": """
+    "llm_dedup_embed": f"""
         WITH kept AS (
-            SELECT label FROM embeddings GROUP BY label HAVING COUNT(*) <= 1000
+            SELECT label FROM embeddings
+            GROUP BY label HAVING COUNT(*) <= {MAX_BUCKET}
         ),
         n AS (
             SELECT vec_id, e.label, embedding,

@@ -57,64 +57,71 @@ _MODULES = (
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
 #: Sweep order for queries(): DRIVER-COVERAGE FIRST. The external verify
-#: driver cuts at ~50 keys per round BY COUNT (CORRECTNESS_r01/r02 each hold
-#: exactly 50 rows), so cheapest-first bought nothing — rounds 1-2 re-verified
-#: cheap already-passing keys while 124 keys never got a driver row. New
-#: policy (VERDICT r2 item 1): (a) the 4 keys carrying a stale driver-FAIL
-#: record from r1 (reworked in r2, locally green) go first so r3 flips them;
-#: (b) the never-driver-verified keys follow, cheapest-first per the sf0.01
-#: profile (scripts/profile_sweep.py) so the ~46 remaining slots stamp the
-#: most keys; (c) keys already driver-verified (pass in r1 or r2) go last.
-#: Rotate after each round as new CORRECTNESS files land. Keys missing from
-#: this list (new operators between profilings) are appended alphabetically,
-#: so registration never breaks on an unprofiled key.
+#: driver cuts at ~50 keys per round BY COUNT, so the front block must hold
+#: exactly the keys we most need a driver stamp for. Round-4 rotation
+#: (VERDICT r3 item 1 + ADVICE): (a) brand-new round-4 keys first; (b) the
+#: 4 keys whose DuckDB oracle is NEW as of round 3 (minhash/simhash/ivf/lsh
+#: were upgraded from rows-only — an oracle bug there must surface now, not
+#: in round 6); (c) the full never-driver-verified sql_* workload family
+#: (the verdict's priority); (d) the remaining never-verified keys,
+#: cheapest-first per scripts/profile_sweep.py, so the leftover slots stamp
+#: the most keys — the ~34 that miss the 50-cut land in round 5; (e) keys
+#: already driver-verified, most-recent-round last. Keys missing from this
+#: list (new operators between profilings) are appended alphabetically, so
+#: registration never breaks on an unprofiled key.
 _SWEEP_ORDER: tuple[str, ...] = (
-    "agg_table_profile", "agg_approx_distinct", "agg_hll_sketch",
-    "agg_approx_percentile",
-    # round-3 additions: brand-new keys join the front of the
-    # never-driver-verified block so they are stamped first
-    "ts_changepoint", "llm_corpus_shuffle", "llm_tokenizer_apply",
-    "llm_bpe_merges", "llm_ann_batch", "llm_embed_pq", "llm_pack_sequences", "win_lag",
-    "llm_text_tokens", "join_asof_forward", "llm_text_langid",
-    "set_except", "stream_divergence", "llm_text_profile",
-    "fn_datetime_extract", "llm_dedup_exact", "llm_chunk_windows",
-    "stream_sliding", "agg_string_agg", "agg_grouping_sets",
-    "llm_multimodal", "win_running_sum", "llm_dedup_ngram",
-    "win_topk_per_group", "fn_levenshtein", "agg_bitmap_distinct",
-    "stream_late_data", "win_range_frame", "win_latest_per_group",
-    "stream_consistent_cut", "llm_text_fingerprint", "stream_dedup",
-    "llm_multimodal_frames", "stream_session", "fn_try_arith", "fn_concat",
-    "fn_variant", "fn_date_arith", "reshape_pivot", "set_union",
-    "win_distribution", "sort_events", "stream_stream_join", "agg_mode",
-    "llm_multimodal_features", "agg_skew_salted", "win_first_value",
-    "win_ntile", "llm_text_repetition", "llm_shard_assign", "udf_arrow",
-    "ts_ohlc", "llm_text_bigrams", "ts_resample", "set_intersect",
-    "ts_rollup_hypertable", "scan_xml", "join_range", "join_skew_salted",
-    "agg_corr", "scan_binaryfile", "llm_embed_quantize",
-    "fn_crypto_roundtrip", "llm_sample_temperature", "udf_grouped_agg",
-    "llm_mix_sources", "llm_similarity_topk", "llm_text_entropy",
-    "udf_table_udtf", "ts_retention_cohort", "udf_table",
-    "llm_doc_embed_hash", "scan_schema_evolution", "llm_vocab_coverage",
-    "win_distinct_running", "agg_dq_checks", "agg_regression",
-    "llm_text_unigram_nll", "stream_event_replay", "ts_sessionize",
-    "agg_count_min", "llm_knn_join", "join_bloom_prefilter",
-    "ts_fill_forward", "merge_scd2", "llm_eval_confusion", "ts_ewma",
-    "filter_dpp", "llm_text_keywords", "llm_dedup_graph_stats",
-    "llm_dedup_spans", "llm_contamination", "sql_promo_revenue",
-    "llm_ann_rescore", "ts_funnel", "ts_anomaly_zscore", "ts_interpolate",
-    "llm_ann_lsh", "llm_ann_ivf", "sql_pricing_summary", "llm_dedup_embed",
-    "sql_discount_revenue", "stream_watermark_advance",
-    "sql_shipmode_priority", "scan_pysource", "sql_small_quantity_revenue",
+    # (a) round-4 additions — never profiled, never driver-seen
+    "llm_dedup_semantic", "llm_split_leakage_safe", "llm_serving_e2e",
+    # (b) oracle upgraded r3 (md5-literal rewrite) but never driver-run
+    "llm_dedup_minhash", "llm_dedup_simhash", "llm_ann_ivf", "llm_ann_lsh",
+    # (c) sql_* workload family, all never driver-verified
+    "sql_promo_revenue", "sql_pricing_summary", "sql_discount_revenue",
+    "sql_shipmode_priority", "sql_small_quantity_revenue",
     "sql_top_supplier", "sql_returned_items", "sql_order_priority",
     "sql_inactive_customer_balance", "sql_waiting_supplier",
     "sql_shipping_priority", "sql_parts_supplier_count",
     "sql_product_profit", "sql_customer_distribution", "sql_nation_volume",
     "sql_large_volume_customer", "sql_market_share",
-    "sql_local_supplier_volume", "llm_eval_ranking",
-    "llm_dedup_incremental", "llm_dedup_simhash", "fn_param_sql",
-    "llm_dedup_minhash", "fn_collate", "llm_dedup_clusters",
-    "llm_cluster_kmeans", "sql_recursive_hierarchy",
-    "stream_stateful_progress", "llm_pipeline_e2e", "fn_regexp_extract",
+    "sql_local_supplier_volume", "sql_recursive_hierarchy",
+    # (d) remaining never-driver-verified, cheapest-first (sf0.01 profile)
+    "win_first_value", "win_ntile", "llm_text_repetition",
+    "llm_shard_assign", "udf_arrow", "ts_ohlc", "llm_text_bigrams",
+    "ts_resample", "set_intersect", "ts_rollup_hypertable", "scan_xml",
+    "join_range", "join_skew_salted", "agg_corr", "scan_binaryfile",
+    "llm_embed_quantize", "fn_crypto_roundtrip", "llm_sample_temperature",
+    "udf_grouped_agg", "llm_mix_sources", "llm_similarity_topk",
+    "llm_text_entropy", "udf_table_udtf", "ts_retention_cohort",
+    "udf_table", "llm_doc_embed_hash", "scan_schema_evolution",
+    "llm_vocab_coverage", "win_distinct_running", "agg_dq_checks",
+    "agg_regression", "llm_text_unigram_nll", "stream_event_replay",
+    "ts_sessionize", "agg_count_min", "llm_knn_join",
+    "join_bloom_prefilter", "ts_fill_forward", "merge_scd2",
+    "llm_eval_confusion", "ts_ewma", "filter_dpp", "llm_text_keywords",
+    "llm_dedup_graph_stats", "llm_dedup_spans", "llm_contamination",
+    "llm_ann_rescore", "ts_funnel", "ts_anomaly_zscore", "ts_interpolate",
+    "llm_dedup_embed", "stream_watermark_advance", "scan_pysource",
+    "llm_eval_ranking", "llm_dedup_incremental", "fn_param_sql",
+    "fn_collate", "llm_dedup_clusters", "llm_cluster_kmeans",
+    "stream_stateful_progress", "llm_pipeline_e2e",
+    # (e) driver-verified in r3 — rotate behind the never-verified block
+    "agg_table_profile", "agg_approx_distinct", "agg_hll_sketch",
+    "agg_approx_percentile", "ts_changepoint", "llm_corpus_shuffle",
+    "llm_tokenizer_apply", "llm_bpe_merges", "llm_ann_batch",
+    "llm_embed_pq", "llm_pack_sequences", "win_lag", "llm_text_tokens",
+    "join_asof_forward", "llm_text_langid", "set_except",
+    "stream_divergence", "llm_text_profile", "fn_datetime_extract",
+    "llm_dedup_exact", "llm_chunk_windows", "stream_sliding",
+    "agg_string_agg", "agg_grouping_sets", "llm_multimodal",
+    "win_running_sum", "llm_dedup_ngram", "win_topk_per_group",
+    "fn_levenshtein", "agg_bitmap_distinct", "stream_late_data",
+    "win_range_frame", "win_latest_per_group", "stream_consistent_cut",
+    "llm_text_fingerprint", "stream_dedup", "llm_multimodal_frames",
+    "stream_session", "fn_try_arith", "fn_concat", "fn_variant",
+    "fn_date_arith", "reshape_pivot", "set_union", "win_distribution",
+    "sort_events", "stream_stream_join", "agg_mode",
+    "llm_multimodal_features", "agg_skew_salted",
+    # (e) driver-verified in r2
+    "fn_regexp_extract",
     "scan_text", "filter_prefix", "filter_null", "fn_array", "fn_url",
     "filter_multi_rlike", "sort_top1", "filter_table_class",
     "filter_negative", "filter_isin", "string_scrub", "llm_text_normalize",
@@ -128,7 +135,9 @@ _SWEEP_ORDER: tuple[str, ...] = (
     "llm_quality_classifier", "fn_div_mod", "filter_gt_watermark",
     "stream_incremental_dump", "udf_scalar", "reshape_struct_flatten",
     "llm_multimodal_resize", "scan_partitioned", "agg_pending_count",
-    "agg_duration", "agg_distinct", "agg_arg_max", "join_anti",
+    "agg_duration",
+    # (e) driver-verified in r1
+    "agg_distinct", "agg_arg_max", "join_anti",
     "agg_histogram", "agg_groupby", "scan_bucketed", "join_semi",
     "scan_csv", "agg_rollup", "join_theta", "join_left", "jdbc_sink",
     "row_offset_filter", "agg_percentile", "scan_json", "join_full",

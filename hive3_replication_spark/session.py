@@ -54,6 +54,27 @@ def ensure_engine_confs(spark: SparkSession) -> SparkSession:
     return spark
 
 
+def _default_driver_memory() -> str:
+    """Pick a local-mode driver heap that fits the host: 24g only when the
+    machine actually has headroom for it (>= 96 GiB), else the conservative
+    8g. In local mode the driver JVM hosts all executor threads so this IS
+    the executor heap; sizing it to the 128 GiB test host unconditionally
+    would let a long suite drive a small dev box into swap before any JVM
+    limit applies. SPARK_DRIVER_MEMORY always wins."""
+    env = os.environ.get("SPARK_DRIVER_MEMORY")
+    if env:
+        return env
+    try:
+        with open("/proc/meminfo") as fh:
+            for line in fh:
+                if line.startswith("MemTotal:"):
+                    total_gib = int(line.split()[1]) / (1024 * 1024)
+                    return "24g" if total_gib >= 96 else "8g"
+    except OSError:  # pragma: no cover - non-Linux fallback
+        pass
+    return "8g"
+
+
 def get_spark(
     app_name: str = "hive3_replication_spark",
     master: str | None = None,
@@ -78,12 +99,11 @@ def get_spark(
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         # Local-mode friendliness; harmless on a cluster (overridden there).
-        # In local mode the driver JVM hosts ALL executor threads, so this
-        # IS the executor heap: 8g across 32 task threads meant constant
-        # old-gen GC once a long suite accumulated garbage (measured 15%
-        # suite-wide slowdown at sf0.1). 24g on the 128 GiB test host
-        # keeps GC off the critical path; still env-overridable.
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "24g"))
+        # 8g across 32 task threads meant constant old-gen GC once a long
+        # suite accumulated garbage (measured 15% suite-wide slowdown at
+        # sf0.1); 24g fixes that but only on hosts that can afford it —
+        # see _default_driver_memory.
+        .config("spark.driver.memory", _default_driver_memory())
     )
     for key, value in RUNTIME_CONFS.items():
         builder = builder.config(key, value)
