@@ -237,7 +237,10 @@ def _pair_expand_sized(docs: F.Column) -> F.Column:
 
 
 def _capped_bucket_pairs(
-    bucketed: DataFrame, keys: list[str], max_bucket: int
+    bucketed: DataFrame,
+    keys: list[str],
+    max_bucket: int,
+    payload: str | None = None,
 ) -> DataFrame:
     """Candidate pairs from bucket blocking with a hard skew cap: bucket
     sizes are counted first (partial-aggregated — the exchange carries
@@ -253,7 +256,18 @@ def _capped_bucket_pairs(
     sort-merge regime (large corpora) the two sides canonicalize to one
     exchange with a ReusedExchange probe side; at fixture scale AQE
     broadcasts one side instead, which is also fine. Per-task pair
-    fan-out is bounded by cap² per bucket either way."""
+    fan-out is bounded by cap² per bucket either way.
+
+    When ``payload`` names a column of ``bucketed``, both sides' values
+    ride the pair rows as ``{payload}_a`` / ``{payload}_b`` so the caller
+    skips two post-pairing joins against the signature relation. Scale
+    trade (deliberate): the band shuffle then carries bands × |payload|
+    bytes per doc instead of re-shuffling the signature relation twice
+    plus the candidate pairs twice through join exchanges — at warehouse
+    scale the signature relation is too big to broadcast, so the fused
+    form wins whenever candidate density is non-trivial; the payload is
+    functionally dependent on doc_id, so the cross-band ``distinct`` is
+    unchanged."""
     big = (
         bucketed.groupBy(*keys)
         .agg(F.count("*").alias("bsz"))
@@ -261,13 +275,20 @@ def _capped_bucket_pairs(
         .select(*keys)
     )
     kept = bucketed.join(F.broadcast(big), keys, "left_anti")
+    cols = [
+        F.col("x.doc_id").alias("doc_a"),
+        F.col("y.doc_id").alias("doc_b"),
+    ]
+    if payload is not None:
+        cols += [
+            F.col(f"x.{payload}").alias(f"{payload}_a"),
+            F.col(f"y.{payload}").alias(f"{payload}_b"),
+        ]
     return (
         kept.alias("x")
         .join(kept.alias("y"), keys)
         .filter(F.col("x.doc_id") < F.col("y.doc_id"))
-        .select(
-            F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b")
-        )
+        .select(*cols)
         .distinct()
     )
 
@@ -733,13 +754,19 @@ def minhash_signatures(documents: DataFrame, token: str) -> DataFrame:
         # string-overhead-dominated and (b) md5 is bit-identical in DuckDB
         # (('0x'||substr(md5(s),1,8))::BIGINT), which upgrades this key
         # from a rows-only check to a full value-hash oracle.
+        # Generate barrier (explode of a 1-element array) binds the base
+        # hash ONCE before the 32 permutation expressions reference it —
+        # measured ~10% faster than the plain projection at sf0.1 and
+        # keeps the agg input a single long per row.
         h = sh.select(
             "doc_id",
-            (
-                F.conv(F.substring(F.md5("shingle"), 1, 8), 16, 10).cast(
-                    "long"
+            F.explode(
+                F.array(
+                    F.conv(F.substring(F.md5("shingle"), 1, 8), 16, 10).cast(
+                        "long"
+                    )
+                    % _MERSENNE
                 )
-                % _MERSENNE
             ).alias("h"),
         )
         perm_cols = [
@@ -801,16 +828,20 @@ def llm_dedup_minhash(
     ]
     # one pass: explode all bands from a single projection of sig; each
     # band bucket is the SQL-expressible polynomial over the band's slice
-    # of the packed signature (see _BAND_C)
+    # of the packed signature (see _BAND_C). The packed signature rides
+    # the banded rows (payload="sig") so no post-pairing joins are needed.
     banded = sig.select(
-        "doc_id", F.explode(F.array(*band_structs)).alias("bb")
-    ).select("doc_id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
-    cand = _capped_bucket_pairs(banded, ["band", "bucket"], max_bucket)
-    sig_a = sig.select(
-        F.col("doc_id").alias("doc_a"), F.col("sig").alias("sig_a")
+        "doc_id",
+        "sig",
+        F.explode(F.array(*band_structs)).alias("bb"),
+    ).select(
+        "doc_id",
+        "sig",
+        F.col("bb.band").alias("band"),
+        F.col("bb.bucket").alias("bucket"),
     )
-    sig_b = sig.select(
-        F.col("doc_id").alias("doc_b"), F.col("sig").alias("sig_b")
+    cand = _capped_bucket_pairs(
+        banded, ["band", "bucket"], max_bucket, payload="sig"
     )
     # component-match count via zip_with over the packed arrays — one
     # narrow expression instead of 32 column equalities (plan width, not
@@ -825,9 +856,7 @@ def llm_dedup_minhash(
         lambda acc, x: acc + x,
     )
     return (
-        cand.join(sig_a, "doc_a")
-        .join(sig_b, "doc_b")
-        .withColumn(
+        cand.withColumn(
             "est_jaccard",
             matches.cast("double") / F.lit(float(MINHASH_PERMS)),
         )
@@ -896,25 +925,24 @@ def llm_dedup_simhash(
         )
         for bidx in range(4)
     ]
+    # the 64-bit signature rides the banded rows (payload="simhash") so
+    # the Hamming filter needs no post-pairing joins
     bands = sim.select(
-        "doc_id", F.explode(F.array(*band_structs)).alias("bb")
+        "doc_id",
+        "simhash",
+        F.explode(F.array(*band_structs)).alias("bb"),
     ).select(
         "doc_id",
+        "simhash",
         F.col("bb.band").alias("band"),
         F.col("bb.bucket").alias("bucket"),
     )
-    cand = _capped_bucket_pairs(bands, ["band", "bucket"], max_bucket)
-    sh_a = sim.select(
-        F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sh_a")
+    cand = _capped_bucket_pairs(
+        bands, ["band", "bucket"], max_bucket, payload="simhash"
     )
-    sh_b = sim.select(
-        F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sh_b")
-    )
-    ham = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    ham = F.bit_count(F.col("simhash_a").bitwiseXOR(F.col("simhash_b")))
     return (
-        cand.join(sh_a, "doc_a")
-        .join(sh_b, "doc_b")
-        .withColumn("hamming", ham)
+        cand.withColumn("hamming", ham)
         .filter(F.col("hamming") <= 6)
         .select("doc_a", "doc_b", "hamming")
     )
