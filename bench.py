@@ -18,10 +18,13 @@ extensions (exact + MinHash dedup, cosine top-k, tokenization). Comparison
 target: BASELINE.md (reference bootstrap ≈ 36.7 s / incremental ≈ 45.5 s,
 both dominated by fixed overheads — the guard here is per-row throughput).
 
-HEADLINE-SET POLICY (frozen as of round 3): the measured set is FROZEN at
-the 71 keys below so per-query times are comparable round-over-round;
-new operator families may add at most one representative key each, and
-any change to the set must be called out here. `queries` holds the
+HEADLINE-SET POLICY (frozen as of round 3): the measured set is FROZEN;
+per-query times are comparable round-over-round; new operator families
+may add at most one representative key each, and any change to the set
+must be called out here. Round-4 additions (two new families):
+`llm_dedup_semantic` (composed SemDeDup: k-means cells + cosine pruning)
+and `llm_serving_e2e` (composed retrieval serving stack). All pre-round-4
+keys and their timings are unchanged. `queries` holds the
 per-query MIN over `runs` complete passes (steady-state throughput —
 local-mode scheduling jitter adds ±30% to sub-second jobs). The `e2e`
 map times the full replication pipeline (bootstrap, then incremental)
@@ -116,6 +119,9 @@ HEADLINE = (
     "join_bloom_prefilter",
     "llm_doc_embed_hash",
     "fn_try_arith",
+    # round-4 family representatives (see HEADLINE-SET POLICY above)
+    "llm_dedup_semantic",
+    "llm_serving_e2e",
 )
 
 

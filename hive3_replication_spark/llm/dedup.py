@@ -1251,6 +1251,326 @@ def llm_dedup_graph_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return per_doc.groupBy("degree").agg(F.count("*").alias("n_docs"))
 
 
+#: Semantic-dedup (SemDeDup, Abbas et al. 2023) parameters. The doc vector
+#: is the hashing-trick count vector (Weinberger et al. 2009 — the same
+#: construction as llm_doc_embed_hash) but at 64 dims: at 16 dims the
+#: BACKGROUND cosine between unrelated fixture docs reaches ~0.98 (shared
+#: stopword mass), leaving no margin; at 64 dims the planted near-dups sit
+#: at >= 0.99 while the 99.9th background percentile is ~0.92 (measured,
+#: docs/BENCH_NOTES.md), so the 0.95 prune threshold separates cleanly.
+SEM_DIMS = 64
+SEM_TAU = 0.95
+SEM_K = 8          # k-means cells (blocking only — not a model)
+SEM_STEP = 61      # cell c seeds from doc_id = 61*c (llm_cluster_kmeans idiom)
+_SEM_MOD = 1_000_003  # token-hash fold modulus (shared with doc_embed_hash)
+
+
+def _sem_vectors(documents: DataFrame) -> DataFrame:
+    """(doc_id, x: array<double>[SEM_DIMS]) hashing-trick document count
+    vectors: each token char-folds to a polynomial hash mod SEM_DIMS and
+    the vector is the per-dimension token count. All integer arithmetic,
+    so the vectors are bit-identical cross-engine; one narrow explode +
+    one doc-keyed hash agg (64 conditional-sum columns, partial-aggregated
+    map-side like the MinHash signature build)."""
+    toked = documents.select(
+        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("tok")
+    )
+    tok_hash = F.expr(
+        "aggregate(transform(sequence(1, length(tok)),"
+        " i -> CAST(ascii(substring(tok, i, 1)) AS BIGINT)),"
+        f" CAST(7 AS BIGINT), (acc, c) -> (acc * 31 + c) % {_SEM_MOD})"
+    )
+    dims = toked.select("doc_id", (tok_hash % SEM_DIMS).alias("dim"))
+    counts = [
+        F.sum(F.when(F.col("dim") == d, 1).otherwise(0))
+        .cast("double")
+        .alias(f"c{d}")
+        for d in range(SEM_DIMS)
+    ]
+    return (
+        dims.groupBy("doc_id")
+        .agg(*counts)
+        .select(
+            "doc_id",
+            F.array(*[F.col(f"c{d}") for d in range(SEM_DIMS)]).alias("x"),
+        )
+    )
+
+
+def llm_dedup_semantic(
+    spark: SparkSession, sf_dir: str, max_cell: int = MAX_BUCKET
+) -> DataFrame:
+    """L2j — semantic dedup (SemDeDup-style: k-means cells + within-cell
+    cosine pruning). Composes the engine's two embedding-space primitives:
+    the deterministic Lloyd assignment of ``llm_cluster_kmeans`` (broadcast
+    centroids, quantized int64 component sums — partition-invariant) as the
+    blocking stage, and ``llm_dedup_embed``'s capped within-cell exact
+    cosine as the pruning stage. A doc is pruned iff some LOWER-id doc in
+    its final cell scores cosine >= SEM_TAU against it (keep-min-id, the
+    same canonical-representative convention as llm_dedup_exact).
+
+    Output: (doc_id, cell, pruned) for the whole corpus. Cells larger than
+    ``max_cell`` skip pairing (their members stay pruned=false) — the same
+    skew cap as every blocking scheme here, mirrored in the oracle HAVING;
+    at 100 TB a collapsed cell means the quantizer needs re-training, not a
+    quadratic self-join. Scale: vectors are one narrow pass + one doc agg;
+    2 Lloyd assignment passes are broadcast joins (K×dim centroid
+    relation); the pairing shuffles on the cell key with O(cap²)-bounded
+    fan-out. Full SQL oracle replaying vectors → both Lloyd iterations →
+    capped pairing → prune flags.
+
+    Scale note on the quantized centroid sums: count-valued components at
+    1e9 quantization overflow int64 only past ~9e9 docs·avg-count per
+    (cell, dim); for 100 TB corpora normalize vectors first or drop the
+    quantizer to 1e6 (docs/SCALE.md)."""
+    from .similarity import _km_assign, _km_recompute
+
+    documents = load_table(spark, sf_dir, "documents")
+    pts = _sem_vectors(documents).select(
+        F.col("doc_id").alias("vec_id"), "x"
+    )
+    cent = pts.filter(
+        (F.col("vec_id") % SEM_STEP == 0)
+        & (F.col("vec_id") <= SEM_STEP * (SEM_K - 1))
+    ).select(
+        (F.col("vec_id") / SEM_STEP).cast("bigint").alias("cluster"),
+        F.col("x").alias("c"),
+    )
+    a1 = _km_assign(pts, cent)
+    a2 = _km_assign(pts, _km_recompute(a1))
+    mem = a2.select(
+        F.col("vec_id").alias("doc_id"), F.col("cluster").alias("cell"), "x"
+    )
+    big = (
+        mem.groupBy("cell")
+        .agg(F.count("*").alias("csz"))
+        .filter(F.col("csz") > max_cell)
+        .select("cell")
+    )
+    withn = mem.join(F.broadcast(big), "cell", "left_anti").select(
+        "doc_id",
+        "cell",
+        "x",
+        F.sqrt(
+            F.aggregate(
+                F.transform(F.col("x"), lambda v: v * v),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            )
+        ).alias("nm"),
+    )
+    a = withn.select(
+        "cell",
+        F.col("doc_id").alias("doc_a"),
+        F.col("x").alias("xa"),
+        F.col("nm").alias("na"),
+    )
+    b = withn.select(
+        "cell",
+        F.col("doc_id").alias("doc_b"),
+        F.col("x").alias("xb"),
+        F.col("nm").alias("nb"),
+    )
+    dot = F.aggregate(
+        F.zip_with("xa", "xb", lambda p, q: p * q),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    dup = (
+        a.join(b, "cell")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .filter(dot / (F.col("na") * F.col("nb")) >= SEM_TAU)
+        .select("doc_b")
+        .distinct()
+        .select(F.col("doc_b").alias("doc_id"), F.lit(True).alias("hit"))
+    )
+    return mem.join(dup, "doc_id", "left").select(
+        "doc_id",
+        "cell",
+        F.coalesce(F.col("hit"), F.lit(False)).alias("pruned"),
+    )
+
+
+def _semantic_oracle_sql() -> str:
+    """DuckDB SQL replaying llm_dedup_semantic exactly: hashing-trick
+    vectors, both Lloyd iterations with the quantized-int64 centroid
+    means, capped within-cell cosine, keep-min-id prune flags."""
+    from .similarity import _KM_CQ
+
+    d = SEM_DIMS
+    d2 = f"""list_reduce(list_transform(range(1, {d + 1}),
+                 i -> (v.x[i] - c.c[i]) * (v.x[i] - c.c[i])),
+                 (acc, t) -> acc + t)"""
+    return f"""
+        WITH toked AS (
+            SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+            FROM documents
+        ),
+        hashed AS (
+            SELECT doc_id,
+                   list_reduce(
+                       list_prepend(CAST(7 AS BIGINT),
+                           list_transform(range(1, len(tok) + 1),
+                               i -> CAST(ascii(tok[i]) AS BIGINT))),
+                       (acc, c) -> (acc * 31 + c) % {_SEM_MOD}
+                   ) % {d} AS dim
+            FROM toked
+        ),
+        vecs AS MATERIALIZED (
+            SELECT doc_id, list(CAST(cnt AS DOUBLE) ORDER BY dim) AS x
+            FROM (
+                SELECT doc_id, dd.d AS dim,
+                       COUNT(*) FILTER (h.dim = dd.d) AS cnt
+                FROM hashed h, (SELECT range AS d FROM range(0, {d})) dd
+                GROUP BY doc_id, dd.d
+            ) GROUP BY doc_id
+        ),
+        c0 AS (
+            SELECT CAST(doc_id / {SEM_STEP} AS BIGINT) AS cell, x AS c
+            FROM vecs
+            WHERE doc_id % {SEM_STEP} = 0
+              AND doc_id <= {SEM_STEP * (SEM_K - 1)}
+        ),
+        s1 AS (
+            SELECT v.doc_id, v.x, c.cell, {d2} AS d2
+            FROM vecs v, c0 c
+        ),
+        a1 AS (
+            SELECT doc_id, x, cell FROM (
+                SELECT *, row_number() OVER (
+                    PARTITION BY doc_id ORDER BY d2, cell) AS rn
+                FROM s1
+            ) WHERE rn = 1
+        ),
+        m1 AS (
+            SELECT cell, i.i AS i,
+                   SUM(CAST(FLOOR(x[i.i] * {_KM_CQ} + 0.5) AS BIGINT)) AS sq,
+                   COUNT(*) AS n
+            FROM a1, (SELECT range AS i FROM range(1, {d + 1})) i
+            GROUP BY cell, i.i
+        ),
+        c1 AS (
+            SELECT cell,
+                   list((CAST(sq AS DOUBLE) / CAST(n AS DOUBLE)) / {_KM_CQ}
+                        ORDER BY i) AS c
+            FROM m1 GROUP BY cell
+        ),
+        s2 AS (
+            SELECT v.doc_id, v.x, c.cell, {d2} AS d2
+            FROM vecs v, c1 c
+        ),
+        a2 AS MATERIALIZED (
+            SELECT doc_id, x, cell FROM (
+                SELECT *, row_number() OVER (
+                    PARTITION BY doc_id ORDER BY d2, cell) AS rn
+                FROM s2
+            ) WHERE rn = 1
+        ),
+        big AS (
+            SELECT cell FROM a2 GROUP BY cell HAVING COUNT(*) > {MAX_BUCKET}
+        ),
+        n AS (
+            SELECT doc_id, cell, x,
+                   sqrt(list_aggregate(list_transform(x, t -> t * t),
+                        'sum')) AS nm
+            FROM a2 WHERE cell NOT IN (SELECT cell FROM big)
+        ),
+        dup AS (
+            SELECT DISTINCT b.doc_id
+            FROM n a JOIN n b ON a.cell = b.cell AND a.doc_id < b.doc_id
+            WHERE list_aggregate(list_transform(range(1, {d + 1}),
+                      i -> a.x[i] * b.x[i]), 'sum') / (a.nm * b.nm)
+                  >= {SEM_TAU}
+        )
+        SELECT a2.doc_id, a2.cell,
+               (a2.doc_id IN (SELECT doc_id FROM dup)) AS pruned
+        FROM a2
+    """
+
+
+#: Leakage-safe split policy: md5(cluster_id) mod 10 → 0-7 train (80%),
+#: 8 val (10%), 9 test (10%). Splitting BY near-dup cluster — not by doc —
+#: is what stops eval leakage through near-duplicates.
+_SPLIT_MOD = 10
+
+
+def llm_split_leakage_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L2k — leakage-safe train/val/test split: near-dup clusters (the
+    transitive closure of the exact n-gram Jaccard pair graph, shared with
+    llm_dedup_clusters) are the split unit, so two near-duplicate docs can
+    NEVER straddle a split boundary and leak training text into eval.
+    Docs with no near-dup form singleton clusters (cluster_id = doc_id).
+
+    Split assignment is a deterministic md5 hash of the cluster id — the
+    same seed-free, coordination-free idiom as llm_corpus_shuffle, SQL-
+    reproducible in DuckDB — so re-running on a grown corpus keeps every
+    old cluster's split stable (critical for incremental training sets).
+
+    Output: one row per split with doc/cluster/token counts plus
+    ``n_cross_split_pairs`` — the audit column counting near-dup pairs
+    whose members landed in different splits, zero BY CONSTRUCTION (and
+    property-tested on planted near-dups). Scale: reuses the memoized
+    capped pair relation; the closure is budgeted label propagation
+    (O(log n) rounds); everything downstream is key-partitioned aggs."""
+    documents = load_table(spark, sf_dir, "documents")
+    pairs = (
+        # threshold applied INSIDE the scorer (NGRAM_MIN_JACCARD)
+        ngram_pair_jaccard(documents, "ngram_shingles", memo_token=sf_dir)
+        .select("doc_a", "doc_b")
+    )
+    labels, _rounds = resolve_components(pairs)
+    docs = documents.select(
+        "doc_id", F.size(F.split(F.col("text"), " ")).alias("n_tokens")
+    )
+    bucket = (
+        F.conv(
+            F.substring(F.md5(F.col("cluster_id").cast("string")), 1, 8),
+            16,
+            10,
+        ).cast("long")
+        % _SPLIT_MOD
+    )
+    asg = (
+        docs.join(labels, docs.doc_id == labels.node, "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.coalesce(F.col("label"), F.col("doc_id")).alias("cluster_id"),
+        )
+        .withColumn(
+            "split",
+            F.when(bucket <= 7, "train")
+            .when(bucket == 8, "val")
+            .otherwise("test"),
+        )
+    )
+    sp_a = asg.select(
+        F.col("doc_id").alias("doc_a"), F.col("split").alias("split_a")
+    )
+    sp_b = asg.select(
+        F.col("doc_id").alias("doc_b"), F.col("split").alias("split_b")
+    )
+    cross = (
+        pairs.join(sp_a, "doc_a")
+        .join(sp_b, "doc_b")
+        .filter(F.col("split_a") != F.col("split_b"))
+        .groupBy(F.col("split_a").alias("split"))
+        .agg(F.count("*").alias("n_cross"))
+    )
+    agg = asg.groupBy("split").agg(
+        F.count("*").alias("n_docs"),
+        F.count_distinct("cluster_id").alias("n_clusters"),
+        F.sum("n_tokens").alias("n_tokens"),
+    )
+    return agg.join(cross, "split", "left").select(
+        "split",
+        "n_docs",
+        "n_clusters",
+        "n_tokens",
+        F.coalesce(F.col("n_cross"), F.lit(0)).alias("n_cross_split_pairs"),
+    )
+
+
 ORACLES: dict[str, str] = {
     "llm_dedup_graph_stats": f"""
         WITH {{NGRAM_PAIR_CTES}},
@@ -1398,6 +1718,57 @@ ORACLES: dict[str, str] = {
     """,
 }
 
+ORACLES["llm_dedup_semantic"] = _semantic_oracle_sql()
+ORACLES["llm_split_leakage_safe"] = f"""
+        WITH RECURSIVE {_NGRAM_PAIR_CTES},
+        p AS (
+            SELECT doc_a, doc_b FROM npairs
+            WHERE jaccard >= {NGRAM_MIN_JACCARD}
+        ),
+        edges AS (
+            SELECT doc_a AS src, doc_b AS dst FROM p
+            UNION ALL
+            SELECT doc_b, doc_a FROM p
+        ),
+        reach(node, label) AS (
+            SELECT src, src FROM edges
+            UNION
+            SELECT e.dst, r.label FROM reach r JOIN edges e ON e.src = r.node
+        ),
+        lab AS (SELECT node, MIN(label) AS label FROM reach GROUP BY node),
+        asg AS (
+            SELECT d.doc_id,
+                   len(string_split(d.text, ' ')) AS n_tokens,
+                   COALESCE(l.label, d.doc_id) AS cluster_id
+            FROM documents d LEFT JOIN lab l ON l.node = d.doc_id
+        ),
+        asg2 AS MATERIALIZED (
+            SELECT *, CASE WHEN b <= 7 THEN 'train'
+                           WHEN b = 8 THEN 'val'
+                           ELSE 'test' END AS split
+            FROM (
+                SELECT *,
+                       ('0x' || substr(md5(CAST(cluster_id AS VARCHAR)),
+                                       1, 8))::BIGINT % {_SPLIT_MOD} AS b
+                FROM asg
+            )
+        ),
+        cross_t AS (
+            SELECT a.split AS split, COUNT(*) AS n_cross
+            FROM p JOIN asg2 a ON a.doc_id = p.doc_a
+                   JOIN asg2 b ON b.doc_id = p.doc_b
+            WHERE a.split <> b.split GROUP BY a.split
+        )
+        SELECT g.split, g.n_docs, g.n_clusters, g.n_tokens,
+               CAST(COALESCE(c.n_cross, 0) AS BIGINT) AS n_cross_split_pairs
+        FROM (
+            SELECT split, COUNT(*) AS n_docs,
+                   COUNT(DISTINCT cluster_id) AS n_clusters,
+                   CAST(SUM(n_tokens) AS BIGINT) AS n_tokens
+            FROM asg2 GROUP BY split
+        ) g LEFT JOIN cross_t c USING (split)
+    """
+
 QUERY_FNS = {
     "llm_dedup_exact": llm_dedup_exact,
     "llm_dedup_spans": llm_dedup_spans,
@@ -1409,4 +1780,6 @@ QUERY_FNS = {
     "llm_dedup_minhash": llm_dedup_minhash,
     "llm_dedup_simhash": llm_dedup_simhash,
     "llm_dedup_embed": llm_dedup_embed,
+    "llm_dedup_semantic": llm_dedup_semantic,
+    "llm_split_leakage_safe": llm_split_leakage_safe,
 }

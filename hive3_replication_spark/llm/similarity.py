@@ -344,6 +344,39 @@ def llm_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _batch_candidates(
+    emb: DataFrame, dim: int, max_bucket: int
+) -> DataFrame:
+    """(q_id, vec_id) LSH candidate pairs for the batched-query path,
+    shared by llm_ann_batch and llm_serving_e2e: both sides compute the
+    12 position-keyed band values in ONE narrow pass (``_band_sig``),
+    candidates come from an equi-join on the exploded single-int band
+    value, corpus-side buckets above ``max_bucket`` are dropped first
+    (broadcast anti-join on the counted oversized list), and survivor
+    pairs dedupe on the ID PAIR alone — the band join and the dedupe
+    exchange carry 2 longs/row, never the float arrays."""
+    banded = emb.select(
+        "vec_id",
+        F.explode(_band_sig(F.col("embedding"), dim)).alias("band"),
+    )
+    q_bands = banded.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("q_id"), "band"
+    )
+    c_bands = banded.filter(F.col("vec_id") >= 10).select("vec_id", "band")
+    big = (
+        c_bands.groupBy("band")
+        .agg(F.count("*").alias("bsz"))
+        .filter(F.col("bsz") > max_bucket)
+        .select("band")
+    )
+    kept = c_bands.join(F.broadcast(big), "band", "left_anti")
+    return (
+        kept.join(q_bands, "band")
+        .select("q_id", "vec_id")
+        .dropDuplicates(["q_id", "vec_id"])
+    )
+
+
 def llm_ann_batch(
     spark: SparkSession, sf_dir: str, max_bucket: int = 1000
 ) -> DataFrame:
@@ -370,31 +403,7 @@ def llm_ann_batch(
     rounded tie-broken ranking as llm_ann_lsh's."""
     emb = load_table(spark, sf_dir, "embeddings")
     dim = len(emb.select("embedding").first()[0])
-    banded = emb.select(
-        "vec_id",
-        "embedding",
-        F.explode(_band_sig(F.col("embedding"), dim)).alias("band"),
-    )
-    q_bands = banded.filter(F.col("vec_id") < 10).select(
-        F.col("vec_id").alias("q_id"), "band"
-    )
-    c_bands = banded.filter(F.col("vec_id") >= 10).select("vec_id", "band")
-    big = (
-        c_bands.groupBy("band")
-        .agg(F.count("*").alias("bsz"))
-        .filter(F.col("bsz") > max_bucket)
-        .select("band")
-    )
-    kept = c_bands.join(F.broadcast(big), "band", "left_anti")
-    # dedupe on the ID PAIR alone — the band join and the dedupe exchange
-    # carry 2 longs/row, not two 64-float arrays; embeddings join back
-    # onto the (much smaller) surviving pair set for scoring, with the
-    # 10-row query side broadcast
-    cand = (
-        kept.join(q_bands, "band")
-        .select("q_id", "vec_id")
-        .dropDuplicates(["q_id", "vec_id"])
-    )
+    cand = _batch_candidates(emb, dim, max_bucket)
     q_emb = emb.filter(F.col("vec_id") < 10).select(
         F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
     )
@@ -846,6 +855,138 @@ def llm_eval_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SRV_CAND = 10   # int8-tier survivors per query
+_SRV_TOPK = 3    # served results per query
+
+
+def llm_serving_e2e(
+    spark: SparkSession, sf_dir: str, max_bucket: int = 1000
+) -> DataFrame:
+    """L24 — the composed SERVING stack, end to end, as one operator: the
+    three tiers a production retrieval service chains (prune WHICH vectors
+    via batched hyperplane-LSH banding → prune PRECISION via int8-code
+    integer dot ranking → exact float rescore of the survivors), evaluated
+    per query against the exact brute-force top-k. This is the proof that
+    the individually-verified tiers (llm_ann_batch's candidate stage,
+    llm_embed_quantize's code format, llm_ann_rescore's two-phase ranking)
+    COMPOSE: candidates come from `_batch_candidates` (the same capped
+    band join llm_ann_batch uses), the approximate tier keeps the top
+    ``_SRV_CAND`` per query by bit-deterministic integer score, the exact
+    tier serves the top ``_SRV_TOPK``, and the output reports per query
+    how the served set compares to ground truth.
+
+    Output: (q_id, n_cand, recall_at_3, rank_of_best) — candidate-set
+    size, |served ∩ exact-top-3| / 3, and where the true best landed in
+    the served ranking (NULL if it was pruned away).
+
+    Scale: ONE corpus-band shuffle for candidates; the int8 tier reads
+    codes only (columnar pruning at 100 TB); the exact tier touches
+    ≤ _SRV_CAND rows per query; only the ground-truth baseline is a full
+    corpus × query scan — the eval side, run on a sample in production
+    (here the fixture IS the sample). Full SQL oracle replaying all three
+    tiers plus the baseline."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    dim = len(emb.select("embedding").first()[0])
+    cand = _batch_candidates(emb, dim, max_bucket)
+    absmax = F.array_max(
+        F.transform(F.col("embedding"), lambda x: F.abs(x.cast("double")))
+    )
+    qcode = F.transform(
+        F.col("embedding"),
+        lambda x: F.floor(
+            x.cast("double") * 127.0 / F.col("absmax") + 0.5
+        ).cast("long"),
+    )
+    coded = (
+        emb.select("vec_id", "embedding", absmax.alias("absmax"))
+        .filter(F.col("absmax") > 0)
+        .select("vec_id", "embedding", qcode.alias("qc"))
+    )
+    qside = coded.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("qc").alias("q_qc"),
+    )
+    int_dot = F.aggregate(
+        F.zip_with(F.col("qc"), F.col("q_qc"), lambda a, b: a * b),
+        F.lit(0).cast("bigint"),
+        lambda acc, v: acc + v,
+    )
+    t1 = (
+        cand.join(coded, "vec_id")
+        .join(F.broadcast(qside), "q_id")
+        .select(
+            "q_id",
+            "vec_id",
+            "embedding",
+            "q_emb",
+            int_dot.alias("approx_score"),
+        )
+    )
+    w_approx = Window.partitionBy("q_id").orderBy(
+        F.desc("approx_score"), F.asc("vec_id")
+    )
+    surv = t1.withColumn("ark", F.row_number().over(w_approx)).filter(
+        F.col("ark") <= _SRV_CAND
+    )
+    cos_r = F.round(
+        _dot(F.col("embedding"), F.col("q_emb"))
+        / (_norm(F.col("embedding")) * _norm(F.col("q_emb"))),
+        6,
+    )
+    w_exact = Window.partitionBy("q_id").orderBy(
+        F.desc("cosine_r"), F.asc("vec_id")
+    )
+    served = (
+        surv.select("q_id", "vec_id", cos_r.alias("cosine_r"))
+        .withColumn("rk", F.row_number().over(w_exact))
+        .filter(F.col("rk") <= _SRV_TOPK)
+    )
+    # ground truth ranks over the UNfiltered corpus/query relations (the
+    # absmax guard above applies only to the int8 code tier)
+    base = (
+        emb.filter(F.col("vec_id") >= 10)
+        .join(
+            F.broadcast(
+                emb.filter(F.col("vec_id") < 10).select(
+                    F.col("vec_id").alias("q_id"),
+                    F.col("embedding").alias("q_emb"),
+                )
+            )
+        )
+        .select("q_id", "vec_id", cos_r.alias("cosine_r"))
+        .withColumn("brk", F.row_number().over(w_exact))
+        .filter(F.col("brk") <= _SRV_TOPK)
+    )
+    per_q = (
+        served.join(base.select("q_id", "vec_id", "brk"), ["q_id", "vec_id"])
+        .groupBy("q_id")
+        .agg(
+            F.count("*").alias("n_hits"),
+            F.min(F.when(F.col("brk") == 1, F.col("rk"))).alias(
+                "rank_of_best"
+            ),
+        )
+    )
+    n_cand = cand.groupBy("q_id").agg(F.count("*").alias("n_cand"))
+    queries = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("q_id")
+    )
+    return (
+        queries.join(n_cand, "q_id", "left")
+        .join(per_q, "q_id", "left")
+        .select(
+            "q_id",
+            F.coalesce(F.col("n_cand"), F.lit(0)).alias("n_cand"),
+            (
+                F.coalesce(F.col("n_hits"), F.lit(0)).cast("double")
+                / F.lit(float(_SRV_TOPK))
+            ).alias("recall_at_3"),
+            "rank_of_best",
+        )
+    )
+
+
 #: Shared SQL fragments for cosine terms (same left-fold order as _dot/_norm)
 _SQL_DOT_EQ = """list_aggregate(
                        list_transform(range(1, len({a}) + 1),
@@ -952,11 +1093,10 @@ def _lsh_oracle_sql() -> str:
     """
 
 
-def _ann_batch_oracle_sql() -> str:
-    """DuckDB SQL replaying ``llm_ann_batch`` exactly: the same plane
-    literals and band packing as the single-query LSH oracle, then the
-    exploded band equi-join with the corpus-side bucket cap, pair
-    dedupe, exact rounded scoring, and top-3 per query."""
+def _lsh_cand_ctes() -> str:
+    """Shared oracle CTE prefix for the batched-LSH candidate stage
+    (llm_ann_batch + llm_serving_e2e): plane literals, band packing,
+    corpus-side bucket cap, deduped (q_id, vec_id) pairs."""
     planes = _planes(64)
     planes_lit = (
         "["
@@ -965,11 +1105,7 @@ def _ann_batch_oracle_sql() -> str:
     )
     dot_pj = """list_aggregate(list_transform(range(1, len(s.embedding) + 1),
                     i -> CAST(s.embedding[i] AS DOUBLE) * p.pl[j][i]), 'sum')"""
-    dot_eq = _SQL_DOT_EQ.format(a="ce.embedding", b="qe.embedding")
-    norm_c = _SQL_NORM.format(a="ce.embedding")
-    norm_q = _SQL_NORM.format(a="qe.embedding")
-    return f"""
-        WITH planes AS (SELECT {planes_lit} AS pl),
+    return f"""planes AS (SELECT {planes_lit} AS pl),
         sig AS MATERIALIZED (
             SELECT vec_id,
                    list_transform(range(1, {_N_PLANES + 1}),
@@ -995,7 +1131,19 @@ def _ann_batch_oracle_sql() -> str:
             JOIN expl q ON c.band = q.band
             WHERE c.vec_id >= 10 AND q.vec_id < 10
               AND c.band NOT IN (SELECT band FROM big)
-        ),
+        )"""
+
+
+def _ann_batch_oracle_sql() -> str:
+    """DuckDB SQL replaying ``llm_ann_batch`` exactly: the same plane
+    literals and band packing as the single-query LSH oracle, then the
+    exploded band equi-join with the corpus-side bucket cap, pair
+    dedupe, exact rounded scoring, and top-3 per query."""
+    dot_eq = _SQL_DOT_EQ.format(a="ce.embedding", b="qe.embedding")
+    norm_c = _SQL_NORM.format(a="ce.embedding")
+    norm_q = _SQL_NORM.format(a="qe.embedding")
+    return f"""
+        WITH {_lsh_cand_ctes()},
         scored AS (
             SELECT cand.q_id, cand.vec_id,
                    ROUND({dot_eq} / ({norm_c} * {norm_q}), 6) AS cosine_r
@@ -1009,6 +1157,97 @@ def _ann_batch_oracle_sql() -> str:
             ) AS rk
             FROM scored
         ) WHERE rk <= 3
+    """
+
+
+def _serving_oracle_sql() -> str:
+    """DuckDB SQL replaying llm_serving_e2e's full tier chain: the shared
+    batched-LSH candidate CTEs, int8 codes + integer-dot approximate
+    ranking (top ``_SRV_CAND``/query), exact rounded rescoring (top
+    ``_SRV_TOPK``), the brute-force per-query baseline, and the per-query
+    recall/rank comparison."""
+    dot_sq = _SQL_DOT_EQ.format(a="s.embedding", b="s.q_emb")
+    norm_s = _SQL_NORM.format(a="s.embedding")
+    norm_sq = _SQL_NORM.format(a="s.q_emb")
+    return f"""
+        WITH {_lsh_cand_ctes()},
+        coded AS MATERIALIZED (
+            SELECT vec_id, embedding,
+                   list_transform(range(1, len(embedding) + 1),
+                       i -> CAST(FLOOR(CAST(embedding[i] AS DOUBLE) * 127.0
+                            / list_max(list_transform(embedding,
+                                  x -> abs(CAST(x AS DOUBLE)))) + 0.5)
+                            AS BIGINT)) AS qc
+            FROM embeddings
+            WHERE list_max(list_transform(embedding,
+                      x -> abs(CAST(x AS DOUBLE)))) > 0
+        ),
+        t1 AS (
+            SELECT cand.q_id, cand.vec_id, c.embedding, q.embedding AS q_emb,
+                   CAST(list_aggregate(
+                       list_transform(range(1, len(c.qc) + 1),
+                           i -> c.qc[i] * q.qc[i]), 'sum') AS BIGINT)
+                       AS approx_score
+            FROM cand
+            JOIN coded c ON c.vec_id = cand.vec_id
+            JOIN coded q ON q.vec_id = cand.q_id
+        ),
+        surv AS (
+            SELECT q_id, vec_id, embedding, q_emb FROM (
+                SELECT *, row_number() OVER (
+                    PARTITION BY q_id
+                    ORDER BY approx_score DESC, vec_id ASC) AS ark
+                FROM t1
+            ) WHERE ark <= {_SRV_CAND}
+        ),
+        served AS (
+            SELECT q_id, vec_id, rk FROM (
+                SELECT q_id, vec_id, row_number() OVER (
+                    PARTITION BY q_id
+                    ORDER BY cosine_r DESC, vec_id ASC) AS rk
+                FROM (
+                    SELECT s.q_id, s.vec_id,
+                           ROUND({dot_sq} / ({norm_s} * {norm_sq}), 6)
+                               AS cosine_r
+                    FROM surv s
+                )
+            ) WHERE rk <= {_SRV_TOPK}
+        ),
+        base AS (
+            SELECT q_id, vec_id, brk FROM (
+                SELECT q_id, vec_id, row_number() OVER (
+                    PARTITION BY q_id
+                    ORDER BY cosine_r DESC, vec_id ASC) AS brk
+                FROM (
+                    SELECT s.q_id, s.vec_id,
+                           ROUND({dot_sq} / ({norm_s} * {norm_sq}), 6)
+                               AS cosine_r
+                    FROM (
+                        SELECT qe.vec_id AS q_id, ce.vec_id,
+                               ce.embedding, qe.embedding AS q_emb
+                        FROM embeddings ce, embeddings qe
+                        WHERE ce.vec_id >= 10 AND qe.vec_id < 10
+                    ) s
+                )
+            ) WHERE brk <= {_SRV_TOPK}
+        ),
+        per_q AS (
+            SELECT served.q_id, COUNT(*) AS n_hits,
+                   MIN(CASE WHEN base.brk = 1 THEN served.rk END)
+                       AS rank_of_best
+            FROM served JOIN base USING (q_id, vec_id)
+            GROUP BY served.q_id
+        ),
+        nc AS (SELECT q_id, COUNT(*) AS n_cand FROM cand GROUP BY q_id)
+        SELECT e.vec_id AS q_id,
+               CAST(COALESCE(nc.n_cand, 0) AS BIGINT) AS n_cand,
+               CAST(COALESCE(per_q.n_hits, 0) AS DOUBLE)
+                   / {float(_SRV_TOPK)} AS recall_at_3,
+               CAST(per_q.rank_of_best AS BIGINT) AS rank_of_best
+        FROM embeddings e
+        LEFT JOIN nc ON nc.q_id = e.vec_id
+        LEFT JOIN per_q ON per_q.q_id = e.vec_id
+        WHERE e.vec_id < 10
     """
 
 
@@ -1089,6 +1328,7 @@ ORACLES: dict[str, str] = {
     "llm_ann_ivf": _ivf_oracle_sql(),
     "llm_ann_lsh": _lsh_oracle_sql(),
     "llm_ann_batch": _ann_batch_oracle_sql(),
+    "llm_serving_e2e": _serving_oracle_sql(),
     "llm_eval_ranking": f"""
         WITH coded AS (
             SELECT vec_id, embedding,
@@ -1353,6 +1593,7 @@ QUERY_FNS = {
     "llm_cluster_kmeans": llm_cluster_kmeans,
     "llm_ann_rescore": llm_ann_rescore,
     "llm_ann_batch": llm_ann_batch,
+    "llm_serving_e2e": llm_serving_e2e,
     "llm_embed_pq": llm_embed_pq,
     "llm_eval_ranking": llm_eval_ranking,
 }

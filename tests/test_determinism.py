@@ -61,6 +61,8 @@ FLOAT_HEAVY = [
     "llm_ann_batch",
     "ts_changepoint",
     "llm_embed_pq",
+    "llm_dedup_semantic",
+    "llm_serving_e2e",
 ]
 
 #: Keys whose cross-run memo (persisted signature/pair relations) must be
