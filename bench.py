@@ -5,6 +5,8 @@ Prints ONE JSON line:
   {"metric": "...", "value": <total_sec>, "unit": "sec", "runs": N_PASSES,
    "queries": {"<name>": <sec>, ...},
    "e2e": {"repl_bootstrap_e2e": <sec>, "repl_incremental_e2e": <sec>},
+   "scale_probe": {"factor": 10, "keys": {"<name>": {"base_sec": s,
+    "x10_sec": s, "ratio": r}}, "e2e_x10": {...}},
    "sf": <sf>}
 
 (`queries_min`, emitted in rounds 1-3, was identical to `queries` by
@@ -180,6 +182,50 @@ def _bench_replication(spark, sf_dir: str) -> dict[str, float]:
     return out
 
 
+#: Keys probed at 10x data (the 5 most expensive r3 keys — VERDICT item 2):
+#: the 100 TB scaling claims are design arguments + plan gates; this block
+#: MEASURES the growth curve. Near-linear (ratio ~<= 12 at 10x data) is the
+#: pass bar; the fixture's fixed per-job overhead makes sub-linear ratios
+#: common for sub-second keys.
+SCALE_PROBE_KEYS = (
+    "llm_dedup_ngram",
+    "llm_dedup_minhash",
+    "llm_cluster_kmeans",
+    "sql_recursive_hierarchy",
+    "llm_ann_batch",
+)
+
+
+def _scale_probe(spark, queries, sf_dir: str) -> dict:
+    """Time SCALE_PROBE_KEYS cold (memo caches cleared) at the bench SF and
+    at 10x (generated on first use, integrity-preserving — see
+    scripts/gen_scale_probe.py), and run the replication e2e at 10x.
+    Emits per-key {base_sec, x10_sec, ratio} plus the 10x e2e rows."""
+    from hive3_replication_spark.llm.dedup import clear_caches
+    from scripts.gen_scale_probe import generate
+
+    probe_dir = os.environ.get(
+        "SPARK_GRAFT_SCALE_DIR", "/root/repo/.scaleprobe/sf1"
+    )
+    generate(sf_dir, probe_dir, factor=10)
+    out: dict = {"factor": 10, "keys": {}}
+    for name in SCALE_PROBE_KEYS:
+        times = {}
+        for tag, d in (("base_sec", sf_dir), ("x10_sec", probe_dir)):
+            clear_caches()
+            t0 = time.perf_counter()
+            queries[name](spark, d).count()
+            times[tag] = round(time.perf_counter() - t0, 3)
+        times["ratio"] = round(times["x10_sec"] / times["base_sec"], 2)
+        out["keys"][name] = times
+    clear_caches()
+    try:
+        out["e2e_x10"] = _bench_replication(spark, probe_dir)
+    except Exception as exc:  # noqa: BLE001 — probe rows are additive
+        print(f"x10 replication e2e failed: {exc}", file=sys.stderr)
+    return out
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -230,6 +276,12 @@ def main() -> None:
         print(f"replication e2e bench failed: {exc}", file=sys.stderr)
         e2e = {}
 
+    try:
+        scale_probe = _scale_probe(spark, queries, sf_dir)
+    except Exception as exc:  # noqa: BLE001 — probe rows are additive
+        print(f"scale probe failed: {exc}", file=sys.stderr)
+        scale_probe = {}
+
     print(
         json.dumps(
             {
@@ -239,6 +291,7 @@ def main() -> None:
                 "runs": N_PASSES,
                 "queries": timings,
                 "e2e": e2e,
+                "scale_probe": scale_probe,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )

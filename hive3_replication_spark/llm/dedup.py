@@ -1338,9 +1338,14 @@ def llm_dedup_semantic(
     )
     a1 = _km_assign(pts, cent)
     a2 = _km_assign(pts, _km_recompute(a1))
+    # the assignment feeds FOUR consumers (cap count, both pairing sides,
+    # the final flag join): localCheckpoint it so the 2-pass Lloyd chain
+    # runs once, not per branch (same idiom as resolve_components; at
+    # 100 TB this is the corpus-sized assignment relation any SemDeDup
+    # run materializes — use reliable checkpoint() there)
     mem = a2.select(
         F.col("vec_id").alias("doc_id"), F.col("cluster").alias("cell"), "x"
-    )
+    ).localCheckpoint()
     big = (
         mem.groupBy("cell")
         .agg(F.count("*").alias("csz"))

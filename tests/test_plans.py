@@ -395,3 +395,54 @@ def test_minhash_pipeline_no_cartesian_no_size_blowup(spark):
     assert "BroadcastNestedLoopJoin" not in plan
     # the packed signature column, not 32 mh columns, crosses the joins
     assert "mh0" not in plan
+
+
+def test_semantic_dedup_broadcast_lloyd_no_cartesian(spark):
+    """llm_dedup_semantic: both Lloyd assignment passes must join the
+    corpus against BROADCAST centroid relations (the corpus never
+    shuffles for clustering), and the within-cell pairing must be an
+    equi-join on the cell key — no cartesian anywhere. The two
+    intentional broadcast NL joins are the K-row centroid attaches."""
+    from hive3_replication_spark.llm.dedup import llm_dedup_semantic
+    from hive3_replication_spark.llm.dedup import _sem_vectors
+    from hive3_replication_spark.llm.similarity import _km_assign
+    from pyspark.sql import functions as F
+
+    plan = _plan(llm_dedup_semantic(spark, SF_DIR), "simple")
+    assert "CartesianProduct" not in plan
+    # the assignment relation is checkpointed (4 consumers → Lloyd runs
+    # once); downstream there must be NO nested-loop join of any kind
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    # and the pairing is an equi-join on the cell key
+    assert "cell" in plan
+    # the Lloyd attach itself: centroid relation joins as a BROADCAST
+    # nested loop of a K-row build side (corpus never shuffles for it)
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    pts = _sem_vectors(docs).select(F.col("doc_id").alias("vec_id"), "x")
+    cent = pts.limit(8).select(F.lit(0).alias("cluster"), F.col("x").alias("c"))
+    a_plan = _plan(_km_assign(pts, cent), "simple")
+    assert "BroadcastNestedLoopJoin BuildRight" in a_plan, a_plan
+    assert "CartesianProduct" not in a_plan
+
+
+def test_serving_e2e_band_equijoin_only(spark):
+    """llm_serving_e2e: candidates come from the single-int band
+    equi-join; the only nested-loop join is the documented eval-side
+    brute-force baseline against the 10-row broadcast query relation."""
+    from hive3_replication_spark.llm.similarity import llm_serving_e2e
+
+    plan = _plan(llm_serving_e2e(spark, SF_DIR), "simple")
+    assert "CartesianProduct" not in plan
+    # eval baseline only: corpus × broadcast 10-row query set
+    assert plan.count("BroadcastNestedLoopJoin") == 1, plan
+
+
+def test_leakage_split_closure_reuses_pair_memo(spark):
+    """llm_split_leakage_safe: everything downstream of the closure is
+    key-partitioned aggregation — no cartesian, no nested loop; the
+    md5 bucket is a narrow projection (no extra exchange for it)."""
+    from hive3_replication_spark.llm.dedup import llm_split_leakage_safe
+
+    plan = _plan(llm_split_leakage_safe(spark, SF_DIR), "simple")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
