@@ -72,6 +72,7 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 _SWEEP_ORDER: tuple[str, ...] = (
     # (a) round-4 additions — never profiled, never driver-seen
     "llm_dedup_semantic", "llm_split_leakage_safe", "llm_serving_e2e",
+    "llm_ann_index_probe",
     # (b) oracle upgraded r3 (md5-literal rewrite) but never driver-run
     "llm_dedup_minhash", "llm_dedup_simhash", "llm_ann_ivf", "llm_ann_lsh",
     # (c) sql_* workload family, all never driver-verified
@@ -241,6 +242,10 @@ def _prewarm_body(spark: SparkSession, sf_dir: str) -> None:
         docs = load_table(spark, sf_dir, "documents")
         _dedup.minhash_signatures(docs, sf_dir).count()
         _dedup.simhash_signatures(docs, sf_dir).count()
+    except Exception:  # noqa: BLE001
+        pass
+    try:  # cell-partitioned IVF index layout (llm_ann_index_probe)
+        _similarity.ann_index_path(spark, sf_dir)
     except Exception:  # noqa: BLE001
         pass
 

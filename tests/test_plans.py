@@ -446,3 +446,17 @@ def test_leakage_split_closure_reuses_pair_memo(spark):
     plan = _plan(llm_split_leakage_safe(spark, SF_DIR), "simple")
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_ann_index_probe_partition_pruning(spark):
+    """llm_ann_index_probe: the probe must read ONLY the probed cells'
+    directories — a literal cell IN (...) predicate in PartitionFilters,
+    i.e. disk-level pruning, not a post-scan filter."""
+    from hive3_replication_spark.llm.similarity import llm_ann_index_probe
+
+    plan = _plan(llm_ann_index_probe(spark, SF_DIR))
+    pf = next(
+        line for line in plan.splitlines() if "PartitionFilters" in line
+    )
+    assert "cell" in pf and " IN " in pf, pf
+    assert "CartesianProduct" not in plan
