@@ -1114,6 +1114,62 @@ def _minhash_oracle_sql() -> str:
     """
 
 
+def _minhash_clusters_oracle_sql() -> str:
+    """Recursive-CTE transitive closure over the MinHash pair graph: the
+    shared pair CTEs of ``_minhash_oracle_sql`` (same threshold) feed the
+    same closure shape as the ngram clusters oracle."""
+    base = _minhash_oracle_sql()
+    # reuse everything up to the final SELECT as the pair CTE chain
+    ctes = base.rsplit("SELECT doc_a, doc_b, est_jaccard", 1)[0].strip()
+    ctes = ctes[len("WITH "):].rstrip().rstrip(",")
+    return f"""
+        WITH RECURSIVE {ctes},
+        mp AS (SELECT doc_a, doc_b FROM scored WHERE est_jaccard >= 0.25),
+        edges AS (
+            SELECT doc_a AS src, doc_b AS dst FROM mp
+            UNION ALL
+            SELECT doc_b, doc_a FROM mp
+        ),
+        reach(node, label) AS (
+            SELECT src, src FROM edges
+            UNION
+            SELECT e.dst, r.label FROM reach r JOIN edges e ON e.src = r.node
+        ),
+        lab AS (SELECT node, MIN(label) AS cluster_id FROM reach GROUP BY node),
+        sz AS (SELECT cluster_id, COUNT(*) AS n_members FROM lab
+               GROUP BY cluster_id)
+        SELECT lab.node AS doc_id, lab.cluster_id, sz.n_members,
+               CAST(lab.node = lab.cluster_id AS INTEGER) AS is_canonical
+        FROM lab JOIN sz USING (cluster_id)
+    """
+
+
+def llm_dedup_minhash_clusters(
+    spark: SparkSession, sf_dir: str, max_bucket: int = MAX_BUCKET
+) -> DataFrame:
+    """L2l — cluster resolution over the MINHASH pair graph: the complete
+    100 TB dedup path end-to-end (signature → capped LSH banding →
+    estimated-Jaccard pairs → connected components → canonical keeper).
+    ``llm_dedup_clusters`` resolves the EXACT n-gram pair graph — the
+    verification-grade edge set; this key resolves the edges the scale
+    path actually produces, so the two outputs bracket what a production
+    dedup would keep. Same hybrid resolver (budgeted min-label
+    propagation with star-contraction fallback), same keep-min-id
+    convention; full oracle via the shared MinHash pair CTEs + the same
+    recursive-CTE closure as the ngram clusters oracle."""
+    pairs = llm_dedup_minhash(spark, sf_dir, max_bucket).select(
+        "doc_a", "doc_b"
+    )
+    labels, _rounds = resolve_components(pairs)
+    sizes = labels.groupBy("label").agg(F.count("*").alias("n_members"))
+    return labels.join(sizes, "label").select(
+        F.col("node").alias("doc_id"),
+        F.col("label").alias("cluster_id"),
+        "n_members",
+        (F.col("node") == F.col("label")).cast("int").alias("is_canonical"),
+    )
+
+
 def _simhash_oracle_sql() -> str:
     """DuckDB SQL replaying the SimHash pipeline bit-for-bit (md5 token
     hash, tf-weighted bit majority, 8-bit Hamming bands, bucket cap)."""
@@ -1724,6 +1780,7 @@ ORACLES: dict[str, str] = {
 }
 
 ORACLES["llm_dedup_semantic"] = _semantic_oracle_sql()
+ORACLES["llm_dedup_minhash_clusters"] = _minhash_clusters_oracle_sql()
 ORACLES["llm_split_leakage_safe"] = f"""
         WITH RECURSIVE {_NGRAM_PAIR_CTES},
         p AS (
@@ -1787,4 +1844,5 @@ QUERY_FNS = {
     "llm_dedup_embed": llm_dedup_embed,
     "llm_dedup_semantic": llm_dedup_semantic,
     "llm_split_leakage_safe": llm_split_leakage_safe,
+    "llm_dedup_minhash_clusters": llm_dedup_minhash_clusters,
 }

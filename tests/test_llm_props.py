@@ -818,3 +818,27 @@ def test_serving_e2e_metrics_sane(spark):
     assert (out.n_cand <= n_corpus).all()
     ranks = out.rank_of_best.dropna()
     assert ((ranks >= 1) & (ranks <= 3)).all()
+
+
+def test_minhash_clusters_group_planted_dups(spark, tmp_path):
+    """llm_dedup_minhash_clusters: each planted near-dup pair (d, d+10000)
+    must resolve into ONE cluster with the original doc as the canonical
+    keeper (keep-min-id), for the vast majority of pairs (LSH recall)."""
+    from hive3_replication_spark.llm.dedup import (
+        clear_caches,
+        llm_dedup_minhash_clusters,
+    )
+
+    sf_dir = _dup_corpus(spark, tmp_path)
+    clear_caches()
+    out = llm_dedup_minhash_clusters(spark, sf_dir).toPandas()
+    clear_caches()
+    label = dict(zip(out.doc_id, out.cluster_id))
+    same = sum(
+        label.get(d) is not None and label.get(d) == label.get(d + 10000)
+        for d in range(500)
+    )
+    assert same >= 0.9 * 500, f"cluster recall too low: {same}/500"
+    canon = set(out[out.is_canonical == 1].doc_id)
+    # the planted copy can never be its pair's keeper
+    assert all(d + 10000 not in canon or d not in label for d in range(500))
