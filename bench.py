@@ -212,10 +212,17 @@ def _scale_probe(spark, queries, sf_dir: str) -> dict:
     for name in SCALE_PROBE_KEYS:
         times = {}
         for tag, d in (("base_sec", sf_dir), ("x10_sec", probe_dir)):
-            clear_caches()
-            t0 = time.perf_counter()
-            queries[name](spark, d).count()
-            times[tag] = round(time.perf_counter() - t0, 3)
+            # min over N_PASSES cold runs (caches cleared each time) —
+            # single-shot cold timings at fixture scale are bimodal under
+            # local-mode GC/scheduling jitter, the same reason the
+            # headline set reports per-query MIN
+            best = float("inf")
+            for _p in range(N_PASSES):
+                clear_caches()
+                t0 = time.perf_counter()
+                queries[name](spark, d).count()
+                best = min(best, time.perf_counter() - t0)
+            times[tag] = round(best, 3)
         times["ratio"] = round(times["x10_sec"] / times["base_sec"], 2)
         out["keys"][name] = times
     clear_caches()

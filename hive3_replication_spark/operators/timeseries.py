@@ -526,7 +526,133 @@ def ts_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Gap-report threshold: inter-event silences longer than this per stream
+#: are operational incidents (missed ingestion, upstream outage).
+_GAP_MIN_US = 3_600 * 1_000_000
+
+
+def ts_seasonal_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T12 — hour-of-day seasonal decomposition per event type: the
+    seasonal baseline (mean value per (type, hour-of-day)), each slot's
+    share of the stream, and the largest residual |value − baseline| —
+    the classic seasonality profile a metrics platform computes before
+    any anomaly rule can be calibrated (T8's rolling z-score is the
+    trailing-window complement; this is the calendar-aligned one).
+
+    Determinism policy: per-slot sums accumulate as DECIMAL (exact,
+    order-independent — the ts_resample idiom), the float mean/residual
+    formula runs once per row on finalized sums, outputs round to 6 dp.
+    ONE exchange: the window partitioning on (event_type, hod) is reused
+    by the re-aggregation on the same keys (plan-gated pattern used by
+    ts_funnel); the per-type share join is a 24-rows-per-type window."""
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type", "hod")
+    staged = events.select(
+        "event_type",
+        F.hour("ts").alias("hod"),
+        F.col("value").cast("double").alias("vd"),
+        F.col("value").cast("decimal(18,4)").alias("vdec"),
+    ).select(
+        "event_type",
+        "hod",
+        "vd",
+        F.count("*").over(w).alias("n"),
+        F.sum("vdec").over(w).cast("double").alias("s1"),
+    )
+    resid = F.abs(F.col("vd") - F.col("s1") / F.col("n").cast("double"))
+    g = staged.groupBy("event_type", "hod").agg(
+        F.max("n").alias("n_events"),
+        F.max("s1").alias("s1"),
+        F.max(resid).alias("mx"),
+    )
+    wt = Window.partitionBy("event_type")
+    return g.select(
+        "event_type",
+        "hod",
+        "n_events",
+        F.round(
+            F.col("s1") / F.col("n_events").cast("double"), 6
+        ).alias("mean_r"),
+        F.round(
+            F.col("n_events").cast("double")
+            / F.sum("n_events").over(wt).cast("double"),
+            6,
+        ).alias("share_r"),
+        F.round(F.col("mx"), 6).alias("max_abs_resid_r"),
+    )
+
+
+def ts_gap_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T13 — missing-data gap report per stream: inter-event silences
+    longer than ``_GAP_MIN_US`` with their exact bounds — the
+    data-quality op that tells an ingestion pipeline WHERE its stream
+    went dark (T2/T3 heal the grid; this reports what needed healing).
+    One window pass on the (event_type) partitioning ordered by
+    (ts, event_id); all arithmetic is exact integer microseconds."""
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    staged = events.select(
+        "event_type", "ts", "event_id", F.lag("ts").over(w).alias("prev_ts")
+    )
+    # ts reads as TIMESTAMP_NTZ; unix_micros needs LTZ — the cast is exact
+    # because the session timezone is pinned to UTC (session.RUNTIME_CONFS)
+    gap_us = F.unix_micros(F.col("ts").cast("timestamp")) - F.unix_micros(
+        F.col("prev_ts").cast("timestamp")
+    )
+    return staged.filter(
+        F.col("prev_ts").isNotNull() & (gap_us > _GAP_MIN_US)
+    ).select(
+        "event_type",
+        F.col("prev_ts").alias("gap_start"),
+        F.col("ts").alias("gap_end"),
+        gap_us.alias("gap_us"),
+    )
+
+
 ORACLES: dict[str, str] = {
+    "ts_seasonal_profile": """
+        WITH e AS (
+            SELECT event_type,
+                   EXTRACT(hour FROM CAST(ts AS TIMESTAMP)) AS hod,
+                   CAST(value AS DOUBLE) AS vd,
+                   CAST(value AS DECIMAL(18,4)) AS vdec
+            FROM events
+        ),
+        w AS (
+            SELECT event_type, hod, vd,
+                   COUNT(*) OVER (PARTITION BY event_type, hod) AS n,
+                   CAST(SUM(vdec) OVER (PARTITION BY event_type, hod)
+                        AS DOUBLE) AS s1
+            FROM e
+        ),
+        g AS (
+            SELECT event_type, hod, MAX(n) AS n_events, MAX(s1) AS s1,
+                   MAX(ABS(vd - s1 / n)) AS mx
+            FROM w GROUP BY event_type, hod
+        )
+        SELECT event_type, CAST(hod AS INTEGER) AS hod,
+               CAST(n_events AS BIGINT) AS n_events,
+               ROUND(s1 / n_events, 6) AS mean_r,
+               ROUND(CAST(n_events AS DOUBLE)
+                     / SUM(n_events) OVER (PARTITION BY event_type), 6)
+                   AS share_r,
+               ROUND(mx, 6) AS max_abs_resid_r
+        FROM g
+    """,
+    "ts_gap_detect": f"""
+        WITH g AS (
+            SELECT event_type, CAST(ts AS TIMESTAMP) AS ts,
+                   lag(CAST(ts AS TIMESTAMP)) OVER (
+                       PARTITION BY event_type ORDER BY ts, event_id
+                   ) AS prev_ts
+            FROM events
+        )
+        SELECT event_type, prev_ts AS gap_start, ts AS gap_end,
+               epoch_us(ts) - epoch_us(prev_ts) AS gap_us
+        FROM g
+        WHERE prev_ts IS NOT NULL
+          AND epoch_us(ts) - epoch_us(prev_ts) > {_GAP_MIN_US}
+    """,
     "ts_changepoint": """
         WITH staged AS (
             SELECT event_type, event_id,
@@ -779,4 +905,6 @@ QUERY_FNS = {
     "ts_ewma": ts_ewma,
     "ts_anomaly_zscore": ts_anomaly_zscore,
     "ts_changepoint": ts_changepoint,
+    "ts_seasonal_profile": ts_seasonal_profile,
+    "ts_gap_detect": ts_gap_detect,
 }

@@ -73,6 +73,7 @@ _SWEEP_ORDER: tuple[str, ...] = (
     # (a) round-4 additions — never profiled, never driver-seen
     "llm_dedup_semantic", "llm_split_leakage_safe", "llm_serving_e2e",
     "llm_ann_index_probe", "llm_dedup_minhash_clusters",
+    "ts_seasonal_profile", "ts_gap_detect",
     # (b) oracle upgraded r3 (md5-literal rewrite) but never driver-run
     "llm_dedup_minhash", "llm_dedup_simhash", "llm_ann_ivf", "llm_ann_lsh",
     # (c) sql_* workload family, all never driver-verified
