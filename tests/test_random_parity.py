@@ -85,3 +85,76 @@ def test_random_corpus_parity(spark, tmp_path_factory, key, seed):
     spark_pdf = build_queries()[key](spark, sf_dir).toPandas()
     oracle_pdf = con.sql(build_oracles()[key]).df()
     assert_frames_match(spark_pdf, oracle_pdf, f"{key}@seed{seed}")
+
+
+#: Events-only keys with fully deterministic outputs (ties broken by
+#: event_id everywhere the fixture keys already guarantee it).
+TS_KEYS = (
+    "ts_resample",
+    "ts_fill_forward",
+    "ts_interpolate",
+    "ts_ohlc",
+    "ts_rollup_hypertable",
+    "ts_sessionize",
+    "ts_funnel",
+    "ts_retention_cohort",
+    "ts_ewma",
+    "ts_anomaly_zscore",
+    "ts_changepoint",
+    "ts_seasonal_profile",
+    "ts_gap_detect",
+)
+
+_EVENTS_CACHE: dict[int, tuple[str, object]] = {}
+
+
+def _random_events(spark, tmp_path_factory, seed: int) -> tuple[str, object]:
+    """Deterministic random events table: strictly increasing (unique)
+    timestamps with a heavy-tailed increment mixture (~5% of gaps in the
+    1-6 h range so the gap/sessionize paths see real silences), negative
+    and positive values, 4 event types, 40 users."""
+    if seed in _EVENTS_CACHE:
+        return _EVENTS_CACHE[seed]
+    import numpy as np
+
+    rng = np.random.RandomState(seed)
+    n = 2000
+    small = rng.randint(1_000_000, 300_000_000, size=n)  # 1 s .. 5 min
+    big = rng.randint(3_600_000_000, 21_600_000_000, size=n)  # 1 h .. 6 h
+    inc = np.where(rng.rand(n) < 0.05, big, small)
+    ts_us = 1_700_000_000_000_000 + np.cumsum(inc)
+    pdf = pd.DataFrame(
+        {
+            "event_id": np.arange(n, dtype="int64"),
+            "ts": pd.to_datetime(ts_us, unit="us"),
+            "user_id": rng.randint(0, 40, size=n).astype("int64"),
+            "event_type": [
+                ("click", "view", "purchase", "error")[i]
+                for i in rng.randint(0, 4, size=n)
+            ],
+            "value": np.round(rng.randn(n) * 100, 3),
+            "props": [f'{{"k": {int(i)}}}' for i in rng.randint(0, 9, n)],
+        }
+    )
+    out = str(tmp_path_factory.mktemp(f"randevents{seed}"))
+    spark.createDataFrame(pdf).coalesce(2).write.parquet(
+        f"{out}/events.parquet"
+    )
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW events AS SELECT * FROM "
+        f"'{out}/events.parquet/*.parquet'"
+    )
+    _EVENTS_CACHE[seed] = (out, con)
+    return out, con
+
+
+@pytest.mark.parametrize("seed", _SEEDS)
+@pytest.mark.parametrize("key", TS_KEYS)
+def test_random_events_parity(spark, tmp_path_factory, key, seed):
+    from hive3_replication_spark.registry import build_oracles, build_queries
+
+    sf_dir, con = _random_events(spark, tmp_path_factory, seed)
+    spark_pdf = build_queries()[key](spark, sf_dir).toPandas()
+    oracle_pdf = con.sql(build_oracles()[key]).df()
+    assert_frames_match(spark_pdf, oracle_pdf, f"{key}@seed{seed}")
