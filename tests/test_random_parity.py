@@ -158,3 +158,139 @@ def test_random_events_parity(spark, tmp_path_factory, key, seed):
     spark_pdf = build_queries()[key](spark, sf_dir).toPandas()
     oracle_pdf = con.sql(build_oracles()[key]).df()
     assert_frames_match(spark_pdf, oracle_pdf, f"{key}@seed{seed}")
+
+
+#: The full SQL-workload family (decimal-exact sums + explicit key
+#: tiebreaks on every ORDER BY make these deterministic on ANY data).
+SQL_KEYS = (
+    "sql_pricing_summary",
+    "sql_shipping_priority",
+    "sql_local_supplier_volume",
+    "sql_customer_distribution",
+    "sql_top_supplier",
+    "sql_parts_supplier_count",
+    "sql_order_priority",
+    "sql_shipmode_priority",
+    "sql_promo_revenue",
+    "sql_returned_items",
+    "sql_discount_revenue",
+    "sql_large_volume_customer",
+    "sql_small_quantity_revenue",
+    "sql_inactive_customer_balance",
+    "sql_nation_volume",
+    "sql_market_share",
+    "sql_product_profit",
+    "sql_waiting_supplier",
+    "sql_recursive_hierarchy",
+)
+
+_STAR_CACHE: dict[int, tuple[str, object]] = {}
+
+
+def _random_star(spark, tmp_path_factory, seed: int) -> tuple[str, object]:
+    """Random TPC-H-ish star schema with referential integrity and the
+    fixture's value domains (dates 1995-2001 covering every query
+    literal, Brand#N, '%red%' part names, negative acctbals for the
+    correlated-subquery paths). Prices carry <= 2 decimals so the
+    engine-wide DECIMAL(18,4) casts are exact on both engines."""
+    if seed in _STAR_CACHE:
+        return _STAR_CACHE[seed]
+    import numpy as np
+
+    from tests.conftest import SF_DIR
+
+    rng = np.random.RandomState(seed)
+    out = str(tmp_path_factory.mktemp(f"randstar{seed}"))
+    con = duckdb.connect()
+
+    def write(name: str, pdf: pd.DataFrame) -> None:
+        con.register(f"_{name}", pdf)
+        con.execute(
+            f"COPY (SELECT * FROM _{name}) TO '{out}/{name}.parquet'"
+        )
+        con.execute(
+            f"CREATE VIEW {name} AS SELECT * FROM '{out}/{name}.parquet'"
+        )
+
+    for dim in ("region", "nation"):  # fixed dims, verbatim from fixture
+        pdf = duckdb.sql(
+            f"SELECT * FROM '{SF_DIR}/{dim}.parquet'"
+        ).df()
+        write(dim, pdf)
+
+    n_c, n_s, n_p, n_o, n_l = 300, 40, 80, 1500, 6000
+    days = pd.to_datetime("1995-01-01") + pd.to_timedelta(
+        rng.randint(0, 2400, n_o), unit="D"
+    )
+    write("customer", pd.DataFrame({
+        "c_custkey": np.arange(n_c, dtype="int64"),
+        "c_name": [f"Customer#{i:09d}" for i in range(n_c)],
+        "c_nationkey": rng.randint(0, 25, n_c).astype("int32"),
+        "c_acctbal": np.round(rng.uniform(-999.99, 9999.99, n_c), 2),
+        "c_mktsegment": [
+            ("MACHINERY", "HOUSEHOLD", "BUILDING", "FURNITURE",
+             "AUTOMOBILE")[i] for i in rng.randint(0, 5, n_c)
+        ],
+    }))
+    write("supplier", pd.DataFrame({
+        "s_suppkey": np.arange(n_s, dtype="int64"),
+        "s_name": [f"Supplier#{i:09d}" for i in range(n_s)],
+        "s_nationkey": rng.randint(0, 25, n_s).astype("int32"),
+        "s_acctbal": np.round(rng.uniform(-999.99, 9999.99, n_s), 2),
+    }))
+    write("part", pd.DataFrame({
+        "p_partkey": np.arange(n_p, dtype="int64"),
+        "p_name": [
+            ("small", "red", "blue", "green", "large")[int(a)]
+            + " " + ("ring", "widget", "bolt", "nut", "gear")[int(b)]
+            for a, b in zip(rng.randint(0, 5, n_p), rng.randint(0, 5, n_p))
+        ],
+        "p_brand": [f"Brand#{i}" for i in rng.randint(1, 26, n_p)],
+        "p_type": [
+            ("ECONOMY", "SMALL", "MEDIUM", "PROMO", "STANDARD")[i]
+            for i in rng.randint(0, 5, n_p)
+        ],
+        "p_size": rng.randint(1, 51, n_p).astype("int32"),
+        "p_retailprice": np.round(rng.uniform(100, 2000, n_p), 2),
+    }))
+    write("orders", pd.DataFrame({
+        "o_orderkey": np.arange(n_o, dtype="int64"),
+        "o_custkey": rng.randint(0, n_c, n_o).astype("int64"),
+        "o_orderstatus": [
+            ("F", "O", "P")[i] for i in rng.randint(0, 3, n_o)
+        ],
+        "o_totalprice": np.round(rng.uniform(1000, 400000, n_o), 2),
+        "o_orderdate": days,
+        "o_orderpriority": [
+            ("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED",
+             "5-LOW")[i] for i in rng.randint(0, 5, n_o)
+        ],
+    }))
+    write("lineitem", pd.DataFrame({
+        "l_orderkey": rng.randint(0, n_o, n_l).astype("int64"),
+        "l_partkey": rng.randint(0, n_p, n_l).astype("int64"),
+        "l_suppkey": rng.randint(0, n_s, n_l).astype("int64"),
+        "l_linenumber": rng.randint(1, 8, n_l).astype("int32"),
+        "l_quantity": rng.randint(1, 51, n_l).astype("float64"),
+        "l_extendedprice": np.round(rng.uniform(900, 100000, n_l), 2),
+        "l_discount": np.round(rng.randint(0, 11, n_l) / 100.0, 2),
+        "l_tax": np.round(rng.randint(0, 9, n_l) / 100.0, 2),
+        "l_returnflag": [("A", "N", "R")[i] for i in rng.randint(0, 3, n_l)],
+        "l_linestatus": [("F", "O")[i] for i in rng.randint(0, 2, n_l)],
+        "l_shipdate": pd.to_datetime("1995-01-01") + pd.to_timedelta(
+            rng.randint(0, 2500, n_l), unit="D"
+        ),
+    }))
+    _STAR_CACHE[seed] = (out, con)
+    return out, con
+
+
+@pytest.mark.parametrize("seed", _SEEDS)
+@pytest.mark.parametrize("key", SQL_KEYS)
+def test_random_star_parity(spark, tmp_path_factory, key, seed):
+    from hive3_replication_spark.registry import build_oracles, build_queries
+
+    sf_dir, con = _random_star(spark, tmp_path_factory, seed)
+    spark_pdf = build_queries()[key](spark, sf_dir).toPandas()
+    oracle_pdf = con.sql(build_oracles()[key]).df()
+    assert_frames_match(spark_pdf, oracle_pdf, f"{key}@seed{seed}")
