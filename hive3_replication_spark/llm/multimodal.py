@@ -169,12 +169,18 @@ def llm_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
                 mean_num.append(sum(b))
                 n_distinct.append(len(set(b)))
             nb = pd.Series(n_bytes, dtype="int64")
+            # integer byte sum / integer count: exact in double; EMPTY
+            # payloads get the documented -1.0 sentinel (not NaN — NaN
+            # never hash-compares equal, and a 0-byte payload is a valid
+            # input the fixture happens not to contain)
+            mean = (pd.Series(mean_num, dtype="float64") / nb).where(
+                nb > 0, -1.0
+            )
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],
                     "n_bytes": nb,
-                    # integer byte sum / integer count: exact in double
-                    "mean_byte": pd.Series(mean_num, dtype="float64") / nb,
+                    "mean_byte": mean,
                     "n_distinct_bytes": pd.Series(n_distinct, dtype="int32"),
                 }
             )
@@ -188,14 +194,26 @@ def llm_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLES: dict[str, str] = {
     "llm_multimodal_features": """
         WITH ch AS (
+            -- len(text) > 0 guard: DuckDB's string_split('', '') yields
+            -- [''] and unicode('') is -1, which would fabricate a 1-byte
+            -- row for an empty payload; empty docs take the LEFT JOIN
+            -- sentinel path instead (0 bytes, mean -1.0)
             SELECT doc_id, unicode(unnest(string_split(text, ''))) AS cp
-            FROM documents
+            FROM documents WHERE len(text) > 0
+        ),
+        agg AS (
+            SELECT doc_id,
+                   COUNT(*) AS n_bytes,
+                   CAST(SUM(cp) AS DOUBLE) / COUNT(*) AS mean_byte,
+                   CAST(COUNT(DISTINCT cp) AS INTEGER) AS n_distinct_bytes
+            FROM ch GROUP BY doc_id
         )
-        SELECT doc_id,
-               COUNT(*) AS n_bytes,
-               CAST(SUM(cp) AS DOUBLE) / COUNT(*) AS mean_byte,
-               CAST(COUNT(DISTINCT cp) AS INTEGER) AS n_distinct_bytes
-        FROM ch GROUP BY doc_id
+        SELECT d.doc_id,
+               COALESCE(a.n_bytes, 0) AS n_bytes,
+               COALESCE(a.mean_byte, -1.0) AS mean_byte,
+               CAST(COALESCE(a.n_distinct_bytes, 0) AS INTEGER)
+                   AS n_distinct_bytes
+        FROM documents d LEFT JOIN agg a USING (doc_id)
     """,
     "llm_multimodal_resize": """
         WITH d AS (

@@ -292,7 +292,14 @@ def bucketed_tables(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
 
 def _bucketed_tables_locked(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
     ensure_engine_confs(spark)
-    tag = sf_dir.rstrip("/").rsplit("sf", 1)[-1].replace(".", "_")
+    # sanitize the whole dir-derived tag: any non-identifier char (path
+    # separators in non-fixture dirs, dots in sf names) breaks the SQL
+    # identifier — surfaced by the randomized-corpus fuzz pass
+    import re
+
+    tag = re.sub(
+        r"[^0-9A-Za-z_]", "_", sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    )
     names = (f"h3r_orders_b{tag}", f"h3r_lineitem_b{tag}")
     if sf_dir not in _BUCKETED_READY:
         root = tempfile.mkdtemp(prefix="h3r_bucketed_")

@@ -30,6 +30,12 @@ KEYS = (
     "llm_text_profile",
     "llm_text_fingerprint",
     "llm_doc_embed_hash",
+    # multimodal stages (documents-only): the empty-payload sentinel paths
+    # only exist on random corpora — the fixture has no empty docs
+    "llm_multimodal",
+    "llm_multimodal_resize",
+    "llm_multimodal_frames",
+    "llm_multimodal_features",
 )
 
 _SEEDS = (7, 23)
@@ -182,6 +188,9 @@ SQL_KEYS = (
     "sql_product_profit",
     "sql_waiting_supplier",
     "sql_recursive_hierarchy",
+    # bucketed-layout materialization over an arbitrary dir (the tag
+    # sanitization fix was surfaced by exactly this fuzz path)
+    "scan_bucketed",
 )
 
 _STAR_CACHE: dict[int, tuple[str, object]] = {}
