@@ -303,3 +303,4 @@ def test_random_star_parity(spark, tmp_path_factory, key, seed):
     spark_pdf = build_queries()[key](spark, sf_dir).toPandas()
     oracle_pdf = con.sql(build_oracles()[key]).df()
     assert_frames_match(spark_pdf, oracle_pdf, f"{key}@seed{seed}")
+
