@@ -193,6 +193,9 @@ SCALE_PROBE_KEYS = (
     "llm_cluster_kmeans",
     "sql_recursive_hierarchy",
     "llm_ann_batch",
+    # round-4 composed operators — probed from their first round
+    "llm_dedup_semantic",
+    "llm_serving_e2e",
 )
 
 

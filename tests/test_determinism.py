@@ -63,6 +63,8 @@ FLOAT_HEAVY = [
     "llm_embed_pq",
     "llm_dedup_semantic",
     "llm_serving_e2e",
+    "llm_ann_index_probe",
+    "ts_seasonal_profile",
 ]
 
 #: Keys whose cross-run memo (persisted signature/pair relations) must be
