@@ -109,16 +109,28 @@ TS_KEYS = (
     "ts_changepoint",
     "ts_seasonal_profile",
     "ts_gap_detect",
+    # windows/streams over the same stream — their (ts, event_id)
+    # tie-breaks are what the 30% duplicate timestamps exercise
+    "win_lag",
+    "win_running_sum",
+    "win_range_frame",
+    "sort_events",
+    "stream_session",
+    "stream_dedup",
+    "stream_sliding",
+    "stream_tumbling",
+    "stream_late_data",
 )
 
 _EVENTS_CACHE: dict[int, tuple[str, object]] = {}
 
 
 def _random_events(spark, tmp_path_factory, seed: int) -> tuple[str, object]:
-    """Deterministic random events table: strictly increasing (unique)
-    timestamps with a heavy-tailed increment mixture (~5% of gaps in the
-    1-6 h range so the gap/sessionize paths see real silences), negative
-    and positive values, 4 event types, 40 users."""
+    """Deterministic random events table: monotone timestamps with ~30%
+    EXACT duplicates (zero increments — the (ts, event_id) tie-break
+    paths must agree cross-engine) and a heavy-tailed increment mixture
+    (~5% of gaps in the 1-6 h range so the gap/sessionize paths see real
+    silences), negative and positive values, 4 event types, 40 users."""
     if seed in _EVENTS_CACHE:
         return _EVENTS_CACHE[seed]
     import numpy as np
@@ -126,6 +138,7 @@ def _random_events(spark, tmp_path_factory, seed: int) -> tuple[str, object]:
     rng = np.random.RandomState(seed)
     n = 2000
     small = rng.randint(1_000_000, 300_000_000, size=n)  # 1 s .. 5 min
+    small = np.where(rng.rand(n) < 0.3, 0, small)  # exact ts ties
     big = rng.randint(3_600_000_000, 21_600_000_000, size=n)  # 1 h .. 6 h
     inc = np.where(rng.rand(n) < 0.05, big, small)
     ts_us = 1_700_000_000_000_000 + np.cumsum(inc)
