@@ -1,0 +1,176 @@
+"""Full-registry cross-engine fuzz: generate a complete random dataset
+(all 10 tables, procedurally, with referential integrity and hostile
+shapes) and run EVERY registered key against its DuckDB oracle on it.
+
+The curated per-family randomized suites run by default in
+tests/test_random_parity.py; this script is the exhaustive sweep
+(~4 min/seed) used for round-4 hardening — seeds 11 (found the
+empty-payload and identifier-sanitization bugs), 29 and 37 (clean
+220/220 after the fixes).
+
+Usage: python scripts/fuzz_registry.py [seed ...]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import tempfile
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+import duckdb  # noqa: E402
+import numpy as np  # noqa: E402
+import pandas as pd  # noqa: E402
+
+
+def gen(seed: int, out: str) -> None:
+    os.makedirs(out, exist_ok=True)
+    rng = np.random.RandomState(seed)
+    con = duckdb.connect()
+
+    def write(name: str, pdf: pd.DataFrame) -> None:
+        con.register(f"_{name}", pdf)
+        con.execute(f"COPY (SELECT * FROM _{name}) TO '{out}/{name}.parquet'")
+
+    for dim in ("region", "nation"):  # fixed dims, verbatim from fixture
+        write(dim, duckdb.sql(
+            f"SELECT * FROM '/root/testdata/sf0.001/{dim}.parquet'").df())
+    n_c, n_s, n_p, n_o, n_l = 300, 40, 80, 1500, 6000
+    write("customer", pd.DataFrame({
+        "c_custkey": np.arange(n_c, dtype="int64"),
+        "c_name": [f"Customer#{i:09d}" for i in range(n_c)],
+        "c_nationkey": rng.randint(0, 25, n_c).astype("int32"),
+        "c_acctbal": np.round(rng.uniform(-999.99, 9999.99, n_c), 2),
+        "c_mktsegment": [("MACHINERY", "HOUSEHOLD", "BUILDING", "FURNITURE",
+                          "AUTOMOBILE")[i] for i in rng.randint(0, 5, n_c)],
+    }))
+    write("supplier", pd.DataFrame({
+        "s_suppkey": np.arange(n_s, dtype="int64"),
+        "s_name": [f"Supplier#{i:09d}" for i in range(n_s)],
+        "s_nationkey": rng.randint(0, 25, n_s).astype("int32"),
+        "s_acctbal": np.round(rng.uniform(-999.99, 9999.99, n_s), 2),
+    }))
+    write("part", pd.DataFrame({
+        "p_partkey": np.arange(n_p, dtype="int64"),
+        "p_name": [("small", "red", "blue", "green", "large")[int(a)] + " "
+                   + ("ring", "widget", "bolt", "nut", "gear")[int(b)]
+                   for a, b in zip(rng.randint(0, 5, n_p),
+                                   rng.randint(0, 5, n_p))],
+        "p_brand": [f"Brand#{i}" for i in rng.randint(1, 26, n_p)],
+        "p_type": [("ECONOMY", "SMALL", "MEDIUM", "PROMO", "STANDARD")[i]
+                   for i in rng.randint(0, 5, n_p)],
+        "p_size": rng.randint(1, 51, n_p).astype("int32"),
+        "p_retailprice": np.round(rng.uniform(100, 2000, n_p), 2),
+    }))
+    write("orders", pd.DataFrame({
+        "o_orderkey": np.arange(n_o, dtype="int64"),
+        "o_custkey": rng.randint(0, n_c, n_o).astype("int64"),
+        "o_orderstatus": [("F", "O", "P")[i] for i in rng.randint(0, 3, n_o)],
+        "o_totalprice": np.round(rng.uniform(1000, 400000, n_o), 2),
+        "o_orderdate": pd.to_datetime("1995-01-01")
+        + pd.to_timedelta(rng.randint(0, 2400, n_o), unit="D"),
+        "o_orderpriority": [("1-URGENT", "2-HIGH", "3-MEDIUM",
+                             "4-NOT SPECIFIED", "5-LOW")[i]
+                            for i in rng.randint(0, 5, n_o)],
+    }))
+    write("lineitem", pd.DataFrame({
+        "l_orderkey": rng.randint(0, n_o, n_l).astype("int64"),
+        "l_partkey": rng.randint(0, n_p, n_l).astype("int64"),
+        "l_suppkey": rng.randint(0, n_s, n_l).astype("int64"),
+        "l_linenumber": rng.randint(1, 8, n_l).astype("int32"),
+        "l_quantity": rng.randint(1, 51, n_l).astype("float64"),
+        "l_extendedprice": np.round(rng.uniform(900, 100000, n_l), 2),
+        "l_discount": np.round(rng.randint(0, 11, n_l) / 100.0, 2),
+        "l_tax": np.round(rng.randint(0, 9, n_l) / 100.0, 2),
+        "l_returnflag": [("A", "N", "R")[i] for i in rng.randint(0, 3, n_l)],
+        "l_linestatus": [("F", "O")[i] for i in rng.randint(0, 2, n_l)],
+        "l_shipdate": pd.to_datetime("1995-01-01")
+        + pd.to_timedelta(rng.randint(0, 2500, n_l), unit="D"),
+    }))
+    n_e = 2000
+    small = rng.randint(1_000_000, 300_000_000, n_e)
+    small = np.where(rng.rand(n_e) < 0.3, 0, small)  # exact ts ties
+    big = rng.randint(3_600_000_000, 21_600_000_000, n_e)
+    inc = np.where(rng.rand(n_e) < 0.05, big, small)
+    write("events", pd.DataFrame({
+        "event_id": np.arange(n_e, dtype="int64"),
+        "ts": pd.to_datetime(1_700_000_000_000_000 + np.cumsum(inc),
+                             unit="us"),
+        "user_id": rng.randint(0, 40, n_e).astype("int64"),
+        "event_type": [("click", "view", "purchase", "error")[i]
+                       for i in rng.randint(0, 4, n_e)],
+        "value": np.round(rng.randn(n_e) * 100, 3),
+        "props": [f'{{"k": {int(i)}}}' for i in rng.randint(0, 9, n_e)],
+    }))
+    vocab = [f"w{i}" for i in range(40)] + ["the", "and", "of", "data", "x"]
+    n_d = 300
+    rows = []
+    for d in range(n_d):
+        ln = int(rng.randint(0, 40))
+        rows.append((d, " ".join(vocab[int(rng.randint(len(vocab)))]
+                                 for _ in range(ln))))
+    for j in range(20):
+        rows.append((n_d + j, rows[int(rng.randint(n_d))][1]))
+    for j in range(20):
+        rows.append((n_d + 20 + j, f"zq{j} " + rows[int(rng.randint(n_d))][1]))
+    docs = pd.DataFrame(rows, columns=["doc_id", "text"])
+    docs["lang"] = [("en", "de", "fr")[i % 3] for i in range(len(docs))]
+    docs["source"] = [("web", "book")[i % 2] for i in range(len(docs))]
+    docs["n_chars"] = docs.text.str.len().astype("int64")
+    write("documents", docs)
+    n_v, dim = 500, 64
+    emb = rng.randn(n_v, dim).astype("float32")
+    for j in range(10):  # planted near-identical vectors
+        emb[n_v - 1 - j] = emb[j] + rng.randn(dim).astype("float32") * 0.01
+    epdf = pd.DataFrame({
+        "vec_id": np.arange(n_v, dtype="int64"),
+        "embedding": [list(map(float, r)) for r in emb],
+        "label": rng.randint(0, 16, n_v).astype("int32"),
+    })
+    con.register("_emb", epdf)
+    con.execute(
+        "COPY (SELECT vec_id, CAST(embedding AS FLOAT[]) AS embedding, label"
+        f" FROM _emb) TO '{out}/embeddings.parquet'"
+    )
+    con.close()
+
+
+def main() -> int:
+    import glob
+
+    from hive3_replication_spark.llm.dedup import clear_caches
+    from hive3_replication_spark.registry import build_oracles, build_queries
+    from hive3_replication_spark.session import get_spark
+    from tests.conftest import assert_frames_match
+
+    seeds = [int(s) for s in sys.argv[1:]] or [11]
+    spark = get_spark(app_name="h3r-fuzz")
+    spark.sparkContext.setLogLevel("ERROR")
+    q, o = build_queries(), build_oracles()
+    rc = 0
+    for seed in seeds:
+        sf = tempfile.mkdtemp(prefix=f"h3r_fuzz{seed}_")
+        gen(seed, sf)
+        con = duckdb.connect()
+        for p in glob.glob(f"{sf}/*.parquet"):
+            name = p.split("/")[-1].replace(".parquet", "")
+            con.execute(f"CREATE VIEW {name} AS SELECT * FROM '{p}'")
+        bad = []
+        for key in q:
+            clear_caches()
+            try:
+                assert_frames_match(
+                    q[key](spark, sf).toPandas(), con.sql(o[key]).df(), key
+                )
+            except Exception as exc:  # noqa: BLE001 — report and continue
+                bad.append(key)
+                print(f"FAIL {key}@seed{seed}: {str(exc)[:200]}")
+        print(f"seed {seed}: {len(q) - len(bad)}/{len(q)} keys match")
+        rc |= int(bool(bad))
+    return rc
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
