@@ -317,3 +317,53 @@ def test_random_star_parity(spark, tmp_path_factory, key, seed):
     oracle_pdf = con.sql(build_oracles()[key]).df()
     assert_frames_match(spark_pdf, oracle_pdf, f"{key}@seed{seed}")
 
+
+
+def test_degenerate_boilerplate_corpus(spark, tmp_path_factory):
+    """The boilerplate-heavy shape every dedup docstring worries about:
+    200 IDENTICAL documents (one shingle set shared by the whole block)
+    plus 100 random ones. Every blocking scheme's bucket holds the whole
+    duplicate group, so this pins the cap-boundary and full-clique
+    behavior cross-engine (C(200,2) pairs must enumerate identically)."""
+    import numpy as np
+
+    from hive3_replication_spark.llm.dedup import clear_caches
+    from hive3_replication_spark.registry import build_oracles, build_queries
+
+    rng = np.random.RandomState(3)
+    vocab = [f"w{i}" for i in range(30)]
+    boiler = " ".join(vocab[int(rng.randint(30))] for _ in range(25))
+    rows = [(d, boiler) for d in range(200)]
+    for d in range(200, 300):
+        rows.append((d, " ".join(vocab[int(rng.randint(30))]
+                                 for _ in range(int(rng.randint(3, 30))))))
+    pdf = pd.DataFrame(rows, columns=["doc_id", "text"])
+    pdf["lang"] = ["en"] * len(pdf)
+    pdf["source"] = ["web"] * len(pdf)
+    pdf["n_chars"] = pdf.text.str.len().astype("int64")
+    out = str(tmp_path_factory.mktemp("boiler"))
+    spark.createDataFrame(pdf).coalesce(1).write.parquet(
+        f"{out}/documents.parquet"
+    )
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"'{out}/documents.parquet/*.parquet'"
+    )
+    q, o = build_queries(), build_oracles()
+    for key in (
+        "llm_dedup_exact",
+        "llm_dedup_minhash",
+        "llm_dedup_clusters",
+        "llm_dedup_minhash_clusters",
+        "llm_dedup_semantic",
+        "llm_split_leakage_safe",
+        "llm_dedup_graph_stats",
+    ):
+        clear_caches()
+        assert_frames_match(
+            q[key](spark, out).toPandas(), con.sql(o[key]).df(), key
+        )
+    # the 200-clique enumerates completely (bucket of 200 < the 1000 cap)
+    clear_caches()
+    assert q["llm_dedup_minhash"](spark, out).count() >= 200 * 199 // 2
