@@ -58,71 +58,52 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 
 #: Sweep order for queries(): DRIVER-COVERAGE FIRST. The external verify
 #: driver cuts at ~50 keys per round BY COUNT, so the front block must hold
-#: exactly the keys we most need a driver stamp for. Round-4 rotation
-#: (VERDICT r3 item 1 + ADVICE): (a) brand-new round-4 keys first; (b) the
-#: 4 keys whose DuckDB oracle is NEW as of round 3 (minhash/simhash/ivf/lsh
-#: were upgraded from rows-only — an oracle bug there must surface now, not
-#: in round 6); (c) the full never-driver-verified sql_* workload family
-#: (the verdict's priority); (d) the remaining never-verified keys,
-#: cheapest-first per scripts/profile_sweep.py, so the leftover slots stamp
-#: the most keys — the ~34 that miss the 50-cut land in round 5; (e) keys
-#: already driver-verified, most-recent-round last. Keys missing from this
-#: list (new operators between profilings) are appended alphabetically, so
-#: registration never breaks on an unprofiled key.
+#: exactly the keys we most need a driver stamp for. Round-5 rotation
+#: (VERDICT r4 item 1): (a) the 41 keys that have NEVER had a driver row —
+#: after round 4's 50/50 pass these are the only unstamped keys left, and
+#: they fit in one round, closing cumulative driver coverage at 220/220;
+#: kept cheapest-first per scripts/profile_sweep.py within the block.
+#: Includes stream_event_replay / stream_watermark_advance — the
+#: reference's core REPL LOAD / REPL STATUS semantics (HQL/replload.hql:5,
+#: HQL/replstatus.hql:4). (b) the multimodal family, re-stamped because
+#: round 5 replaces the fake decoder with a real pure-Python header decode
+#: (llm/multimodal.py) — a behavior change needs a fresh driver row even
+#: though the keys passed in r2/r3; (c) oldest-stamp-first refresh (r1
+#: keys) to fill the remaining slots; (d) everything else, most-recent
+#: stamp last. Keys missing from this list (new operators between
+#: profilings) are appended alphabetically, so registration never breaks
+#: on an unprofiled key.
 _SWEEP_ORDER: tuple[str, ...] = (
-    # (a) round-4 additions — never profiled, never driver-seen
-    "llm_dedup_semantic", "llm_split_leakage_safe", "llm_serving_e2e",
-    "llm_ann_index_probe", "llm_dedup_minhash_clusters",
-    "ts_seasonal_profile", "ts_gap_detect",
-    # (b) oracle upgraded r3 (md5-literal rewrite) but never driver-run
-    "llm_dedup_minhash", "llm_dedup_simhash", "llm_ann_ivf", "llm_ann_lsh",
-    # (c) sql_* workload family, all never driver-verified
-    "sql_promo_revenue", "sql_pricing_summary", "sql_discount_revenue",
-    "sql_shipmode_priority", "sql_small_quantity_revenue",
-    "sql_top_supplier", "sql_returned_items", "sql_order_priority",
-    "sql_inactive_customer_balance", "sql_waiting_supplier",
-    "sql_shipping_priority", "sql_parts_supplier_count",
-    "sql_product_profit", "sql_customer_distribution", "sql_nation_volume",
-    "sql_large_volume_customer", "sql_market_share",
-    "sql_local_supplier_volume", "sql_recursive_hierarchy",
-    # (d) remaining never-driver-verified, cheapest-first (sf0.01 profile)
-    "win_first_value", "win_ntile", "llm_text_repetition",
-    "llm_shard_assign", "udf_arrow", "ts_ohlc", "llm_text_bigrams",
-    "ts_resample", "set_intersect", "ts_rollup_hypertable", "scan_xml",
-    "join_range", "join_skew_salted", "agg_corr", "scan_binaryfile",
-    "llm_embed_quantize", "fn_crypto_roundtrip", "llm_sample_temperature",
-    "udf_grouped_agg", "llm_mix_sources", "llm_similarity_topk",
-    "llm_text_entropy", "udf_table_udtf", "ts_retention_cohort",
-    "udf_table", "llm_doc_embed_hash", "scan_schema_evolution",
-    "llm_vocab_coverage", "win_distinct_running", "agg_dq_checks",
-    "agg_regression", "llm_text_unigram_nll", "stream_event_replay",
-    "ts_sessionize", "agg_count_min", "llm_knn_join",
-    "join_bloom_prefilter", "ts_fill_forward", "merge_scd2",
-    "llm_eval_confusion", "ts_ewma", "filter_dpp", "llm_text_keywords",
-    "llm_dedup_graph_stats", "llm_dedup_spans", "llm_contamination",
-    "llm_ann_rescore", "ts_funnel", "ts_anomaly_zscore", "ts_interpolate",
-    "llm_dedup_embed", "stream_watermark_advance", "scan_pysource",
-    "llm_eval_ranking", "llm_dedup_incremental", "fn_param_sql",
-    "fn_collate", "llm_dedup_clusters", "llm_cluster_kmeans",
-    "stream_stateful_progress", "llm_pipeline_e2e",
-    # (e) driver-verified in r3 — rotate behind the never-verified block
-    "agg_table_profile", "agg_approx_distinct", "agg_hll_sketch",
-    "agg_approx_percentile", "ts_changepoint", "llm_corpus_shuffle",
-    "llm_tokenizer_apply", "llm_bpe_merges", "llm_ann_batch",
-    "llm_embed_pq", "llm_pack_sequences", "win_lag", "llm_text_tokens",
-    "join_asof_forward", "llm_text_langid", "set_except",
-    "stream_divergence", "llm_text_profile", "fn_datetime_extract",
-    "llm_dedup_exact", "llm_chunk_windows", "stream_sliding",
-    "agg_string_agg", "agg_grouping_sets", "llm_multimodal",
-    "win_running_sum", "llm_dedup_ngram", "win_topk_per_group",
-    "fn_levenshtein", "agg_bitmap_distinct", "stream_late_data",
-    "win_range_frame", "win_latest_per_group", "stream_consistent_cut",
-    "llm_text_fingerprint", "stream_dedup", "llm_multimodal_frames",
-    "stream_session", "fn_try_arith", "fn_concat", "fn_variant",
-    "fn_date_arith", "reshape_pivot", "set_union", "win_distribution",
-    "sort_events", "stream_stream_join", "agg_mode",
-    "llm_multimodal_features", "agg_skew_salted",
-    # (e) driver-verified in r2
+    # (a) the 41 never-driver-stamped keys, cheapest-first
+    "llm_similarity_topk", "llm_text_entropy", "udf_table_udtf",
+    "ts_retention_cohort", "udf_table", "llm_doc_embed_hash",
+    "scan_schema_evolution", "llm_vocab_coverage", "win_distinct_running",
+    "agg_dq_checks", "agg_regression", "llm_text_unigram_nll",
+    "stream_event_replay", "ts_sessionize", "agg_count_min",
+    "llm_knn_join", "join_bloom_prefilter", "ts_fill_forward",
+    "merge_scd2", "llm_eval_confusion", "ts_ewma", "filter_dpp",
+    "llm_text_keywords", "llm_dedup_graph_stats", "llm_dedup_spans",
+    "llm_contamination", "llm_ann_rescore", "ts_funnel",
+    "ts_anomaly_zscore", "ts_interpolate", "llm_dedup_embed",
+    "stream_watermark_advance", "scan_pysource", "llm_eval_ranking",
+    "llm_dedup_incremental", "fn_param_sql", "fn_collate",
+    "llm_dedup_clusters", "llm_cluster_kmeans", "stream_stateful_progress",
+    "llm_pipeline_e2e",
+    # (b) round-5 additions — never driver-seen
+    "llm_perplexity_filter", "llm_curriculum_order",
+    # (b) multimodal family — real header decode landed in round 5
+    "llm_multimodal", "llm_multimodal_resize", "llm_multimodal_frames",
+    "llm_multimodal_features",
+    # (c) oldest stamps (r1) — refresh in the leftover top-50 slots
+    "agg_distinct", "agg_arg_max", "join_anti", "agg_histogram",
+    "agg_groupby", "scan_bucketed", "join_semi",
+    "scan_csv", "agg_rollup", "join_theta", "join_left", "jdbc_sink",
+    "row_offset_filter", "agg_percentile", "scan_json", "join_full",
+    "join_sortmerge", "join_snapshot_diff", "join_broadcast", "join_asof",
+    "join_watermark_compare", "log_append", "scan_orc", "jdbc_source",
+    "agg_max_watermark", "agg_stats", "snapshot_dump", "parallel_copy",
+    "snapshot_load",
+    # (d) driver-verified in r2
     "fn_regexp_extract",
     "scan_text", "filter_prefix", "filter_null", "fn_array", "fn_url",
     "filter_multi_rlike", "sort_top1", "filter_table_class",
@@ -136,17 +117,42 @@ _SWEEP_ORDER: tuple[str, ...] = (
     "llm_text_quality", "stream_tumbling", "agg_cube", "stream_retry",
     "llm_quality_classifier", "fn_div_mod", "filter_gt_watermark",
     "stream_incremental_dump", "udf_scalar", "reshape_struct_flatten",
-    "llm_multimodal_resize", "scan_partitioned", "agg_pending_count",
-    "agg_duration",
-    # (e) driver-verified in r1
-    "agg_distinct", "agg_arg_max", "join_anti",
-    "agg_histogram", "agg_groupby", "scan_bucketed", "join_semi",
-    "scan_csv", "agg_rollup", "join_theta", "join_left", "jdbc_sink",
-    "row_offset_filter", "agg_percentile", "scan_json", "join_full",
-    "join_sortmerge", "join_snapshot_diff", "join_broadcast", "join_asof",
-    "join_watermark_compare", "log_append", "scan_orc", "jdbc_source",
-    "agg_max_watermark", "agg_stats", "snapshot_dump", "parallel_copy",
-    "snapshot_load",
+    "scan_partitioned", "agg_pending_count", "agg_duration",
+    # (d) driver-verified in r3
+    "agg_table_profile", "agg_approx_distinct", "agg_hll_sketch",
+    "agg_approx_percentile", "ts_changepoint", "llm_corpus_shuffle",
+    "llm_tokenizer_apply", "llm_bpe_merges", "llm_ann_batch",
+    "llm_embed_pq", "llm_pack_sequences", "win_lag", "llm_text_tokens",
+    "join_asof_forward", "llm_text_langid", "set_except",
+    "stream_divergence", "llm_text_profile", "fn_datetime_extract",
+    "llm_dedup_exact", "llm_chunk_windows", "stream_sliding",
+    "agg_string_agg", "agg_grouping_sets",
+    "win_running_sum", "llm_dedup_ngram", "win_topk_per_group",
+    "fn_levenshtein", "agg_bitmap_distinct", "stream_late_data",
+    "win_range_frame", "win_latest_per_group", "stream_consistent_cut",
+    "llm_text_fingerprint", "stream_dedup",
+    "stream_session", "fn_try_arith", "fn_concat", "fn_variant",
+    "fn_date_arith", "reshape_pivot", "set_union", "win_distribution",
+    "sort_events", "stream_stream_join", "agg_mode", "agg_skew_salted",
+    # (d) driver-verified in r4 — freshest stamps, last
+    "llm_dedup_semantic", "llm_split_leakage_safe", "llm_serving_e2e",
+    "llm_ann_index_probe", "llm_dedup_minhash_clusters",
+    "ts_seasonal_profile", "ts_gap_detect",
+    "llm_dedup_minhash", "llm_dedup_simhash", "llm_ann_ivf", "llm_ann_lsh",
+    "sql_promo_revenue", "sql_pricing_summary", "sql_discount_revenue",
+    "sql_shipmode_priority", "sql_small_quantity_revenue",
+    "sql_top_supplier", "sql_returned_items", "sql_order_priority",
+    "sql_inactive_customer_balance", "sql_waiting_supplier",
+    "sql_shipping_priority", "sql_parts_supplier_count",
+    "sql_product_profit", "sql_customer_distribution", "sql_nation_volume",
+    "sql_large_volume_customer", "sql_market_share",
+    "sql_local_supplier_volume", "sql_recursive_hierarchy",
+    "win_first_value", "win_ntile", "llm_text_repetition",
+    "llm_shard_assign", "udf_arrow", "ts_ohlc", "llm_text_bigrams",
+    "ts_resample", "set_intersect", "ts_rollup_hypertable", "scan_xml",
+    "join_range", "join_skew_salted", "agg_corr", "scan_binaryfile",
+    "llm_embed_quantize", "fn_crypto_roundtrip", "llm_sample_temperature",
+    "udf_grouped_agg", "llm_mix_sources",
 )
 
 
@@ -247,6 +253,10 @@ def _prewarm_body(spark: SparkSession, sf_dir: str) -> None:
         pass
     try:  # cell-partitioned IVF index layout (llm_ann_index_probe)
         _similarity.ann_index_path(spark, sf_dir)
+    except Exception:  # noqa: BLE001
+        pass
+    try:  # real-image fixture layout (llm_multimodal / _resize)
+        _multimodal.image_files_path(spark, sf_dir)
     except Exception:  # noqa: BLE001
         pass
 

@@ -18,6 +18,11 @@ from pathlib import Path
 _entry_path = Path(__file__).resolve().parent.parent / "__spark_entry__.py"
 _spec = importlib.util.spec_from_file_location("__spark_entry__", _entry_path)
 _entry = importlib.util.module_from_spec(_spec)
+# setdefault (not assignment): if a driver process already imported
+# __spark_entry__ under its canonical name, reuse that module object
+# rather than shadowing it — otherwise the file would execute under two
+# module identities in one process (harmless today since the module holds
+# no mutable state, but worth not relying on).
 sys.modules.setdefault("__spark_entry__", _entry)
 _spec.loader.exec_module(_entry)
 
