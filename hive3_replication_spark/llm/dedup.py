@@ -1051,11 +1051,14 @@ _NGRAM_PAIR_CTES = f"""
         )
 """
 
-def _minhash_oracle_sql() -> str:
-    """DuckDB SQL replaying the EXACT MinHash+LSH pipeline — same md5
-    base hash, same literal permutation/band constants — so the driver's
-    value-hash comparison holds bit-for-bit. Generated from the module
-    constants so Spark code and oracle cannot drift."""
+def _minhash_pair_ctes() -> str:
+    """The shared MinHash+LSH CTE chain (shingles → md5 hashes →
+    signatures → bands → capped buckets → pairs → ``scored``), composed by
+    BOTH oracle builders below — neither parses the other's generated SQL
+    (ADVICE r4: the old rsplit-on-final-SELECT surgery broke silently on
+    any rewording). Same md5 base hash and literal permutation/band
+    constants as the Spark pipeline, generated from the module constants
+    so code and oracle cannot drift."""
     m = _MERSENNE
     r = MINHASH_PERMS // MINHASH_BANDS
     mins = ",\n                   ".join(
@@ -1075,8 +1078,7 @@ def _minhash_oracle_sql() -> str:
         f"SELECT doc_id, {b} AS band, {bucket(b)} AS bucket FROM sig"
         for b in range(MINHASH_BANDS)
     )
-    return f"""
-        WITH {_SHINGLE_CTES},
+    return f"""{_SHINGLE_CTES},
         hsh AS (
             SELECT doc_id,
                    CAST(('0x' || substr(md5(shingle), 1, 8)) AS BIGINT)
@@ -1108,7 +1110,14 @@ def _minhash_oracle_sql() -> str:
             FROM pairs
             JOIN sig sa ON sa.doc_id = doc_a
             JOIN sig sb ON sb.doc_id = doc_b
-        )
+        )"""
+
+
+def _minhash_oracle_sql() -> str:
+    """DuckDB SQL replaying the EXACT MinHash+LSH pipeline — the driver's
+    value-hash comparison holds bit-for-bit (CTEs: _minhash_pair_ctes)."""
+    return f"""
+        WITH {_minhash_pair_ctes()}
         SELECT doc_a, doc_b, est_jaccard FROM scored
         WHERE est_jaccard >= 0.25
     """
@@ -1116,12 +1125,9 @@ def _minhash_oracle_sql() -> str:
 
 def _minhash_clusters_oracle_sql() -> str:
     """Recursive-CTE transitive closure over the MinHash pair graph: the
-    shared pair CTEs of ``_minhash_oracle_sql`` (same threshold) feed the
+    shared pair CTEs (``_minhash_pair_ctes``, same threshold) feed the
     same closure shape as the ngram clusters oracle."""
-    base = _minhash_oracle_sql()
-    # reuse everything up to the final SELECT as the pair CTE chain
-    ctes = base.rsplit("SELECT doc_a, doc_b, est_jaccard", 1)[0].strip()
-    ctes = ctes[len("WITH "):].rstrip().rstrip(",")
+    ctes = _minhash_pair_ctes()
     return f"""
         WITH RECURSIVE {ctes},
         mp AS (SELECT doc_a, doc_b FROM scored WHERE est_jaccard >= 0.25),

@@ -9,13 +9,13 @@ cells before scoring so the exact scorer touches ~n/cells vectors.
 
 from __future__ import annotations
 
-import tempfile
 import threading
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
+from ..util import scratch_dir
 
 
 def _dot(a: F.Column, b: F.Column) -> F.Column:
@@ -209,7 +209,7 @@ def ann_index_path(spark: SparkSession, sf_dir: str) -> str:
     sf_dir) like the partitioned/bucketed layouts in sources.readers."""
     with _INDEX_LOCK:
         if sf_dir not in _INDEX_CACHE:
-            out = tempfile.mkdtemp(prefix="h3r_ivf_") + "/embeddings_by_cell"
+            out = scratch_dir(prefix="h3r_ivf_") + "/embeddings_by_cell"
             emb = load_table(spark, sf_dir, "embeddings")
             (
                 emb.withColumn("cell", F.col("label"))

@@ -8,7 +8,6 @@ payloads (vectorized reader + pushdown), JDBC for warehouse endpoints
 
 from __future__ import annotations
 
-import tempfile
 import threading
 
 from pyspark.sql import DataFrame, SparkSession
@@ -16,6 +15,7 @@ from pyspark.sql import functions as F
 
 from ..catalog import load_table
 from ..session import ensure_engine_confs
+from ..util import scratch_dir
 
 #: Embedded Derby (in the Spark JVM) stands in for the HiveServer2 JDBC
 #: endpoints (env.sh:4-5) — same spark.read/write.jdbc code path a real
@@ -112,7 +112,7 @@ def scan_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
     §1.2): round-trip a slice of events through csv and read it back."""
     ensure_engine_confs(spark)
     events = load_table(spark, sf_dir, "events")
-    out = tempfile.mkdtemp(prefix="h3r_csv_") + "/events_csv"
+    out = scratch_dir(prefix="h3r_csv_") + "/events_csv"
     slice_df = events.filter(F.col("event_id") < 500).select(
         "event_id", "user_id", "event_type"
     )
@@ -129,7 +129,7 @@ def scan_orc(spark: SparkSession, sf_dir: str) -> DataFrame:
     format."""
     ensure_engine_confs(spark)
     events = load_table(spark, sf_dir, "events")
-    out = tempfile.mkdtemp(prefix="h3r_orc_") + "/events_orc"
+    out = scratch_dir(prefix="h3r_orc_") + "/events_orc"
     slice_df = events.filter(F.col("event_id") < 500).select(
         "event_id", "user_id", "value"
     )
@@ -144,7 +144,7 @@ def scan_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     round-trip contract as scan_csv."""
     ensure_engine_confs(spark)
     events = load_table(spark, sf_dir, "events")
-    out = tempfile.mkdtemp(prefix="h3r_json_") + "/events_json"
+    out = scratch_dir(prefix="h3r_json_") + "/events_json"
     slice_df = events.filter(F.col("event_id") < 500).select(
         "event_id", "event_type", "value"
     )
@@ -163,7 +163,7 @@ def scan_xml(spark: SparkSession, sf_dir: str) -> DataFrame:
     text-based source."""
     ensure_engine_confs(spark)
     events = load_table(spark, sf_dir, "events")
-    out = tempfile.mkdtemp(prefix="h3r_xml_") + "/events_xml"
+    out = scratch_dir(prefix="h3r_xml_") + "/events_xml"
     slice_df = events.filter(F.col("event_id") < 500).select(
         "event_id", "event_type", "value"
     )
@@ -214,7 +214,7 @@ def scan_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     avoids even that."""
     ensure_engine_confs(spark)
     events = load_table(spark, sf_dir, "events")
-    out = tempfile.mkdtemp(prefix="h3r_evo_") + "/events_evo"
+    out = scratch_dir(prefix="h3r_evo_") + "/events_evo"
     old = events.filter(F.col("event_id") < 200).select(
         "event_id", "event_type"
     )
@@ -245,7 +245,7 @@ def partitioned_events_path(spark: SparkSession, sf_dir: str) -> str:
 
 def _partitioned_events_path_locked(spark: SparkSession, sf_dir: str) -> str:
     if sf_dir not in _PARTITIONED_CACHE:
-        out = tempfile.mkdtemp(prefix="h3r_part_") + "/events_by_day"
+        out = scratch_dir(prefix="h3r_part_") + "/events_by_day"
         events = load_table(spark, sf_dir, "events")
         (
             events.withColumn("event_date", F.to_date("ts"))
@@ -302,7 +302,7 @@ def _bucketed_tables_locked(spark: SparkSession, sf_dir: str) -> tuple[str, str]
     )
     names = (f"h3r_orders_b{tag}", f"h3r_lineitem_b{tag}")
     if sf_dir not in _BUCKETED_READY:
-        root = tempfile.mkdtemp(prefix="h3r_bucketed_")
+        root = scratch_dir(prefix="h3r_bucketed_")
         for name, table, key in (
             (names[0], "orders", "o_orderkey"),
             (names[1], "lineitem", "l_orderkey"),
@@ -381,7 +381,7 @@ def binary_docs_path(spark: SparkSession, sf_dir: str) -> str:
     (process, sf_dir) and lock-guarded like the other layouts."""
     with _LAYOUT_LOCK:
         if sf_dir not in _BINARYFILE_CACHE:
-            out = tempfile.mkdtemp(prefix="h3r_binfiles_")
+            out = scratch_dir(prefix="h3r_binfiles_")
             rows = (
                 load_table(spark, sf_dir, "documents")
                 .filter(F.col("doc_id") % 7 == 0)

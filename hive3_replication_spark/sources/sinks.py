@@ -8,7 +8,6 @@ verifiable summary DataFrame; the real pipeline entry points live in
 
 from __future__ import annotations
 
-import tempfile
 from concurrent.futures import ThreadPoolExecutor
 
 from pyspark.sql import DataFrame, SparkSession
@@ -18,7 +17,7 @@ from ..catalog import load_table
 from ..repl.model import ReplConfig
 from ..repl.snapshot import bootstrap_dump, bootstrap_load
 from ..session import ensure_engine_confs
-from ..util import rows_df
+from ..util import rows_df, scratch_dir
 
 #: Managed tables included in a default dump (external excluded, env.sh:8)
 #: plus the events stream (the replication transport).
@@ -35,7 +34,7 @@ _SNAPSHOT_TABLES = (
 
 
 def _tmp_cfg(sf_dir: str, tag: str) -> tuple[ReplConfig, str, str]:
-    root = tempfile.mkdtemp(prefix=f"h3r_{tag}_")
+    root = scratch_dir(prefix=f"h3r_{tag}_")
     cfg = ReplConfig(
         db_name="repltest",
         source_root=sf_dir,
@@ -85,7 +84,7 @@ def log_append(spark: SparkSession, sf_dir: str) -> DataFrame:
     lines tee'd to console+file): two appends, then read back the level
     counts. Rows-only check (timestamps are wall-clock)."""
     ensure_engine_confs(spark)
-    log_dir = tempfile.mkdtemp(prefix="h3r_log_") + "/runlog"
+    log_dir = scratch_dir(prefix="h3r_log_") + "/runlog"
     for batch, level in ((1, "INFO"), (2, "ERROR")):
         rows = rows_df(
             spark,
@@ -107,7 +106,7 @@ def parallel_copy(spark: SparkSession, sf_dir: str) -> DataFrame:
     controls writer fan-out. Rows-only check (file layout is env-specific).
     """
     ensure_engine_confs(spark)
-    out = tempfile.mkdtemp(prefix="h3r_copy_") + "/lineitem_copy"
+    out = scratch_dir(prefix="h3r_copy_") + "/lineitem_copy"
     src = load_table(spark, sf_dir, "lineitem")
     # 8-way writer fan-out stands in for hive.repl.parallel.copy.tasks=500
     src.repartition(8).write.mode("overwrite").parquet(out)

@@ -14,7 +14,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
-from ..util import rows_df
+from ..util import rows_df, scratch_dir
 
 
 def stream_incremental_dump(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -214,11 +214,9 @@ def stream_stateful_progress(spark: SparkSession, sf_dir: str) -> DataFrame:
     argmax per user — so the custom operator gets a full SQL oracle: the
     state machine must converge to exactly what one batch aggregation
     computes, whatever the micro-batch cut points were."""
-    import tempfile
-
     from .stateful import run_stateful_progress_stream
 
-    ckpt = tempfile.mkdtemp(prefix="h3r_stateful_ck_")
+    ckpt = scratch_dir(prefix="h3r_stateful_ck_")
     return run_stateful_progress_stream(spark, sf_dir, ckpt).select(
         "user_id", "n_events", "max_event_id", "last_value"
     )

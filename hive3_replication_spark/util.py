@@ -2,11 +2,39 @@
 
 from __future__ import annotations
 
+import atexit
+import shutil
+import tempfile
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import DataType, StructType
 
 from pyspark.sql.types import _parse_datatype_string  # noqa: PLC2701
+
+#: Scratch dirs created this process, removed at interpreter exit.
+_SCRATCH_DIRS: list[str] = []
+
+
+def _cleanup_scratch() -> None:  # pragma: no cover - exit hook
+    for d in _SCRATCH_DIRS:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+atexit.register(_cleanup_scratch)
+
+
+def scratch_dir(prefix: str) -> str:
+    """``tempfile.mkdtemp`` with registered end-of-process cleanup.
+
+    All derived test-scaffold layouts (alt-format copies of the fixture
+    tables, partitioned/bucketed layouts, the persisted IVF index) are
+    cached per (process, sf_dir); without cleanup each bench/test run
+    leaked one copy per layout (ADVICE r4). Cleanup runs at exit, after
+    any Spark jobs that read the layout."""
+    d = tempfile.mkdtemp(prefix=prefix)
+    _SCRATCH_DIRS.append(d)
+    return d
 
 
 def rows_df(

@@ -24,41 +24,65 @@ plain parquet-per-table dir usable as any other sf_dir.
 
 from __future__ import annotations
 
+import hashlib
 import os
 import sys
-
-#: Per-copy id strides chosen >> any fixture id so copies never collide.
-_DOC_STRIDE = 1_000_000
-_VEC_STRIDE = 1_000_000
-_EVT_STRIDE = 10_000_000
-_USER_STRIDE = 10_000_000
 
 _FIXED = ("region", "nation", "part")
 
 
+def _src_token(src: str) -> str:
+    """Fingerprint of the resolved source dir: path + per-file (name, size,
+    mtime). Part of the idempotency marker so a probe dir built from a
+    DIFFERENT base SF (or a regenerated one) is rebuilt instead of silently
+    reused with a stale/mismatched base (ADVICE r4)."""
+    h = hashlib.sha256(os.path.realpath(src).encode())
+    for name in sorted(os.listdir(src)):
+        p = os.path.join(src, name)
+        st = os.stat(p)
+        h.update(f"{name}:{st.st_size}:{int(st.st_mtime)}".encode())
+    return h.hexdigest()[:16]
+
+
 def generate(src: str, dst: str, factor: int = 10) -> str:
     """Materialize ``dst`` as ``factor`` integrity-preserving copies of
-    ``src``. Idempotent: returns immediately if the marker file exists."""
+    ``src``. Idempotent per (factor, source fingerprint): returns
+    immediately iff the marker for THIS source exists; a marker from a
+    different source triggers a rebuild."""
     import duckdb
 
-    marker = os.path.join(dst, f".complete_x{factor}")
+    src = src.rstrip("/")
+    marker = os.path.join(dst, f".complete_x{factor}_{_src_token(src)}")
     if os.path.exists(marker):
         return dst
     os.makedirs(dst, exist_ok=True)
+    for stale in os.listdir(dst):  # drop any prior build (different source)
+        if stale.startswith(".complete_x"):
+            os.unlink(os.path.join(dst, stale))
     con = duckdb.connect()
-    src = src.rstrip("/")
 
     def t(name: str) -> str:
         return f"'{src}/{name}.parquet'"
 
+    # Every shifted id family strides by MAX(id)+1 from the actual source
+    # (never a hardcoded constant), so copies cannot collide at any base SF
+    # (ADVICE r4: fixed 1M/10M strides would alias at sf1+).
     strides = {
         name: con.sql(f"SELECT MAX({key}) + 1 FROM {t(name)}").fetchone()[0]
         for name, key in (
             ("customer", "c_custkey"),
             ("supplier", "s_suppkey"),
             ("orders", "o_orderkey"),
+            ("events", "event_id"),
+            ("user", "user_id"),  # events.user_id, see below
+            ("documents", "doc_id"),
+            ("embeddings", "vec_id"),
         )
+        if name != "user"
     }
+    strides["user"] = con.sql(
+        f"SELECT MAX(user_id) + 1 FROM {t('events')}"
+    ).fetchone()[0]
     ks = ", ".join(str(k) for k in range(factor))
     copies = f"(SELECT unnest([{ks}]) AS k)"
 
@@ -92,14 +116,14 @@ def generate(src: str, dst: str, factor: int = 10) -> str:
               FROM {t('lineitem')}, {copies})
         TO '{dst}/lineitem.parquet'""")
     con.sql(f"""
-        COPY (SELECT event_id + k * {_EVT_STRIDE} AS event_id, ts,
-                     user_id + k * {_USER_STRIDE} AS user_id,
+        COPY (SELECT event_id + k * {strides['events']} AS event_id, ts,
+                     user_id + k * {strides['user']} AS user_id,
                      event_type, value, props
               FROM {t('events')}, {copies})
         TO '{dst}/events.parquet'""")
     # per-copy token suffix: copy 0 keeps the original text verbatim
     con.sql(f"""
-        COPY (SELECT doc_id + k * {_DOC_STRIDE} AS doc_id,
+        COPY (SELECT doc_id + k * {strides['documents']} AS doc_id,
                      CASE WHEN k = 0 THEN text
                           ELSE regexp_replace(text, '(\\S+)',
                                               '\\1x' || k, 'g') END AS text,
@@ -111,7 +135,7 @@ def generate(src: str, dst: str, factor: int = 10) -> str:
               FROM {t('documents')}, {copies})
         TO '{dst}/documents.parquet'""")
     con.sql(f"""
-        COPY (SELECT vec_id + k * {_VEC_STRIDE} AS vec_id, embedding, label
+        COPY (SELECT vec_id + k * {strides['embeddings']} AS vec_id, embedding, label
               FROM {t('embeddings')}, {copies})
         TO '{dst}/embeddings.parquet'""")
     con.close()
