@@ -1,17 +1,25 @@
 """Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (default
 sf0.1) on local[$SPARK_GRAFT_CPUS].
 
-Prints ONE JSON line:
+Prints ONE COMPACT JSON line (< 2000 chars — the verify driver captures
+only a 2000-char stdout tail, so rounds 3-4 lost the full per-key JSON to
+truncation; VERDICT r4 item 2):
   {"metric": "...", "value": <total_sec>, "unit": "sec", "runs": N_PASSES,
-   "queries": {"<name>": <sec>, ...},
+   "queries": {"<name>": <sec>, ...10 slowest only...},
+   "n_queries": <headline count>,
    "e2e": {"repl_bootstrap_e2e": <sec>, "repl_incremental_e2e": <sec>},
-   "scale_probe": {"factor": 10, "keys": {"<name>": {"base_sec": s,
-    "x10_sec": s, "ratio": r}}, "e2e_x10": {...}},
-   "sf": <sf>}
+   "scale_ratios": {"<name>": <x10/base>, ...}, "e2e_x10": {...},
+   "pairs": {"ngram_base": n, "ngram_x10": n},
+   "detail_file": "BENCH_DETAIL.json", "sf": <sf>}
+
+The FULL per-key record (all headline timings, complete scale-probe
+rows, e2e) is written to ``detail_file`` at the repo root — committed
+per-round as the durable timing history.
 
 (`queries_min`, emitted in rounds 1-3, was identical to `queries` by
 construction — per-query MIN over the passes — and is dropped as of
-round 4; `queries` IS the per-query min.)
+round 4; `queries` IS the per-query min. As of round 5 stdout `queries`
+holds only the 10 slowest; the detail file holds all of them.)
 
 The headline set covers every operator family from SURVEY.md §2: scan
 pushdown, broadcast + shuffle joins, grouped/windowed aggregation, the
@@ -133,7 +141,16 @@ def _bench_replication(spark, sf_dir: str) -> dict[str, float]:
     (``README.md:59-90``: bootstrap 36.7 s, incremental 45.5 s). Setup
     (building a source copy with the last ~10% of events held back) is
     NOT measured; each timed row is one ``run_replication`` call exactly
-    as a production scheduler would invoke it."""
+    as a production scheduler would invoke it.
+
+    Callers wanting the steady-state number should take the min over two
+    calls (``_bench_replication_min``): a single call mixes per-row
+    throughput with first-compile fixed costs (whole-stage codegen for the
+    repl plans), which measured ±1.4 s of pure jitter on identical code —
+    the r3→r4 "regression" (1.49→2.51 s incremental) was exactly this;
+    diagnosed in scripts/diag_e2e_regression.py, where e2e AFTER the
+    headline passes was FASTER than a fresh-session run (warm codegen),
+    ruling out accumulated-state contention."""
     import glob
     import shutil
     import tempfile
@@ -196,19 +213,55 @@ SCALE_PROBE_KEYS = (
     # round-4 composed operators — probed from their first round
     "llm_dedup_semantic",
     "llm_serving_e2e",
+    # round-5 additions (VERDICT r4 item 8): the two production-serving
+    # shapes not previously probed — persisted-index ANN and the
+    # batch-vs-corpus incremental dedup
+    "llm_ann_index_probe",
+    "llm_dedup_incremental",
 )
+
+
+def _bench_replication_min(spark, sf_dir: str, passes: int = N_PASSES):
+    """Per-row min over ``passes`` full e2e runs (see _bench_replication)."""
+    out: dict[str, float] = {}
+    for _p in range(passes):
+        for key, sec in _bench_replication(spark, sf_dir).items():
+            out[key] = min(sec, out.get(key, float("inf")))
+    return out
+
+
+def _ngram_pair_counts(spark, sf_dir: str, probe_dir: str) -> dict:
+    """Candidate-pair volume for the exact-ngram scorer at base and 10x —
+    the denominator behind llm_dedup_ngram's 10x time ratio (VERDICT r4
+    item 5: pair volume, not row count, is the true cost driver; the
+    MAX_BUCKET cap bounds it at O(Σ block²)). Counts the pre-threshold
+    scored relation (min_jaccard=0 keeps every candidate; memo bypassed so
+    the probe never pollutes the production memo)."""
+    from hive3_replication_spark.catalog import load_table
+    from hive3_replication_spark.llm.dedup import ngram_pair_jaccard
+
+    out = {}
+    for tag, d in (("ngram_base", sf_dir), ("ngram_x10", probe_dir)):
+        docs = load_table(spark, d, "documents")
+        out[tag] = ngram_pair_jaccard(
+            docs, f"pairprobe_{tag}", memo_token=None, min_jaccard=0.0
+        ).count()
+    return out
 
 
 def _scale_probe(spark, queries, sf_dir: str) -> dict:
     """Time SCALE_PROBE_KEYS cold (memo caches cleared) at the bench SF and
     at 10x (generated on first use, integrity-preserving — see
     scripts/gen_scale_probe.py), and run the replication e2e at 10x.
-    Emits per-key {base_sec, x10_sec, ratio} plus the 10x e2e rows."""
+    Emits per-key {base_sec, x10_sec, ratio} plus the 10x e2e rows and the
+    ngram candidate-pair counts at both scales."""
     from hive3_replication_spark.llm.dedup import clear_caches
     from scripts.gen_scale_probe import generate
 
+    # default probe dir lives under the repo root (portable — ADVICE r4)
+    repo_root = os.path.dirname(os.path.abspath(__file__))
     probe_dir = os.environ.get(
-        "SPARK_GRAFT_SCALE_DIR", "/root/repo/.scaleprobe/sf1"
+        "SPARK_GRAFT_SCALE_DIR", os.path.join(repo_root, ".scaleprobe", "sf1")
     )
     generate(sf_dir, probe_dir, factor=10)
     # The LSH bucket cap is a SIZE-DEPENDENT tuning parameter (the band
@@ -255,7 +308,12 @@ def _scale_probe(spark, queries, sf_dir: str) -> dict:
         out["keys"][name] = times
     clear_caches()
     try:
-        out["e2e_x10"] = _bench_replication(spark, probe_dir)
+        out["pairs"] = _ngram_pair_counts(spark, sf_dir, probe_dir)
+    except Exception as exc:  # noqa: BLE001 — probe rows are additive
+        print(f"ngram pair-count probe failed: {exc}", file=sys.stderr)
+    clear_caches()
+    try:
+        out["e2e_x10"] = _bench_replication_min(spark, probe_dir)
     except Exception as exc:  # noqa: BLE001 — probe rows are additive
         print(f"x10 replication e2e failed: {exc}", file=sys.stderr)
     return out
@@ -305,8 +363,14 @@ def main() -> None:
                 timings[name] = elapsed
     total = round(sum(timings.values()), 3)
 
+    # Steady-state e2e: min over N_PASSES full pipeline runs (same policy
+    # as the headline per-query min — a single run mixes first-compile
+    # fixed costs into the number; see _bench_replication docstring).
+    # Cleanup first so the measurement starts from a drained block manager.
+    clear_caches()
+    spark.catalog.clearCache()
     try:
-        e2e = _bench_replication(spark, sf_dir)
+        e2e = _bench_replication_min(spark, sf_dir)
     except Exception as exc:  # noqa: BLE001 — e2e rows are additive
         print(f"replication e2e bench failed: {exc}", file=sys.stderr)
         e2e = {}
@@ -317,8 +381,13 @@ def main() -> None:
         print(f"scale probe failed: {exc}", file=sys.stderr)
         scale_probe = {}
 
-    print(
-        json.dumps(
+    sf_num = float(sf) if sf.replace(".", "").isdigit() else sf
+    detail_file = os.environ.get("SPARK_GRAFT_BENCH_DETAIL", "BENCH_DETAIL.json")
+    detail_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), detail_file
+    )
+    with open(detail_path, "w") as fh:
+        json.dump(
             {
                 "metric": "headline_suite_wall_time",
                 "value": total,
@@ -327,10 +396,40 @@ def main() -> None:
                 "queries": timings,
                 "e2e": e2e,
                 "scale_probe": scale_probe,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-            }
+                "sf": sf_num,
+            },
+            fh,
+            indent=1,
         )
+        fh.write("\n")
+
+    # Compact stdout line (< 2000 chars — the driver's capture window):
+    # suite total, the 10 slowest keys, e2e, per-key scale ratios, pair
+    # counts. Everything else lives in the detail file.
+    slowest = dict(
+        sorted(timings.items(), key=lambda kv: kv[1], reverse=True)[:10]
     )
+    compact = {
+        "metric": "headline_suite_wall_time",
+        "value": total,
+        "unit": "sec",
+        "runs": N_PASSES,
+        "n_queries": len(timings),
+        "queries": slowest,
+        "e2e": e2e,
+        "scale_ratios": {
+            k: v.get("ratio") for k, v in scale_probe.get("keys", {}).items()
+        },
+        "pairs": scale_probe.get("pairs", {}),
+        "e2e_x10": scale_probe.get("e2e_x10", {}),
+        "detail_file": detail_file,
+        "sf": sf_num,
+    }
+    line = json.dumps(compact)
+    if len(line) > 1900:  # keep the whole line inside the capture window
+        compact["queries"] = dict(list(slowest.items())[:5])
+        line = json.dumps(compact)
+    print(line)
     spark.stop()
 
 
