@@ -36,6 +36,10 @@ KEYS = (
     "llm_multimodal_resize",
     "llm_multimodal_frames",
     "llm_multimodal_features",
+    # round-5 additions: bigram-perplexity gate (its <2-token sentinel
+    # path only exists on random corpora) and curriculum ordering
+    "llm_perplexity_filter",
+    "llm_curriculum_order",
 )
 
 _SEEDS = (7, 23)
@@ -317,6 +321,58 @@ def test_random_star_parity(spark, tmp_path_factory, key, seed):
     oracle_pdf = con.sql(build_oracles()[key]).df()
     assert_frames_match(spark_pdf, oracle_pdf, f"{key}@seed{seed}")
 
+
+
+#: Join / aggregate / window families over the FULL random dataset
+#: (every table, procedurally generated by scripts.fuzz_registry.gen) at
+#: one seed — the round-5 fold of the exhaustive fuzz's remaining
+#: families into CI (VERDICT r4 item 7). Deterministic on any data: the
+#: engine's decimal accumulation + explicit key tiebreaks (seeds 11/29/37
+#: passed 220/220 in the round-4 exhaustive sweeps).
+FULL_KEYS = (
+    "join_broadcast", "join_left", "join_semi", "join_anti", "join_full",
+    "join_sortmerge", "join_theta", "join_range", "join_asof",
+    "join_asof_forward", "join_snapshot_diff", "join_skew_salted",
+    "join_bloom_prefilter", "join_watermark_compare", "merge_scd2",
+    "agg_groupby", "agg_distinct", "agg_rollup", "agg_cube",
+    "agg_grouping_sets", "agg_histogram", "agg_mode", "agg_conditional",
+    "agg_arg_max", "agg_percentile", "agg_stats", "agg_corr",
+    "agg_regression", "agg_dq_checks", "agg_bitmap_distinct",
+    "agg_count_min", "agg_string_agg", "agg_table_profile",
+    "win_row_number", "win_rank", "win_lag", "win_first_value",
+    "win_ntile", "win_topk_per_group", "win_latest_per_group",
+    "win_distinct_running", "win_distribution", "win_pattern_match",
+)
+
+_FULL_SEED = 11  # the round-4 bug-finding seed
+_FULL_CACHE: dict[int, tuple[str, object]] = {}
+
+
+def _full_dataset(tmp_path_factory, seed: int) -> tuple[str, object]:
+    if seed in _FULL_CACHE:
+        return _FULL_CACHE[seed]
+    from scripts.fuzz_registry import gen
+
+    out = str(tmp_path_factory.mktemp(f"randfull{seed}"))
+    gen(seed, out)
+    import glob
+
+    con = duckdb.connect()
+    for p in glob.glob(f"{out}/*.parquet"):
+        name = p.split("/")[-1].replace(".parquet", "")
+        con.execute(f"CREATE VIEW {name} AS SELECT * FROM '{p}'")
+    _FULL_CACHE[seed] = (out, con)
+    return out, con
+
+
+@pytest.mark.parametrize("key", FULL_KEYS)
+def test_random_full_parity(spark, tmp_path_factory, key):
+    from hive3_replication_spark.registry import build_oracles, build_queries
+
+    sf_dir, con = _full_dataset(tmp_path_factory, _FULL_SEED)
+    spark_pdf = build_queries()[key](spark, sf_dir).toPandas()
+    oracle_pdf = con.sql(build_oracles()[key]).df()
+    assert_frames_match(spark_pdf, oracle_pdf, f"{key}@seed{_FULL_SEED}")
 
 
 def test_degenerate_boilerplate_corpus(spark, tmp_path_factory):
