@@ -334,7 +334,79 @@ def llm_corpus_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Curriculum phase boundaries (token counts) and the phase-shuffle seed.
+_CURR_SHORT = 16
+_CURR_MID = 64
+_CURR_SEED = "curriculum0"
+
+
+def llm_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L28 — curriculum data ordering: assign each document a training
+    PHASE by length tier (short/medium/long token counts — the
+    easy-to-hard axis curriculum schedules actually use) and a
+    deterministic rank within its phase via the md5 shuffle-key idiom of
+    L25, so the loader reads phase 0 ranks 1..n, then phase 1, … and any
+    two runs (any cluster size, any partitioning) produce the identical
+    order. Seed-keyed: a new curriculum seed reshuffles within phases
+    without touching the phase assignment.
+
+    Scale shape: token count and phase are narrow codegen arithmetic;
+    the only exchange is the phase-partitioned window (3 partitions ×
+    local sort — same shape as L25's shard window, and at 100 TB the
+    rank-within-phase would ride the shard writer's existing sort)."""
+    docs = load_table(spark, sf_dir, "documents")
+    n_toks = F.size(F.split(F.col("text"), " "))
+    k = F.conv(
+        F.substring(
+            F.md5(F.concat_ws(":", F.lit(_CURR_SEED), F.col("doc_id"))),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("long")
+    staged = docs.select(
+        "doc_id",
+        F.when(n_toks < _CURR_SHORT, 0)
+        .when(n_toks < _CURR_MID, 1)
+        .otherwise(2)
+        .cast("int")
+        .alias("phase"),
+        n_toks.cast("bigint").alias("n_tokens"),
+        k.alias("k"),
+    )
+    w = Window.partitionBy("phase").orderBy("k", "doc_id")
+    return staged.select(
+        "doc_id",
+        "phase",
+        "n_tokens",
+        F.row_number().over(w).cast("bigint").alias("rank_in_phase"),
+    )
+
+
 ORACLES: dict[str, str] = {
+    "llm_curriculum_order": f"""
+        WITH d AS (
+            SELECT doc_id,
+                   len(string_split(text, ' ')) AS n_tokens,
+                   CAST(('0x' || substr(md5('{_CURR_SEED}:' || doc_id), 1, 8))
+                        AS BIGINT) AS k
+            FROM documents
+        ),
+        p AS (
+            SELECT doc_id,
+                   CAST(CASE WHEN n_tokens < {_CURR_SHORT} THEN 0
+                             WHEN n_tokens < {_CURR_MID} THEN 1
+                             ELSE 2 END AS INTEGER) AS phase,
+                   CAST(n_tokens AS BIGINT) AS n_tokens, k
+            FROM d
+        )
+        SELECT doc_id, phase, n_tokens,
+               CAST(ROW_NUMBER() OVER (
+                   PARTITION BY phase ORDER BY k, doc_id
+               ) AS BIGINT) AS rank_in_phase
+        FROM p
+    """,
     "llm_corpus_shuffle": f"""
         WITH keyed AS (
             SELECT doc_id,
@@ -506,4 +578,5 @@ QUERY_FNS = {
     "llm_sample_temperature": llm_sample_temperature,
     "llm_shard_assign": llm_shard_assign,
     "llm_corpus_shuffle": llm_corpus_shuffle,
+    "llm_curriculum_order": llm_curriculum_order,
 }

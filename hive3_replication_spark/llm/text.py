@@ -299,6 +299,84 @@ def llm_text_unigram_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Perplexity-filter keep threshold (bits/pair). Policy constant: docs
+#: whose bigram NLL exceeds it are flagged for removal, CCNet-style.
+_PPL_KEEP_BITS = 12.0
+
+
+def llm_perplexity_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L4m — bigram-LM perplexity filter, the step up from L4i's unigram
+    proxy and the standard CCNet/KenLM-shaped quality gate: score each
+    document by the average surprise of its adjacent token pairs under
+    the corpus's own Laplace-smoothed bigram model,
+    P(tok|prev) = (c_bigram + 1) / (c_prev + V), and flag keep/drop at a
+    fixed bits-per-pair threshold. Well-formed common language scores
+    low; token-salad and boilerplate-fragment docs score high.
+
+    Determinism follows the integer-log rule (L4h/L4i): both log2
+    arguments are exact integers (c_prev + V and c_bigram + 1), so the
+    engines compute identical doubles and only the Σ fold order differs,
+    stabilized at the 6th decimal. Docs with < 2 tokens have no pairs:
+    they surface with n_pairs = 0, the -1.0 sentinel, keep = 0.
+
+    Scale shape: adjacent pairs are built ARRAY-SIDE (transform over the
+    token array — a narrow map, no posexplode + self-join and no window
+    shuffle); the bigram/context tables partial-aggregate before their
+    exchanges (|bigrams| and |vocab| rows); V is a 1-row cross join; the
+    score join is co-partitioned on the pair key. In production the
+    bigram table is trained once and reused across scoring runs."""
+    documents = load_table(spark, sf_dir, "documents")
+    arr = documents.select("doc_id", F.split(F.col("text"), " ").alias("a"))
+    # guard size >= 2 BEFORE sequence(2, size): Spark's sequence(2, 1)
+    # counts DOWN ([2, 1]), it is not empty like DuckDB's range(2, 2)
+    pairs = (
+        arr.filter(F.size("a") >= 2)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(2, size(a)), i -> struct("
+                    "element_at(a, i - 1) AS prev, element_at(a, i) AS tok))"
+                )
+            ).alias("pr"),
+        )
+        .select("doc_id", "pr.prev", "pr.tok")
+    )
+    bi = pairs.groupBy("prev", "tok").agg(F.count("*").alias("c_bi"))
+    ctx = pairs.groupBy("prev").agg(F.count("*").alias("c_prev"))
+    vocab = pairs.agg(F.count_distinct("tok").alias("v"))
+    bits = F.log2((F.col("c_prev") + F.col("v")).cast("double")) - F.log2(
+        (F.col("c_bi") + F.lit(1)).cast("double")
+    )
+    per_doc = (
+        pairs.join(bi, ["prev", "tok"])
+        .join(ctx, "prev")
+        .crossJoin(vocab)
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_pairs"),
+            F.round(F.avg(bits) + F.lit(5e-9), 6).alias("nll_bits_per_pair"),
+        )
+    )
+    return (
+        documents.select("doc_id")
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("n_pairs"), F.lit(0)).alias("n_pairs"),
+            F.coalesce(F.col("nll_bits_per_pair"), F.lit(-1.0)).alias(
+                "nll_bits_per_pair"
+            ),
+            F.when(
+                F.col("nll_bits_per_pair") <= _PPL_KEEP_BITS, 1
+            )
+            .otherwise(0)
+            .cast("int")
+            .alias("keep"),
+        )
+    )
+
+
 def llm_text_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TF-IDF-style keyword extraction: each document's top-3 terms by an
     inverse-document-frequency weighted score.
@@ -956,6 +1034,37 @@ ORACLES: dict[str, str] = {
         FROM tok JOIN freq USING (tok) CROSS JOIN tot
         GROUP BY doc_id
     """,
+    "llm_perplexity_filter": f"""
+        WITH arr AS (
+            SELECT doc_id, string_split(text, ' ') AS a FROM documents
+        ),
+        pr AS (
+            SELECT doc_id,
+                   unnest(list_transform(range(2, len(a) + 1),
+                          i -> {{'prev': a[i - 1], 'tok': a[i]}})) AS s
+            FROM arr
+        ),
+        pairs AS (SELECT doc_id, s.prev AS prev, s.tok AS tok FROM pr),
+        bi AS (SELECT prev, tok, COUNT(*) AS c_bi FROM pairs
+               GROUP BY prev, tok),
+        ctx AS (SELECT prev, COUNT(*) AS c_prev FROM pairs GROUP BY prev),
+        voc AS (SELECT COUNT(DISTINCT tok) AS v FROM pairs),
+        per_doc AS (
+            SELECT doc_id, COUNT(*) AS n_pairs,
+                   ROUND(AVG(log2(CAST(c_prev + v AS DOUBLE))
+                             - log2(CAST(c_bi + 1 AS DOUBLE))) + 5e-9, 6)
+                       AS nll
+            FROM pairs JOIN bi USING (prev, tok) JOIN ctx USING (prev)
+            CROSS JOIN voc
+            GROUP BY doc_id
+        )
+        SELECT d.doc_id,
+               CAST(COALESCE(p.n_pairs, 0) AS BIGINT) AS n_pairs,
+               COALESCE(p.nll, -1.0) AS nll_bits_per_pair,
+               CAST(CASE WHEN p.nll <= {_PPL_KEEP_BITS} THEN 1 ELSE 0 END
+                    AS INTEGER) AS keep
+        FROM documents d LEFT JOIN per_doc p USING (doc_id)
+    """,
     "llm_text_entropy": """
         WITH ch AS (
             SELECT doc_id, unnest(string_split(text, '')) AS ch
@@ -1106,6 +1215,7 @@ QUERY_FNS = {
     "llm_text_bpe_count": llm_text_bpe_count,
     "llm_text_entropy": llm_text_entropy,
     "llm_text_unigram_nll": llm_text_unigram_nll,
+    "llm_perplexity_filter": llm_perplexity_filter,
     "llm_text_keywords": llm_text_keywords,
     "llm_vocab_coverage": llm_vocab_coverage,
     "llm_text_bigrams": llm_text_bigrams,
