@@ -65,6 +65,10 @@ FLOAT_HEAVY = [
     "llm_serving_e2e",
     "llm_ann_index_probe",
     "ts_seasonal_profile",
+    # round-5: the bigram AVG fold is the float reduction whose order the
+    # 6-dp rounding must absorb at any partition count
+    "llm_perplexity_filter",
+    "llm_curriculum_order",
 ]
 
 #: Keys whose cross-run memo (persisted signature/pair relations) must be

@@ -460,3 +460,36 @@ def test_ann_index_probe_partition_pruning(spark):
     )
     assert "cell" in pf and " IN " in pf, pf
     assert "CartesianProduct" not in plan
+
+
+def test_perplexity_filter_no_window_no_cartesian(spark):
+    """llm_perplexity_filter: adjacent pairs are built ARRAY-SIDE, so the
+    plan must contain no Window node (a lag-based pairing would shuffle
+    the full token stream) and no CartesianProduct (the vocab total rides
+    a 1-row broadcast cross join); the only exchanges are the bigram /
+    context / vocab / doc aggregations and their co-partitioned joins."""
+    from hive3_replication_spark.llm.text import llm_perplexity_filter
+
+    plan = _plan(llm_perplexity_filter(spark, SF_DIR), "simple")
+    assert "Window" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_curriculum_order_single_exchange(spark):
+    """llm_curriculum_order: phase arithmetic and the md5 shuffle key are
+    narrow; the ONLY exchange is the phase-partitioned window."""
+    from hive3_replication_spark.llm.sampling import llm_curriculum_order
+
+    plan = _plan(llm_curriculum_order(spark, SF_DIR), "simple")
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
+def test_multimodal_decode_is_narrow(spark):
+    """llm_multimodal: binaryFile scan -> project -> ArrowEvalPython /
+    MapInPandas with ZERO exchanges — decode must stay embarrassingly
+    parallel over an object-store image corpus."""
+    from hive3_replication_spark.llm.multimodal import llm_multimodal
+
+    plan = _plan(llm_multimodal(spark, SF_DIR), "simple")
+    assert "Exchange" not in plan, plan
+    assert "MapInPandas" in plan, plan
