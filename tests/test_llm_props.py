@@ -842,3 +842,59 @@ def test_minhash_clusters_group_planted_dups(spark, tmp_path):
     canon = set(out[out.is_canonical == 1].doc_id)
     # the planted copy can never be its pair's keeper
     assert all(d + 10000 not in canon or d not in label for d in range(500))
+
+
+def test_perplexity_filter_separates_gibberish(spark, tmp_path):
+    """llm_perplexity_filter on a corpus of repeated common phrases plus
+    planted token-salad docs: every pair in a common-phrase doc is
+    high-frequency (low bits), every pair in a gibberish doc is unique
+    (maximal smoothing surprise) — the NLL ordering must separate the two
+    populations completely, and the keep flag must drop the gibberish."""
+    import pandas as pd
+
+    from hive3_replication_spark.llm.text import llm_perplexity_filter
+
+    rows = []
+    for d in range(200):  # fluent: one of two stock sentences
+        rows.append(
+            (d, "the quick brown fox jumps over the lazy dog" if d % 2
+             else "pack my box with five dozen liquor jugs")
+        )
+    # gibberish: globally unique token pairs. Population sized so the
+    # next-token vocabulary V ≈ 12k: a unique pair's smoothed surprise is
+    # log2(1+V) − 1 bits, so the fixed 12-bit policy threshold only
+    # separates once V > 2^13 — exactly the corpus-size dependence the
+    # operator docstring notes (real corpora are far past it).
+    for j in range(1100):
+        rows.append((10000 + j, " ".join(f"zzq{j}x{i}" for i in range(12))))
+    pdf = pd.DataFrame(rows, columns=["doc_id", "text"])
+    pdf["lang"], pdf["source"] = "en", "web"
+    pdf["n_chars"] = pdf.text.str.len().astype("int64")
+    out = str(tmp_path / "ppl")
+    spark.createDataFrame(pdf).coalesce(1).write.parquet(
+        f"{out}/documents.parquet"
+    )
+    got = llm_perplexity_filter(spark, out).toPandas().set_index("doc_id")
+    fluent = got.loc[range(200)]
+    salad = got.loc[range(10000, 11100)]
+    assert fluent.nll_bits_per_pair.max() < salad.nll_bits_per_pair.min()
+    assert (fluent.keep == 1).all()
+    assert (salad.keep == 0).all()
+    # the flag is exactly the documented threshold rule
+    assert (got.keep == (got.nll_bits_per_pair.between(0, 12.0)).astype(int)).all()
+
+
+def test_curriculum_ranks_are_phase_permutations(spark):
+    """llm_curriculum_order: within every phase the ranks must be exactly
+    1..n_phase (a permutation — no gaps, no ties), phases must partition
+    the corpus, and the phase must match the token-count tier."""
+    from hive3_replication_spark.llm.sampling import llm_curriculum_order
+    from tests.conftest import SF_DIR
+
+    out = llm_curriculum_order(spark, SF_DIR).toPandas()
+    docs_total = out.doc_id.nunique()
+    assert len(out) == docs_total
+    for phase, grp in out.groupby("phase"):
+        assert sorted(grp.rank_in_phase) == list(range(1, len(grp) + 1))
+    tier = out.n_tokens.map(lambda n: 0 if n < 16 else (1 if n < 64 else 2))
+    assert (out.phase == tier).all()

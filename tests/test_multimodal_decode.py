@@ -123,3 +123,25 @@ def test_fixture_files_are_real_images(spark):
             payload = fh.read()
         fmt, width, height = _doc_geometry(doc_id)
         assert decode_image(payload)[:3] == (fmt, width, height)
+
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    fmt=st.sampled_from(sorted(_ENCODERS)),
+    width=st.integers(min_value=1, max_value=1 << 15),
+    height=st.integers(min_value=1, max_value=1 << 15),
+)
+def test_roundtrip_property(fmt, width, height):
+    """Encode→decode is the identity on (fmt, width, height) across the
+    u16/GIF-representable dimension domain. Pixel areas are clamped at
+    1 Mpx (a full-payload encode above that is MBs per example); the
+    header encoding under test is identical at any area."""
+    if width * height > 1 << 20:
+        width, height = width % 1024 + 1, height % 1024 + 1
+    payload = _ENCODERS[fmt](width, height)
+    expect_depth = {"png": 8, "bmp": 24, "gif": 8}[fmt]
+    assert decode_image(payload) == (fmt, width, height, expect_depth)
