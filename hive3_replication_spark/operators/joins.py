@@ -1,4 +1,4 @@
-"""Joins (SURVEY.md §2.3, J1-J9).
+"""Joins (SURVEY.md §2.3, J1-J16).
 
 The reference's only "join" is a row-at-a-time comparison of two scalar
 watermarks in bash (``hive3repl.sh:106-120,155-169``); the engine generalizes
@@ -462,6 +462,91 @@ def join_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Nearest-as-of match tolerance (µs): clicks further than this from the
+#: purchase in BOTH directions yield a NULL match.
+_NEAREST_TOL_US = 3_600_000_000  # 1 hour
+
+
+def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J16 — NEAREST as-of, completing the family (J7 backward, J15
+    forward): for each 'purchase', the same user's click closest in time
+    in EITHER direction, within a 1-hour tolerance, ties preferring the
+    backward match (pandas ``merge_asof(direction='nearest')``
+    semantics, plus the tolerance both QuestDB and kdb+ expose).
+
+    Same scalable shape as J7/J15 — no non-equi join: tag and union the
+    two sides, then BOTH direction carries run as window passes over the
+    SAME user_id partitioning (one exchange, two sorts; at 100 TB with
+    events bucketed by user even the exchange disappears). The backward
+    pass carries the latest click at-or-before each row; the forward
+    pass (descending scan, clicks first within a timestamp) carries the
+    earliest click at-or-after. Duplicate (user, ts) clicks need no
+    pre-dedup (unlike J7, which carries a click attribute): the carried
+    value IS the timestamp, so ties carry identical values and the
+    result is deterministic without spending a dedup exchange."""
+    events = load_table(spark, sf_dir, "events")
+    e = events.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.expr("unix_micros(CAST(ts AS TIMESTAMP))").alias("t_us"),
+    )
+    trades = e.filter(F.col("event_type") == "purchase").select(
+        "user_id", "t_us", F.col("event_id").alias("trade_id")
+    )
+    quotes = e.filter(F.col("event_type") == "click").select(
+        "user_id", "t_us"
+    )
+    tagged = trades.select(
+        "user_id",
+        "t_us",
+        F.lit(1).alias("is_trade"),
+        "trade_id",
+        F.lit(None).cast("long").alias("q_us"),
+    ).unionByName(
+        quotes.select(
+            "user_id",
+            "t_us",
+            F.lit(0).alias("is_trade"),
+            F.lit(None).cast("long").alias("trade_id"),
+            F.col("t_us").alias("q_us"),
+        )
+    )
+    # backward: ascending, quotes (0) before trades at equal ts
+    wb = (
+        Window.partitionBy("user_id")
+        .orderBy("t_us", "is_trade", "trade_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    # forward: descending ts, but still quotes first within a timestamp
+    wf = (
+        Window.partitionBy("user_id")
+        .orderBy(F.desc("t_us"), F.asc("is_trade"), F.desc("trade_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    scored = (
+        tagged.withColumn("b_us", F.last("q_us", ignorenulls=True).over(wb))
+        .withColumn("f_us", F.last("q_us", ignorenulls=True).over(wf))
+        .filter(F.col("is_trade") == 1)
+    )
+    d_b = F.col("t_us") - F.col("b_us")
+    d_f = F.col("f_us") - F.col("t_us")
+    b_ok = F.coalesce(d_b <= _NEAREST_TOL_US, F.lit(False))
+    f_ok = F.coalesce(d_f <= _NEAREST_TOL_US, F.lit(False))
+    take_b = b_ok & (~f_ok | (d_b <= d_f))
+    return scored.select(
+        "trade_id",
+        "user_id",
+        F.when(take_b, F.col("b_us"))
+        .when(f_ok, F.col("f_us"))
+        .alias("nearest_us"),
+        F.when(take_b, d_b).when(f_ok, d_f).alias("gap_us"),
+        F.when(take_b, F.lit("backward"))
+        .when(f_ok, F.lit("forward"))
+        .alias("direction"),
+    )
+
+
 _BLOOM_BITS = 63  # single-word filter; production sizes an array of words
 
 
@@ -525,6 +610,41 @@ ORACLES: dict[str, str] = {
                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
                ) - t_us AS us_to_error
         FROM e
+    """,
+    "join_asof_nearest": f"""
+        WITH e AS (
+            SELECT event_id, user_id, event_type,
+                   epoch_us(CAST(ts AS TIMESTAMP)) AS t_us
+            FROM events
+        ),
+        q AS (SELECT user_id, t_us FROM e WHERE event_type = 'click'),
+        t AS (SELECT user_id, t_us, event_id AS trade_id FROM e
+              WHERE event_type = 'purchase'),
+        c AS (
+            SELECT t.trade_id, t.user_id, t.t_us,
+                   (SELECT MAX(q.t_us) FROM q
+                     WHERE q.user_id = t.user_id AND q.t_us <= t.t_us)
+                       AS b_us,
+                   (SELECT MIN(q.t_us) FROM q
+                     WHERE q.user_id = t.user_id AND q.t_us >= t.t_us)
+                       AS f_us
+            FROM t
+        ),
+        d AS (
+            SELECT trade_id, user_id, b_us, f_us,
+                   t_us - b_us AS d_b, f_us - t_us AS d_f,
+                   COALESCE(t_us - b_us <= {_NEAREST_TOL_US}, FALSE) AS b_ok,
+                   COALESCE(f_us - t_us <= {_NEAREST_TOL_US}, FALSE) AS f_ok
+            FROM c
+        )
+        SELECT trade_id, user_id,
+               CASE WHEN b_ok AND (NOT f_ok OR d_b <= d_f) THEN b_us
+                    WHEN f_ok THEN f_us END AS nearest_us,
+               CASE WHEN b_ok AND (NOT f_ok OR d_b <= d_f) THEN d_b
+                    WHEN f_ok THEN d_f END AS gap_us,
+               CASE WHEN b_ok AND (NOT f_ok OR d_b <= d_f) THEN 'backward'
+                    WHEN f_ok THEN 'forward' END AS direction
+        FROM d
     """,
     "join_bloom_prefilter": f"""
         WITH hot AS (
@@ -726,4 +846,5 @@ QUERY_FNS = {
     "merge_scd2": merge_scd2,
     "join_bloom_prefilter": join_bloom_prefilter,
     "join_asof_forward": join_asof_forward,
+    "join_asof_nearest": join_asof_nearest,
 }

@@ -493,3 +493,14 @@ def test_multimodal_decode_is_narrow(spark):
     plan = _plan(llm_multimodal(spark, SF_DIR), "simple")
     assert "Exchange" not in plan, plan
     assert "MapInPandas" in plan, plan
+
+
+def test_asof_nearest_single_exchange_no_join(spark):
+    """join_asof_nearest: both direction carries must reuse ONE user_id
+    exchange (two Window/sort passes, zero join nodes) — the no-non-equi
+    as-of shape at any event volume."""
+    from hive3_replication_spark.operators.joins import join_asof_nearest
+
+    plan = _plan(join_asof_nearest(spark, SF_DIR), "simple")
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert "Join" not in plan.replace("BroadcastNestedLoopJoin", ""), plan

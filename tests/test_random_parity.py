@@ -332,7 +332,8 @@ def test_random_star_parity(spark, tmp_path_factory, key, seed):
 FULL_KEYS = (
     "join_broadcast", "join_left", "join_semi", "join_anti", "join_full",
     "join_sortmerge", "join_theta", "join_range", "join_asof",
-    "join_asof_forward", "join_snapshot_diff", "join_skew_salted",
+    "join_asof_forward", "join_asof_nearest", "join_snapshot_diff",
+    "join_skew_salted",
     "join_bloom_prefilter", "join_watermark_compare", "merge_scd2",
     "agg_groupby", "agg_distinct", "agg_rollup", "agg_cube",
     "agg_grouping_sets", "agg_histogram", "agg_mode", "agg_conditional",
