@@ -77,18 +77,12 @@ def encode_bmp(width: int, height: int) -> bytes:
     return header + b"\x00" * image_size
 
 
-def encode_gif(width: int, height: int) -> bytes:
-    """GIF89a container: header, logical screen descriptor declaring an
-    8-bit global color table, the 256-entry color table, one image
-    descriptor covering the screen, LZW data encoding exactly
-    ``width*height`` index-0 pixels (real LZW with clear-code resets), and
-    the trailer — decodes in any GIF viewer."""
+def _gif_image_block(x: int, y: int, width: int, height: int) -> bytes:
+    """One GIF image block: descriptor + 8-bit-min-code LZW data encoding
+    exactly ``width*height`` index-0 pixels (real LZW — 9-bit codes
+    flushed LSB-first, with a clear-code reset whenever the next code
+    would need 10 bits; valid, just not maximally compressed)."""
     n = width * height
-    # LZW stream, 8-bit min code size: emit clear(256) then n literal 0
-    # codes then end(257), 9-bit codes, flushed LSB-first. Reset the table
-    # with a clear code whenever the next code would need 10 bits — every
-    # code stays 9 bits wide, which is valid LZW (just not maximally
-    # compressed).
     out = bytearray()
     acc = bits = 0
 
@@ -117,12 +111,65 @@ def encode_gif(width: int, height: int) -> bytes:
         for i in range(0, len(out), 255)
     )
     return (
+        b"\x2C"
+        + struct.pack("<HHHHB", x, y, width, height, 0)
+        + b"\x08" + blocks + b"\x00"
+    )
+
+
+def encode_gif(width: int, height: int, n_frames: int = 1) -> bytes:
+    """GIF89a container: header, logical screen descriptor declaring an
+    8-bit global color table, the 256-entry color table, ``n_frames``
+    image blocks (frame 0 covers the screen; animation frames 1..n-1 are
+    1×1 partial updates at the origin, the standard delta-frame shape),
+    and the trailer — decodes in any GIF viewer."""
+    frames = [_gif_image_block(0, 0, width, height)]
+    frames += [_gif_image_block(0, 0, 1, 1) for _ in range(n_frames - 1)]
+    return (
         b"GIF89a"
         + struct.pack("<HHBBB", width, height, 0xF7, 0, 0)
         + b"\x00" * 768  # 256-entry global color table
-        + b"\x2C" + struct.pack("<HHHHB", 0, 0, width, height, 0)
-        + b"\x08" + blocks + b"\x00" + b"\x3B"
+        + b"".join(frames)
+        + b"\x3B"
     )
+
+
+def gif_frame_offsets(payload: bytes) -> list[int]:
+    """REAL GIF structure walk: byte offsets of every image descriptor
+    (0x2C) in the stream — the seek table a frame sampler needs. Parses
+    the flags byte for the global color table size, steps over extension
+    blocks (0x21) and each frame's optional local color table and LZW
+    sub-block chain by their actual declared lengths, and stops at the
+    trailer. Raises on non-GIF magic or a malformed block sequence."""
+    if payload[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError(f"not a GIF: {payload[:6]!r}")
+    flags = payload[10]
+    pos = 13
+    if flags & 0x80:  # global color table: 3 * 2^(N+1) bytes
+        pos += 3 * (2 << (flags & 0x07))
+    offsets: list[int] = []
+    while pos < len(payload):
+        marker = payload[pos]
+        if marker == 0x3B:  # trailer
+            return offsets
+        if marker == 0x2C:  # image descriptor
+            offsets.append(pos)
+            lflags = payload[pos + 9]
+            pos += 10
+            if lflags & 0x80:  # local color table
+                pos += 3 * (2 << (lflags & 0x07))
+            pos += 1  # LZW minimum code size
+            while payload[pos]:  # data sub-blocks
+                pos += payload[pos] + 1
+            pos += 1  # block terminator
+        elif marker == 0x21:  # extension: label byte + sub-blocks
+            pos += 2
+            while payload[pos]:
+                pos += payload[pos] + 1
+            pos += 1
+        else:
+            raise ValueError(f"unexpected GIF block 0x{marker:02x} at {pos}")
+    raise ValueError("GIF stream ended without trailer")
 
 
 def decode_image(payload: bytes) -> tuple[str, int, int, int]:
@@ -152,11 +199,13 @@ def decode_image(payload: bytes) -> tuple[str, int, int, int]:
 
 #: Per-document deterministic geometry for the image fixture — mirrored
 #: literally in the DuckDB oracles, so a decode bug (not just a plumbing
-#: bug) breaks parity: the files really have these dimensions encoded in
-#: their headers, and the engine's numbers come from parsing them back.
-def _doc_geometry(doc_id: int) -> tuple[str, int, int]:
+#: bug) breaks parity: the files really have these dimensions (and, for
+#: GIFs, frame counts) encoded in their bytes, and the engine's numbers
+#: come from parsing them back.
+def _doc_geometry(doc_id: int) -> tuple[str, int, int, int]:
     fmt = ("png", "bmp", "gif")[doc_id % 3]
-    return (fmt, doc_id % 64 + 16, doc_id * 7 % 48 + 16)
+    n_frames = doc_id % 10 + 1 if fmt == "gif" else 1
+    return (fmt, doc_id % 64 + 16, doc_id * 7 % 48 + 16, n_frames)
 
 
 _IMAGE_CACHE: dict[str, str] = {}
@@ -179,13 +228,15 @@ def image_files_path(spark: SparkSession, sf_dir: str) -> str:
                 .select("doc_id")
                 .collect()
             ]
-            encoders = {
-                "png": encode_png, "bmp": encode_bmp, "gif": encode_gif
-            }
             for doc_id in doc_ids:
-                fmt, width, height = _doc_geometry(doc_id)
+                fmt, width, height, n_frames = _doc_geometry(doc_id)
+                if fmt == "gif":
+                    payload = encode_gif(width, height, n_frames)
+                else:
+                    enc = encode_png if fmt == "png" else encode_bmp
+                    payload = enc(width, height)
                 with open(f"{out}/doc_{doc_id:08d}.{fmt}", "wb") as fh:
-                    fh.write(encoders[fmt](width, height))
+                    fh.write(payload)
             _IMAGE_CACHE[sf_dir] = out
     return _IMAGE_CACHE[sf_dir]
 
@@ -279,30 +330,48 @@ def llm_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def llm_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """L6c — frame sampling: 1→N fanout from each 'video' payload to up to
-    4 evenly spaced frame rows (``idx_j = ⌊j·n_frames/k⌋``) — the
-    table-function shape of a real frame sampler, via ``mapInPandas`` so
-    each Arrow batch fans out in one pass. Integer index math ⇒ exact SQL
-    oracle; output size is bounded by 4× input rows regardless of media
-    length."""
-    documents = load_table(spark, sf_dir, "documents")
-    with_payload = documents.select(
-        "doc_id", F.encode(F.col("text"), "UTF-8").alias("payload")
+    """L6c — frame sampling over REAL containers: each payload's frame
+    table comes from parsing its actual bytes — a structural GIF walk
+    (:func:`gif_frame_offsets`: every image descriptor's byte offset,
+    stepping over the color tables and LZW sub-block chains by their
+    declared lengths) for animated GIFs, and the single pixel-data start
+    for PNG (first IDAT data byte) / BMP (the header's fixed 54-byte
+    offset). Up to 4 evenly spaced frames (``idx_j = ⌊j·n/k⌋``) are
+    emitted with their REAL seek offsets — the 1→N table-function shape
+    of a production frame sampler, via ``mapInPandas`` so each Arrow
+    batch fans out in one pass; narrow, no shuffle, output bounded at
+    4× input rows regardless of media length."""
+    path = image_files_path(spark, sf_dir)
+    payloads = (
+        spark.read.format("binaryFile")
+        .load(path)
+        .select(
+            F.regexp_extract(F.col("path"), r"doc_(\d+)\.\w+$", 1)
+            .cast("long")
+            .alias("doc_id"),
+            F.col("content").alias("payload"),
+        )
     )
 
     def sample_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            n_bytes = pdf["payload"].map(len).astype("int64")
-            n_frames = (n_bytes % 10 + 1).astype("int64")
             rows = {"doc_id": [], "frame_idx": [], "frame_offset_bytes": []}
-            for doc_id, nb, nf in zip(pdf["doc_id"], n_bytes, n_frames):
-                k = min(int(nf), 4)
-                frame_sz = int(nb) // int(nf)
+            for doc_id, b in zip(pdf["doc_id"], pdf["payload"]):
+                b = bytes(b)
+                fmt = decode_image(b)[0]
+                if fmt == "gif":
+                    offsets = gif_frame_offsets(b)
+                elif fmt == "png":
+                    offsets = [41]  # signature + IHDR chunk + IDAT len/tag
+                else:
+                    offsets = [54]  # BMP pixel array (header-declared)
+                n = len(offsets)
+                k = min(n, 4)
                 for j in range(k):
-                    idx = j * int(nf) // k
+                    idx = j * n // k
                     rows["doc_id"].append(doc_id)
                     rows["frame_idx"].append(idx)
-                    rows["frame_offset_bytes"].append(idx * frame_sz)
+                    rows["frame_offset_bytes"].append(offsets[idx])
             yield pd.DataFrame(
                 {
                     "doc_id": pd.Series(rows["doc_id"], dtype="int64"),
@@ -313,7 +382,7 @@ def llm_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
                 }
             )
 
-    return with_payload.mapInPandas(
+    return payloads.mapInPandas(
         sample_batch,
         "doc_id long, frame_idx int, frame_offset_bytes long",
     )
@@ -407,21 +476,47 @@ ORACLES: dict[str, str] = {
         FROM d
     """,
     "llm_multimodal_frames": """
-        WITH d AS (
+        -- replays the REAL byte layout the engine must parse back out of
+        -- the files: GIF frame k's image descriptor sits at
+        -- 13 + 768 (header+GCT) [+ frame-0 block + (k-1) 1x1 blocks];
+        -- frame-0's LZW length is the encoder's exact integer formula
+        -- (9-bit codes, clear every 253 pixels, 255-byte sub-blocks),
+        -- empirically pinned against the encoder in
+        -- tests/test_multimodal_decode.py. PNG/BMP are single-frame with
+        -- their pixel-data start offsets (41 / 54).
+        WITH g AS (
             SELECT doc_id,
-                   CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
-                   CAST(octet_length(encode(text)) % 10 + 1 AS BIGINT)
-                       AS n_frames
+                   doc_id % 3 AS m,
+                   (doc_id % 64 + 16) * (doc_id * 7 % 48 + 16) AS n_px,
+                   CASE WHEN doc_id % 3 = 2 THEN doc_id % 10 + 1
+                        ELSE 1 END AS n_frames
             FROM documents
+        ),
+        s AS (
+            SELECT doc_id, m, n_frames,
+                   (9 * (n_px + 2 + n_px // 253) + 7) // 8 AS lzw_bytes
+            FROM g
+        ),
+        s2 AS (
+            SELECT doc_id, m, n_frames,
+                   12 + lzw_bytes + (lzw_bytes + 254) // 255 AS frame0_len
+            FROM s
+        ),
+        fr AS (
+            SELECT doc_id, m, n_frames, frame0_len,
+                   CAST((j * n_frames) // LEAST(n_frames, 4) AS INTEGER)
+                       AS frame_idx
+            FROM s2
+            CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS j) jj
+            WHERE j < LEAST(n_frames, 4)
         )
-        SELECT doc_id,
-               CAST((j * n_frames) // LEAST(n_frames, 4) AS INTEGER)
-                   AS frame_idx,
-               CAST(((j * n_frames) // LEAST(n_frames, 4))
-                    * (n_bytes // n_frames) AS BIGINT) AS frame_offset_bytes
-        FROM d
-        CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS j) g
-        WHERE j < LEAST(n_frames, 4)
+        SELECT doc_id, frame_idx,
+               CAST(CASE WHEN m = 0 THEN 41
+                         WHEN m = 1 THEN 54
+                         WHEN frame_idx = 0 THEN 781
+                         ELSE 781 + frame0_len + (frame_idx - 1) * 17
+                    END AS BIGINT) AS frame_offset_bytes
+        FROM fr
     """,
     "llm_multimodal": """
         -- mirrors _doc_geometry: these are the dimensions ENCODED INTO

@@ -100,7 +100,7 @@ def test_pipeline_decodes_real_files(spark):
     rows = build_queries()["llm_multimodal"](spark, SF_DIR).collect()
     assert len(rows) > 0
     for r in rows:
-        fmt, width, height = _doc_geometry(r["doc_id"])
+        fmt, width, height, _n_frames = _doc_geometry(r["doc_id"])
         assert (r["fmt"], r["width"], r["height"]) == (fmt, width, height)
         assert r["bit_depth"] == {"png": 8, "bmp": 24, "gif": 8}[fmt]
 
@@ -121,7 +121,7 @@ def test_fixture_files_are_real_images(spark):
         doc_id = int(os.path.basename(f).split("_")[1].split(".")[0])
         with open(f, "rb") as fh:
             payload = fh.read()
-        fmt, width, height = _doc_geometry(doc_id)
+        fmt, width, height, _n_frames = _doc_geometry(doc_id)
         assert decode_image(payload)[:3] == (fmt, width, height)
 
 
@@ -145,3 +145,58 @@ def test_roundtrip_property(fmt, width, height):
     payload = _ENCODERS[fmt](width, height)
     expect_depth = {"png": 8, "bmp": 24, "gif": 8}[fmt]
     assert decode_image(payload) == (fmt, width, height, expect_depth)
+
+
+from hive3_replication_spark.llm.multimodal import gif_frame_offsets
+
+
+@pytest.mark.parametrize("n_frames", [1, 2, 4, 7, 10])
+def test_gif_frame_offsets_walk(n_frames):
+    """The structural GIF walk finds exactly the frames that were
+    encoded, at offsets matching the oracle's integer byte-layout
+    formula (header 13 + GCT 768, frame-0 LZW length from the 9-bit/
+    clear-every-253/255-byte-sub-block arithmetic, 17 bytes per 1x1
+    animation frame)."""
+    w, h = 37, 22
+    payload = encode_gif(w, h, n_frames)
+    offsets = gif_frame_offsets(payload)
+    assert len(offsets) == n_frames
+    n_px = w * h
+    lzw_bytes = (9 * (n_px + 2 + n_px // 253) + 7) // 8
+    frame0_len = 12 + lzw_bytes + (lzw_bytes + 254) // 255
+    expect = [781] + [781 + frame0_len + k * 17 for k in range(n_frames - 1)]
+    assert offsets == expect
+    # every offset really points at an image descriptor
+    assert all(payload[o] == 0x2C for o in offsets)
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    width=st.integers(min_value=1, max_value=300),
+    height=st.integers(min_value=1, max_value=300),
+    n_frames=st.integers(min_value=1, max_value=12),
+)
+def test_gif_frame_offsets_property(width, height, n_frames):
+    payload = encode_gif(width, height, n_frames)
+    offsets = gif_frame_offsets(payload)
+    assert len(offsets) == n_frames
+    assert all(payload[o] == 0x2C for o in offsets)
+    # frame 0 declares the full screen; animation frames declare 1x1
+    import struct as _s
+
+    for i, o in enumerate(offsets):
+        fw, fh = _s.unpack("<HH", payload[o + 5 : o + 9])
+        assert (fw, fh) == ((width, height) if i == 0 else (1, 1))
+
+
+def test_gif_walk_skips_extension_blocks():
+    """Graphic-control/comment extensions (0x21) between frames must be
+    stepped over by declared length, not mistaken for frames."""
+    base = encode_gif(19, 11, 2)
+    first = gif_frame_offsets(base)[0]
+    # splice a 4-byte graphic control extension before the first frame
+    gce = b"\x21\xf9\x04\x00\x00\x00\x00\x00"
+    spliced = base[:first] + gce + base[first:]
+    offsets = gif_frame_offsets(spliced)
+    assert len(offsets) == 2
+    assert offsets[0] == first + len(gce)

@@ -493,6 +493,10 @@ def test_multimodal_decode_is_narrow(spark):
     plan = _plan(llm_multimodal(spark, SF_DIR), "simple")
     assert "Exchange" not in plan, plan
     assert "MapInPandas" in plan, plan
+    from hive3_replication_spark.llm.multimodal import llm_multimodal_frames
+
+    fplan = _plan(llm_multimodal_frames(spark, SF_DIR), "simple")
+    assert "Exchange" not in fplan, fplan
 
 
 def test_asof_nearest_single_exchange_no_join(spark):
