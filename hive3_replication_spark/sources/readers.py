@@ -188,7 +188,14 @@ def scan_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     shippers emit. Reads the per-document payload files (binary_docs_path
     layout), keys each line by the doc_id in its filename, and emits the
     line length — proving the text source path end-to-end with an exact
-    oracle against documents.n_chars."""
+    oracle against documents.n_chars.
+
+    Zero-byte payloads NEVER SURFACE: a 0-byte file has no line, so the
+    text source emits no row for it (measured; the seed-61 fuzz caught
+    the oracle counting them). At 100 TB this is a real ingestion
+    footgun — empty objects silently vanish from line-based reads — so
+    pipelines needing presence semantics must ingest via a listing join
+    or guard empties upstream; the oracle mirrors the skip."""
     path = binary_docs_path(spark, sf_dir)
     df = (
         spark.read.option("pathGlobFilter", "*.txt")
@@ -403,6 +410,11 @@ def scan_binaryfile(spark: SparkSession, sf_dir: str) -> DataFrame:
     shape). The reference's distcp file-copy stage (``misc_functions.sh``)
     reads files as opaque payloads the same way.
 
+    Zero-byte objects are SKIPPED by the binaryFile source (an empty
+    file yields no partition, hence no row — measured; seed-61 fuzz).
+    Same ingestion footgun and same guard as scan_text; the oracle
+    mirrors the skip.
+
     Scale: binaryFile is a standard FileScan — files split across tasks,
     pathGlobFilter prunes at listing time, and only the projected columns
     materialize (content is read lazily per-row). Output keys each payload
@@ -510,8 +522,12 @@ ORACLES: dict[str, str] = {
         SELECT event_id, event_type, value FROM events WHERE event_id < 500
     """,
     "scan_text": """
+        -- len(text) > 0: Spark's text source emits ZERO rows for a
+        -- zero-byte file (no line terminator, no line), so empty
+        -- payloads never surface — mirrored here; see scan_text's
+        -- docstring for the ingestion-layer guard this implies
         SELECT doc_id, CAST(length(text) AS BIGINT) AS n_line_chars
-        FROM documents WHERE doc_id % 7 = 0
+        FROM documents WHERE doc_id % 7 = 0 AND len(text) > 0
     """,
     "scan_pysource": f"""
         WITH g AS (
@@ -527,8 +543,11 @@ ORACLES: dict[str, str] = {
         FROM g GROUP BY bucket
     """,
     "scan_binaryfile": """
+        -- len(text) > 0: Spark's binaryFile source SKIPS zero-byte
+        -- files (an empty file yields no partition, hence no row) —
+        -- mirrored here; see scan_binaryfile's docstring
         SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
-        FROM documents WHERE doc_id % 7 = 0
+        FROM documents WHERE doc_id % 7 = 0 AND len(text) > 0
     """,
     "jdbc_source": """
         SELECT event_id, user_id, value FROM events WHERE event_id < 100

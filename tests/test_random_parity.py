@@ -40,6 +40,11 @@ KEYS = (
     # path only exists on random corpora) and curriculum ordering
     "llm_perplexity_filter",
     "llm_curriculum_order",
+    # file-per-doc scan edges: zero-byte payload files are SKIPPED by
+    # Spark's text/binaryFile sources (seed-61 exhaustive-fuzz find);
+    # the corpus plants doc 350 (empty, %7==0) to pin the skip path
+    "scan_text",
+    "scan_binaryfile",
 )
 
 _SEEDS = (7, 23)
@@ -67,6 +72,10 @@ def _random_corpus(spark, tmp_path_factory, seed: int) -> tuple[str, object]:
         rows.append((n + j, rows[int(rng.randint(n))][1]))
     for j in range(20):  # near-dups: one-token prefix change
         rows.append((n + 20 + j, f"zq{j} " + rows[int(rng.randint(n))][1]))
+    # pinned scan edges: empty and 1-char docs on the %7==0 sampling
+    # lattice (scan_text / scan_binaryfile zero-byte skip semantics)
+    rows.append((350, ""))
+    rows.append((357, "x"))
     pdf = pd.DataFrame(rows, columns=["doc_id", "text"])
     pdf["lang"] = [("en", "de", "fr")[i % 3] for i in range(len(pdf))]
     pdf["source"] = [("web", "book")[i % 2] for i in range(len(pdf))]
