@@ -4,9 +4,11 @@ shapes) and run EVERY registered key against its DuckDB oracle on it.
 
 The curated per-family randomized suites run by default in
 tests/test_random_parity.py; this script is the exhaustive sweep
-(~4 min/seed) used for round-4 hardening — seeds 11 (found the
-empty-payload and identifier-sanitization bugs), 29 and 37 (clean
-220/220 after the fixes).
+(~4 min/seed) used for per-round hardening — round 4: seeds 11 (found
+the empty-payload and identifier-sanitization bugs), 29, 37; round 5:
+seeds 43, 57 (222/222 pre-additions), 61 (found the zero-byte-file
+skip divergence in scan_text/scan_binaryfile — fixed and pinned), then
+61, 67, 71, 73 all clean 223/223.
 
 Usage: python scripts/fuzz_registry.py [seed ...]
 """
@@ -115,6 +117,11 @@ def gen(seed: int, out: str) -> None:
         rows.append((n_d + j, rows[int(rng.randint(n_d))][1]))
     for j in range(20):
         rows.append((n_d + 20 + j, f"zq{j} " + rows[int(rng.randint(n_d))][1]))
+    # pinned scan edges (every seed): empty + 1-char docs on the %7==0
+    # sampling lattice — the zero-byte-file skip path of scan_text /
+    # scan_binaryfile (first caught only by chance at seed 61)
+    rows.append((350, ""))
+    rows.append((357, "x"))
     docs = pd.DataFrame(rows, columns=["doc_id", "text"])
     docs["lang"] = [("en", "de", "fr")[i % 3] for i in range(len(docs))]
     docs["source"] = [("web", "book")[i % 2] for i in range(len(docs))]
