@@ -609,7 +609,164 @@ def ts_gap_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: LTTB output size: _LTTB_BUCKETS interior picks + the two endpoints.
+#: Series at or under that total emit unchanged.
+_LTTB_BUCKETS = 50
+
+
+def ts_downsample_lttb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T16 — largest-triangle-three-buckets downsampling (Steinarsson
+    2013; the dashboard downsampler Timescale/Grafana expose): reduce
+    each stream to ``_LTTB_BUCKETS + 2`` visually representative points —
+    endpoints always kept, interior split into equal-count buckets, and
+    per bucket the point maximizing the triangle area against the
+    PREVIOUSLY SELECTED point and the NEXT bucket's centroid. The
+    selection is a sequential chain (each pick depends on the last), so
+    it cannot be a window expression: each series runs as one Arrow
+    ``applyInPandas`` group — the correct 100 TB shape, because LTTB's
+    data dependency is inherently per-series sequential and the
+    parallelism is ACROSS series (one task per stream, like every
+    production implementation).
+
+    Exactness: x is integer epoch-µs and y is integer milli-units (the
+    DECIMAL(18,3) cast runs JVM-side BEFORE the UDF, so Python never
+    converts a float); the maximized quantity is the triangle area ×2×m
+    (m = next-bucket size), expanded to the all-integer form
+    |(x_a·m − Σx)(y_b − y_a) − (x_a − x_b)(Σy − y_a·m)| and computed in
+    Python arbitrary-precision ints (oracle: HUGEINT) — bit-identical
+    argmaxes, ties to the earliest point."""
+    import pandas as pd
+
+    events = load_table(spark, sf_dir, "events")
+    pts = events.select(
+        "event_type",
+        "event_id",
+        F.expr("unix_micros(CAST(ts AS TIMESTAMP))").alias("x"),
+        (F.col("value").cast("decimal(18,3)") * 1000)
+        .cast("long")
+        .alias("y"),
+    )
+
+    def lttb(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        pdf = pdf.sort_values(["x", "event_id"]).reset_index(drop=True)
+        n = len(pdf)
+        xs = [int(v) for v in pdf["x"]]
+        ys = [int(v) for v in pdf["y"]]
+        k = _LTTB_BUCKETS
+        if n <= k + 2:
+            sel = list(range(n))
+        else:
+            buckets: list[list[int]] = [[] for _ in range(k)]
+            for i in range(1, n - 1):
+                buckets[(i - 1) * k // (n - 2)].append(i)
+            sel = [0]
+            prev = 0
+            for b in range(k):
+                if b < k - 1:
+                    nxt = buckets[b + 1]
+                    m = len(nxt)
+                    sx = sum(xs[j] for j in nxt)
+                    sy = sum(ys[j] for j in nxt)
+                else:  # bucket k-1 pairs against the final endpoint
+                    m, sx, sy = 1, xs[n - 1], ys[n - 1]
+                best, best_area = -1, -1
+                for i in buckets[b]:
+                    area = abs(
+                        (xs[prev] * m - sx) * (ys[i] - ys[prev])
+                        - (xs[prev] - xs[i]) * (sy - ys[prev] * m)
+                    )
+                    if area > best_area:
+                        best, best_area = i, area
+                sel.append(best)
+                prev = best
+            sel.append(n - 1)
+        out = pdf.iloc[sel].reset_index(drop=True)
+        out.insert(1, "pos", pd.Series(range(len(sel)), dtype="int32"))
+        return out[["event_type", "pos", "event_id", "x", "y"]]
+
+    return pts.groupBy("event_type").applyInPandas(
+        lttb, "event_type string, pos int, event_id long, x long, y long"
+    )
+
+
 ORACLES: dict[str, str] = {
+    "ts_downsample_lttb": f"""
+        -- replays the LTTB chain exactly: the recursive CTE carries the
+        -- previously selected point per series; each step's LATERAL
+        -- argmax maximizes the same all-integer area form in HUGEINT
+        WITH RECURSIVE
+        pts AS (
+            SELECT event_type,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY event_type ORDER BY ts, event_id
+                   ) - 1 AS idx,
+                   epoch_us(CAST(ts AS TIMESTAMP)) AS x,
+                   CAST(CAST(value AS DECIMAL(18,3)) * 1000 AS BIGINT) AS y,
+                   event_id
+            FROM events
+        ),
+        n AS (SELECT event_type, COUNT(*) AS n FROM pts GROUP BY event_type),
+        big AS (SELECT event_type, n FROM n
+                WHERE n > {_LTTB_BUCKETS} + 2),
+        interior AS (
+            SELECT p.*, ((p.idx - 1) * {_LTTB_BUCKETS}) // (b.n - 2)
+                       AS bucket
+            FROM pts p JOIN big b USING (event_type)
+            WHERE p.idx >= 1 AND p.idx <= b.n - 2
+        ),
+        bavg AS (
+            SELECT event_type, bucket, COUNT(*) AS m,
+                   SUM(CAST(x AS HUGEINT)) AS sx,
+                   SUM(CAST(y AS HUGEINT)) AS sy
+            FROM interior GROUP BY event_type, bucket
+        ),
+        lastpt AS (
+            SELECT p.event_type, p.idx, p.x, p.y, p.event_id
+            FROM pts p JOIN big b USING (event_type) WHERE p.idx = b.n - 1
+        ),
+        nextc AS (
+            SELECT event_type, bucket - 1 AS bucket, m, sx, sy
+            FROM bavg WHERE bucket >= 1
+            UNION ALL
+            SELECT event_type, {_LTTB_BUCKETS} - 1, 1,
+                   CAST(x AS HUGEINT), CAST(y AS HUGEINT)
+            FROM lastpt
+        ),
+        sel AS (
+            SELECT p.event_type, -1 AS b, p.idx AS sel_idx,
+                   CAST(p.x AS HUGEINT) AS sel_x,
+                   CAST(p.y AS HUGEINT) AS sel_y
+            FROM pts p JOIN big USING (event_type) WHERE p.idx = 0
+            UNION ALL
+            SELECT s.event_type, s.b + 1, c.idx,
+                   CAST(c.x AS HUGEINT), CAST(c.y AS HUGEINT)
+            FROM sel s, LATERAL (
+                SELECT i.idx, i.x, i.y
+                FROM interior i JOIN nextc nc
+                  ON nc.event_type = i.event_type AND nc.bucket = i.bucket
+                WHERE i.event_type = s.event_type AND i.bucket = s.b + 1
+                ORDER BY abs((s.sel_x * nc.m - nc.sx)
+                             * (CAST(i.y AS HUGEINT) - s.sel_y)
+                           - (s.sel_x - CAST(i.x AS HUGEINT))
+                             * (nc.sy - s.sel_y * nc.m)) DESC,
+                         i.idx ASC
+                LIMIT 1
+            ) c
+            WHERE s.b < {_LTTB_BUCKETS} - 1
+        )
+        SELECT p.event_type, CAST(s.b + 1 AS INTEGER) AS pos,
+               p.event_id, p.x, p.y
+        FROM sel s JOIN pts p
+          ON p.event_type = s.event_type AND p.idx = s.sel_idx
+        UNION ALL
+        SELECT event_type, CAST({_LTTB_BUCKETS} + 1 AS INTEGER), event_id,
+               x, y
+        FROM lastpt
+        UNION ALL
+        SELECT p.event_type, CAST(p.idx AS INTEGER), p.event_id, p.x, p.y
+        FROM pts p JOIN n USING (event_type)
+        WHERE n.n <= {_LTTB_BUCKETS} + 2
+    """,
     "ts_seasonal_profile": """
         WITH e AS (
             SELECT event_type,
@@ -894,6 +1051,7 @@ ORACLES: dict[str, str] = {
 }
 
 QUERY_FNS = {
+    "ts_downsample_lttb": ts_downsample_lttb,
     "ts_resample": ts_resample,
     "ts_fill_forward": ts_fill_forward,
     "ts_interpolate": ts_interpolate,

@@ -69,6 +69,7 @@ FLOAT_HEAVY = [
     # 6-dp rounding must absorb at any partition count
     "llm_perplexity_filter",
     "llm_curriculum_order",
+    "ts_downsample_lttb",
 ]
 
 #: Keys whose cross-run memo (persisted signature/pair relations) must be

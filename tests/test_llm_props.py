@@ -898,3 +898,43 @@ def test_curriculum_ranks_are_phase_permutations(spark):
         assert sorted(grp.rank_in_phase) == list(range(1, len(grp) + 1))
     tier = out.n_tokens.map(lambda n: 0 if n < 16 else (1 if n < 64 else 2))
     assert (out.phase == tier).all()
+
+
+def test_lttb_small_series_pass_through(spark, tmp_path):
+    """A series at or under the output budget (52 points) must emit
+    unchanged, in order; a big series must emit exactly 52 points with
+    both endpoints kept and positions 0..51."""
+    import numpy as np
+    import pandas as pd
+
+    from hive3_replication_spark.operators.timeseries import (
+        ts_downsample_lttb,
+    )
+
+    rng = np.random.RandomState(5)
+    small_n, big_n = 40, 400
+    rows = []
+    t0 = 1_700_000_000_000_000
+    for i in range(small_n):
+        rows.append((i, t0 + i * 60_000_000, "tiny", round(float(rng.randn()), 3)))
+    for i in range(big_n):
+        rows.append((1000 + i, t0 + i * 60_000_000, "big",
+                     round(float(rng.randn()), 3)))
+    pdf = pd.DataFrame(rows, columns=["event_id", "ts_us", "event_type", "value"])
+    pdf["ts"] = pd.to_datetime(pdf.pop("ts_us"), unit="us")
+    pdf["user_id"] = 1
+    pdf["props"] = "{}"
+    out = str(tmp_path / "lttb")
+    spark.createDataFrame(
+        pdf[["event_id", "ts", "user_id", "event_type", "value", "props"]]
+    ).coalesce(1).write.parquet(f"{out}/events.parquet")
+    got = ts_downsample_lttb(spark, out).toPandas()
+    tiny = got[got.event_type == "tiny"].sort_values("pos")
+    assert len(tiny) == small_n
+    assert list(tiny.pos) == list(range(small_n))
+    big = got[got.event_type == "big"].sort_values("pos")
+    assert len(big) == 52
+    assert big.iloc[0].event_id == 1000 and big.iloc[-1].event_id == 1399
+    assert list(big.pos) == list(range(52))
+    # picks are strictly time-ordered (one per bucket)
+    assert big.x.is_monotonic_increasing

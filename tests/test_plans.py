@@ -508,3 +508,16 @@ def test_asof_nearest_single_exchange_no_join(spark):
     plan = _plan(join_asof_nearest(spark, SF_DIR), "simple")
     assert plan.count("Exchange hashpartitioning") == 1, plan
     assert "Join" not in plan.replace("BroadcastNestedLoopJoin", ""), plan
+
+
+def test_lttb_single_series_exchange(spark):
+    """ts_downsample_lttb: one event_type exchange feeding the Arrow
+    FlatMapGroupsInPandas — the per-series sequential pick chain must not
+    introduce any further shuffle."""
+    from hive3_replication_spark.operators.timeseries import (
+        ts_downsample_lttb,
+    )
+
+    plan = _plan(ts_downsample_lttb(spark, SF_DIR), "simple")
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert "FlatMapGroupsInPandas" in plan, plan

@@ -122,6 +122,7 @@ TS_KEYS = (
     "ts_changepoint",
     "ts_seasonal_profile",
     "ts_gap_detect",
+    "ts_downsample_lttb",
     # windows/streams over the same stream — their (ts, event_id)
     # tie-breaks are what the 30% duplicate timestamps exercise
     "win_lag",
