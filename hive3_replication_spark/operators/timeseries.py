@@ -570,15 +570,21 @@ def ts_seasonal_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         "hod",
         "n_events",
+        # +5e-9 stabilizer on every rounded output (the ts_interpolate
+        # idiom): a 3-decimal value minus a (4-decimal sum / int) mean can
+        # land exactly on the 7th decimal, where the engines' ROUND
+        # disagrees on which side the double sits (seed-79 fuzz find:
+        # |value - mean| = 212.4771875 exactly)
         F.round(
-            F.col("s1") / F.col("n_events").cast("double"), 6
+            F.col("s1") / F.col("n_events").cast("double") + F.lit(5e-9), 6
         ).alias("mean_r"),
         F.round(
             F.col("n_events").cast("double")
-            / F.sum("n_events").over(wt).cast("double"),
+            / F.sum("n_events").over(wt).cast("double")
+            + F.lit(5e-9),
             6,
         ).alias("share_r"),
-        F.round(F.col("mx"), 6).alias("max_abs_resid_r"),
+        F.round(F.col("mx") + F.lit(5e-9), 6).alias("max_abs_resid_r"),
     )
 
 
@@ -789,11 +795,12 @@ ORACLES: dict[str, str] = {
         )
         SELECT event_type, CAST(hod AS INTEGER) AS hod,
                CAST(n_events AS BIGINT) AS n_events,
-               ROUND(s1 / n_events, 6) AS mean_r,
+               ROUND(s1 / n_events + 5e-9, 6) AS mean_r,
                ROUND(CAST(n_events AS DOUBLE)
-                     / SUM(n_events) OVER (PARTITION BY event_type), 6)
+                     / SUM(n_events) OVER (PARTITION BY event_type)
+                     + 5e-9, 6)
                    AS share_r,
-               ROUND(mx, 6) AS max_abs_resid_r
+               ROUND(mx + 5e-9, 6) AS max_abs_resid_r
         FROM g
     """,
     "ts_gap_detect": f"""

@@ -95,6 +95,8 @@ _SWEEP_ORDER: tuple[str, ...] = (
     # (b) multimodal family — real header decode landed in round 5
     "llm_multimodal", "llm_multimodal_resize", "llm_multimodal_frames",
     "llm_multimodal_features",
+    # (b) rounding-stabilizer change in r5 — re-stamp
+    "ts_seasonal_profile",
     # (c) oldest stamps (r1) — refresh in the leftover top-50 slots
     "agg_distinct", "agg_arg_max", "join_anti", "agg_histogram",
     "agg_groupby", "scan_bucketed", "join_semi",
@@ -137,8 +139,7 @@ _SWEEP_ORDER: tuple[str, ...] = (
     "sort_events", "stream_stream_join", "agg_mode", "agg_skew_salted",
     # (d) driver-verified in r4 — freshest stamps, last
     "llm_dedup_semantic", "llm_split_leakage_safe", "llm_serving_e2e",
-    "llm_ann_index_probe", "llm_dedup_minhash_clusters",
-    "ts_seasonal_profile", "ts_gap_detect",
+    "llm_ann_index_probe", "llm_dedup_minhash_clusters", "ts_gap_detect",
     "llm_dedup_minhash", "llm_dedup_simhash", "llm_ann_ivf", "llm_ann_lsh",
     "sql_promo_revenue", "sql_pricing_summary", "sql_discount_revenue",
     "sql_shipmode_priority", "sql_small_quantity_revenue",
