@@ -91,7 +91,7 @@ _SWEEP_ORDER: tuple[str, ...] = (
     "llm_pipeline_e2e",
     # (b) round-5 additions — never driver-seen
     "llm_perplexity_filter", "llm_curriculum_order", "join_asof_nearest",
-    "ts_downsample_lttb",
+    "ts_downsample_lttb", "sink_partition_overwrite",
     # (b) multimodal family — real header decode landed in round 5
     "llm_multimodal", "llm_multimodal_resize", "llm_multimodal_frames",
     "llm_multimodal_features",

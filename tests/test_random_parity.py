@@ -123,6 +123,7 @@ TS_KEYS = (
     "ts_seasonal_profile",
     "ts_gap_detect",
     "ts_downsample_lttb",
+    "sink_partition_overwrite",
     # windows/streams over the same stream — their (ts, event_id)
     # tie-breaks are what the 30% duplicate timestamps exercise
     "win_lag",
