@@ -92,11 +92,12 @@ _SWEEP_ORDER: tuple[str, ...] = (
     # (b) round-5 additions — never driver-seen
     "llm_perplexity_filter", "llm_curriculum_order", "join_asof_nearest",
     "ts_downsample_lttb", "sink_partition_overwrite",
-    # (b) multimodal family — real header decode landed in round 5
+    # (b) multimodal keys whose behavior changed in round 5 (real decode /
+    # real frame walk); llm_multimodal_features is UNCHANGED (text-payload
+    # feature stage) — its r3 stamp stands, so it stays behind the window
     "llm_multimodal", "llm_multimodal_resize", "llm_multimodal_frames",
-    "llm_multimodal_features",
     # (b) rounding-stabilizer change in r5 — re-stamp
-    "ts_seasonal_profile",
+    "ts_seasonal_profile", "llm_multimodal_features",
     # (c) oldest stamps (r1) — refresh in the leftover top-50 slots
     "agg_distinct", "agg_arg_max", "join_anti", "agg_histogram",
     "agg_groupby", "scan_bucketed", "join_semi",
