@@ -425,8 +425,12 @@ def ts_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
         f" (acc, i) -> acc + element_at(frame, i)"
         f" * element_at(array({_EWMA_W_ARGS}), size(frame) - i + 1))"
     )
+    # +5e-9 stabilizer (ts_interpolate idiom): 3-decimal values folded
+    # against 6-decimal weight literals give sums that can land EXACTLY on
+    # the 7th decimal, where the engines' ROUND sees the nearest double on
+    # different sides of the tie (seed-137 fuzz find)
     return staged.select(
-        "event_id", "event_type", F.round(ewma, 6).alias("ewma")
+        "event_id", "event_type", F.round(ewma + F.lit(5e-9), 6).alias("ewma")
     )
 
 
@@ -874,7 +878,7 @@ ORACLES: dict[str, str] = {
                        list_transform(range(1, len(frame) + 1),
                            i -> frame[i]
                               * ([{_EWMA_W_ARGS}])[len(frame) - i + 1])),
-                   (acc, v) -> acc + v), 6) AS ewma
+                   (acc, v) -> acc + v) + 5e-9, 6) AS ewma
         FROM staged
     """,
     "ts_retention_cohort": """
