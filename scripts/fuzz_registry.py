@@ -10,8 +10,9 @@ seeds 43, 57 (222/222 pre-additions), 61 (found the zero-byte-file
 skip divergence in scan_text/scan_binaryfile — fixed and pinned),
 67/71/73 clean, 79 (found the ts_seasonal_profile 7th-decimal
 rounding-tie divergence — fixed with the +5e-9 stabilizer), then
-79/83/89/97/101/103/107/109 clean 224/224 and 113/127 clean
-225/225 over the final registry.
+79/83/89/97/101/103/107/109 clean 224/224 113/127/131 clean 225/225,
+137 (found the ts_ewma 7th-decimal rounding tie — fixed with the
++5e-9 stabilizer), then 137/139/149 all clean 225/225.
 
 Usage: python scripts/fuzz_registry.py [seed ...]
 """
