@@ -150,12 +150,35 @@ def sink_partition_overwrite(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("event_date") == F.lit(last_day))
         & (F.col("event_type") != "error")
     )
-    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "STATIC")
-    try:
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-        restated.write.mode("overwrite").partitionBy("event_date").parquet(out)
-    finally:
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    if restated.limit(1).count() == 0:
+        # Every last-day event was an error: the restatement is EMPTY, and
+        # dynamic overwrite replaces only partitions PRESENT in the incoming
+        # frame — an empty frame matches none, so the stale partition (error
+        # rows included) would silently survive. Hive's INSERT OVERWRITE
+        # with a static partition spec truncates the partition in this case;
+        # mirror that by dropping the partition directory explicitly via the
+        # Hadoop FS API (works on HDFS/S3A at cluster scale and touches only
+        # the restated partition, never the table).
+        if last_day is not None:
+            hpath = spark._jvm.org.apache.hadoop.fs.Path(
+                f"{out}/event_date={last_day}"
+            )
+            hpath.getFileSystem(spark._jsc.hadoopConfiguration()).delete(
+                hpath, True
+            )
+    else:
+        prev = spark.conf.get(
+            "spark.sql.sources.partitionOverwriteMode", "STATIC"
+        )
+        try:
+            spark.conf.set(
+                "spark.sql.sources.partitionOverwriteMode", "dynamic"
+            )
+            restated.write.mode("overwrite").partitionBy(
+                "event_date"
+            ).parquet(out)
+        finally:
+            spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
     return (
         spark.read.parquet(out)
         .groupBy("event_date")

@@ -403,6 +403,53 @@ def test_random_full_parity(spark, tmp_path_factory, key):
     assert_frames_match(spark_pdf, oracle_pdf, f"{key}@seed{_FULL_SEED}")
 
 
+def test_partition_overwrite_all_errors_last_day(spark, tmp_path_factory):
+    """ADVICE r5 (medium): if EVERY last-day event is 'error', the
+    restated frame is empty, dynamic overwrite matches no partition, and
+    the stale last-day partition would survive while the oracle drops all
+    its rows. The engine now deletes the partition explicitly; this corpus
+    (2 normal days + a sparse final day of only errors) pins the edge."""
+    import numpy as np
+
+    from hive3_replication_spark.registry import build_oracles, build_queries
+
+    rng = np.random.RandomState(5)
+    n = 300
+    ts = pd.to_datetime("2024-03-01") + pd.to_timedelta(
+        np.sort(rng.randint(0, 2 * 86400, n)), unit="s"
+    )
+    types = [("click", "view", "error")[i] for i in rng.randint(0, 3, n)]
+    # final day: ONLY error events
+    ts_last = pd.to_datetime("2024-03-03") + pd.to_timedelta(
+        np.sort(rng.randint(0, 86400, 7)), unit="s"
+    )
+    pdf = pd.DataFrame(
+        {
+            "event_id": np.arange(n + 7, dtype="int64"),
+            "ts": list(ts) + list(ts_last),
+            "user_id": rng.randint(0, 20, n + 7).astype("int64"),
+            "event_type": types + ["error"] * 7,
+            "value": np.round(rng.randn(n + 7) * 50, 3),
+            "props": ['{"k": 1}'] * (n + 7),
+        }
+    )
+    out = str(tmp_path_factory.mktemp("allerrlastday"))
+    spark.createDataFrame(pdf).coalesce(1).write.parquet(
+        f"{out}/events.parquet"
+    )
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW events AS SELECT * FROM "
+        f"'{out}/events.parquet/*.parquet'"
+    )
+    key = "sink_partition_overwrite"
+    spark_pdf = build_queries()[key](spark, out).toPandas()
+    oracle_pdf = con.sql(build_oracles()[key]).df()
+    assert_frames_match(spark_pdf, oracle_pdf, f"{key}@all-errors-last-day")
+    # the stale partition is gone: no last-day row in the read-back
+    assert "2024-03-03" not in set(spark_pdf["event_date"])
+
+
 def test_degenerate_boilerplate_corpus(spark, tmp_path_factory):
     """The boilerplate-heavy shape every dedup docstring worries about:
     200 IDENTICAL documents (one shingle set shared by the whole block)
