@@ -623,6 +623,49 @@ def ts_gap_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: Series at or under that total emit unchanged.
 _LTTB_BUCKETS = 50
 
+#: Hierarchical LTTB (T17): level-1 chunk size in points and the per-chunk
+#: interior pick count. A chunk is one bounded, parallel unit of sequential
+#: work; level 2 re-runs LTTB over the concatenated per-chunk picks.
+_LTTB_CHUNK = 500
+_LTTB_CHUNK_K = 12
+
+
+def _lttb_sel(xs: list[int], ys: list[int], k: int) -> list[int]:
+    """The LTTB pick chain over one pre-sorted series: returns the selected
+    row positions (endpoints + k interior argmax picks). All-integer area
+    form — |(x_a·m − Σx)(y_b − y_a) − (x_a − x_b)(Σy − y_a·m)| in Python
+    arbitrary precision (oracle: HUGEINT) — ties to the earliest point.
+    Shared by the flat (T16) and hierarchical (T17) operators so the two
+    levels are literally the same selection code."""
+    n = len(xs)
+    if n <= k + 2:
+        return list(range(n))
+    buckets: list[list[int]] = [[] for _ in range(k)]
+    for i in range(1, n - 1):
+        buckets[(i - 1) * k // (n - 2)].append(i)
+    sel = [0]
+    prev = 0
+    for b in range(k):
+        if b < k - 1:
+            nxt = buckets[b + 1]
+            m = len(nxt)
+            sx = sum(xs[j] for j in nxt)
+            sy = sum(ys[j] for j in nxt)
+        else:  # bucket k-1 pairs against the final endpoint
+            m, sx, sy = 1, xs[n - 1], ys[n - 1]
+        best, best_area = -1, -1
+        for i in buckets[b]:
+            area = abs(
+                (xs[prev] * m - sx) * (ys[i] - ys[prev])
+                - (xs[prev] - xs[i]) * (sy - ys[prev] * m)
+            )
+            if area > best_area:
+                best, best_area = i, area
+        sel.append(best)
+        prev = best
+    sel.append(n - 1)
+    return sel
+
 
 def ts_downsample_lttb(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T16 — largest-triangle-three-buckets downsampling (Steinarsson
@@ -659,43 +702,81 @@ def ts_downsample_lttb(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def lttb(pdf: "pd.DataFrame") -> "pd.DataFrame":
         pdf = pdf.sort_values(["x", "event_id"]).reset_index(drop=True)
-        n = len(pdf)
-        xs = [int(v) for v in pdf["x"]]
-        ys = [int(v) for v in pdf["y"]]
-        k = _LTTB_BUCKETS
-        if n <= k + 2:
-            sel = list(range(n))
-        else:
-            buckets: list[list[int]] = [[] for _ in range(k)]
-            for i in range(1, n - 1):
-                buckets[(i - 1) * k // (n - 2)].append(i)
-            sel = [0]
-            prev = 0
-            for b in range(k):
-                if b < k - 1:
-                    nxt = buckets[b + 1]
-                    m = len(nxt)
-                    sx = sum(xs[j] for j in nxt)
-                    sy = sum(ys[j] for j in nxt)
-                else:  # bucket k-1 pairs against the final endpoint
-                    m, sx, sy = 1, xs[n - 1], ys[n - 1]
-                best, best_area = -1, -1
-                for i in buckets[b]:
-                    area = abs(
-                        (xs[prev] * m - sx) * (ys[i] - ys[prev])
-                        - (xs[prev] - xs[i]) * (sy - ys[prev] * m)
-                    )
-                    if area > best_area:
-                        best, best_area = i, area
-                sel.append(best)
-                prev = best
-            sel.append(n - 1)
+        sel = _lttb_sel(
+            [int(v) for v in pdf["x"]],
+            [int(v) for v in pdf["y"]],
+            _LTTB_BUCKETS,
+        )
         out = pdf.iloc[sel].reset_index(drop=True)
         out.insert(1, "pos", pd.Series(range(len(sel)), dtype="int32"))
         return out[["event_type", "pos", "event_id", "x", "y"]]
 
     return pts.groupBy("event_type").applyInPandas(
         lttb, "event_type string, pos int, event_id long, x long, y long"
+    )
+
+
+def ts_downsample_lttb_hier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T17 — hierarchical LTTB, the scale mitigation documented in
+    ``docs/SCALE.md`` for T16's one-sequential-group shape: split each
+    series into fixed-size chunks of ``_LTTB_CHUNK`` points, LTTB each
+    chunk down to ``_LTTB_CHUNK_K + 2`` picks IN PARALLEL (one bounded
+    Arrow group per chunk — chunk count grows with data, so parallelism
+    grows with data), then LTTB the concatenated picks per series down to
+    the same ``_LTTB_BUCKETS + 2`` output the flat variant produces. Both
+    levels are the SAME all-integer selection chain (``_lttb_sel``); the
+    composition is the standard streaming/hierarchical LTTB refinement
+    (Steinarsson 2013 §4.4: LTTB over LTTB picks).
+
+    Scale: a pathologically long series no longer serializes — level 1 is
+    n/_LTTB_CHUNK independent tasks of bounded work, and level 2 touches
+    only picks (n × (k1+2)/_LTTB_CHUNK rows, ~3% of input). The per-series
+    ``row_number`` chunk assignment is one JVM window pass; the sort it
+    needs is inherent to LTTB itself (the chain is defined on the ordered
+    series)."""
+    import pandas as pd
+
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("x", "event_id")
+    pts = (
+        events.select(
+            "event_type",
+            "event_id",
+            F.expr("unix_micros(CAST(ts AS TIMESTAMP))").alias("x"),
+            (F.col("value").cast("decimal(18,3)") * 1000)
+            .cast("long")
+            .alias("y"),
+        )
+        .withColumn("rn", F.row_number().over(w) - 1)
+        .withColumn("chunk", F.expr(f"rn DIV {_LTTB_CHUNK}"))
+    )
+
+    def lttb_chunk(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        pdf = pdf.sort_values(["x", "event_id"]).reset_index(drop=True)
+        sel = _lttb_sel(
+            [int(v) for v in pdf["x"]],
+            [int(v) for v in pdf["y"]],
+            _LTTB_CHUNK_K,
+        )
+        return pdf.iloc[sel][["event_type", "event_id", "x", "y"]]
+
+    picks = pts.groupBy("event_type", "chunk").applyInPandas(
+        lttb_chunk, "event_type string, event_id long, x long, y long"
+    )
+
+    def lttb_series(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        pdf = pdf.sort_values(["x", "event_id"]).reset_index(drop=True)
+        sel = _lttb_sel(
+            [int(v) for v in pdf["x"]],
+            [int(v) for v in pdf["y"]],
+            _LTTB_BUCKETS,
+        )
+        out = pdf.iloc[sel].reset_index(drop=True)
+        out.insert(1, "pos", pd.Series(range(len(sel)), dtype="int32"))
+        return out[["event_type", "pos", "event_id", "x", "y"]]
+
+    return picks.groupBy("event_type").applyInPandas(
+        lttb_series, "event_type string, pos int, event_id long, x long, y long"
     )
 
 
@@ -714,6 +795,164 @@ ORACLES: dict[str, str] = {
                    CAST(CAST(value AS DECIMAL(18,3)) * 1000 AS BIGINT) AS y,
                    event_id
             FROM events
+        ),
+        n AS (SELECT event_type, COUNT(*) AS n FROM pts GROUP BY event_type),
+        big AS (SELECT event_type, n FROM n
+                WHERE n > {_LTTB_BUCKETS} + 2),
+        interior AS (
+            SELECT p.*, ((p.idx - 1) * {_LTTB_BUCKETS}) // (b.n - 2)
+                       AS bucket
+            FROM pts p JOIN big b USING (event_type)
+            WHERE p.idx >= 1 AND p.idx <= b.n - 2
+        ),
+        bavg AS (
+            SELECT event_type, bucket, COUNT(*) AS m,
+                   SUM(CAST(x AS HUGEINT)) AS sx,
+                   SUM(CAST(y AS HUGEINT)) AS sy
+            FROM interior GROUP BY event_type, bucket
+        ),
+        lastpt AS (
+            SELECT p.event_type, p.idx, p.x, p.y, p.event_id
+            FROM pts p JOIN big b USING (event_type) WHERE p.idx = b.n - 1
+        ),
+        nextc AS (
+            SELECT event_type, bucket - 1 AS bucket, m, sx, sy
+            FROM bavg WHERE bucket >= 1
+            UNION ALL
+            SELECT event_type, {_LTTB_BUCKETS} - 1, 1,
+                   CAST(x AS HUGEINT), CAST(y AS HUGEINT)
+            FROM lastpt
+        ),
+        sel AS (
+            SELECT p.event_type, -1 AS b, p.idx AS sel_idx,
+                   CAST(p.x AS HUGEINT) AS sel_x,
+                   CAST(p.y AS HUGEINT) AS sel_y
+            FROM pts p JOIN big USING (event_type) WHERE p.idx = 0
+            UNION ALL
+            SELECT s.event_type, s.b + 1, c.idx,
+                   CAST(c.x AS HUGEINT), CAST(c.y AS HUGEINT)
+            FROM sel s, LATERAL (
+                SELECT i.idx, i.x, i.y
+                FROM interior i JOIN nextc nc
+                  ON nc.event_type = i.event_type AND nc.bucket = i.bucket
+                WHERE i.event_type = s.event_type AND i.bucket = s.b + 1
+                ORDER BY abs((s.sel_x * nc.m - nc.sx)
+                             * (CAST(i.y AS HUGEINT) - s.sel_y)
+                           - (s.sel_x - CAST(i.x AS HUGEINT))
+                             * (nc.sy - s.sel_y * nc.m)) DESC,
+                         i.idx ASC
+                LIMIT 1
+            ) c
+            WHERE s.b < {_LTTB_BUCKETS} - 1
+        )
+        SELECT p.event_type, CAST(s.b + 1 AS INTEGER) AS pos,
+               p.event_id, p.x, p.y
+        FROM sel s JOIN pts p
+          ON p.event_type = s.event_type AND p.idx = s.sel_idx
+        UNION ALL
+        SELECT event_type, CAST({_LTTB_BUCKETS} + 1 AS INTEGER), event_id,
+               x, y
+        FROM lastpt
+        UNION ALL
+        SELECT p.event_type, CAST(p.idx AS INTEGER), p.event_id, p.x, p.y
+        FROM pts p JOIN n USING (event_type)
+        WHERE n.n <= {_LTTB_BUCKETS} + 2
+    """,
+    "ts_downsample_lttb_hier": f"""
+        -- two-level replay: the level-1 chain runs per (event_type,
+        -- chunk) with k1 = {_LTTB_CHUNK_K}; its picks are re-indexed per
+        -- series and fed through the identical level-2 chain with
+        -- k = {_LTTB_BUCKETS}. Same HUGEINT area form at both levels.
+        WITH RECURSIVE
+        cpts0 AS (
+            SELECT event_type,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY event_type
+                       ORDER BY epoch_us(CAST(ts AS TIMESTAMP)), event_id
+                   ) - 1 AS gidx,
+                   epoch_us(CAST(ts AS TIMESTAMP)) AS x,
+                   CAST(CAST(value AS DECIMAL(18,3)) * 1000 AS BIGINT) AS y,
+                   event_id
+            FROM events
+        ),
+        cpts AS (
+            SELECT event_type, gidx // {_LTTB_CHUNK} AS chunk,
+                   gidx % {_LTTB_CHUNK} AS idx, x, y, event_id
+            FROM cpts0
+        ),
+        cn AS (SELECT event_type, chunk, COUNT(*) AS n
+               FROM cpts GROUP BY event_type, chunk),
+        cbig AS (SELECT event_type, chunk, n FROM cn
+                 WHERE n > {_LTTB_CHUNK_K} + 2),
+        cinterior AS (
+            SELECT p.*, ((p.idx - 1) * {_LTTB_CHUNK_K}) // (b.n - 2)
+                       AS bucket
+            FROM cpts p JOIN cbig b USING (event_type, chunk)
+            WHERE p.idx >= 1 AND p.idx <= b.n - 2
+        ),
+        cbavg AS (
+            SELECT event_type, chunk, bucket, COUNT(*) AS m,
+                   SUM(CAST(x AS HUGEINT)) AS sx,
+                   SUM(CAST(y AS HUGEINT)) AS sy
+            FROM cinterior GROUP BY event_type, chunk, bucket
+        ),
+        clastpt AS (
+            SELECT p.event_type, p.chunk, p.idx, p.x, p.y, p.event_id
+            FROM cpts p JOIN cbig b USING (event_type, chunk)
+            WHERE p.idx = b.n - 1
+        ),
+        cnextc AS (
+            SELECT event_type, chunk, bucket - 1 AS bucket, m, sx, sy
+            FROM cbavg WHERE bucket >= 1
+            UNION ALL
+            SELECT event_type, chunk, {_LTTB_CHUNK_K} - 1, 1,
+                   CAST(x AS HUGEINT), CAST(y AS HUGEINT)
+            FROM clastpt
+        ),
+        csel AS (
+            SELECT p.event_type, p.chunk, -1 AS b, p.idx AS sel_idx,
+                   CAST(p.x AS HUGEINT) AS sel_x,
+                   CAST(p.y AS HUGEINT) AS sel_y
+            FROM cpts p JOIN cbig USING (event_type, chunk)
+            WHERE p.idx = 0
+            UNION ALL
+            SELECT s.event_type, s.chunk, s.b + 1, c.idx,
+                   CAST(c.x AS HUGEINT), CAST(c.y AS HUGEINT)
+            FROM csel s, LATERAL (
+                SELECT i.idx, i.x, i.y
+                FROM cinterior i JOIN cnextc nc
+                  ON nc.event_type = i.event_type
+                 AND nc.chunk = i.chunk AND nc.bucket = i.bucket
+                WHERE i.event_type = s.event_type AND i.chunk = s.chunk
+                  AND i.bucket = s.b + 1
+                ORDER BY abs((s.sel_x * nc.m - nc.sx)
+                             * (CAST(i.y AS HUGEINT) - s.sel_y)
+                           - (s.sel_x - CAST(i.x AS HUGEINT))
+                             * (nc.sy - s.sel_y * nc.m)) DESC,
+                         i.idx ASC
+                LIMIT 1
+            ) c
+            WHERE s.b < {_LTTB_CHUNK_K} - 1
+        ),
+        picks AS (
+            SELECT p.event_type, p.x, p.y, p.event_id
+            FROM csel s JOIN cpts p
+              ON p.event_type = s.event_type AND p.chunk = s.chunk
+             AND p.idx = s.sel_idx
+            UNION ALL
+            SELECT event_type, x, y, event_id FROM clastpt
+            UNION ALL
+            SELECT p.event_type, p.x, p.y, p.event_id
+            FROM cpts p JOIN cn USING (event_type, chunk)
+            WHERE cn.n <= {_LTTB_CHUNK_K} + 2
+        ),
+        pts AS (
+            SELECT event_type,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY event_type ORDER BY x, event_id
+                   ) - 1 AS idx,
+                   x, y, event_id
+            FROM picks
         ),
         n AS (SELECT event_type, COUNT(*) AS n FROM pts GROUP BY event_type),
         big AS (SELECT event_type, n FROM n
@@ -1063,6 +1302,7 @@ ORACLES: dict[str, str] = {
 
 QUERY_FNS = {
     "ts_downsample_lttb": ts_downsample_lttb,
+    "ts_downsample_lttb_hier": ts_downsample_lttb_hier,
     "ts_resample": ts_resample,
     "ts_fill_forward": ts_fill_forward,
     "ts_interpolate": ts_interpolate,
