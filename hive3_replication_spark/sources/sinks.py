@@ -146,26 +146,37 @@ def sink_partition_overwrite(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = scratch_dir(prefix="h3r_dynover_") + "/events_by_day"
     staged.write.partitionBy("event_date").parquet(out)
     last_day = staged.agg(F.max("event_date")).collect()[0][0]
+    if last_day is None:
+        # Source table is empty: nothing was landed (partitionBy on an
+        # empty frame writes no partition dirs), so a read-back of `out`
+        # would fail schema inference. The restated feed is trivially
+        # empty — return the summary shape directly.
+        return rows_df(
+            spark,
+            "event_date string, n_rows bigint, "
+            "n_errors bigint, sum_value double",
+            [],
+        )
     restated = staged.filter(
         (F.col("event_date") == F.lit(last_day))
         & (F.col("event_type") != "error")
     )
-    if restated.limit(1).count() == 0:
+    if restated.isEmpty():
         # Every last-day event was an error: the restatement is EMPTY, and
         # dynamic overwrite replaces only partitions PRESENT in the incoming
         # frame — an empty frame matches none, so the stale partition (error
         # rows included) would silently survive. Hive's INSERT OVERWRITE
         # with a static partition spec truncates the partition in this case;
-        # mirror that by dropping the partition directory explicitly via the
-        # Hadoop FS API (works on HDFS/S3A at cluster scale and touches only
-        # the restated partition, never the table).
-        if last_day is not None:
-            hpath = spark._jvm.org.apache.hadoop.fs.Path(
-                f"{out}/event_date={last_day}"
-            )
-            hpath.getFileSystem(spark._jsc.hadoopConfiguration()).delete(
-                hpath, True
-            )
+        # mirror that with a static, path-targeted overwrite of the ONE
+        # partition directory (the classic overwrite-by-partition-path
+        # pattern — supported API, works under Spark Connect, no raw FS
+        # access). The empty write still leaves a metadata-only parquet
+        # footer in the dir (SPARK-23271), so even when this was the
+        # table's only partition the read-back below can infer the schema
+        # instead of throwing UNABLE_TO_INFER_SCHEMA.
+        restated.drop("event_date").coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(f"{out}/event_date={last_day}")
     else:
         prev = spark.conf.get(
             "spark.sql.sources.partitionOverwriteMode", "STATIC"

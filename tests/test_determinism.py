@@ -70,6 +70,7 @@ FLOAT_HEAVY = [
     "llm_perplexity_filter",
     "llm_curriculum_order",
     "ts_downsample_lttb",
+    "ts_downsample_lttb_hier",
 ]
 
 #: Keys whose cross-run memo (persisted signature/pair relations) must be

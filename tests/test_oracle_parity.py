@@ -52,6 +52,33 @@ def test_survey_documents_every_key():
     )
 
 
+def test_sweep_window_pins_stalest_stamps():
+    """The driver stamps the FIRST ~50 registry keys each round, so the
+    front of ``_SWEEP_ORDER`` is load-bearing: it must hold exactly the
+    keys with the oldest (or missing) driver CORRECTNESS stamps. This
+    pins the round-7 window contents (ADVICE r5: nothing previously
+    verified the window) — regenerate the expectation alongside any
+    ``_SWEEP_ORDER`` rotation."""
+    from hive3_replication_spark.registry import _SWEEP_ORDER
+
+    window = list(_SWEEP_ORDER[:50])
+    # the one never-driver-stamped key leads
+    assert window[0] == "ts_downsample_lttb_hier"
+    r1 = {
+        "agg_arg_max", "agg_distinct", "agg_groupby", "agg_histogram",
+        "agg_max_watermark", "agg_percentile", "agg_rollup", "agg_stats",
+        "jdbc_sink", "jdbc_source", "join_anti", "join_asof",
+        "join_broadcast", "join_full", "join_left", "join_semi",
+        "join_snapshot_diff", "join_sortmerge", "join_theta",
+        "join_watermark_compare", "log_append", "parallel_copy",
+        "row_offset_filter", "scan_bucketed", "scan_csv", "scan_json",
+        "scan_orc", "snapshot_dump", "snapshot_load",
+    }
+    assert r1 <= set(window), sorted(r1 - set(window))
+    # every remaining slot is an r2-stamped key (oldest-first policy)
+    assert len(window) == len(set(window)) == 50
+
+
 def test_entry_smoke(spark):
     df = _entry.entry(spark)
     rows = df.collect()

@@ -123,6 +123,7 @@ TS_KEYS = (
     "ts_seasonal_profile",
     "ts_gap_detect",
     "ts_downsample_lttb",
+    "ts_downsample_lttb_hier",
     "sink_partition_overwrite",
     # windows/streams over the same stream — their (ts, event_id)
     # tie-breaks are what the 30% duplicate timestamps exercise
@@ -448,6 +449,49 @@ def test_partition_overwrite_all_errors_last_day(spark, tmp_path_factory):
     assert_frames_match(spark_pdf, oracle_pdf, f"{key}@all-errors-last-day")
     # the stale partition is gone: no last-day row in the read-back
     assert "2024-03-03" not in set(spark_pdf["event_date"])
+
+
+def test_partition_overwrite_single_day_all_errors(spark, tmp_path_factory):
+    """ADVICE r6 (medium): when the events table's ONLY day is all-error
+    rows, the restatement empties the table's sole partition. The old
+    fix deleted the partition dir outright, leaving the table dir with
+    no parquet footers — the read-back then crashed with
+    UNABLE_TO_INFER_SCHEMA while the oracle returned an empty frame.
+    The path-targeted empty overwrite keeps a metadata-only footer in
+    the dir (SPARK-23271), so the read-back yields an empty summary."""
+    import numpy as np
+
+    from hive3_replication_spark.registry import build_oracles, build_queries
+
+    rng = np.random.RandomState(11)
+    n = 9
+    ts = pd.to_datetime("2024-04-01") + pd.to_timedelta(
+        np.sort(rng.randint(0, 86400, n)), unit="s"
+    )
+    pdf = pd.DataFrame(
+        {
+            "event_id": np.arange(n, dtype="int64"),
+            "ts": ts,
+            "user_id": rng.randint(0, 5, n).astype("int64"),
+            "event_type": ["error"] * n,
+            "value": np.round(rng.randn(n) * 50, 3),
+            "props": ['{"k": 1}'] * n,
+        }
+    )
+    out = str(tmp_path_factory.mktemp("onedayallerr"))
+    spark.createDataFrame(pdf).coalesce(1).write.parquet(
+        f"{out}/events.parquet"
+    )
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW events AS SELECT * FROM "
+        f"'{out}/events.parquet/*.parquet'"
+    )
+    key = "sink_partition_overwrite"
+    spark_pdf = build_queries()[key](spark, out).toPandas()
+    oracle_pdf = con.sql(build_oracles()[key]).df()
+    assert len(spark_pdf) == 0 and len(oracle_pdf) == 0
+    assert_frames_match(spark_pdf, oracle_pdf, f"{key}@single-day-all-errors")
 
 
 def test_degenerate_boilerplate_corpus(spark, tmp_path_factory):
