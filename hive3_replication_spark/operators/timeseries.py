@@ -729,26 +729,63 @@ def ts_downsample_lttb_hier(spark: SparkSession, sf_dir: str) -> DataFrame:
     (Steinarsson 2013 §4.4: LTTB over LTTB picks).
 
     Scale: a pathologically long series no longer serializes — level 1 is
-    n/_LTTB_CHUNK independent tasks of bounded work, and level 2 touches
-    only picks (n × (k1+2)/_LTTB_CHUNK rows, ~3% of input). The per-series
-    ``row_number`` chunk assignment is one JVM window pass; the sort it
-    needs is inherent to LTTB itself (the chain is defined on the ordered
-    series)."""
+    n/_LTTB_CHUNK independent bounded groups, and level 2 touches only
+    picks (n × (k1+2)/_LTTB_CHUNK rows, ~3% of input). Two measured
+    single-series traps are designed out (scripts/probe_lttb_hier.py —
+    the naive form was SLOWER than flat at 2M points): (1) the chunk
+    index is NOT a per-series ``row_number`` window (that is one
+    serialized task holding the whole series); it is the distributed
+    rank pattern — range-repartition on the sort key, count rows per
+    (range partition, series) with a tiny agg, broadcast-join the prefix
+    offsets back, and window only WITHIN each range partition, so every
+    sort task holds ~1/parallelism of the series; (2) the level-1
+    grouped-map exchange is pinned with an explicit
+    ``repartition(n, keys)`` — the grouped-map's own exchange is
+    AQE-coalescible (a 2M-point series is ~60 MB of shuffle = ONE
+    post-AQE partition), which would serialize all n/500 Arrow groups
+    (~4 ms each) into one task."""
     import pandas as pd
 
     events = load_table(spark, sf_dir, "events")
-    w = Window.partitionBy("event_type").orderBy("x", "event_id")
-    pts = (
-        events.select(
-            "event_type",
-            "event_id",
-            F.expr("unix_micros(CAST(ts AS TIMESTAMP))").alias("x"),
-            (F.col("value").cast("decimal(18,3)") * 1000)
-            .cast("long")
-            .alias("y"),
+    base = events.select(
+        "event_type",
+        "event_id",
+        F.expr("unix_micros(CAST(ts AS TIMESTAMP))").alias("x"),
+        (F.col("value").cast("decimal(18,3)") * 1000)
+        .cast("long")
+        .alias("y"),
+    )
+    n_parts = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    # distributed per-series rank: lexicographic range partitioning on the
+    # full sort key makes cross-partition order consistent, so
+    # global rn = (rows of this series in earlier partitions) + local rank
+    parted = (
+        base.repartitionByRange(n_parts, "event_type", "x", "event_id")
+        .withColumn("pid", F.spark_partition_id())
+        .localCheckpoint()  # feeds the offset agg AND the main pass
+    )
+    offsets = (
+        parted.groupBy("pid", "event_type")
+        .agg(F.count("*").alias("cnt"))
+        .withColumn(
+            "offset",
+            F.coalesce(
+                F.sum("cnt").over(
+                    Window.partitionBy("event_type")
+                    .orderBy("pid")
+                    .rowsBetween(Window.unboundedPreceding, -1)
+                ),
+                F.lit(0),
+            ),
         )
-        .withColumn("rn", F.row_number().over(w) - 1)
+        .select("pid", "event_type", "offset")
+    )
+    w_local = Window.partitionBy("pid", "event_type").orderBy("x", "event_id")
+    pts = (
+        parted.join(F.broadcast(offsets), ["pid", "event_type"])
+        .withColumn("rn", F.col("offset") + F.row_number().over(w_local) - 1)
         .withColumn("chunk", F.expr(f"rn DIV {_LTTB_CHUNK}"))
+        .select("event_type", "event_id", "x", "y", "chunk")
     )
 
     def lttb_chunk(pdf: "pd.DataFrame") -> "pd.DataFrame":
@@ -760,8 +797,15 @@ def ts_downsample_lttb_hier(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         return pdf.iloc[sel][["event_type", "event_id", "x", "y"]]
 
-    picks = pts.groupBy("event_type", "chunk").applyInPandas(
-        lttb_chunk, "event_type string, event_id long, x long, y long"
+    # explicit user repartition on the group keys: satisfies the
+    # grouped-map's ClusteredDistribution (no further exchange) and is
+    # not AQE-coalescible, so the level-1 groups really fan out
+    picks = (
+        pts.repartition(n_parts, "event_type", "chunk")
+        .groupBy("event_type", "chunk")
+        .applyInPandas(
+            lttb_chunk, "event_type string, event_id long, x long, y long"
+        )
     )
 
     def lttb_series(pdf: "pd.DataFrame") -> "pd.DataFrame":

@@ -521,3 +521,28 @@ def test_lttb_single_series_exchange(spark):
     plan = _plan(ts_downsample_lttb(spark, SF_DIR), "simple")
     assert plan.count("Exchange hashpartitioning") == 1, plan
     assert "FlatMapGroupsInPandas" in plan, plan
+
+
+def test_lttb_hier_distributed_rank_and_pinned_fanout(spark):
+    """ts_downsample_lttb_hier: the two single-series scale traps stay
+    designed out (measured in scripts/probe_lttb_hier.py — the naive form
+    was 3.5x SLOWER than flat at 2M points):
+
+    - the chunk index must come from the distributed-rank pattern — the
+      full-data window is partitioned by (range-partition id, series), so
+      NO sort task ever holds a whole series; the only per-series-alone
+      window sits on the tiny per-partition offset aggregate;
+    - the level-1 grouped map must be fed by an explicit
+      repartition(n, keys) exchange (REPARTITION_BY_NUM — not
+      AQE-coalescible), so its Arrow groups fan out instead of
+      serializing through one post-AQE partition."""
+    from hive3_replication_spark.operators.timeseries import (
+        ts_downsample_lttb_hier,
+    )
+
+    plan = _plan(ts_downsample_lttb_hier(spark, SF_DIR), "simple")
+    assert plan.count("FlatMapGroupsInPandas") == 2, plan
+    assert "REPARTITION_BY_NUM" in plan, plan
+    # exactly one full-data window, and it is pid-partitioned
+    assert plan.count("windowspecdefinition(pid") == 1, plan
+    assert "CartesianProduct" not in plan, plan
