@@ -140,9 +140,21 @@ def gif_frame_offsets(payload: bytes) -> list[int]:
     the flags byte for the global color table size, steps over extension
     blocks (0x21) and each frame's optional local color table and LZW
     sub-block chain by their actual declared lengths, and stops at the
-    trailer. Raises on non-GIF magic or a malformed block sequence."""
+    trailer. Raises ValueError on non-GIF magic, a malformed block
+    sequence, or a block/sub-block length that points past the end of
+    the payload (hostile length bytes must fail loudly, never over-read
+    or hang)."""
     if payload[:6] not in (b"GIF87a", b"GIF89a"):
         raise ValueError(f"not a GIF: {payload[:6]!r}")
+    if len(payload) < 13:
+        raise ValueError("truncated GIF header")
+    end = len(payload)
+
+    def _at(p: int) -> int:
+        if p >= end:
+            raise ValueError(f"truncated GIF stream at offset {p}")
+        return payload[p]
+
     flags = payload[10]
     pos = 13
     if flags & 0x80:  # global color table: 3 * 2^(N+1) bytes
@@ -154,17 +166,17 @@ def gif_frame_offsets(payload: bytes) -> list[int]:
             return offsets
         if marker == 0x2C:  # image descriptor
             offsets.append(pos)
-            lflags = payload[pos + 9]
+            lflags = _at(pos + 9)
             pos += 10
             if lflags & 0x80:  # local color table
                 pos += 3 * (2 << (lflags & 0x07))
             pos += 1  # LZW minimum code size
-            while payload[pos]:  # data sub-blocks
+            while _at(pos):  # data sub-blocks
                 pos += payload[pos] + 1
             pos += 1  # block terminator
         elif marker == 0x21:  # extension: label byte + sub-blocks
             pos += 2
-            while payload[pos]:
+            while _at(pos):
                 pos += payload[pos] + 1
             pos += 1
         else:
@@ -183,15 +195,21 @@ def decode_image(payload: bytes) -> tuple[str, int, int, int]:
     any other magic — unknown media must fail loudly, not decode wrongly.
     """
     if payload[:8] == b"\x89PNG\r\n\x1a\n":
+        if len(payload) < 25:
+            raise ValueError("truncated PNG header")
         if payload[12:16] != b"IHDR":
             raise ValueError("PNG without leading IHDR chunk")
         width, height = struct.unpack(">II", payload[16:24])
         return ("png", width, height, payload[24])
     if payload[:2] == b"BM":
+        if len(payload) < 30:
+            raise ValueError("truncated BMP header")
         width, height = struct.unpack("<ii", payload[18:26])
         bpp = struct.unpack("<H", payload[28:30])[0]
         return ("bmp", width, abs(height), bpp)
     if payload[:6] in (b"GIF87a", b"GIF89a"):
+        if len(payload) < 11:
+            raise ValueError("truncated GIF header")
         width, height = struct.unpack("<HH", payload[6:10])
         return ("gif", width, height, (payload[10] & 0x07) + 1)
     raise ValueError(f"unknown image magic: {payload[:8]!r}")
@@ -212,6 +230,27 @@ _IMAGE_CACHE: dict[str, str] = {}
 _IMAGE_LOCK = threading.Lock()
 
 
+def _documents_fingerprint(sf_dir: str) -> str:
+    """Source fingerprint for the image-fixture cache key (ADVICE r5: a
+    path-only key silently reuses stale files when the documents table at
+    the same path is regenerated — e.g. a rebuilt scale-probe dir)."""
+    import hashlib
+    import os
+
+    root = os.path.join(sf_dir, "documents.parquet")
+    h = hashlib.sha256(os.path.realpath(root).encode())
+    paths = [root]
+    if os.path.isdir(root):
+        paths = [os.path.join(root, n) for n in sorted(os.listdir(root))]
+    for p in paths:
+        try:
+            st = os.stat(p)
+            h.update(f"{p}:{st.st_size}:{int(st.st_mtime)}".encode())
+        except OSError:  # non-local/remote sf_dir: fall back to path-only
+            pass
+    return h.hexdigest()[:16]
+
+
 def image_files_path(spark: SparkSession, sf_dir: str) -> str:
     """Materialize one REAL image file per document (format and dimensions
     from ``_doc_geometry``) — test scaffolding standing in for the
@@ -219,8 +258,9 @@ def image_files_path(spark: SparkSession, sf_dir: str) -> str:
     per (process, sf_dir) like the other derived layouts (lock-guarded:
     the prewarm thread may build it concurrently with the sweep); the
     driver-side write is setup, not the measured operator."""
+    cache_key = f"{sf_dir}:{_documents_fingerprint(sf_dir)}"
     with _IMAGE_LOCK:
-        if sf_dir not in _IMAGE_CACHE:
+        if cache_key not in _IMAGE_CACHE:
             out = scratch_dir(prefix="h3r_imgfiles_")
             doc_ids = [
                 r["doc_id"]
@@ -237,8 +277,8 @@ def image_files_path(spark: SparkSession, sf_dir: str) -> str:
                     payload = enc(width, height)
                 with open(f"{out}/doc_{doc_id:08d}.{fmt}", "wb") as fh:
                     fh.write(payload)
-            _IMAGE_CACHE[sf_dir] = out
-    return _IMAGE_CACHE[sf_dir]
+            _IMAGE_CACHE[cache_key] = out
+    return _IMAGE_CACHE[cache_key]
 
 
 def llm_multimodal(spark: SparkSession, sf_dir: str) -> DataFrame:

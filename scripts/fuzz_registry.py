@@ -14,6 +14,13 @@ rounding-tie divergence — fixed with the +5e-9 stabilizer), then
 137 (found the ts_ewma 7th-decimal rounding tie — fixed with the
 +5e-9 stabilizer), then 137/139/149 all clean 225/225.
 
+Round-7: the malformed-MEDIA payload family (truncated headers, wrong
+magic, hostile GIF length bytes, oversized declared dims) lives in
+pytest — tests/test_multimodal_decode.py::test_malformed_payload_* —
+because its oracle is defined BEHAVIOR (ValueError through the Arrow
+stage / header-only parse), not DuckDB parity; this sweep stays the
+cross-engine value-parity harness.
+
 Usage: python scripts/fuzz_registry.py [seed ...]
 """
 

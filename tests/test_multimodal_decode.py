@@ -200,3 +200,157 @@ def test_gif_walk_skips_extension_blocks():
     offsets = gif_frame_offsets(spliced)
     assert len(offsets) == 2
     assert offsets[0] == first + len(gce)
+
+
+# ---------------------------------------------------------------------------
+# Malformed-payload fuzz family (VERDICT r5 ask #5 / r6 ask #7): seeded
+# hostile payloads — truncations, wrong magic, hostile length bytes,
+# oversized declared dimensions — with DEFINED behavior at both the decoder
+# contract (ValueError, never an over-read, hang, or wrong parse) and the
+# registry pipeline (the error surfaces loudly through mapInPandas).
+# ---------------------------------------------------------------------------
+
+_HEADER_MIN = {"png": 25, "bmp": 30, "gif": 11}
+
+
+@pytest.mark.parametrize("seed", range(8))
+def test_malformed_payload_decoder_family(seed):
+    import numpy as np
+
+    rng = np.random.RandomState(seed)
+    fmt = sorted(_ENCODERS)[seed % 3]
+    good = _ENCODERS[fmt](int(rng.randint(8, 64)), int(rng.randint(8, 64)))
+
+    # 1. truncation inside the header: always ValueError (either the
+    #    truncated-<fmt> message or unknown-magic when the cut hits the
+    #    magic itself)
+    cut = int(rng.randint(1, _HEADER_MIN[fmt]))
+    with pytest.raises(ValueError):
+        decode_image(good[:cut])
+
+    # 2. wrong magic: random bytes long enough to be any header
+    junk = bytes(rng.randint(0, 256, 64, dtype="uint8"))
+    if junk[:8] != b"\x89PNG\r\n\x1a\n" and junk[:2] != b"BM" and junk[
+        :6
+    ] not in (b"GIF87a", b"GIF89a"):
+        with pytest.raises(ValueError, match="unknown image magic"):
+            decode_image(junk)
+
+    # 3. oversized DECLARED dims parse without allocation — a header-only
+    #    decode must report what the container claims, not materialize it
+    if fmt == "png":
+        huge = good[:16] + struct.pack(">II", 2**31 - 1, 2**31 - 1) + good[24:]
+        assert decode_image(huge)[1:3] == (2**31 - 1, 2**31 - 1)
+    elif fmt == "bmp":
+        huge = good[:18] + struct.pack("<ii", 2**31 - 1, -(2**31 - 1)) + good[26:]
+        assert decode_image(huge)[1:3] == (2**31 - 1, 2**31 - 1)
+    else:
+        huge = good[:6] + struct.pack("<HH", 65535, 65535) + good[10:]
+        assert decode_image(huge)[1:3] == (65535, 65535)
+
+
+@pytest.mark.parametrize("seed", range(6))
+def test_malformed_gif_walk_family(seed):
+    """The structure walk must terminate with ValueError on any seeded
+    truncation or hostile length byte — never hang or over-read."""
+    import numpy as np
+
+    from hive3_replication_spark.llm.multimodal import gif_frame_offsets
+
+    rng = np.random.RandomState(100 + seed)
+    good = encode_gif(int(rng.randint(4, 40)), int(rng.randint(4, 40)), 3)
+    body_start = 13 + 768  # header + GCT
+
+    # truncation mid-stream (past the header, before the trailer)
+    cut = int(rng.randint(body_start + 1, len(good) - 1))
+    with pytest.raises(ValueError):
+        gif_frame_offsets(good[:cut])
+
+    # hostile sub-block LENGTH byte: the last frame's first sub-block
+    # length (descriptor + 10 header bytes + 1 LZW-min-code byte) is set
+    # to 0xFF so the declared chain points past the end of the payload
+    last_frame = gif_frame_offsets(good)[-1]
+    hostile = bytearray(good)
+    hostile[last_frame + 11] = 0xFF
+    with pytest.raises(ValueError, match="truncated GIF stream"):
+        gif_frame_offsets(bytes(hostile))
+
+
+def _malformed_sf_dir(spark, tmp_path_factory):
+    import numpy as np
+    import pandas as pd
+
+    out = str(tmp_path_factory.mktemp("malformed_media"))
+    n = 6
+    pdf = pd.DataFrame(
+        {
+            "doc_id": np.arange(n, dtype="int64"),
+            "text": [f"doc body {i} " * 3 for i in range(n)],
+            "lang": ["en"] * n,
+            "source": ["web"] * n,
+            "n_chars": np.array([len(f"doc body {i} " * 3) for i in range(n)], dtype="int64"),
+        }
+    )
+    spark.createDataFrame(pdf).coalesce(1).write.parquet(f"{out}/documents.parquet")
+    return out
+
+
+def test_malformed_payload_through_registry_keys(spark, tmp_path_factory):
+    """Registry-level family: inject one wrong-magic and one truncated
+    file into the image fixture of a scratch sf_dir, then drive the three
+    binaryFile multimodal keys — each must fail LOUDLY with the decoder's
+    ValueError surfaced through the Arrow batch stage (defined behavior:
+    unknown/corrupt media is an error, not a silently wrong row)."""
+    import os
+
+    from hive3_replication_spark.llm.multimodal import (
+        llm_multimodal,
+        llm_multimodal_frames,
+        llm_multimodal_resize,
+    )
+
+    sf = _malformed_sf_dir(spark, tmp_path_factory)
+    img_dir = image_files_path(spark, sf)
+    names = sorted(os.listdir(img_dir))
+    # wrong magic in the first file, truncated header in a .gif
+    with open(os.path.join(img_dir, names[0]), "wb") as fh:
+        fh.write(b"RIFF....WEBPVP8 " + b"\x00" * 48)
+    gif_name = next(n for n in names if n.endswith(".gif"))
+    with open(os.path.join(img_dir, gif_name), "wb") as fh:
+        fh.write(b"GIF89a\x10\x00")
+    for key_fn in (llm_multimodal, llm_multimodal_resize, llm_multimodal_frames):
+        with pytest.raises(Exception, match="image magic|truncated"):
+            key_fn(spark, sf).collect()
+
+
+def test_hostile_text_payload_features(spark, tmp_path_factory):
+    """llm_multimodal_features on hostile text payloads (empty, control
+    bytes, non-ASCII): defined outputs — the -1.0 empty sentinel and
+    UTF-8 byte counts — no exception."""
+    import numpy as np
+    import pandas as pd
+
+    from hive3_replication_spark.llm.multimodal import llm_multimodal_features
+
+    out = str(tmp_path_factory.mktemp("hostile_text"))
+    texts = ["", "\x00\x01\x02", "héllo", "a" * 1000]
+    pdf = pd.DataFrame(
+        {
+            "doc_id": np.arange(len(texts), dtype="int64"),
+            "text": texts,
+            "lang": ["en"] * len(texts),
+            "source": ["web"] * len(texts),
+            "n_chars": np.array([len(t) for t in texts], dtype="int64"),
+        }
+    )
+    spark.createDataFrame(pdf).coalesce(1).write.parquet(
+        f"{out}/documents.parquet"
+    )
+    rows = {
+        r["doc_id"]: r
+        for r in llm_multimodal_features(spark, out).collect()
+    }
+    assert rows[0]["n_bytes"] == 0 and rows[0]["mean_byte"] == -1.0
+    assert rows[1]["n_bytes"] == 3 and rows[1]["n_distinct_bytes"] == 3
+    assert rows[2]["n_bytes"] == len("héllo".encode())  # UTF-8, not chars
+    assert rows[3]["n_bytes"] == 1000 and rows[3]["n_distinct_bytes"] == 1
