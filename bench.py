@@ -218,6 +218,12 @@ SCALE_PROBE_KEYS = (
     # batch-vs-corpus incremental dedup
     "llm_ann_index_probe",
     "llm_dedup_incremental",
+    # round-7 additions (VERDICT r6 ask #3): both LTTB variants, so the
+    # hierarchical rewrite's growth curve is recorded next to the flat
+    # chain it mitigates (the 100x single-series exponents live in
+    # docs/SCALE.md via scripts/probe_lttb_hier.py)
+    "ts_downsample_lttb",
+    "ts_downsample_lttb_hier",
 )
 
 
@@ -246,6 +252,73 @@ def _ngram_pair_counts(spark, sf_dir: str, probe_dir: str) -> dict:
         out[tag] = ngram_pair_jaccard(
             docs, f"pairprobe_{tag}", memo_token=None, min_jaccard=0.0
         ).count()
+    return out
+
+
+def _ann_candidate_counts(spark, sf_dir: str, probe_dir: str) -> dict:
+    """LSH candidate-pair volume behind llm_ann_batch / llm_serving_e2e at
+    base and 10x — the denominator the r5/r6 verdicts asked for: the time
+    ratios (~5x at 10x data) read superlinear only until divided by the
+    candidate volume, which grows ~linearly with the corpus (10 fixed
+    queries x avg bucket occupancy; the cap is scaled 10x alongside, same
+    as the timing overrides, so the guard never truncates the read)."""
+    from hive3_replication_spark.catalog import load_table
+    from hive3_replication_spark.llm.similarity import _batch_candidates
+
+    out = {}
+    for tag, d, cap in (
+        ("ann_cand_base", sf_dir, 1000),
+        ("ann_cand_x10", probe_dir, 10_000),
+    ):
+        emb = load_table(spark, d, "embeddings")
+        dim = len(emb.select("embedding").first()[0])
+        out[tag] = _batch_candidates(emb, dim, cap).count()
+    return out
+
+
+def _sink_restate_probe(spark, sf_dir: str, probe_dir: str) -> dict:
+    """sink_partition_overwrite's scale claim is that the RESTATEMENT
+    write is O(restated partitions), independent of table size (the
+    landing write is trivially O(table) and not the claim). Stage the
+    day-partitioned table untimed at base and 10x, then time only the
+    last-day dynamic-overwrite restatement (min over N_PASSES)."""
+    from hive3_replication_spark.catalog import load_table
+    from hive3_replication_spark.util import scratch_dir
+
+    from pyspark.sql import functions as F  # noqa: PLC0415
+
+    out: dict = {}
+    for tag, d in (("restate_base_sec", sf_dir), ("restate_x10_sec", probe_dir)):
+        staged = load_table(spark, d, "events").select(
+            F.col("ts").cast("timestamp").cast("date").alias("event_date"),
+            "event_type",
+            F.col("value").cast("decimal(18,4)").alias("vdec"),
+        )
+        dest = scratch_dir(prefix="h3r_restateprobe_") + "/events_by_day"
+        staged.write.partitionBy("event_date").parquet(dest)
+        last_day = staged.agg(F.max("event_date")).collect()[0][0]
+        restated = staged.filter(
+            (F.col("event_date") == F.lit(last_day))
+            & (F.col("event_type") != "error")
+        )
+        prev = spark.conf.get(
+            "spark.sql.sources.partitionOverwriteMode", "STATIC"
+        )
+        best = float("inf")
+        try:
+            spark.conf.set(
+                "spark.sql.sources.partitionOverwriteMode", "dynamic"
+            )
+            for _p in range(N_PASSES):
+                t0 = time.perf_counter()
+                restated.write.mode("overwrite").partitionBy(
+                    "event_date"
+                ).parquet(dest)
+                best = min(best, time.perf_counter() - t0)
+        finally:
+            spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+        out[tag] = round(best, 3)
+    out["ratio"] = round(out["restate_x10_sec"] / out["restate_base_sec"], 2)
     return out
 
 
@@ -311,6 +384,17 @@ def _scale_probe(spark, queries, sf_dir: str) -> dict:
         out["pairs"] = _ngram_pair_counts(spark, sf_dir, probe_dir)
     except Exception as exc:  # noqa: BLE001 — probe rows are additive
         print(f"ngram pair-count probe failed: {exc}", file=sys.stderr)
+    try:
+        out["pairs"] = {
+            **out.get("pairs", {}),
+            **_ann_candidate_counts(spark, sf_dir, probe_dir),
+        }
+    except Exception as exc:  # noqa: BLE001 — probe rows are additive
+        print(f"ann candidate-count probe failed: {exc}", file=sys.stderr)
+    try:
+        out["sink_restate"] = _sink_restate_probe(spark, sf_dir, probe_dir)
+    except Exception as exc:  # noqa: BLE001 — probe rows are additive
+        print(f"sink restate probe failed: {exc}", file=sys.stderr)
     clear_caches()
     try:
         out["e2e_x10"] = _bench_replication_min(spark, probe_dir)
@@ -421,13 +505,31 @@ def main() -> None:
             k: v.get("ratio") for k, v in scale_probe.get("keys", {}).items()
         },
         "pairs": scale_probe.get("pairs", {}),
+        "sink_restate": scale_probe.get("sink_restate", {}),
         "e2e_x10": scale_probe.get("e2e_x10", {}),
         "detail_file": detail_file,
         "sf": sf_num,
     }
+    # Multi-step shrink (ADVICE r5: a single-step shrink can't bound an
+    # unbounded scale_ratios/pairs section): drop progressively less
+    # essential fields until the line fits the driver's ~1900-char capture
+    # window. Everything dropped is still in the detail file.
+    shrink_steps = (
+        lambda c: c.update(queries=dict(list(c["queries"].items())[:5])),
+        lambda c: c.pop("pairs", None),
+        lambda c: c.pop("sink_restate", None),
+        lambda c: c.pop("e2e_x10", None),
+        lambda c: c.update(
+            scale_ratios=dict(list(c["scale_ratios"].items())[:8])
+        ),
+        lambda c: c.pop("scale_ratios", None),
+        lambda c: c.update(queries={}),
+    )
     line = json.dumps(compact)
-    if len(line) > 1900:  # keep the whole line inside the capture window
-        compact["queries"] = dict(list(slowest.items())[:5])
+    for step in shrink_steps:
+        if len(line) <= 1900:  # keep the whole line inside the capture window
+            break
+        step(compact)
         line = json.dumps(compact)
     print(line)
     spark.stop()
