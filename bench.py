@@ -224,6 +224,10 @@ SCALE_PROBE_KEYS = (
     # docs/SCALE.md via scripts/probe_lttb_hier.py)
     "ts_downsample_lttb",
     "ts_downsample_lttb_hier",
+    # round-7 operators with a window in the plan — probe their growth
+    # curve from their first round
+    "ts_acf",
+    "agg_weighted_median",
 )
 
 

@@ -238,6 +238,40 @@ def llm_sample_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def llm_importance_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L29 — quality-weighted importance resampling: keep each document
+    with probability proportional to a per-document quality weight,
+    instead of the per-stratum flat rates of L8 — the DCLM/FineWeb-style
+    step where a learned or heuristic quality score decides how much of
+    each individual document's neighborhood survives into the training
+    mix.
+
+    The weight here is the type-token ratio (distinct tokens / tokens —
+    repetitive documents get downsampled hardest), mapped to an integer
+    keep threshold with one DIV: threshold = (n_distinct · BUCKETS) DIV
+    n_tokens, keep iff the document's deterministic LCG bucket falls
+    under it. Everything is integer arithmetic on a single narrow
+    projection — no RNG (reproducible and auditable on any cluster
+    size/partitioning, resumable mid-corpus), no shuffle (the keep
+    predicate runs inside the scan stage), and a full SQL oracle. At
+    100 TB the weight column typically arrives precomputed from a
+    classifier; only the threshold map and bucket filter are this
+    operator, and they stay embarrassingly parallel."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    scored = docs.select(
+        "doc_id",
+        F.size(toks).cast("bigint").alias("n_tokens"),
+        F.size(F.array_distinct(toks)).cast("bigint").alias("n_distinct"),
+    ).withColumn(
+        "keep_threshold",
+        F.expr(f"(n_distinct * {_BUCKETS}) DIV n_tokens"),
+    ).withColumn("bucket", sample_bucket(F.col("doc_id")))
+    return scored.filter(F.col("bucket") < F.col("keep_threshold")).select(
+        "doc_id", "n_tokens", "n_distinct", "keep_threshold", "bucket"
+    )
+
+
 _N_SHARDS = 16
 
 
@@ -502,6 +536,22 @@ ORACLES: dict[str, str] = {
                cum_tokens - n_tokens AS seq_offset_tokens
         FROM cum
     """,
+    "llm_importance_resample": f"""
+        WITH scored AS (
+            SELECT doc_id,
+                   CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+                   CAST(len(list_distinct(string_split(text, ' ')))
+                        AS BIGINT) AS n_distinct,
+                   ((doc_id % {_PRIME}) * {_MULT} + {_INC}) % {_BUCKETS}
+                       AS bucket
+            FROM documents
+        )
+        SELECT doc_id, n_tokens, n_distinct,
+               (n_distinct * {_BUCKETS}) // n_tokens AS keep_threshold,
+               bucket
+        FROM scored
+        WHERE bucket < (n_distinct * {_BUCKETS}) // n_tokens
+    """,
     "llm_sample_stratified": f"""
         WITH b AS (
             SELECT doc_id, lang, source,
@@ -572,6 +622,7 @@ ORACLES: dict[str, str] = {
 
 QUERY_FNS = {
     "llm_sample_stratified": llm_sample_stratified,
+    "llm_importance_resample": llm_importance_resample,
     "llm_pack_sequences": llm_pack_sequences,
     "llm_chunk_windows": llm_chunk_windows,
     "llm_mix_sources": llm_mix_sources,

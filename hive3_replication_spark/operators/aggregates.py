@@ -728,7 +728,79 @@ def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A26 — weighted median (lower): per returnflag, the smallest
+    extendedprice whose cumulative quantity weight reaches half the
+    group's total — the robust center the plain median misses when rows
+    carry different weights (the size-weighted "typical price" question;
+    percentile_approx has no weighted form and RNG-free exactness is the
+    repo's contract).
+
+    All comparisons are DECIMAL-exact: per-price weights are
+    pre-aggregated (one hash agg — removes intra-price order
+    dependence AND shrinks the window input to |distinct prices|), the
+    running and total weights come from two frames over ONE
+    (returnflag)-partitioned sort, and the crossing test is the
+    division-free ``2·cum ≥ total``. At 100 TB the window input is the
+    per-price aggregate, not the fact table; a skewed single group can
+    switch to the two-pass histogram form (bucket counts → target bucket
+    → exact scan within bucket) without changing the contract."""
+    li = load_table(spark, sf_dir, "lineitem")
+    per_price = (
+        li.select(
+            "l_returnflag",
+            F.col("l_extendedprice").cast("decimal(18,4)").alias("price"),
+            F.col("l_quantity").cast("decimal(18,4)").alias("w"),
+        )
+        .groupBy("l_returnflag", "price")
+        .agg(F.sum("w").alias("pw"))
+    )
+    from pyspark.sql import Window
+
+    w_run = (
+        Window.partitionBy("l_returnflag")
+        .orderBy("price")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_all = Window.partitionBy("l_returnflag")
+    cum = per_price.withColumn("cw", F.sum("pw").over(w_run)).withColumn(
+        "tw", F.sum("pw").over(w_all)
+    )
+    return (
+        cum.filter(F.col("cw") * 2 >= F.col("tw"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.round(F.min("price").cast("double"), 4).alias(
+                "weighted_median_price"
+            ),
+            F.round(F.max("tw").cast("double"), 4).alias("total_weight"),
+        )
+    )
+
+
 ORACLES: dict[str, str] = {
+    "agg_weighted_median": """
+        WITH per_price AS (
+            SELECT l_returnflag,
+                   CAST(l_extendedprice AS DECIMAL(18,4)) AS price,
+                   SUM(CAST(l_quantity AS DECIMAL(18,4))) AS pw
+            FROM lineitem GROUP BY 1, 2
+        ),
+        cum AS (
+            SELECT l_returnflag, price, pw,
+                   SUM(pw) OVER (
+                       PARTITION BY l_returnflag ORDER BY price
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ) AS cw,
+                   SUM(pw) OVER (PARTITION BY l_returnflag) AS tw
+            FROM per_price
+        )
+        SELECT l_returnflag,
+               ROUND(CAST(MIN(price) AS DOUBLE), 4)
+                   AS weighted_median_price,
+               ROUND(CAST(MAX(tw) AS DOUBLE), 4) AS total_weight
+        FROM cum WHERE cw * 2 >= tw GROUP BY l_returnflag
+    """,
     "agg_regression": """
         WITH sums AS (
             SELECT l_linestatus, COUNT(*) AS n,
@@ -1028,6 +1100,7 @@ QUERY_FNS = {
     "agg_string_agg": agg_string_agg,
     "agg_bitmap_distinct": agg_bitmap_distinct,
     "agg_regression": agg_regression,
+    "agg_weighted_median": agg_weighted_median,
     "agg_approx_percentile": agg_approx_percentile,
     "agg_rollup": agg_rollup,
     "agg_cube": agg_cube,

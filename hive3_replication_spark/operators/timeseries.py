@@ -824,7 +824,139 @@ def ts_downsample_lttb_hier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_ACF_LAGS = (1, 2, 3)
+
+
+def ts_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TS18 — per-series autocorrelation at lags 1..3: the standard
+    (biased, mean-centered) ACF estimator r_k over each event_type's
+    value series in (ts, event_id) order — the seasonality/persistence
+    diagnostic behind every "is this metric mean-reverting or trending"
+    question (and the input to Box-Jenkins lag selection).
+
+    Exactness follows the agg_corr policy adapted to lagged products:
+    values are milli-unit int64s, ALL sums (Σv, Σv², Σv·v₋ₖ and the two
+    lag-window partial sums) accumulate as DECIMAL(38,0) — associative,
+    bit-identical on any partitioning — and the float formula
+    r_k = (C_k − m·(A_k+B_k) + (n−k)·m²) / (Σv² − (Σv)²/n), m = Σv/n,
+    runs once per (series, lag) on the finalized sums, rounded 6 dp.
+
+    Shape: the three lag columns share ONE window spec (single
+    exchange+sort on the event_type partitioning), then one hash agg —
+    parallelism is across series, like the EWMA/changepoint family; a
+    single pathologically long series switches to the distributed-rank +
+    lag-offset-equijoin form (cf. ts_downsample_lttb_hier) without
+    changing the estimator."""
+    events = load_table(spark, sf_dir, "events")
+    base = events.select(
+        "event_type",
+        F.expr("unix_micros(CAST(ts AS TIMESTAMP))").alias("t_us"),
+        "event_id",
+        (F.col("value").cast("decimal(18,3)") * 1000)
+        .cast("long")
+        .alias("v"),
+    )
+    w = Window.partitionBy("event_type").orderBy("t_us", "event_id")
+    lagged = base.select(
+        "event_type",
+        "v",
+        *[F.lag("v", k).over(w).alias(f"v_{k}") for k in _ACF_LAGS],
+    )
+    dec = "decimal(38,0)"
+    aggs = [
+        F.count("*").alias("n"),
+        F.sum(F.col("v").cast(dec)).alias("s"),
+        F.sum((F.col("v") * F.col("v")).cast(dec)).alias("ss"),
+    ]
+    for k in _ACF_LAGS:
+        vk = F.col(f"v_{k}")
+        aggs += [
+            F.sum((F.col("v") * vk).cast(dec)).alias(f"c_{k}"),
+            F.sum(
+                F.when(vk.isNotNull(), F.col("v")).cast(dec)
+            ).alias(f"a_{k}"),
+            F.sum(vk.cast(dec)).alias(f"b_{k}"),
+        ]
+    sums = lagged.groupBy("event_type").agg(*aggs)
+    n = F.col("n").cast("double")
+    s = F.col("s").cast("double")
+    ss = F.col("ss").cast("double")
+    m = s / n
+    den = ss - s * s / n
+    sel = [F.col("event_type"), F.col("n")]
+    for k in _ACF_LAGS:
+        c = F.col(f"c_{k}").cast("double")
+        a = F.col(f"a_{k}").cast("double")
+        b = F.col(f"b_{k}").cast("double")
+        num = c - m * (a + b) + (n - F.lit(float(k))) * m * m
+        sel.append(F.round(num / den, 6).alias(f"acf_{k}"))
+    return sums.select(*sel)
+
+
 ORACLES: dict[str, str] = {
+    "ts_acf": """
+        WITH e AS (
+            SELECT event_type,
+                   epoch_us(CAST(ts AS TIMESTAMP)) AS t_us, event_id,
+                   CAST(CAST(value AS DECIMAL(18,3)) * 1000 AS BIGINT) AS v
+            FROM events
+        ),
+        lagged AS (
+            SELECT event_type, v,
+                   LAG(v, 1) OVER w AS v_1,
+                   LAG(v, 2) OVER w AS v_2,
+                   LAG(v, 3) OVER w AS v_3
+            FROM e
+            WINDOW w AS (PARTITION BY event_type ORDER BY t_us, event_id)
+        ),
+        sums AS (
+            SELECT event_type, COUNT(*) AS n,
+                   SUM(CAST(v AS HUGEINT)) AS s,
+                   SUM(CAST(v AS HUGEINT) * v) AS ss,
+                   SUM(CAST(v AS HUGEINT) * v_1) AS c_1,
+                   SUM(CASE WHEN v_1 IS NOT NULL
+                            THEN CAST(v AS HUGEINT) END) AS a_1,
+                   SUM(CAST(v_1 AS HUGEINT)) AS b_1,
+                   SUM(CAST(v AS HUGEINT) * v_2) AS c_2,
+                   SUM(CASE WHEN v_2 IS NOT NULL
+                            THEN CAST(v AS HUGEINT) END) AS a_2,
+                   SUM(CAST(v_2 AS HUGEINT)) AS b_2,
+                   SUM(CAST(v AS HUGEINT) * v_3) AS c_3,
+                   SUM(CASE WHEN v_3 IS NOT NULL
+                            THEN CAST(v AS HUGEINT) END) AS a_3,
+                   SUM(CAST(v_3 AS HUGEINT)) AS b_3
+            FROM lagged GROUP BY event_type
+        )
+        SELECT event_type, n,
+               ROUND((CAST(c_1 AS DOUBLE)
+                      - (CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+                        * (CAST(a_1 AS DOUBLE) + CAST(b_1 AS DOUBLE))
+                      + (CAST(n AS DOUBLE) - 1.0)
+                        * (CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+                        * (CAST(s AS DOUBLE) / CAST(n AS DOUBLE)))
+                     / (CAST(ss AS DOUBLE)
+                        - CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
+                          / CAST(n AS DOUBLE)), 6) AS acf_1,
+               ROUND((CAST(c_2 AS DOUBLE)
+                      - (CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+                        * (CAST(a_2 AS DOUBLE) + CAST(b_2 AS DOUBLE))
+                      + (CAST(n AS DOUBLE) - 2.0)
+                        * (CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+                        * (CAST(s AS DOUBLE) / CAST(n AS DOUBLE)))
+                     / (CAST(ss AS DOUBLE)
+                        - CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
+                          / CAST(n AS DOUBLE)), 6) AS acf_2,
+               ROUND((CAST(c_3 AS DOUBLE)
+                      - (CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+                        * (CAST(a_3 AS DOUBLE) + CAST(b_3 AS DOUBLE))
+                      + (CAST(n AS DOUBLE) - 3.0)
+                        * (CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+                        * (CAST(s AS DOUBLE) / CAST(n AS DOUBLE)))
+                     / (CAST(ss AS DOUBLE)
+                        - CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
+                          / CAST(n AS DOUBLE)), 6) AS acf_3
+        FROM sums
+    """,
     "ts_downsample_lttb": f"""
         -- replays the LTTB chain exactly: the recursive CTE carries the
         -- previously selected point per series; each step's LATERAL
@@ -1346,6 +1478,7 @@ ORACLES: dict[str, str] = {
 
 QUERY_FNS = {
     "ts_downsample_lttb": ts_downsample_lttb,
+    "ts_acf": ts_acf,
     "ts_downsample_lttb_hier": ts_downsample_lttb_hier,
     "ts_resample": ts_resample,
     "ts_fill_forward": ts_fill_forward,

@@ -63,17 +63,20 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 #: age — keys are grouped oldest-latest-stamp first (never-stamped, then
 #: r1, r2, r3, r4, r6), preserving the profiled cheapest-first relative
 #: order inside each group. The 50-key window therefore covers
-#: ts_downsample_lttb_hier (the one never-stamped key) + all 29 r1-stamped
-#: keys + the 20 oldest r2-stamped keys; the remaining 29 r2 keys sit at
-#: positions 51-79 and lead the round-8 window automatically. Regenerate
+#: the 5 never-stamped keys (the round-6/7 additions) + all 29 r1-stamped
+#: keys + the 16 oldest r2-stamped keys; the remaining 33 r2 keys sit at
+#: positions 51-83 and lead the round-8 window automatically. Regenerate
 #: by re-sorting on the CORRECTNESS_r* latest-stamp map (see
 #: tests/test_oracle_parity.py window-pinning test, which locks the front
 #: 50 to this policy). Keys missing from this list (new operators between
 #: profilings) are appended alphabetically, so registration never breaks
 #: on an unprofiled key.
 _SWEEP_ORDER: tuple[str, ...] = (
-    # never driver-stamped (round-6 addition; VERDICT r6 ask #1)
-    "ts_downsample_lttb_hier",
+    # never driver-stamped: the round-6 addition (VERDICT r6 ask #1) plus
+    # the four round-7 operators — new keys lead the window so they earn a
+    # stamp the round they land
+    "ts_downsample_lttb_hier", "scan_jdbc_partitioned",
+    "agg_weighted_median", "ts_acf", "llm_importance_resample",
     # stamp age r1 — 29 keys, rotated into the window (VERDICT r6 ask #2)
     "agg_distinct", "agg_arg_max", "join_anti", "agg_histogram",
     "agg_groupby", "scan_bucketed", "join_semi", "scan_csv", "agg_rollup",

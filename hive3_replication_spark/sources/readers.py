@@ -512,7 +512,63 @@ def scan_pysource(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def scan_jdbc_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S13 — partitioned parallel JDBC ingest: the scale path for pulling
+    a warehouse table over JDBC (the reference funnels every resultset
+    through ONE beeline connection, ``beeline_functions.sh:103-108``; a
+    100 TB-adjacent ingest cannot). ``partitionColumn`` + bounds +
+    ``numPartitions`` make Spark issue N range-predicate queries from N
+    executor tasks concurrently — each fetches a disjoint ``event_id``
+    stripe, so the source database streams in parallel and no single
+    fetch holds the whole table.
+
+    The verification is exactness under partitioning: the per-bucket
+    aggregate over the 8-way parallel read must equal the same aggregate
+    computed on the original table — any duplicated or dropped stripe
+    boundary row breaks the parity hash. Bounds are read from the data
+    (one tiny agg), not trusted constants; upperBound is max+1 because
+    Spark's top stripe is exclusive of nothing but splits at the bound.
+    The landing write is single-connection demo scaffolding; the
+    partitioned READ is the operator."""
+    ensure_engine_confs(spark)
+    events = load_table(spark, sf_dir, "events")
+    slice_df = events.select("event_id", "user_id", "value")
+    jdbc_write(slice_df, "repl_par", "events_par")
+    lo, hi = slice_df.agg(F.min("event_id"), F.max("event_id")).first()
+    out = (
+        spark.read.format("jdbc")
+        .option("url", _DERBY_URL.format(name="repl_par"))
+        .option("dbtable", "events_par")
+        .option("driver", _DERBY_DRIVER)
+        # Spark quotes the stripe predicates via the Derby dialect, so the
+        # case-exact "event_id" column resolves (verified: 8 partitions,
+        # exact row parity)
+        .option("partitionColumn", "event_id")
+        .option("lowerBound", int(lo))
+        .option("upperBound", int(hi) + 1)
+        .option("numPartitions", 8)
+        .load()
+    )
+    return out.groupBy(
+        (F.col("event_id") % 8).alias("id_bucket")
+    ).agg(
+        F.count("*").alias("n_rows"),
+        F.sum("user_id").alias("sum_users"),
+        F.round(
+            F.sum(F.col("value").cast("decimal(18,4)")).cast("double"), 3
+        ).alias("sum_value"),
+    )
+
+
 ORACLES: dict[str, str] = {
+    "scan_jdbc_partitioned": """
+        SELECT event_id % 8 AS id_bucket,
+               COUNT(*) AS n_rows,
+               CAST(SUM(user_id) AS BIGINT) AS sum_users,
+               ROUND(CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE), 3)
+                   AS sum_value
+        FROM events GROUP BY 1
+    """,
     "scan_schema_evolution": """
         SELECT event_id, event_type,
                CASE WHEN event_id >= 200 THEN value END AS v2
@@ -608,5 +664,6 @@ QUERY_FNS = {
     "scan_xml": scan_xml,
     "scan_text": scan_text,
     "scan_schema_evolution": scan_schema_evolution,
+    "scan_jdbc_partitioned": scan_jdbc_partitioned,
     "delimited_parse": delimited_parse,
 }

@@ -71,6 +71,10 @@ FLOAT_HEAVY = [
     "llm_curriculum_order",
     "ts_downsample_lttb",
     "ts_downsample_lttb_hier",
+    # round-7: lagged-product decimal sums + once-per-group float formula
+    "ts_acf",
+    # round-7: decimal-exact crossing test, float only at the final round
+    "agg_weighted_median",
 ]
 
 #: Keys whose cross-run memo (persisted signature/pair relations) must be

@@ -62,8 +62,11 @@ def test_sweep_window_pins_stalest_stamps():
     from hive3_replication_spark.registry import _SWEEP_ORDER
 
     window = list(_SWEEP_ORDER[:50])
-    # the one never-driver-stamped key leads
-    assert window[0] == "ts_downsample_lttb_hier"
+    # the never-driver-stamped keys lead (round-6/7 additions)
+    assert window[:5] == [
+        "ts_downsample_lttb_hier", "scan_jdbc_partitioned",
+        "agg_weighted_median", "ts_acf", "llm_importance_resample",
+    ]
     r1 = {
         "agg_arg_max", "agg_distinct", "agg_groupby", "agg_histogram",
         "agg_max_watermark", "agg_percentile", "agg_rollup", "agg_stats",

@@ -546,3 +546,48 @@ def test_lttb_hier_distributed_rank_and_pinned_fanout(spark):
     # exactly one full-data window, and it is pid-partitioned
     assert plan.count("windowspecdefinition(pid") == 1, plan
     assert "CartesianProduct" not in plan, plan
+
+
+def test_acf_single_exchange(spark):
+    """ts_acf: the three lag columns share one window spec and the final
+    agg reuses the window's event_type partitioning — ONE exchange total,
+    like the EWMA/changepoint family."""
+    from hive3_replication_spark.operators.timeseries import ts_acf
+
+    plan = _plan(ts_acf(spark, SF_DIR), "simple")
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert plan.count("Window") == 1, plan
+
+
+def test_weighted_median_window_over_preagg(spark):
+    """agg_weighted_median: the window input must be the per-price
+    aggregate (|distinct prices| rows), never the fact table — the
+    HashAggregate sits below the Window; no cartesian anywhere."""
+    from hive3_replication_spark.operators.aggregates import (
+        agg_weighted_median,
+    )
+
+    plan = _plan(agg_weighted_median(spark, SF_DIR), "simple")
+    assert "CartesianProduct" not in plan, plan
+    win_pos = plan.index("Window")
+    # a pre-aggregation (partial+final pair) exists below the window
+    assert "HashAggregate" in plan[win_pos:], plan
+
+
+def test_importance_resample_no_shuffle(spark):
+    """llm_importance_resample: the keep predicate is a narrow filter in
+    the scan stage — NO exchange of any kind in the plan."""
+    from hive3_replication_spark.llm.sampling import llm_importance_resample
+
+    plan = _plan(llm_importance_resample(spark, SF_DIR), "simple")
+    assert "Exchange" not in plan, plan
+
+
+def test_jdbc_partitioned_read_parallelism(spark):
+    """scan_jdbc_partitioned: the JDBC relation must carry the 8-way
+    stripe split (the parallel-ingest property the operator exists for)."""
+    from hive3_replication_spark.sources.readers import scan_jdbc_partitioned
+
+    df = scan_jdbc_partitioned(spark, SF_DIR)
+    plan = _plan(df, "simple")
+    assert "numPartitions=8" in plan, plan

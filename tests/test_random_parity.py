@@ -124,6 +124,7 @@ TS_KEYS = (
     "ts_gap_detect",
     "ts_downsample_lttb",
     "ts_downsample_lttb_hier",
+    "ts_acf",
     "sink_partition_overwrite",
     # windows/streams over the same stream — their (ts, event_id)
     # tie-breaks are what the 30% duplicate timestamps exercise
