@@ -382,6 +382,27 @@ def _scale_probe(spark, queries, sf_dir: str) -> dict:
                 best = min(best, time.perf_counter() - t0)
             times[tag] = round(best, 3)
         times["ratio"] = round(times["x10_sec"] / times["base_sec"], 2)
+        # Outlier guard: a long single-session run occasionally hits a
+        # window where EVERY pass of one key lands 5-10x slow (GC/JIT
+        # state, not data — observed twice on llm_dedup_ngram with
+        # bit-identical pair counts; docs/BENCH_NOTES.md round-7). A
+        # breached ratio is a scale CLAIM, so it gets one extra
+        # both-scales re-measure before being reported.
+        if times["ratio"] > 10:
+            for tag, d in (("base_sec", sf_dir), ("x10_sec", probe_dir)):
+                fn = queries[name]
+                if tag == "x10_sec" and name in x10_overrides:
+                    fn = x10_overrides[name]
+                clear_caches()
+                t0 = time.perf_counter()
+                fn(spark, d).count()
+                times[tag] = min(
+                    times[tag], round(time.perf_counter() - t0, 3)
+                )
+            times["ratio"] = round(
+                times["x10_sec"] / times["base_sec"], 2
+            )
+            times["outlier_retried"] = True
         out["keys"][name] = times
     clear_caches()
     try:
