@@ -363,41 +363,39 @@ def _scale_probe(spark, queries, sf_dir: str) -> dict:
         "llm_serving_e2e": _serving_x10,
     }
 
+    def _cold_pass(name: str, tag: str, d: str) -> float:
+        """One cold timed run of a probe key (memo caches cleared)."""
+        fn = queries[name]
+        if tag == "x10_sec" and name in x10_overrides:
+            fn = x10_overrides[name]
+        clear_caches()
+        t0 = time.perf_counter()
+        fn(spark, d).count()
+        return time.perf_counter() - t0
+
     out: dict = {"factor": 10, "keys": {}}
     for name in SCALE_PROBE_KEYS:
         times = {}
         for tag, d in (("base_sec", sf_dir), ("x10_sec", probe_dir)):
-            fn = queries[name]
-            if tag == "x10_sec" and name in x10_overrides:
-                fn = x10_overrides[name]
-            # min over N_PASSES cold runs (caches cleared each time) —
-            # single-shot cold timings at fixture scale are bimodal under
-            # local-mode GC/scheduling jitter, the same reason the
-            # headline set reports per-query MIN
-            best = float("inf")
-            for _p in range(N_PASSES):
-                clear_caches()
-                t0 = time.perf_counter()
-                fn(spark, d).count()
-                best = min(best, time.perf_counter() - t0)
-            times[tag] = round(best, 3)
+            # min over N_PASSES cold runs — single-shot cold timings at
+            # fixture scale are bimodal under local-mode GC/scheduling
+            # jitter, the same reason the headline set reports per-query MIN
+            times[tag] = round(
+                min(_cold_pass(name, tag, d) for _p in range(N_PASSES)), 3
+            )
         times["ratio"] = round(times["x10_sec"] / times["base_sec"], 2)
         # Outlier guard: a long single-session run occasionally hits a
         # window where EVERY pass of one key lands 5-10x slow (GC/JIT
         # state, not data — observed twice on llm_dedup_ngram with
         # bit-identical pair counts; docs/BENCH_NOTES.md round-7). A
-        # breached ratio is a scale CLAIM, so it gets one extra
-        # both-scales re-measure before being reported.
+        # breached ratio is a scale CLAIM, so it gets ONE extra
+        # both-scales re-measure; if the ratio survives the retry it is
+        # reported as-is with the flag, so a genuinely superlinear key is
+        # still surfaced (and costs exactly one extra pass per run).
         if times["ratio"] > 10:
             for tag, d in (("base_sec", sf_dir), ("x10_sec", probe_dir)):
-                fn = queries[name]
-                if tag == "x10_sec" and name in x10_overrides:
-                    fn = x10_overrides[name]
-                clear_caches()
-                t0 = time.perf_counter()
-                fn(spark, d).count()
                 times[tag] = min(
-                    times[tag], round(time.perf_counter() - t0, 3)
+                    times[tag], round(_cold_pass(name, tag, d), 3)
                 )
             times["ratio"] = round(
                 times["x10_sec"] / times["base_sec"], 2

@@ -20,6 +20,8 @@ ignorenulls=True)`` — no self-join, no as-of re-sort.
 
 from __future__ import annotations
 
+from functools import partial
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -667,6 +669,28 @@ def _lttb_sel(xs: list[int], ys: list[int], k: int) -> list[int]:
     return sel
 
 
+def _lttb_frame(pdf, k: int, with_pos: bool):
+    """Shared grouped-map body for the flat operator and both hierarchical
+    levels: sort by the series order, run the all-integer selection chain
+    with ``k`` interior buckets, project the picks (``with_pos`` adds the
+    output rank column the series-level contract carries). One body, so
+    the level-2 output can never drift from the flat variant it is
+    documented to reproduce."""
+    import pandas as pd
+
+    pdf = pdf.sort_values(["x", "event_id"]).reset_index(drop=True)
+    sel = _lttb_sel(
+        [int(v) for v in pdf["x"]],
+        [int(v) for v in pdf["y"]],
+        k,
+    )
+    out = pdf.iloc[sel].reset_index(drop=True)
+    if with_pos:
+        out.insert(1, "pos", pd.Series(range(len(sel)), dtype="int32"))
+        return out[["event_type", "pos", "event_id", "x", "y"]]
+    return out[["event_type", "event_id", "x", "y"]]
+
+
 def ts_downsample_lttb(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T16 — largest-triangle-three-buckets downsampling (Steinarsson
     2013; the dashboard downsampler Timescale/Grafana expose): reduce
@@ -688,8 +712,6 @@ def ts_downsample_lttb(spark: SparkSession, sf_dir: str) -> DataFrame:
     |(x_a·m − Σx)(y_b − y_a) − (x_a − x_b)(Σy − y_a·m)| and computed in
     Python arbitrary-precision ints (oracle: HUGEINT) — bit-identical
     argmaxes, ties to the earliest point."""
-    import pandas as pd
-
     events = load_table(spark, sf_dir, "events")
     pts = events.select(
         "event_type",
@@ -700,19 +722,9 @@ def ts_downsample_lttb(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("y"),
     )
 
-    def lttb(pdf: "pd.DataFrame") -> "pd.DataFrame":
-        pdf = pdf.sort_values(["x", "event_id"]).reset_index(drop=True)
-        sel = _lttb_sel(
-            [int(v) for v in pdf["x"]],
-            [int(v) for v in pdf["y"]],
-            _LTTB_BUCKETS,
-        )
-        out = pdf.iloc[sel].reset_index(drop=True)
-        out.insert(1, "pos", pd.Series(range(len(sel)), dtype="int32"))
-        return out[["event_type", "pos", "event_id", "x", "y"]]
-
     return pts.groupBy("event_type").applyInPandas(
-        lttb, "event_type string, pos int, event_id long, x long, y long"
+        partial(_lttb_frame, k=_LTTB_BUCKETS, with_pos=True),
+        "event_type string, pos int, event_id long, x long, y long",
     )
 
 
@@ -744,8 +756,6 @@ def ts_downsample_lttb_hier(spark: SparkSession, sf_dir: str) -> DataFrame:
     AQE-coalescible (a 2M-point series is ~60 MB of shuffle = ONE
     post-AQE partition), which would serialize all n/500 Arrow groups
     (~4 ms each) into one task."""
-    import pandas as pd
-
     events = load_table(spark, sf_dir, "events")
     base = events.select(
         "event_type",
@@ -788,15 +798,6 @@ def ts_downsample_lttb_hier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("event_type", "event_id", "x", "y", "chunk")
     )
 
-    def lttb_chunk(pdf: "pd.DataFrame") -> "pd.DataFrame":
-        pdf = pdf.sort_values(["x", "event_id"]).reset_index(drop=True)
-        sel = _lttb_sel(
-            [int(v) for v in pdf["x"]],
-            [int(v) for v in pdf["y"]],
-            _LTTB_CHUNK_K,
-        )
-        return pdf.iloc[sel][["event_type", "event_id", "x", "y"]]
-
     # explicit user repartition on the group keys: satisfies the
     # grouped-map's ClusteredDistribution (no further exchange) and is
     # not AQE-coalescible, so the level-1 groups really fan out
@@ -804,23 +805,14 @@ def ts_downsample_lttb_hier(spark: SparkSession, sf_dir: str) -> DataFrame:
         pts.repartition(n_parts, "event_type", "chunk")
         .groupBy("event_type", "chunk")
         .applyInPandas(
-            lttb_chunk, "event_type string, event_id long, x long, y long"
+            partial(_lttb_frame, k=_LTTB_CHUNK_K, with_pos=False),
+            "event_type string, event_id long, x long, y long",
         )
     )
 
-    def lttb_series(pdf: "pd.DataFrame") -> "pd.DataFrame":
-        pdf = pdf.sort_values(["x", "event_id"]).reset_index(drop=True)
-        sel = _lttb_sel(
-            [int(v) for v in pdf["x"]],
-            [int(v) for v in pdf["y"]],
-            _LTTB_BUCKETS,
-        )
-        out = pdf.iloc[sel].reset_index(drop=True)
-        out.insert(1, "pos", pd.Series(range(len(sel)), dtype="int32"))
-        return out[["event_type", "pos", "event_id", "x", "y"]]
-
     return picks.groupBy("event_type").applyInPandas(
-        lttb_series, "event_type string, pos int, event_id long, x long, y long"
+        partial(_lttb_frame, k=_LTTB_BUCKETS, with_pos=True),
+        "event_type string, pos int, event_id long, x long, y long",
     )
 
 
@@ -863,15 +855,19 @@ def ts_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
         *[F.lag("v", k).over(w).alias(f"v_{k}") for k in _ACF_LAGS],
     )
     dec = "decimal(38,0)"
+    # multiply in DECIMAL, not BIGINT: v*v as int64 overflows (ANSI fault)
+    # past |value| ~3e6 — the decimal-side product mirrors the oracle's
+    # HUGEINT multiply exactly (v <= ~9.2e18 -> v^2 <= 8.5e37 < 10^38)
+    vdec = F.col("v").cast(dec)
     aggs = [
         F.count("*").alias("n"),
-        F.sum(F.col("v").cast(dec)).alias("s"),
-        F.sum((F.col("v") * F.col("v")).cast(dec)).alias("ss"),
+        F.sum(vdec).alias("s"),
+        F.sum(vdec * F.col("v")).alias("ss"),
     ]
     for k in _ACF_LAGS:
         vk = F.col(f"v_{k}")
         aggs += [
-            F.sum((F.col("v") * vk).cast(dec)).alias(f"c_{k}"),
+            F.sum(vdec * vk).alias(f"c_{k}"),
             F.sum(
                 F.when(vk.isNotNull(), F.col("v")).cast(dec)
             ).alias(f"a_{k}"),
@@ -889,7 +885,10 @@ def ts_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
         a = F.col(f"a_{k}").cast("double")
         b = F.col(f"b_{k}").cast("double")
         num = c - m * (a + b) + (n - F.lit(float(k))) * m * m
-        sel.append(F.round(num / den, 6).alias(f"acf_{k}"))
+        # try_divide: a constant-valued series has den == 0; DuckDB's
+        # division returns NULL there, and ANSI Spark would otherwise
+        # fault — the NULL acf is the honest "undefined" answer
+        sel.append(F.round(F.try_divide(num, den), 6).alias(f"acf_{k}"))
     return sums.select(*sel)
 
 

@@ -86,7 +86,7 @@ _SWEEP_ORDER: tuple[str, ...] = (
     "join_watermark_compare", "log_append", "scan_orc", "jdbc_source",
     "agg_max_watermark", "agg_stats", "snapshot_dump", "parallel_copy",
     "snapshot_load",
-    # stamp age r2 — first 20 fill the 50-key window; the rest lead round 8
+    # stamp age r2 — first 16 fill the 50-key window; the rest lead round 8
     "fn_regexp_extract", "scan_text", "filter_prefix", "filter_null",
     "fn_array", "fn_url", "filter_multi_rlike", "sort_top1",
     "filter_table_class", "filter_negative", "filter_isin", "string_scrub",

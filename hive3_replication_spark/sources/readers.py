@@ -535,6 +535,15 @@ def scan_jdbc_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
     slice_df = events.select("event_id", "user_id", "value")
     jdbc_write(slice_df, "repl_par", "events_par")
     lo, hi = slice_df.agg(F.min("event_id"), F.max("event_id")).first()
+    if lo is None:  # empty source: no stripes to read, summary is empty
+        from ..util import rows_df
+
+        return rows_df(
+            spark,
+            "id_bucket bigint, n_rows bigint, sum_users bigint, "
+            "sum_value double",
+            [],
+        )
     out = (
         spark.read.format("jdbc")
         .option("url", _DERBY_URL.format(name="repl_par"))

@@ -28,6 +28,13 @@ def diff_maps(old: dict, new: dict, threshold: float) -> list[str]:
         else:
             a, b = old[key], new[key]
             if a <= 0:
+                # a 0.000-rounded baseline can't be ratioed; still report
+                # the transition instead of hiding a possible regression
+                if b > 0:
+                    lines.append(
+                        f"  ! {key}: {a:.3f}s -> {b:.3f}s "
+                        "(baseline rounded to 0, no ratio)"
+                    )
                 continue
             delta = (b - a) / a
             if abs(delta) > threshold:

@@ -14,6 +14,10 @@ rounding-tie divergence — fixed with the +5e-9 stabilizer), then
 137 (found the ts_ewma 7th-decimal rounding tie — fixed with the
 +5e-9 stabilizer), then 137/139/149 all clean 225/225.
 
+Round-7: seeds 151/163 clean 230/230 (first sweep covering the four
+round-7 operators: scan_jdbc_partitioned, agg_weighted_median, ts_acf,
+llm_importance_resample).
+
 Round-7: the malformed-MEDIA payload family (truncated headers, wrong
 magic, hostile GIF length bytes, oversized declared dims) lives in
 pytest — tests/test_multimodal_decode.py::test_malformed_payload_* —

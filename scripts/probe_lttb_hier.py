@@ -90,8 +90,12 @@ def main() -> None:
             best = float("inf")
             for _p in range(2):
                 t0 = time.perf_counter()
-                assert fn(spark, dirs[n]).count() > 0
+                # the count() is the timed action — keep it a statement so
+                # `python -O` (which strips asserts) can't hollow the probe
+                n_out = fn(spark, dirs[n]).count()
                 best = min(best, time.perf_counter() - t0)
+                if n_out <= 0:
+                    raise RuntimeError(f"{name}@{n}: empty result")
             times[n] = round(best, 3)
         ratio = times[sizes[1]] / times[sizes[0]]
         result[name] = {

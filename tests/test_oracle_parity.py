@@ -78,7 +78,17 @@ def test_sweep_window_pins_stalest_stamps():
         "scan_orc", "snapshot_dump", "snapshot_load",
     }
     assert r1 <= set(window), sorted(r1 - set(window))
-    # every remaining slot is an r2-stamped key (oldest-first policy)
+    # the remaining 16 slots are exactly the OLDEST r2-stamped keys
+    # (profiled cheapest-first order within the r2 block)
+    r2_oldest = {
+        "fn_regexp_extract", "scan_text", "filter_prefix", "filter_null",
+        "fn_array", "fn_url", "filter_multi_rlike", "sort_top1",
+        "filter_table_class", "filter_negative", "filter_isin",
+        "string_scrub", "llm_text_normalize", "reshape_unpivot",
+        "reshape_explode", "delimited_parse",
+    }
+    rest = set(window) - set(window[:5]) - r1
+    assert rest == r2_oldest, sorted(rest ^ r2_oldest)
     assert len(window) == len(set(window)) == 50
 
 

@@ -130,3 +130,72 @@ def test_documents_fixture_text_is_single_line(spark):
         F.col("text").contains("\n") | F.col("text").contains("\r")
     ).count()
     assert n_multiline == 0
+
+
+def test_jdbc_partitioned_empty_source(spark, tmp_path_factory):
+    """scan_jdbc_partitioned on an EMPTY events table: no stripes exist
+    (min/max bounds are NULL), so the operator must return the empty
+    summary with the standard schema instead of crashing on the bounds."""
+    import pandas as pd
+
+    from hive3_replication_spark.sources.readers import scan_jdbc_partitioned
+
+    out = str(tmp_path_factory.mktemp("empty_events"))
+    pdf = pd.DataFrame(
+        {
+            "event_id": pd.Series([], dtype="int64"),
+            "ts": pd.Series([], dtype="datetime64[us]"),
+            "user_id": pd.Series([], dtype="int64"),
+            "event_type": pd.Series([], dtype="object"),
+            "value": pd.Series([], dtype="float64"),
+            "props": pd.Series([], dtype="object"),
+        }
+    )
+    spark.createDataFrame(
+        pdf,
+        schema=(
+            "event_id long, ts timestamp, user_id long, "
+            "event_type string, value double, props string"
+        ),
+    ).coalesce(1).write.parquet(f"{out}/events.parquet")
+    res = scan_jdbc_partitioned(spark, out)
+    assert res.columns == ["id_bucket", "n_rows", "sum_users", "sum_value"]
+    assert res.count() == 0
+
+
+def test_acf_constant_series_is_null(spark, tmp_path_factory):
+    """ts_acf on a constant-valued series: variance (the denominator) is
+    exactly 0, so the ACF is undefined — both engines must return NULL
+    (DuckDB division yields NULL; Spark uses try_divide because ANSI
+    division would fault), never crash."""
+    import duckdb
+    import numpy as np
+    import pandas as pd
+
+    from hive3_replication_spark.operators.timeseries import ORACLES, ts_acf
+
+    out = str(tmp_path_factory.mktemp("const_events"))
+    n = 20
+    pdf = pd.DataFrame(
+        {
+            "event_id": np.arange(n, dtype="int64"),
+            "ts": pd.to_datetime("2024-01-01")
+            + pd.to_timedelta(np.arange(n), unit="min"),
+            "user_id": np.zeros(n, dtype="int64"),
+            "event_type": ["heartbeat"] * n,
+            "value": np.ones(n),  # constant: den == 0
+            "props": ["{}"] * n,
+        }
+    )
+    spark.createDataFrame(pdf).coalesce(1).write.parquet(
+        f"{out}/events.parquet"
+    )
+    rows = ts_acf(spark, out).collect()
+    assert len(rows) == 1
+    assert rows[0]["acf_1"] is None
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM '{out}/events.parquet/*.parquet'"
+    )
+    orc = con.sql(ORACLES["ts_acf"]).fetchall()
+    assert orc[0][2] is None  # acf_1 column
