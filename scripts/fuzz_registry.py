@@ -14,7 +14,7 @@ rounding-tie divergence — fixed with the +5e-9 stabilizer), then
 137 (found the ts_ewma 7th-decimal rounding tie — fixed with the
 +5e-9 stabilizer), then 137/139/149 all clean 225/225.
 
-Round-7: seeds 151/163 clean 230/230 (first sweep covering the four
+Round-7: seeds 151/163/179/181 all clean 230/230 (first sweep covering the four
 round-7 operators: scan_jdbc_partitioned, agg_weighted_median, ts_acf,
 llm_importance_resample).
 
