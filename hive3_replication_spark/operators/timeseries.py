@@ -20,8 +20,6 @@ ignorenulls=True)`` — no self-join, no as-of re-sort.
 
 from __future__ import annotations
 
-from functools import partial
-
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -691,6 +689,16 @@ def _lttb_frame(pdf, k: int, with_pos: bool):
     return out[["event_type", "event_id", "x", "y"]]
 
 
+def _lttb_series_map(pdf):
+    """Series-level grouped map (flat operator and hier level 2)."""
+    return _lttb_frame(pdf, _LTTB_BUCKETS, with_pos=True)
+
+
+def _lttb_chunk_map(pdf):
+    """Chunk-level grouped map (hier level 1)."""
+    return _lttb_frame(pdf, _LTTB_CHUNK_K, with_pos=False)
+
+
 def ts_downsample_lttb(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T16 — largest-triangle-three-buckets downsampling (Steinarsson
     2013; the dashboard downsampler Timescale/Grafana expose): reduce
@@ -723,7 +731,7 @@ def ts_downsample_lttb(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     return pts.groupBy("event_type").applyInPandas(
-        partial(_lttb_frame, k=_LTTB_BUCKETS, with_pos=True),
+        _lttb_series_map,
         "event_type string, pos int, event_id long, x long, y long",
     )
 
@@ -805,13 +813,13 @@ def ts_downsample_lttb_hier(spark: SparkSession, sf_dir: str) -> DataFrame:
         pts.repartition(n_parts, "event_type", "chunk")
         .groupBy("event_type", "chunk")
         .applyInPandas(
-            partial(_lttb_frame, k=_LTTB_CHUNK_K, with_pos=False),
+            _lttb_chunk_map,
             "event_type string, event_id long, x long, y long",
         )
     )
 
     return picks.groupBy("event_type").applyInPandas(
-        partial(_lttb_frame, k=_LTTB_BUCKETS, with_pos=True),
+        _lttb_series_map,
         "event_type string, pos int, event_id long, x long, y long",
     )
 
