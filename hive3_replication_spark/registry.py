@@ -59,39 +59,19 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 #: Sweep order for queries(): DRIVER-COVERAGE FIRST. The external verify
 #: The verification driver cuts at ~50 keys per round BY COUNT, so the
 #: front block must hold exactly the keys that most need a fresh driver
-#: stamp. Round-7 policy (VERDICT r6 asks #1/#2): the order IS the stamp
-#: age — keys are grouped oldest-latest-stamp first (never-stamped, then
-#: r1, r2, r3, r4, r6), preserving the profiled cheapest-first relative
-#: order inside each group. The 50-key window therefore covers
-#: the 5 never-stamped keys (the round-6/7 additions) + all 29 r1-stamped
-#: keys + the 16 oldest r2-stamped keys; the remaining 33 r2 keys sit at
-#: positions 51-83 and lead the round-8 window automatically. Regenerate
-#: by re-sorting on the CORRECTNESS_r* latest-stamp map (see
-#: tests/test_oracle_parity.py window-pinning test, which locks the front
-#: 50 to this policy). Keys missing from this list (new operators between
-#: profilings) are appended alphabetically, so registration never breaks
-#: on an unprofiled key.
+#: stamp. Round-8 policy (VERDICT r7 ask #1): the order IS the stamp
+#: age — keys are grouped oldest-latest-stamp first (r2, then r3, r4, r6,
+#: r7), preserving the profiled cheapest-first relative order inside each
+#: group. The 50-key round-8 window therefore covers the 33 remaining
+#: r2-stamped keys + the 17 oldest r3-stamped keys; after it lands, the
+#: minimum stamp age across the registry is r3. Regenerate by re-sorting
+#: on the CORRECTNESS_r* latest-stamp map (see tests/test_oracle_parity.py
+#: window-pinning test, which locks the front 50 to this policy). Keys
+#: missing from this list (new operators between profilings) are appended
+#: alphabetically, so registration never breaks on an unprofiled key.
 _SWEEP_ORDER: tuple[str, ...] = (
-    # never driver-stamped: the round-6 addition (VERDICT r6 ask #1) plus
-    # the four round-7 operators — new keys lead the window so they earn a
-    # stamp the round they land
-    "ts_downsample_lttb_hier", "scan_jdbc_partitioned",
-    "agg_weighted_median", "ts_acf", "llm_importance_resample",
-    # stamp age r1 — 29 keys, rotated into the window (VERDICT r6 ask #2)
-    "agg_distinct", "agg_arg_max", "join_anti", "agg_histogram",
-    "agg_groupby", "scan_bucketed", "join_semi", "scan_csv", "agg_rollup",
-    "join_theta", "join_left", "jdbc_sink", "row_offset_filter",
-    "agg_percentile", "scan_json", "join_full", "join_sortmerge",
-    "join_snapshot_diff", "join_broadcast", "join_asof",
-    "join_watermark_compare", "log_append", "scan_orc", "jdbc_source",
-    "agg_max_watermark", "agg_stats", "snapshot_dump", "parallel_copy",
-    "snapshot_load",
-    # stamp age r2 — first 16 fill the 50-key window; the rest lead round 8
-    "fn_regexp_extract", "scan_text", "filter_prefix", "filter_null",
-    "fn_array", "fn_url", "filter_multi_rlike", "sort_top1",
-    "filter_table_class", "filter_negative", "filter_isin", "string_scrub",
-    "llm_text_normalize", "reshape_unpivot", "reshape_explode",
-    "delimited_parse", "fn_case_when", "win_row_number", "agg_conditional",
+    # stamp age r2 — the 33 oldest-stamped keys lead the round-8 window
+    "fn_case_when", "win_row_number", "agg_conditional",
     "filter_rlike", "fn_cast", "llm_sample_stratified", "fn_math", "fn_hash",
     "win_rank", "project_columns", "scan_parquet", "fn_regexp_replace",
     "fn_split", "fn_date_format", "win_pattern_match", "sort_topk",
@@ -100,7 +80,8 @@ _SWEEP_ORDER: tuple[str, ...] = (
     "llm_quality_classifier", "fn_div_mod", "filter_gt_watermark",
     "stream_incremental_dump", "udf_scalar", "reshape_struct_flatten",
     "scan_partitioned", "agg_pending_count", "agg_duration",
-    # stamp age r3
+    # stamp age r3 — the first 17 fill the 50-key window; the rest lead
+    # the round-9 window
     "llm_multimodal_features", "agg_table_profile", "agg_approx_distinct",
     "agg_hll_sketch", "agg_approx_percentile", "ts_changepoint",
     "llm_corpus_shuffle", "llm_tokenizer_apply", "llm_bpe_merges",
@@ -151,6 +132,23 @@ _SWEEP_ORDER: tuple[str, ...] = (
     "llm_curriculum_order", "join_asof_nearest", "ts_downsample_lttb",
     "sink_partition_overwrite", "llm_multimodal", "llm_multimodal_resize",
     "llm_multimodal_frames", "ts_seasonal_profile",
+    # stamp age r7 — freshest stamps, last (the former round-7 window:
+    # the 5 round-6/7 additions + the 29 ex-r1 keys + the 16 ex-r2 keys)
+    "ts_downsample_lttb_hier", "scan_jdbc_partitioned",
+    "agg_weighted_median", "ts_acf", "llm_importance_resample",
+    "agg_distinct", "agg_arg_max", "join_anti", "agg_histogram",
+    "agg_groupby", "scan_bucketed", "join_semi", "scan_csv", "agg_rollup",
+    "join_theta", "join_left", "jdbc_sink", "row_offset_filter",
+    "agg_percentile", "scan_json", "join_full", "join_sortmerge",
+    "join_snapshot_diff", "join_broadcast", "join_asof",
+    "join_watermark_compare", "log_append", "scan_orc", "jdbc_source",
+    "agg_max_watermark", "agg_stats", "snapshot_dump", "parallel_copy",
+    "snapshot_load",
+    "fn_regexp_extract", "scan_text", "filter_prefix", "filter_null",
+    "fn_array", "fn_url", "filter_multi_rlike", "sort_top1",
+    "filter_table_class", "filter_negative", "filter_isin", "string_scrub",
+    "llm_text_normalize", "reshape_unpivot", "reshape_explode",
+    "delimited_parse",
 )
 
 

@@ -56,39 +56,38 @@ def test_sweep_window_pins_stalest_stamps():
     """The driver stamps the FIRST ~50 registry keys each round, so the
     front of ``_SWEEP_ORDER`` is load-bearing: it must hold exactly the
     keys with the oldest (or missing) driver CORRECTNESS stamps. This
-    pins the round-7 window contents (ADVICE r5: nothing previously
-    verified the window) — regenerate the expectation alongside any
-    ``_SWEEP_ORDER`` rotation."""
+    pins the round-8 window contents (VERDICT r7 ask #1: the 33 remaining
+    r2-stamped keys + the 17 oldest r3-stamped keys) — regenerate the
+    expectation alongside any ``_SWEEP_ORDER`` rotation."""
     from hive3_replication_spark.registry import _SWEEP_ORDER
 
     window = list(_SWEEP_ORDER[:50])
-    # the never-driver-stamped keys lead (round-6/7 additions)
-    assert window[:5] == [
-        "ts_downsample_lttb_hier", "scan_jdbc_partitioned",
-        "agg_weighted_median", "ts_acf", "llm_importance_resample",
-    ]
-    r1 = {
-        "agg_arg_max", "agg_distinct", "agg_groupby", "agg_histogram",
-        "agg_max_watermark", "agg_percentile", "agg_rollup", "agg_stats",
-        "jdbc_sink", "jdbc_source", "join_anti", "join_asof",
-        "join_broadcast", "join_full", "join_left", "join_semi",
-        "join_snapshot_diff", "join_sortmerge", "join_theta",
-        "join_watermark_compare", "log_append", "parallel_copy",
-        "row_offset_filter", "scan_bucketed", "scan_csv", "scan_json",
-        "scan_orc", "snapshot_dump", "snapshot_load",
+    # all 33 keys whose latest driver stamp is r2 (the registry's stalest)
+    r2 = {
+        "agg_conditional", "agg_cube", "agg_duration", "agg_pending_count",
+        "filter_gt_watermark", "filter_rlike", "fn_case_when", "fn_cast",
+        "fn_date_format", "fn_div_mod", "fn_hash", "fn_json", "fn_map",
+        "fn_math", "fn_regexp_replace", "fn_split",
+        "llm_quality_classifier", "llm_sample_stratified",
+        "llm_text_bpe_count", "llm_text_quality", "llm_text_redact",
+        "project_columns", "reshape_struct_flatten", "scan_parquet",
+        "scan_partitioned", "sort_topk", "stream_incremental_dump",
+        "stream_retry", "stream_tumbling", "udf_scalar",
+        "win_pattern_match", "win_rank", "win_row_number",
     }
-    assert r1 <= set(window), sorted(r1 - set(window))
-    # the remaining 16 slots are exactly the OLDEST r2-stamped keys
-    # (profiled cheapest-first order within the r2 block)
-    r2_oldest = {
-        "fn_regexp_extract", "scan_text", "filter_prefix", "filter_null",
-        "fn_array", "fn_url", "filter_multi_rlike", "sort_top1",
-        "filter_table_class", "filter_negative", "filter_isin",
-        "string_scrub", "llm_text_normalize", "reshape_unpivot",
-        "reshape_explode", "delimited_parse",
+    assert r2 <= set(window), sorted(r2 - set(window))
+    # the remaining 17 slots are exactly the OLDEST r3-stamped keys
+    # (profiled cheapest-first order within the r3 block)
+    r3_oldest = {
+        "llm_multimodal_features", "agg_table_profile",
+        "agg_approx_distinct", "agg_hll_sketch", "agg_approx_percentile",
+        "ts_changepoint", "llm_corpus_shuffle", "llm_tokenizer_apply",
+        "llm_bpe_merges", "llm_ann_batch", "llm_embed_pq",
+        "llm_pack_sequences", "win_lag", "llm_text_tokens",
+        "join_asof_forward", "llm_text_langid", "set_except",
     }
-    rest = set(window) - set(window[:5]) - r1
-    assert rest == r2_oldest, sorted(rest ^ r2_oldest)
+    rest = set(window) - r2
+    assert rest == r3_oldest, sorted(rest ^ r3_oldest)
     assert len(window) == len(set(window)) == 50
 
 
