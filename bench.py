@@ -426,6 +426,42 @@ def _scale_probe(spark, queries, sf_dir: str) -> dict:
     return out
 
 
+def shrink_compact_line(compact: dict, limit: int = 1900) -> str:
+    """Shrink the stdout JSON line to the driver's ~1900-char capture
+    window. Multi-step (ADVICE r5: a single-step shrink can't bound an
+    unbounded scale_ratios/pairs section): drop progressively less
+    essential fields; if the fully-shrunk line STILL exceeds the window
+    (ADVICE r7: e.g. a very large e2e dict, which no step drops), fall
+    back to the irreducible headline fields. Everything dropped is still
+    in the detail file. Mutates ``compact``."""
+    shrink_steps = (
+        lambda c: c.update(queries=dict(list(c["queries"].items())[:5])),
+        lambda c: c.pop("pairs", None),
+        lambda c: c.pop("sink_restate", None),
+        lambda c: c.pop("e2e_x10", None),
+        lambda c: c.update(
+            scale_ratios=dict(list(c["scale_ratios"].items())[:8])
+        ),
+        lambda c: c.pop("scale_ratios", None),
+        lambda c: c.update(queries={}),
+    )
+    line = json.dumps(compact)
+    for step in shrink_steps:
+        if len(line) <= limit:
+            break
+        step(compact)
+        line = json.dumps(compact)
+    if len(line) > limit:
+        headline = {
+            k: compact[k]
+            for k in ("metric", "value", "unit", "runs", "n_queries",
+                      "detail_file", "sf")
+            if k in compact
+        }
+        line = json.dumps(headline)
+    return line
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -533,28 +569,7 @@ def main() -> None:
         "detail_file": detail_file,
         "sf": sf_num,
     }
-    # Multi-step shrink (ADVICE r5: a single-step shrink can't bound an
-    # unbounded scale_ratios/pairs section): drop progressively less
-    # essential fields until the line fits the driver's ~1900-char capture
-    # window. Everything dropped is still in the detail file.
-    shrink_steps = (
-        lambda c: c.update(queries=dict(list(c["queries"].items())[:5])),
-        lambda c: c.pop("pairs", None),
-        lambda c: c.pop("sink_restate", None),
-        lambda c: c.pop("e2e_x10", None),
-        lambda c: c.update(
-            scale_ratios=dict(list(c["scale_ratios"].items())[:8])
-        ),
-        lambda c: c.pop("scale_ratios", None),
-        lambda c: c.update(queries={}),
-    )
-    line = json.dumps(compact)
-    for step in shrink_steps:
-        if len(line) <= 1900:  # keep the whole line inside the capture window
-            break
-        step(compact)
-        line = json.dumps(compact)
-    print(line)
+    print(shrink_compact_line(compact))
     spark.stop()
 
 

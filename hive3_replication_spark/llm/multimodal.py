@@ -245,7 +245,9 @@ def _documents_fingerprint(sf_dir: str) -> str:
     for p in paths:
         try:
             st = os.stat(p)
-            h.update(f"{p}:{st.st_size}:{int(st.st_mtime)}".encode())
+            # st_mtime_ns, not int(st_mtime): whole-second resolution let a
+            # same-size regeneration within one second reuse stale fixtures
+            h.update(f"{p}:{st.st_size}:{st.st_mtime_ns}".encode())
         except OSError:  # non-local/remote sf_dir: fall back to path-only
             pass
     return h.hexdigest()[:16]

@@ -865,7 +865,14 @@ def ts_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
     dec = "decimal(38,0)"
     # multiply in DECIMAL, not BIGINT: v*v as int64 overflows (ANSI fault)
     # past |value| ~3e6 — the decimal-side product mirrors the oracle's
-    # HUGEINT multiply exactly (v <= ~9.2e18 -> v^2 <= 8.5e37 < 10^38)
+    # HUGEINT multiply exactly (v <= ~9.2e18 -> v^2 <= 8.5e37 < 10^38).
+    # The SUM also accumulates in DECIMAL(38,0), so the real safety
+    # condition is on the aggregate: n * v_max^2 < 10^38 per series (e.g.
+    # n=10^9 rows needs |v| < ~3.2e14 milli-units, i.e. |value| < ~3e11).
+    # Past that, Spark nulls/faults where DuckDB's per-row HUGEINT may
+    # still hold — if a deployment's magnitudes break the bound, pre-scale
+    # v by a power of 10 before the sums (r_k is scale-invariant; only the
+    # quantization granularity changes).
     vdec = F.col("v").cast(dec)
     aggs = [
         F.count("*").alias("n"),

@@ -1,0 +1,63 @@
+"""Driver-facing bench.py plumbing: the compact stdout line must always
+fit the verification driver's ~1900-char capture window, whatever the
+probe sections contain (ADVICE r5 + r7)."""
+
+from __future__ import annotations
+
+import json
+
+from bench import shrink_compact_line
+
+
+def _compact(**overrides) -> dict:
+    base = {
+        "metric": "headline_suite_wall_time",
+        "value": 41.0,
+        "unit": "sec",
+        "runs": 2,
+        "n_queries": 73,
+        "queries": {f"q{i}": 0.1 * i for i in range(10)},
+        "e2e": {"repl_bootstrap_e2e": 1.0, "repl_incremental_e2e": 1.1},
+        "scale_ratios": {f"k{i}": 1.0 for i in range(30)},
+        "pairs": {f"p{i}": 1000 + i for i in range(30)},
+        "sink_restate": {"rows": 100},
+        "e2e_x10": {"repl_bootstrap_e2e": 1.4},
+        "detail_file": "BENCH_DETAIL.json",
+        "sf": 0.1,
+    }
+    base.update(overrides)
+    return base
+
+
+def test_short_line_passes_through_unshrunk():
+    compact = _compact()
+    line = shrink_compact_line(compact, limit=100_000)
+    got = json.loads(line)
+    assert got["queries"] and got["pairs"] and got["scale_ratios"]
+
+
+def test_shrink_steps_bound_probe_sections():
+    compact = _compact(
+        scale_ratios={f"very_long_operator_key_{i}": 1.234 for i in range(200)},
+        pairs={f"pairs_counter_key_{i}": 10**9 for i in range(200)},
+    )
+    line = shrink_compact_line(compact)
+    assert len(line) <= 1900
+    got = json.loads(line)
+    assert got["metric"] == "headline_suite_wall_time"
+    assert got["value"] == 41.0
+
+
+def test_unshrinkable_e2e_falls_back_to_headline_fields():
+    # ADVICE r7: no shrink step drops e2e, so a pathological e2e dict used
+    # to escape the window after all seven steps were exhausted
+    compact = _compact(
+        e2e={f"end_to_end_flow_number_{i}": 1.0 + i for i in range(200)}
+    )
+    line = shrink_compact_line(compact)
+    assert len(line) <= 1900
+    got = json.loads(line)
+    assert got["metric"] == "headline_suite_wall_time"
+    assert got["value"] == 41.0
+    assert got["detail_file"] == "BENCH_DETAIL.json"
+    assert "e2e" not in got
