@@ -342,3 +342,52 @@ def test_cli_end_to_end(tmp_path):
     assert report["db_name"] == "clidb" and report["status"] == "success"
     arts = list(up.glob("replog_clidb_*.json"))
     assert len(arts) == 1
+
+
+class _ConnectLikeSession:
+    """A session with no py4j gateway — what ``spark._jvm`` access would
+    look like under Spark Connect (the attributes simply don't exist)."""
+
+
+def test_fs_copy_local_paths_need_no_jvm(tmp_path):
+    """VERDICT r7 ask #4: local-path copies must not touch the private
+    _jvm/_jsc gateway at all — proven by running them against a session
+    object that has neither attribute."""
+    from hive3_replication_spark.repl.snapshot import _fs_copy
+
+    src = tmp_path / "src"
+    src.mkdir()
+    (src / "part-0.parquet").write_bytes(b"payload-a")
+    (src / "nested").mkdir()
+    (src / "nested" / "part-1.parquet").write_bytes(b"payload-b")
+    dst = tmp_path / "out" / "dst"
+
+    _fs_copy(_ConnectLikeSession(), str(src), str(dst))
+    assert (dst / "part-0.parquet").read_bytes() == b"payload-a"
+    assert (dst / "nested" / "part-1.parquet").read_bytes() == b"payload-b"
+
+    # overwrite semantics: a stale destination is replaced, not merged
+    (src / "part-0.parquet").write_bytes(b"payload-a2")
+    (dst / "stale-file").write_bytes(b"old")
+    _fs_copy(_ConnectLikeSession(), str(src), str(dst))
+    assert (dst / "part-0.parquet").read_bytes() == b"payload-a2"
+    assert not (dst / "stale-file").exists()
+
+    # single-file source, file:// scheme on both sides
+    single = tmp_path / "single.parquet"
+    single.write_bytes(b"solo")
+    _fs_copy(
+        _ConnectLikeSession(), f"file://{single}", f"file://{tmp_path}/solo_out"
+    )
+    assert (tmp_path / "solo_out").read_bytes() == b"solo"
+
+
+def test_fs_copy_remote_uri_without_gateway_raises_clearly(tmp_path):
+    """Under Connect a remote-URI copy must fail with the documented
+    classic-mode error, not an AttributeError deep inside py4j."""
+    from hive3_replication_spark.repl.snapshot import _fs_copy
+
+    with pytest.raises(RuntimeError, match="classic-mode SparkSession"):
+        _fs_copy(
+            _ConnectLikeSession(), "hdfs://nn/db/t.parquet", str(tmp_path / "d")
+        )
