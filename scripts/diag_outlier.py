@@ -91,6 +91,53 @@ def _stage_totals(spark, app_id: str) -> tuple[int, int, int]:
     return run, cpu, len(stages)
 
 
+def _host_state() -> dict:
+    """Host-level split for the session-3 finding (8x executorCpuTime,
+    flat GC/JIT/code-heap): thread CPU-time inflates either because the
+    JVM executes MORE instructions (interpreter fallback — internal) or
+    because each cycle-second buys fewer cycles (frequency throttling /
+    co-tenant memory-bandwidth contention — external). /proc/loadavg far
+    above our own ~33 threads during a slow pass indicts a co-tenant;
+    a collapsed mean /proc/cpuinfo MHz indicts frequency throttling;
+    both flat while CPU-time is elevated leaves the JVM-internal path.
+
+    On this host /proc/cpuinfo reports a generic virtualized model
+    ("Intel Xeon Processor @ 2.10GHz"), so the sharpest external signal
+    is hypervisor STEAL time (/proc/stat cpu line, field 8): with
+    tick-based guest accounting, cycles stolen by a hypervisor co-tenant
+    are charged to whatever guest task was nominally running — inflating
+    JVM thread CPU-time on identical work while GC, JIT and instruction
+    count stay flat, which is precisely the session-1/3 signature."""
+    out: dict = {}
+    try:
+        with open("/proc/stat") as fh:
+            first = fh.readline().split()
+        # cpu user nice system idle iowait irq softirq steal ...
+        if first and first[0] == "cpu" and len(first) > 8:
+            out["steal_ticks"] = int(first[8])
+            out["busy_ticks"] = sum(int(v) for v in first[1:4])
+            out["idle_ticks"] = int(first[4])
+    except OSError:  # pragma: no cover - non-Linux
+        pass
+    try:
+        with open("/proc/loadavg") as fh:
+            out["loadavg_1m"] = float(fh.read().split()[0])
+    except OSError:  # pragma: no cover - non-Linux
+        pass
+    try:
+        mhz = []
+        with open("/proc/cpuinfo") as fh:
+            for line in fh:
+                if line.lower().startswith("cpu mhz"):
+                    mhz.append(float(line.split(":")[1]))
+        if mhz:
+            out["cpu_mhz_mean"] = round(sum(mhz) / len(mhz))
+            out["cpu_mhz_min"] = round(min(mhz))
+    except OSError:  # pragma: no cover - non-Linux
+        pass
+    return out
+
+
 def _derby_census(root: str) -> dict:
     locks = glob.glob(os.path.join(root, "**", "*.lck"), recursive=True)
     log = os.path.join(root, "derby.log")
@@ -127,9 +174,11 @@ def main() -> None:
         clear_caches()
         gc_ms0, gc_n0 = _gc_totals(spark)
         run0, cpu0, st0 = _stage_totals(spark, app_id)
+        host_before = _host_state()
         t0 = time.perf_counter()
         llm_dedup_ngram(spark, probe_dir).count()
         wall = time.perf_counter() - t0
+        host_after = _host_state()
         gc_ms1, gc_n1 = _gc_totals(spark)
         run1, cpu1, st1 = _stage_totals(spark, app_id)
         rec = {
@@ -141,6 +190,8 @@ def main() -> None:
             "stage_cpu_ms": cpu1 - cpu0,
             "n_stages": st1 - st0,
             "derby": _derby_census(repo_root),
+            "host_before": host_before,
+            "host_after": host_after,
             "jit": _jit_state(spark),
         }
         walls.append(wall)
