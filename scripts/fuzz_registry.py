@@ -18,6 +18,9 @@ Round-7: seeds 151/163/179/181 all clean 230/230 (first sweep covering the four
 round-7 operators: scan_jdbc_partitioned, agg_weighted_median, ts_acf,
 llm_importance_resample).
 
+Round-8: seeds 191/193 clean 230/230 (sweep includes the Connect-safe
+parallel-copy path and the rotated round-8 window keys).
+
 Round-7: the malformed-MEDIA payload family (truncated headers, wrong
 magic, hostile GIF length bytes, oversized declared dims) lives in
 pytest — tests/test_multimodal_decode.py::test_malformed_payload_* —
