@@ -742,9 +742,11 @@ def agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     running and total weights come from two frames over ONE
     (returnflag)-partitioned sort, and the crossing test is the
     division-free ``2·cum ≥ total``. At 100 TB the window input is the
-    per-price aggregate, not the fact table; a skewed single group can
-    switch to the two-pass histogram form (bucket counts → target bucket
-    → exact scan within bucket) without changing the contract."""
+    per-price aggregate, not the fact table; for a skewed single group
+    whose |distinct prices| is itself huge, the two-pass histogram form
+    is implemented as ``skew.weighted_median_histogram`` (bucket counts
+    → target bucket → exact scan within bucket; bit-identical output,
+    asserted across bucket counts in tests/test_skew.py)."""
     li = load_table(spark, sf_dir, "lineitem")
     per_price = (
         li.select(

@@ -90,6 +90,126 @@ def join_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def weighted_median_histogram(
+    df: DataFrame,
+    key: str,
+    value_col: str,
+    weight_col: str,
+    n_buckets: int = 1024,
+) -> DataFrame:
+    """Two-pass histogram weighted median (lower) — the skew fallback the
+    A26 docstring promises (``aggregates.agg_weighted_median``) for the
+    shape its one-window exact form handles worst: ONE dominant group
+    whose |distinct values| is itself huge, so even the per-value
+    pre-aggregate funnels millions of rows through a single window sort
+    task.
+
+    Pass structure (all JVM-side, no UDFs):
+
+    1. per-group bounds + total weight (one hash agg, K rows, broadcast);
+    2. monotone decimal bucketing of values into ``n_buckets`` per group
+       (map-side), then per-(group, bucket) weight sums — a hash agg of
+       at most K*B rows — and a window over <=B rows per group to find
+       the first bucket where ``2*cum >= total`` plus the cumulative
+       weight BEFORE it;
+    3. rows of the target bucket only (broadcast K-row join, filter in
+       the scan stage) go through the exact per-value form, seeded with
+       the carried ``cum_before``.
+
+    The single-task window input shrinks from |distinct values in group|
+    to |distinct values in ONE bucket| (~1/B of it); every other exchange
+    is a partial-aggregated hash agg or a K-row broadcast. Bucketing is
+    decimal arithmetic, and decimal rounding is monotone, so buckets are
+    contiguous value ranges and the crossing value found in the target
+    bucket is EXACTLY the global crossing value — the result is
+    bit-identical to the one-window form (asserted in tests/test_skew.py
+    across bucket counts and a planted 90%-one-group fixture).
+
+    Returns (key, weighted_median_price, total_weight) with the same
+    column contract as ``agg_weighted_median``.
+    """
+    from pyspark.sql import Window
+
+    fact = df.select(
+        F.col(key),
+        F.col(value_col).cast("decimal(18,4)").alias("_v"),
+        F.col(weight_col).cast("decimal(18,4)").alias("_w"),
+    )
+    bounds = fact.groupBy(key).agg(
+        F.min("_v").alias("_vmin"),
+        F.max("_v").alias("_vmax"),
+        F.sum("_w").alias("_tw"),
+    )
+    # Monotone bucket id: decimal subtraction/multiply/divide round
+    # half-up at fixed scale — monotone non-decreasing in _v — so each
+    # bucket is a contiguous value range; vmax maps to B and is clipped.
+    with_b = fact.join(F.broadcast(bounds), key).withColumn(
+        "_b",
+        F.when(F.col("_vmax") == F.col("_vmin"), F.lit(0)).otherwise(
+            F.least(
+                F.lit(n_buckets - 1),
+                F.floor(
+                    (F.col("_v") - F.col("_vmin"))
+                    * n_buckets
+                    / (F.col("_vmax") - F.col("_vmin"))
+                ).cast("int"),
+            )
+        ),
+    )
+    per_bucket = with_b.groupBy(key, "_b").agg(F.sum("_w").alias("_bw"))
+    w_run = (
+        Window.partitionBy(key)
+        .orderBy("_b")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    crossing = (
+        per_bucket.withColumn("_cum", F.sum("_bw").over(w_run))
+        .join(F.broadcast(bounds.select(key, "_tw")), key)
+        .filter(F.col("_cum") * 2 >= F.col("_tw"))
+    )
+    target = (
+        crossing.groupBy(key)
+        .agg(
+            F.min_by(
+                F.struct(
+                    F.col("_b").alias("_tb"),
+                    (F.col("_cum") - F.col("_bw")).alias("_cb"),
+                ),
+                F.col("_b"),
+            ).alias("_t")
+        )
+        .select(
+            key,
+            F.col("_t._tb").alias("_tb"),
+            F.col("_t._cb").alias("_cum_before"),
+        )
+    )
+    in_bucket = with_b.join(F.broadcast(target), key).filter(
+        F.col("_b") == F.col("_tb")
+    )
+    per_price = in_bucket.groupBy(key, "_v", "_tw", "_cum_before").agg(
+        F.sum("_w").alias("_pw")
+    )
+    w_price = (
+        Window.partitionBy(key)
+        .orderBy("_v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        per_price.withColumn(
+            "_cw", F.sum("_pw").over(w_price) + F.col("_cum_before")
+        )
+        .filter(F.col("_cw") * 2 >= F.col("_tw"))
+        .groupBy(key)
+        .agg(
+            F.round(F.min("_v").cast("double"), 4).alias(
+                "weighted_median_price"
+            ),
+            F.round(F.max("_tw").cast("double"), 4).alias("total_weight"),
+        )
+    )
+
+
 ORACLES: dict[str, str] = {
     "agg_skew_salted": """
         SELECT event_type, COUNT(*) AS n_rows,

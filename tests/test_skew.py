@@ -148,3 +148,52 @@ def test_weighted_median_skewed_single_group(spark, tmp_path):
         rows, columns=["l_returnflag", "weighted_median_price", "total_weight"]
     )
     assert got.equals(expected), (got, expected)
+
+
+def test_weighted_median_histogram_matches_exact_form(spark, tmp_path):
+    """The A26 skew fallback implemented (round 8): the two-pass histogram
+    form must be BIT-IDENTICAL to the one-window exact form — across
+    bucket counts (boundary placement must not matter), under planted
+    90%-one-group skew with thousands of distinct prices (the shape the
+    fallback exists for), and on a degenerate single-price group."""
+    from hive3_replication_spark.operators.aggregates import (
+        agg_weighted_median,
+    )
+    from hive3_replication_spark.operators.skew import (
+        weighted_median_histogram,
+    )
+
+    # 90% of 60k rows on flag 'A' with ~5k distinct prices; flag 'D' is
+    # the degenerate group: one single price for every row
+    fact = spark.range(0, 60_000).select(
+        F.when(F.col("id") % 30 == 0, F.lit("D"))
+        .when(F.col("id") % 10 != 0, F.lit("A"))
+        .otherwise(F.when(F.col("id") % 20 == 0, "B").otherwise("C"))
+        .alias("l_returnflag"),
+        F.when(F.col("id") % 30 == 0, F.lit(777.25))
+        .otherwise((F.col("id") % 4999) * 0.25 + 100)
+        .cast("double")
+        .alias("l_extendedprice"),
+        ((F.col("id") % 7) + 1).cast("double").alias("l_quantity"),
+    )
+    sf = str(tmp_path)
+    fact.write.parquet(f"{sf}/lineitem.parquet")
+
+    expected = (
+        agg_weighted_median(spark, sf)
+        .toPandas()
+        .sort_values("l_returnflag")
+        .reset_index(drop=True)
+    )
+    li = fact
+    for n_buckets in (4, 7, 257):
+        got = (
+            weighted_median_histogram(
+                li, "l_returnflag", "l_extendedprice", "l_quantity",
+                n_buckets=n_buckets,
+            )
+            .toPandas()
+            .sort_values("l_returnflag")
+            .reset_index(drop=True)
+        )
+        assert got.equals(expected), (n_buckets, got, expected)
