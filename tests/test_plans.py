@@ -591,3 +591,30 @@ def test_jdbc_partitioned_read_parallelism(spark):
     df = scan_jdbc_partitioned(spark, SF_DIR)
     plan = _plan(df, "simple")
     assert "numPartitions=8" in plan, plan
+
+
+def test_weighted_median_histogram_broadcasts_and_preaggs(spark):
+    """skew.weighted_median_histogram (round-8 A26 fallback): all three
+    control-plane joins (bounds, target bucket, totals) must broadcast —
+    they carry K-ish rows — so the fact table is never shuffled on the
+    group key for a join; the per-bucket and per-price reductions are
+    hash aggregates; no cartesian, no sort-merge join anywhere."""
+    from hive3_replication_spark.operators.skew import (
+        weighted_median_histogram,
+    )
+    from hive3_replication_spark.catalog import load_table
+
+    li = load_table(spark, SF_DIR, "lineitem")
+    plan = _plan(
+        weighted_median_histogram(
+            li, "l_returnflag", "l_extendedprice", "l_quantity"
+        ),
+        "simple",
+    )
+    assert "CartesianProduct" not in plan, plan
+    # EVERY join must broadcast (Catalyst re-derives the K-row bounds
+    # relation per consumer, so the count is >=3, not ==3); none may
+    # shuffle the fact on the group key
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan, plan
+    assert plan.count("BroadcastHashJoin") >= 3, plan
+    assert "HashAggregate" in plan, plan

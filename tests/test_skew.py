@@ -197,3 +197,65 @@ def test_weighted_median_histogram_matches_exact_form(spark, tmp_path):
             .reset_index(drop=True)
         )
         assert got.equals(expected), (n_buckets, got, expected)
+
+
+def test_weighted_median_histogram_random_parity(spark):
+    """Randomized independent check: across random group counts, value
+    distributions (heavy ties and near-continuous), and weights, the
+    histogram form must equal a from-scratch pandas weighted median
+    (lower) — not merely the Spark exact form."""
+    import numpy as np
+    import pandas as pd
+
+    from hive3_replication_spark.operators.skew import (
+        weighted_median_histogram,
+    )
+
+    for seed in (11, 23, 47):
+        rng = np.random.RandomState(seed)
+        n = int(rng.randint(2_000, 8_000))
+        pdf = pd.DataFrame(
+            {
+                "l_returnflag": rng.choice(
+                    list("ABCDEF")[: rng.randint(1, 6)], size=n
+                ),
+                "l_extendedprice": np.round(
+                    rng.choice(
+                        [10.0, 250.25, 999.75][: rng.randint(1, 4)], size=n
+                    )
+                    if rng.rand() < 0.3
+                    else rng.uniform(1, 10_000, size=n),
+                    4,
+                ),
+                "l_quantity": rng.randint(1, 50, size=n).astype(float),
+            }
+        )
+        rows = []
+        for flag, g in pdf.groupby("l_returnflag"):
+            per = (
+                g.groupby("l_extendedprice", as_index=False)["l_quantity"]
+                .sum()
+                .sort_values("l_extendedprice")
+            )
+            total = per["l_quantity"].sum()
+            cum = per["l_quantity"].cumsum()
+            price = per.loc[cum * 2 >= total, "l_extendedprice"].iloc[0]
+            rows.append((flag, round(float(price), 4), round(float(total), 4)))
+        expected = pd.DataFrame(
+            rows,
+            columns=["l_returnflag", "weighted_median_price", "total_weight"],
+        ).sort_values("l_returnflag").reset_index(drop=True)
+
+        got = (
+            weighted_median_histogram(
+                spark.createDataFrame(pdf),
+                "l_returnflag",
+                "l_extendedprice",
+                "l_quantity",
+                n_buckets=int(rng.choice([3, 64, 1024])),
+            )
+            .toPandas()
+            .sort_values("l_returnflag")
+            .reset_index(drop=True)
+        )
+        assert got.equals(expected), (seed, got, expected)
