@@ -66,17 +66,50 @@ class RunLock:
                     raise LockHeldError(
                         f"{self.path} being acquired by another process"
                     )
-                # stale: claim it atomically by renaming it aside — exactly
-                # one concurrent claimer's rename succeeds
-                # (misc_functions.sh:168-180 stale-PID takeover, made atomic)
-                trash = self.path.with_name(
-                    f"{self.path.name}.stale-{os.getpid()}-{time.monotonic_ns()}"
-                )
+                # stale (misc_functions.sh:168-180 stale-PID takeover).
+                # Rename-aside alone is NOT enough: between this claimer's
+                # staleness read and its rename, a competing claimer can
+                # complete the takeover and re-create a LIVE lock at this
+                # path, which the rename would then steal (double acquire —
+                # caught by the round-8 race test). So takeover itself is
+                # serialized through an adjacent mkdir-atomic marker, and
+                # staleness is RE-validated under that marker before the
+                # rename.
+                marker = self.path.with_name(f"{self.path.name}.takeover")
                 try:
-                    os.rename(self.path, trash)
-                except OSError:
-                    continue  # lost the claim race; retry from mkdir
-                shutil.rmtree(trash, ignore_errors=True)
+                    marker.mkdir()
+                except FileExistsError:
+                    # another claimer is mid-takeover; if ITS claimer died,
+                    # the marker itself goes stale — clear and retry
+                    try:
+                        marker_age = time.time() - marker.stat().st_mtime
+                    except OSError:
+                        continue  # marker just vanished; retry from mkdir
+                    if marker_age > _NO_PID_GRACE_S:
+                        shutil.rmtree(marker, ignore_errors=True)
+                    continue
+                try:
+                    owner = self._owner_pid()
+                    if owner is not None and _pid_alive(owner):
+                        raise LockHeldError(
+                            f"{self.path} held by pid {owner} "
+                            "(taken over while we raced)"
+                        )
+                    if owner is None and self._age_s() < _NO_PID_GRACE_S:
+                        raise LockHeldError(
+                            f"{self.path} being acquired by another process"
+                        )
+                    trash = self.path.with_name(
+                        f"{self.path.name}.stale-"
+                        f"{os.getpid()}-{time.monotonic_ns()}"
+                    )
+                    try:
+                        os.rename(self.path, trash)
+                    except OSError:
+                        continue  # dir released meanwhile; retry from mkdir
+                    shutil.rmtree(trash, ignore_errors=True)
+                finally:
+                    shutil.rmtree(marker, ignore_errors=True)
                 continue
             (self.path / "pid").write_text(str(os.getpid()))
             return

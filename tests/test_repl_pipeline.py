@@ -391,3 +391,62 @@ def test_fs_copy_remote_uri_without_gateway_raises_clearly(tmp_path):
         _fs_copy(
             _ConnectLikeSession(), "hdfs://nn/db/t.parquet", str(tmp_path / "d")
         )
+
+
+def _race_acquire(tmp_path, n_threads: int) -> list[str]:
+    """Race ``n_threads`` concurrent acquirers of the same lock through a
+    barrier; returns one 'won'/'lost' token per thread."""
+    import threading
+
+    results: list[str] = []
+    out_lock = threading.Lock()
+    barrier = threading.Barrier(n_threads)
+
+    def worker() -> None:
+        lock = RunLock(tmp_path, "dump")
+        barrier.wait()
+        try:
+            lock.acquire()
+            token = "won"
+        except LockHeldError:
+            token = "lost"
+        with out_lock:
+            results.append(token)
+
+    threads = [threading.Thread(target=worker) for _ in range(n_threads)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    return results
+
+
+def test_run_lock_race_single_winner(tmp_path):
+    """16 simultaneous acquirers: mkdir atomicity must admit EXACTLY one
+    (the reference's dump.lock guards a whole replication run — a double
+    acquire would interleave two dumps; beeline_functions.sh:92-101)."""
+    results = _race_acquire(tmp_path, 16)
+    assert len(results) == 16 and results.count("won") == 1, results
+    # the winning thread shares our pid, so an owned release must work
+    # and free the lock for a fresh uncontended acquire
+    RunLock(tmp_path, "dump").release()
+    with RunLock(tmp_path, "dump"):
+        pass
+
+
+def test_stale_lock_takeover_race_single_winner(tmp_path):
+    """8 simultaneous acquirers against a STALE (dead-pid) lock: the
+    rename-aside takeover must elect exactly one claimer — the losers see
+    either the winner's fresh lock (owner alive) or its mid-acquire
+    window (no pid yet, inside the grace period) and raise LockHeldError
+    rather than double-claiming (misc_functions.sh:168-180, made atomic)."""
+    stale = RunLock(tmp_path, "dump")
+    stale.path.mkdir(parents=True)
+    (stale.path / "pid").write_text("999999999")  # dead pid
+
+    results = _race_acquire(tmp_path, 8)
+    assert len(results) == 8 and results.count("won") == 1, results
+    # exactly one lock dir remains, owned by this process, releasable
+    assert (stale.path / "pid").read_text() == str(__import__("os").getpid())
+    RunLock(tmp_path, "dump").release()
+    assert not stale.path.exists()
