@@ -166,16 +166,22 @@ def clear_caches() -> None:
     """Unpersist and forget all memoized relations (shingle caches, minhash
     signatures, scored-pair memos). Benchmarks call this between timing
     passes so each pass measures real work; within a pass the cross-operator
-    memoization (ngram → clusters → pipeline) applies as in production."""
-    for df in _CACHES.values():
-        df.unpersist(blocking=False)
-    _CACHES.clear()
-    for _, df in _PAIR_MEMO.values():
-        df.unpersist(blocking=False)
-    _PAIR_MEMO.clear()
-    for _, df in _SIG_MEMO.values():
-        df.unpersist(blocking=False)
-    _SIG_MEMO.clear()
+    memoization (ngram → clusters → pipeline) applies as in production.
+
+    Runs under ``_PAIR_LOCK``: every other writer of these dicts holds it
+    (the builders), and clearing concurrently with a prewarm-thread build
+    would otherwise mutate a dict mid-iteration or strand a just-persisted
+    relation outside the memo."""
+    with _PAIR_LOCK:
+        for df in _CACHES.values():
+            df.unpersist(blocking=False)
+        _CACHES.clear()
+        for _, df in _PAIR_MEMO.values():
+            df.unpersist(blocking=False)
+        _PAIR_MEMO.clear()
+        for _, df in _SIG_MEMO.values():
+            df.unpersist(blocking=False)
+        _SIG_MEMO.clear()
 
 
 def _pair_expand(docs: F.Column) -> F.Column:

@@ -938,3 +938,68 @@ def test_lttb_small_series_pass_through(spark, tmp_path):
     assert list(big.pos) == list(range(52))
     # picks are strictly time-ordered (one per bucket)
     assert big.x.is_monotonic_increasing
+
+
+def test_memo_build_vs_clear_caches_race(spark, tmp_path):
+    """clear_caches vs a concurrent memo build (the prewarm thread's shape,
+    round 8): interleaving clears with builds must never crash (pre-fix:
+    un-locked dict iteration could hit 'dict changed size') and every
+    build must return the same correct pair count."""
+    import threading
+
+    from hive3_replication_spark.llm.dedup import (
+        clear_caches,
+        ngram_pair_jaccard,
+    )
+
+    rng = __import__("random").Random(8)
+    vocab = [f"w{i}" for i in range(10)]
+    texts = {
+        i: " ".join(rng.choice(vocab) for _ in range(rng.randint(5, 25)))
+        for i in range(40)
+    }
+    sf_dir = str(tmp_path / "race")
+    spark.createDataFrame(
+        pd.DataFrame({"doc_id": list(texts), "text": list(texts.values())})
+    ).write.parquet(f"{sf_dir}/documents.parquet")
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+    clear_caches()
+    expected = ngram_pair_jaccard(
+        docs, "race_probe", memo_token=sf_dir, min_jaccard=0.0
+    ).count()
+    errors: list[BaseException] = []
+    counts: list[int] = []
+    stop = threading.Event()
+
+    def clearer() -> None:
+        try:
+            while not stop.is_set():
+                clear_caches()
+        except BaseException as exc:  # noqa: BLE001 — the assertion target
+            errors.append(exc)
+
+    def builder() -> None:
+        try:
+            for _ in range(6):
+                counts.append(
+                    ngram_pair_jaccard(
+                        docs, "race_probe", memo_token=sf_dir, min_jaccard=0.0
+                    ).count()
+                )
+        except BaseException as exc:  # noqa: BLE001
+            errors.append(exc)
+
+    threads = [threading.Thread(target=clearer) for _ in range(2)] + [
+        threading.Thread(target=builder) for _ in range(2)
+    ]
+    for t in threads:
+        t.start()
+    for t in threads[2:]:
+        t.join()
+    stop.set()
+    for t in threads[:2]:
+        t.join()
+    clear_caches()
+    assert not errors, errors
+    assert counts and all(c == expected for c in counts), (expected, counts)
