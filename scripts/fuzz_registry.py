@@ -18,10 +18,10 @@ Round-7: seeds 151/163/179/181 all clean 230/230 (first sweep covering the four
 round-7 operators: scan_jdbc_partitioned, agg_weighted_median, ts_acf,
 llm_importance_resample).
 
-Round-8: seeds 191/193/197/199/211/223 all clean 230/230 (sweep includes
-the Connect-safe parallel-copy path and the rotated round-8 window keys)
-— six consecutive clean seeds this round; the last found divergence was
-round 5's seed 137.
+Round-8: seeds 191/193/197/199/211/223/227/229 all clean 230/230 (sweep
+includes the Connect-safe parallel-copy path and the rotated round-8
+window keys) — eight consecutive clean seeds this round; the last found
+divergence was round 5's seed 137.
 
 Round-7: the malformed-MEDIA payload family (truncated headers, wrong
 magic, hostile GIF length bytes, oversized declared dims) lives in
