@@ -183,8 +183,11 @@ def test_streaming_kill_and_resume(spark, tmp_path):
     src = str(tmp_path / "src")
     os.makedirs(src)
     pdf = batch.toPandas().sort_values("event_id").reset_index(drop=True)
-    for i, chunk in enumerate(np.array_split(pdf, 16)):
-        chunk.to_parquet(f"{src}/ev_{i:02d}.parquet", index=False)
+    # iloc slicing, not np.array_split(DataFrame): the latter routes
+    # through the deprecated DataFrame.swapaxes (FutureWarning on pandas 2)
+    bounds = np.linspace(0, len(pdf), 17, dtype=int)
+    for i, (lo, hi) in enumerate(zip(bounds[:-1], bounds[1:])):
+        pdf.iloc[lo:hi].to_parquet(f"{src}/ev_{i:02d}.parquet", index=False)
     schema = spark.read.parquet(f"{src}/ev_00.parquet").schema
     ckpt = str(tmp_path / "ckpt")
     out = str(tmp_path / "landing")
