@@ -43,6 +43,41 @@ def sample_bucket(id_col: F.Column) -> F.Column:
     return ((id_col % _PRIME) * _MULT + _INC) % _BUCKETS
 
 
+def chunk_windows_cte() -> str:
+    """DuckDB CTE chain producing the ``llm_chunk_windows`` relation as a
+    CTE named ``chunks`` — shared by the llm_chunk_windows oracle and any
+    oracle built on top of the chunk relation (llm_chunk_rank's BM25)."""
+    return f"""
+        t AS (
+            SELECT doc_id, string_split(text, ' ') AS toks,
+                   CAST(len(string_split(text, ' ')) AS BIGINT) AS n
+            FROM documents
+        ),
+        c AS (
+            SELECT doc_id, toks,
+                   CASE WHEN n <= {_CHUNK_W} THEN 1
+                        ELSE 1 + (n - {_CHUNK_W} + {_CHUNK_S} - 1) // {_CHUNK_S}
+                   END AS n_chunks
+            FROM t
+        ),
+        idx AS (
+            SELECT doc_id, toks, unnest(range(n_chunks)) AS chunk_idx FROM c
+        ),
+        chunks AS (
+            SELECT doc_id, chunk_idx,
+                   CAST(chunk_idx * {_CHUNK_S} AS BIGINT) AS chunk_start_tok,
+                   CAST(len(list_slice(toks, chunk_idx * {_CHUNK_S} + 1,
+                                       chunk_idx * {_CHUNK_S} + {_CHUNK_W}))
+                        AS BIGINT) AS n_chunk_tokens,
+                   array_to_string(
+                       list_slice(toks, chunk_idx * {_CHUNK_S} + 1,
+                                  chunk_idx * {_CHUNK_S} + {_CHUNK_W}), ' ')
+                       AS chunk_text
+            FROM idx
+        )
+    """
+
+
 def llm_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-language deterministic downsampling of the documents corpus."""
     docs = load_table(spark, sf_dir, "documents")
@@ -153,6 +188,83 @@ def llm_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         start.cast("bigint").alias("chunk_start_tok"),
         F.size(piece).cast("bigint").alias("n_chunk_tokens"),
         F.array_join(piece, " ").alias("chunk_text"),
+    )
+
+
+#: Preference-pair assembly: at most _DPO_TOPK pairs per prompt bucket,
+#: and a pair is kept only when chosen beats rejected by ≥ _DPO_MARGIN
+#: integer score points (a zero/near-zero-margin pair carries no
+#: preference signal and would teach the reward model noise).
+_DPO_TOPK = 5
+_DPO_MARGIN = 20
+
+
+def llm_preference_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L31 — preference-pair (DPO/RLHF reward-modeling) assembly: per
+    prompt bucket, pair the best-scored responses with the worst-scored
+    ones — (chosen, rejected) with chosen ≻ rejected — the post-training
+    twin of ``llm_split_leakage_safe`` (that one keeps eval honest, this
+    one builds the preference dataset). Documents stand in for sampled
+    responses, ``source`` for the prompt bucket, and the L20 integer
+    quality score (the SAME expression the filter gate uses —
+    ``quality_score_col``) for the reward signal.
+
+    Pairing is rank-symmetric: rank i from the top is paired with rank i
+    from the bottom (i ≤ min(_DPO_TOPK, ⌊n/2⌋), so top and bottom sets
+    can never overlap), ties broken on doc_id — a total order, so pair
+    membership is bit-stable across engines and partition counts. Pairs
+    whose score gap is below ``_DPO_MARGIN`` are dropped.
+
+    Plan shape: ONE exchange on the bucket key for the ranking window
+    (row_number + count share it), then the chosen/rejected halves —
+    each pruned to ≤ _DPO_TOPK rows per bucket by WindowGroupLimit-style
+    rank filters — join on (bucket, pair_rank): both sides are
+    k·|buckets| rows, never corpus-sized, so the join cost is bounded by
+    the OUTPUT size at any corpus scale."""
+    docs = load_table(spark, sf_dir, "documents")
+    from .text import quality_score_col
+
+    scored = docs.select(
+        "doc_id", "source", quality_score_col().alias("score")
+    )
+    w = Window.partitionBy("source").orderBy(F.desc("score"), F.asc("doc_id"))
+    ranked = scored.select(
+        "doc_id",
+        "source",
+        "score",
+        F.row_number().over(w).cast("bigint").alias("rn"),
+        F.count("*").over(Window.partitionBy("source")).alias("n"),
+    )
+    k = F.least(F.lit(_DPO_TOPK).cast("bigint"), F.expr("n DIV 2"))
+    chosen = ranked.filter(F.col("rn") <= k).select(
+        "source",
+        F.col("rn").alias("pair_rank"),
+        F.col("doc_id").alias("chosen_doc_id"),
+        F.col("score").alias("chosen_score"),
+    )
+    bottom_rank = F.col("n") - F.col("rn") + 1
+    rejected = ranked.filter(bottom_rank <= k).select(
+        "source",
+        bottom_rank.alias("pair_rank"),
+        F.col("doc_id").alias("rejected_doc_id"),
+        F.col("score").alias("rejected_score"),
+    )
+    return (
+        chosen.join(rejected, ["source", "pair_rank"])
+        .filter(
+            F.col("chosen_score") - F.col("rejected_score") >= _DPO_MARGIN
+        )
+        .select(
+            "source",
+            "pair_rank",
+            "chosen_doc_id",
+            "chosen_score",
+            "rejected_doc_id",
+            "rejected_score",
+            (F.col("chosen_score") - F.col("rejected_score")).alias(
+                "score_gap"
+            ),
+        )
     )
 
 
@@ -569,32 +681,10 @@ ORACLES: dict[str, str] = {
             ELSE {_DEFAULT_KEEP} END
     """,
     "llm_chunk_windows": f"""
-        WITH t AS (
-            SELECT doc_id, string_split(text, ' ') AS toks,
-                   CAST(len(string_split(text, ' ')) AS BIGINT) AS n
-            FROM documents
-        ),
-        c AS (
-            SELECT doc_id, toks,
-                   CASE WHEN n <= {_CHUNK_W} THEN 1
-                        ELSE 1 + (n - {_CHUNK_W} + {_CHUNK_S} - 1) // {_CHUNK_S}
-                   END AS n_chunks
-            FROM t
-        ),
-        idx AS (
-            SELECT doc_id, toks, unnest(range(n_chunks)) AS chunk_idx FROM c
-        )
-        SELECT doc_id, chunk_idx,
-               CAST(chunk_idx * {_CHUNK_S} AS BIGINT) AS chunk_start_tok,
-               CAST(len(list_slice(toks, chunk_idx * {_CHUNK_S} + 1,
-                                   chunk_idx * {_CHUNK_S} + {_CHUNK_W}))
-                    AS BIGINT) AS n_chunk_tokens,
-               array_to_string(
-                   list_slice(toks, chunk_idx * {_CHUNK_S} + 1,
-                              chunk_idx * {_CHUNK_S} + {_CHUNK_W}), ' ')
-                   AS chunk_text
-        FROM idx
+        WITH {chunk_windows_cte()}
+        SELECT * FROM chunks
     """,
+    "llm_preference_pairs": None,  # assigned below (needs text helper)
     "llm_mix_sources": f"""
         WITH n AS (
             SELECT doc_id, source,
@@ -620,8 +710,46 @@ ORACLES: dict[str, str] = {
     """,
 }
 
+def _preference_pairs_oracle_sql() -> str:
+    from .text import quality_score_sql
+
+    return f"""
+        WITH scored AS (
+            SELECT doc_id, source, {quality_score_sql()} AS score
+            FROM documents
+        ),
+        ranked AS (
+            SELECT doc_id, source, score,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY source ORDER BY score DESC, doc_id
+                   ) AS rn,
+                   COUNT(*) OVER (PARTITION BY source) AS n
+            FROM scored
+        ),
+        chosen AS (
+            SELECT source, rn AS pair_rank,
+                   doc_id AS chosen_doc_id, score AS chosen_score
+            FROM ranked WHERE rn <= LEAST({_DPO_TOPK}, n // 2)
+        ),
+        rejected AS (
+            SELECT source, n - rn + 1 AS pair_rank,
+                   doc_id AS rejected_doc_id, score AS rejected_score
+            FROM ranked WHERE n - rn + 1 <= LEAST({_DPO_TOPK}, n // 2)
+        )
+        SELECT source, CAST(pair_rank AS BIGINT) AS pair_rank,
+               chosen_doc_id, chosen_score,
+               rejected_doc_id, rejected_score,
+               CAST(chosen_score - rejected_score AS BIGINT) AS score_gap
+        FROM chosen JOIN rejected USING (source, pair_rank)
+        WHERE chosen_score - rejected_score >= {_DPO_MARGIN}
+    """
+
+
+ORACLES["llm_preference_pairs"] = _preference_pairs_oracle_sql()
+
 QUERY_FNS = {
     "llm_sample_stratified": llm_sample_stratified,
+    "llm_preference_pairs": llm_preference_pairs,
     "llm_importance_resample": llm_importance_resample,
     "llm_pack_sequences": llm_pack_sequences,
     "llm_chunk_windows": llm_chunk_windows,

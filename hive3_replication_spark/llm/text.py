@@ -533,6 +533,38 @@ _QC_CHARS_DIV = 20
 _QC_THRESHOLD = 900
 
 
+def quality_score_col() -> F.Column:
+    """The L20 integer quality score as a reusable expression over a
+    relation carrying (text, n_chars) — shared by llm_quality_classifier
+    and the preference-pair assembly (llm_preference_pairs), which ranks
+    responses by exactly the scores the filter gate uses."""
+    toks = F.split(F.col("text"), " ")
+    f_tokens = F.size(toks).cast("bigint")
+    f_stop = F.regexp_count(
+        F.col("text"), F.lit(r"\b(the|a|of|and|is)\b")
+    ).cast("bigint")
+    f_distinct = F.size(F.array_distinct(toks)).cast("bigint")
+    penalty = F.expr(f"n_chars DIV {_QC_CHARS_DIV}")
+    return (
+        F.lit(_QC_W_TOKENS) * f_tokens
+        + F.lit(_QC_W_STOP) * f_stop
+        + F.lit(_QC_W_DISTINCT) * f_distinct
+        - penalty
+    )
+
+
+def quality_score_sql() -> str:
+    """DuckDB expression mirroring ``quality_score_col`` exactly (the
+    proven L20 oracle arithmetic) — over (text, n_chars) columns."""
+    return (
+        f"CAST({_QC_W_TOKENS} * len(string_split(text, ' '))"
+        f" + {_QC_W_STOP} * len(regexp_extract_all(text,"
+        f" '\\b(the|a|of|and|is)\\b'))"
+        f" + {_QC_W_DISTINCT} * len(list_distinct(string_split(text, ' ')))"
+        f" - n_chars // {_QC_CHARS_DIV} AS BIGINT)"
+    )
+
+
 def llm_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """L20 — linear quality classifier: features x fixed weights ->
     integer score -> keep/drop decision — the fastText-classifier shape
@@ -543,19 +575,7 @@ def llm_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     length penalty. Fully narrow — classification is a map over the
     corpus, no shuffle at any scale."""
     documents = load_table(spark, sf_dir, "documents")
-    toks = F.split(F.col("text"), " ")
-    f_tokens = F.size(toks).cast("bigint")
-    f_stop = F.regexp_count(
-        F.col("text"), F.lit(r"\b(the|a|of|and|is)\b")
-    ).cast("bigint")
-    f_distinct = F.size(F.array_distinct(toks)).cast("bigint")
-    penalty = F.expr(f"n_chars DIV {_QC_CHARS_DIV}")
-    score = (
-        F.lit(_QC_W_TOKENS) * f_tokens
-        + F.lit(_QC_W_STOP) * f_stop
-        + F.lit(_QC_W_DISTINCT) * f_distinct
-        - penalty
-    )
+    score = quality_score_col()
     return documents.select(
         "doc_id",
         score.alias("quality_score"),
@@ -921,20 +941,8 @@ ORACLES: dict[str, str] = {
     """,
     "llm_quality_classifier": f"""
         SELECT doc_id,
-               CAST({_QC_W_TOKENS} * len(string_split(text, ' '))
-                    + {_QC_W_STOP} * len(regexp_extract_all(text,
-                          '\\b(the|a|of|and|is)\\b'))
-                    + {_QC_W_DISTINCT}
-                      * len(list_distinct(string_split(text, ' ')))
-                    - n_chars // {_QC_CHARS_DIV} AS BIGINT)
-                   AS quality_score,
-               CAST({_QC_W_TOKENS} * len(string_split(text, ' '))
-                    + {_QC_W_STOP} * len(regexp_extract_all(text,
-                          '\\b(the|a|of|and|is)\\b'))
-                    + {_QC_W_DISTINCT}
-                      * len(list_distinct(string_split(text, ' ')))
-                    - n_chars // {_QC_CHARS_DIV} AS BIGINT)
-                   >= {_QC_THRESHOLD} AS keep
+               {quality_score_sql()} AS quality_score,
+               {quality_score_sql()} >= {_QC_THRESHOLD} AS keep
         FROM documents
     """,
     "llm_doc_embed_hash": f"""

@@ -210,6 +210,170 @@ def agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: A27 sketch size: per-sketch retained-sample bound. A bottom-m (KMV-
+#: style) sample of m items estimates any quantile with rank standard
+#: error ≈ sqrt(q(1-q)/m) — ~1.1% at m=2048 — independent of n, so the
+#: per-key state is a fixed ~16 KB however large the keyed stream grows.
+_QSK_M = 2048
+#: Bracketing-oracle tolerance: relative rank slack (4.5+ sampling sigmas
+#: at m=2048 for every fixture scale) with an absolute floor so sub-
+#: hundred-row groups (where the sketch is exact anyway) never fail on
+#: the <=-tie granularity of tiny n.
+_QSK_TOL = 0.05
+_QSK_ABS = 8.0
+
+
+def agg_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A27 — mergeable bottom-m quantile sketch (KMV/KLL-family): the
+    storable per-key complement to A16's HLL sketches, completing the
+    sketch pair a 100 TB metrics pipeline persists per partition —
+    distinct counts (A16) and quantiles (this).
+
+    The sketch is the bottom-``_QSK_M`` rows of each (event_type, day)
+    group ranked by a deterministic per-row hash tag: a uniform fixed-size
+    sample (the hash is the random tag, KMV-style), so the empirical
+    quantile of the sample estimates the group quantile with rank error
+    O(1/sqrt(m)). It is a true mergeable summary — the union of two
+    bottom-m sets contains the bottom-m of the union, so re-taking
+    bottom-m after any union IS the merged sketch, exactly like HLL
+    union. The query demonstrates the full lifecycle: per-(type, day)
+    sketch rows are materialized as bounded arrays (the storable form,
+    ≤ m items each), merged per type by explode → re-rank, then merged
+    once more across ALL types for the '__all__' row — whose estimates
+    come from the sketches alone, never from re-scanning the events.
+
+    Plan shape: the day-rank filter runs as a WindowGroupLimit (the sort
+    never materializes more than m rows per group), the sketch groupBy
+    reuses the window's (type, day) partitioning — one exchange for the
+    build — and every downstream relation is sketch-sized (days×m, then
+    m), never data-sized; the '__all__' bottom-m uses TakeOrdered, not a
+    single-partition window. Estimates are engine-seeded (the hash tag),
+    so the verifiable contract is A18's rank bracket: one pass re-counts
+    values ≤ each estimate against a broadcast (|types|+1)-row estimate
+    relation and the query emits exact counts plus booleans asserting
+    |rank − q·n| ≤ max(0.05·n, 8) — which the SQL oracle reproduces as
+    (exact, TRUE). The raw sampling margins stay asserted in the property
+    test (tests/test_properties.py)."""
+    from pyspark.sql import Window
+
+    events = load_table(spark, sf_dir, "events")
+    tagged = events.select(
+        "event_type",
+        F.date_trunc("day", F.col("ts")).alias("day"),
+        "event_id",
+        F.col("value").cast("double").alias("v"),
+        F.xxhash64("event_id").alias("tag"),
+    )
+    w_day = Window.partitionBy("event_type", "day").orderBy("tag", "event_id")
+    day_items = tagged.withColumn("rn", F.row_number().over(w_day)).filter(
+        F.col("rn") <= _QSK_M
+    )
+    # the storable form: one bounded array per (type, day) — what a
+    # production pipeline writes to its sketch store partition by partition
+    day_sketches = day_items.groupBy("event_type", "day").agg(
+        F.sort_array(F.collect_list(F.struct("tag", "event_id", "v"))).alias(
+            "sk"
+        )
+    )
+    exploded = day_sketches.select(
+        "event_type", F.explode("sk").alias("it")
+    ).select("event_type", "it.tag", "it.event_id", "it.v")
+    w_type = Window.partitionBy("event_type").orderBy("tag", "event_id")
+    merged = exploded.withColumn("rn", F.row_number().over(w_type)).filter(
+        F.col("rn") <= _QSK_M
+    )
+    # integer quantile indexing (exact on every engine / partitioning):
+    # p50 -> ceil(s/2) = (s+1) DIV 2, p90 -> ceil(9s/10) = (9s+9) DIV 10
+    est_cols = [
+        F.size(F.col("vals")).cast("bigint").alias("n_sample"),
+        F.expr(
+            "element_at(vals, CAST((size(vals) + 1) DIV 2 AS INT))"
+        ).alias("p50_est"),
+        F.expr(
+            "element_at(vals, CAST((9 * size(vals) + 9) DIV 10 AS INT))"
+        ).alias("p90_est"),
+    ]
+    est_type = merged.groupBy("event_type").agg(
+        F.array_sort(F.collect_list("v")).alias("vals")
+    ).select("event_type", *est_cols)
+    # second-level merge: bottom-m of the union of per-type sketches IS
+    # the global bottom-m (TakeOrderedAndProject — sketch-sized input)
+    glob = (
+        merged.select("tag", "event_id", "v")
+        .orderBy("tag", "event_id")
+        .limit(_QSK_M)
+        .agg(F.array_sort(F.collect_list("v")).alias("vals"))
+        .select(*est_cols)
+        .select(
+            F.col("n_sample").alias("g_n_sample"),
+            F.col("p50_est").alias("g_p50_est"),
+            F.col("p90_est").alias("g_p90_est"),
+        )
+    )
+    # one verification pass over the events: per-type rank counts against
+    # the broadcast per-type estimates AND the broadcast global estimates
+    base = events.select(
+        "event_type", F.col("value").cast("double").alias("v")
+    )
+    chk = (
+        base.join(F.broadcast(est_type), "event_type")
+        .crossJoin(F.broadcast(glob))
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.max("n_sample").alias("n_sample"),
+            F.sum((F.col("v") <= F.col("p50_est")).cast("bigint")).alias(
+                "n_le_p50"
+            ),
+            F.sum((F.col("v") <= F.col("p90_est")).cast("bigint")).alias(
+                "n_le_p90"
+            ),
+            F.max("g_n_sample").alias("g_n_sample"),
+            F.sum((F.col("v") <= F.col("g_p50_est")).cast("bigint")).alias(
+                "g_le_p50"
+            ),
+            F.sum((F.col("v") <= F.col("g_p90_est")).cast("bigint")).alias(
+                "g_le_p90"
+            ),
+        )
+    )
+    in_bracket = lambda n_le, q, n: (  # noqa: E731 — readability helper
+        F.abs(n_le.cast("double") - F.lit(q) * n.cast("double"))
+        <= F.greatest(F.lit(_QSK_TOL) * n.cast("double"), F.lit(_QSK_ABS))
+    )
+    by_type = chk.select(
+        "event_type",
+        "n_rows",
+        "n_sample",
+        in_bracket(F.col("n_le_p50"), 0.5, F.col("n_rows")).alias(
+            "p50_rank_ok"
+        ),
+        in_bracket(F.col("n_le_p90"), 0.9, F.col("n_rows")).alias(
+            "p90_rank_ok"
+        ),
+    )
+    # the '__all__' row derives from the SAME single pass: global rank
+    # counts are the sums of the per-type counts against the global
+    # estimates — the events are never scanned a second time
+    all_row = chk.agg(
+        F.sum("n_rows").alias("n_rows"),
+        F.max("g_n_sample").alias("n_sample"),
+        F.sum("g_le_p50").alias("n_le_p50"),
+        F.sum("g_le_p90").alias("n_le_p90"),
+    ).select(
+        F.lit("__all__").alias("event_type"),
+        "n_rows",
+        "n_sample",
+        in_bracket(F.col("n_le_p50"), 0.5, F.col("n_rows")).alias(
+            "p50_rank_ok"
+        ),
+        in_bracket(F.col("n_le_p90"), 0.9, F.col("n_rows")).alias(
+            "p90_rank_ok"
+        ),
+    )
+    return by_type.unionByName(all_row)
+
+
 #: Columns profiled by agg_table_profile (numeric lineitem measures).
 #: Deliberately the LOW-cardinality measures: the multi-distinct Expand
 #: collapses map-side only when per-column cardinality ≪ rows, so exact
@@ -781,6 +945,22 @@ def agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLES: dict[str, str] = {
+    "agg_quantile_sketch": f"""
+        WITH t AS (
+            SELECT event_type, COUNT(*) AS n_rows FROM events GROUP BY 1
+        ),
+        u AS (
+            SELECT * FROM t
+            UNION ALL
+            SELECT '__all__' AS event_type, SUM(n_rows) AS n_rows FROM t
+        )
+        SELECT event_type,
+               CAST(n_rows AS BIGINT) AS n_rows,
+               CAST(LEAST({_QSK_M}, n_rows) AS BIGINT) AS n_sample,
+               TRUE AS p50_rank_ok,
+               TRUE AS p90_rank_ok
+        FROM u
+    """,
     "agg_weighted_median": """
         WITH per_price AS (
             SELECT l_returnflag,
@@ -1104,6 +1284,7 @@ QUERY_FNS = {
     "agg_regression": agg_regression,
     "agg_weighted_median": agg_weighted_median,
     "agg_approx_percentile": agg_approx_percentile,
+    "agg_quantile_sketch": agg_quantile_sketch,
     "agg_rollup": agg_rollup,
     "agg_cube": agg_cube,
     "agg_percentile": agg_percentile,

@@ -592,6 +592,87 @@ def ts_seasonal_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: TS19 trend window half-width: the centered moving average spans
+#: 2·12+1 = 25 hours — one day plus one slot so the MA is day-balanced
+#: (every hour-of-day appears at least once in each full frame).
+_STL_HALF = 12
+_STL_W = 2 * _STL_HALF + 1
+
+
+def ts_stl_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TS19 — STL-style additive seasonal-trend decomposition of each
+    event-rate stream: rate = trend + seasonal + residual, the classic
+    decomposition (Cleveland et al., STL, J. Official Statistics 1990)
+    a metrics platform runs before alerting on either a level shift
+    (trend) or a calendar anomaly (residual). One classical iteration:
+    trend = 25-hour centered moving average of the hourly event count,
+    seasonal = per-(type, hour-of-day) mean of the detrended series,
+    residual = what neither explains. TS14 profiles raw hour-of-day
+    means; this removes the trend first, so a drifting stream no longer
+    contaminates its seasonal profile.
+
+    Exactness policy: the decomposition runs on the COUNT series, so
+    every accumulation is exact BIGINT arithmetic; each output float is
+    a single fixed-order expression over exact integer sums —
+    bit-identical on any engine or partitioning, no rounding needed.
+    The seasonal mean of the detrended series never sums floats:
+    mean(n − MA) over a slot = Σn/K − (ΣΣ₂₅n)/(25K), both numerators
+    exact integer window/group sums. Edge frames (< 25 rows) are
+    excluded — the MA is undefined there, and the cnt-based filter makes
+    the interior engine-independent.
+
+    Plan shape: the hourly grid agg is one exchange; the 25-row frame is
+    a bounded ROWS window per stream; the seasonal relation is ≤ 24 rows
+    per type (broadcast back). Per-stream state never exceeds the frame,
+    so the operator scales to any number of streams × any history."""
+    grid = _hourly_counts(spark, sf_dir).select(
+        "event_type", "hour", "n_events"
+    )
+    w25 = (
+        Window.partitionBy("event_type")
+        .orderBy("hour")
+        .rowsBetween(-_STL_HALF, _STL_HALF)
+    )
+    interior = (
+        grid.select(
+            "event_type",
+            "hour",
+            "n_events",
+            F.sum("n_events").over(w25).alias("sum25"),
+            F.count("*").over(w25).alias("cnt25"),
+        )
+        .filter(F.col("cnt25") == _STL_W)
+        .select(
+            "event_type",
+            "hour",
+            F.hour("hour").cast("int").alias("hod"),
+            "n_events",
+            "sum25",
+        )
+    )
+    seas = interior.groupBy("event_type", "hod").agg(
+        F.sum("n_events").alias("s_n"),
+        F.sum("sum25").alias("s_sum25"),
+        F.count("*").alias("k"),
+    )
+    kd = F.col("k").cast("double")
+    trend = F.col("sum25").cast("double") / F.lit(float(_STL_W))
+    seasonal = F.col("s_n").cast("double") / kd - F.col(
+        "s_sum25"
+    ).cast("double") / (F.lit(float(_STL_W)) * kd)
+    return interior.join(F.broadcast(seas), ["event_type", "hod"]).select(
+        "event_type",
+        "hour",
+        "hod",
+        "n_events",
+        trend.alias("trend"),
+        seasonal.alias("seasonal"),
+        ((F.col("n_events").cast("double") - trend) - seasonal).alias(
+            "residual"
+        ),
+    )
+
+
 def ts_gap_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T13 — missing-data gap report per stream: inter-event silences
     longer than ``_GAP_MIN_US`` with their exact bounds — the
@@ -908,6 +989,64 @@ def ts_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLES: dict[str, str] = {
+    "ts_stl_decompose": f"""
+        WITH e AS (
+            SELECT event_type,
+                   date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hour
+            FROM events
+        ),
+        c AS (
+            SELECT event_type, hour, COUNT(*) AS n_events
+            FROM e GROUP BY 1, 2
+        ),
+        grid AS (
+            SELECT event_type,
+                   unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS hour
+            FROM (SELECT event_type, MIN(hour) AS lo, MAX(hour) AS hi
+                  FROM e GROUP BY 1)
+        ),
+        filled AS (
+            SELECT g.event_type, g.hour,
+                   CAST(COALESCE(c.n_events, 0) AS BIGINT) AS n_events
+            FROM grid g
+            LEFT JOIN c ON c.event_type = g.event_type AND c.hour = g.hour
+        ),
+        staged AS (
+            SELECT event_type, hour, n_events,
+                   SUM(n_events) OVER w AS sum25,
+                   COUNT(*) OVER w AS cnt25
+            FROM filled
+            WINDOW w AS (PARTITION BY event_type ORDER BY hour
+                         ROWS BETWEEN {_STL_HALF} PRECEDING
+                         AND {_STL_HALF} FOLLOWING)
+        ),
+        interior AS (
+            SELECT event_type, hour,
+                   CAST(EXTRACT(hour FROM hour) AS INTEGER) AS hod,
+                   n_events, sum25
+            FROM staged WHERE cnt25 = {_STL_W}
+        ),
+        seas AS (
+            SELECT event_type, hod,
+                   SUM(n_events) AS s_n, SUM(sum25) AS s_sum25,
+                   COUNT(*) AS k
+            FROM interior GROUP BY 1, 2
+        )
+        SELECT i.event_type, i.hour, i.hod,
+               CAST(i.n_events AS BIGINT) AS n_events,
+               CAST(i.sum25 AS DOUBLE) / {float(_STL_W)} AS trend,
+               CAST(s.s_n AS DOUBLE) / CAST(s.k AS DOUBLE)
+                   - CAST(s.s_sum25 AS DOUBLE)
+                     / ({float(_STL_W)} * CAST(s.k AS DOUBLE)) AS seasonal,
+               (CAST(i.n_events AS DOUBLE)
+                    - CAST(i.sum25 AS DOUBLE) / {float(_STL_W)})
+                   - (CAST(s.s_n AS DOUBLE) / CAST(s.k AS DOUBLE)
+                      - CAST(s.s_sum25 AS DOUBLE)
+                        / ({float(_STL_W)} * CAST(s.k AS DOUBLE)))
+                   AS residual
+        FROM interior i
+        JOIN seas s ON s.event_type = i.event_type AND s.hod = i.hod
+    """,
     "ts_acf": """
         WITH e AS (
             SELECT event_type,
@@ -1506,5 +1645,6 @@ QUERY_FNS = {
     "ts_anomaly_zscore": ts_anomaly_zscore,
     "ts_changepoint": ts_changepoint,
     "ts_seasonal_profile": ts_seasonal_profile,
+    "ts_stl_decompose": ts_stl_decompose,
     "ts_gap_detect": ts_gap_detect,
 }

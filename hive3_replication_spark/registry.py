@@ -13,6 +13,7 @@ from pyspark.sql import DataFrame, SparkSession
 from .llm import dedup as _dedup
 from .llm import multimodal as _multimodal
 from .llm import pipeline as _llm_pipeline
+from .llm import retrieval as _retrieval
 from .llm import sampling as _sampling
 from .llm import similarity as _similarity
 from .llm import text as _text
@@ -50,6 +51,7 @@ _MODULES = (
     _dedup,
     _similarity,
     _sampling,
+    _retrieval,
     _multimodal,
     _llm_pipeline,
 )
@@ -57,36 +59,21 @@ _MODULES = (
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
 #: Sweep order for queries(): DRIVER-COVERAGE FIRST. The external verify
-#: The verification driver cuts at ~50 keys per round BY COUNT, so the
-#: front block must hold exactly the keys that most need a fresh driver
-#: stamp. Round-8 policy (VERDICT r7 ask #1): the order IS the stamp
-#: age — keys are grouped oldest-latest-stamp first (r2, then r3, r4, r6,
-#: r7), preserving the profiled cheapest-first relative order inside each
-#: group. The 50-key round-8 window therefore covers the 33 remaining
-#: r2-stamped keys + the 17 oldest r3-stamped keys; after it lands, the
-#: minimum stamp age across the registry is r3. Regenerate by re-sorting
-#: on the CORRECTNESS_r* latest-stamp map (see tests/test_oracle_parity.py
-#: window-pinning test, which locks the front 50 to this policy). Keys
-#: missing from this list (new operators between profilings) are appended
-#: alphabetically, so registration never breaks on an unprofiled key.
+#: driver cuts at ~50 keys per round BY COUNT, so the front block must
+#: hold exactly the keys that most need a fresh driver stamp. Round-9
+#: policy (VERDICT r8 ask #2): the 31 remaining r3-stamped keys lead,
+#: then the four round-9 additions (never driver-stamped), then the 15
+#: oldest r4-stamped keys — exactly 50. After this window lands, the
+#: minimum stamp age across the registry is r4. Behind the window, keys
+#: stay grouped oldest-latest-stamp first (r4 remainder, r6, r7, r8),
+#: preserving the profiled cheapest-first relative order inside each
+#: group. Regenerate by re-sorting on the CORRECTNESS_r* latest-stamp map
+#: (see tests/test_oracle_parity.py window-pinning test, which locks the
+#: front 50 to this policy). Keys missing from this list (new operators
+#: between profilings) are appended alphabetically, so registration never
+#: breaks on an unprofiled key.
 _SWEEP_ORDER: tuple[str, ...] = (
-    # stamp age r2 — the 33 oldest-stamped keys lead the round-8 window
-    "fn_case_when", "win_row_number", "agg_conditional",
-    "filter_rlike", "fn_cast", "llm_sample_stratified", "fn_math", "fn_hash",
-    "win_rank", "project_columns", "scan_parquet", "fn_regexp_replace",
-    "fn_split", "fn_date_format", "win_pattern_match", "sort_topk",
-    "llm_text_bpe_count", "fn_map", "fn_json", "llm_text_redact",
-    "llm_text_quality", "stream_tumbling", "agg_cube", "stream_retry",
-    "llm_quality_classifier", "fn_div_mod", "filter_gt_watermark",
-    "stream_incremental_dump", "udf_scalar", "reshape_struct_flatten",
-    "scan_partitioned", "agg_pending_count", "agg_duration",
-    # stamp age r3 — the first 17 fill the 50-key window; the rest lead
-    # the round-9 window
-    "llm_multimodal_features", "agg_table_profile", "agg_approx_distinct",
-    "agg_hll_sketch", "agg_approx_percentile", "ts_changepoint",
-    "llm_corpus_shuffle", "llm_tokenizer_apply", "llm_bpe_merges",
-    "llm_ann_batch", "llm_embed_pq", "llm_pack_sequences", "win_lag",
-    "llm_text_tokens", "join_asof_forward", "llm_text_langid", "set_except",
+    # stamp age r3 — the 31 stalest keys lead the round-9 window
     "stream_divergence", "llm_text_profile", "fn_datetime_extract",
     "llm_dedup_exact", "llm_chunk_windows", "stream_sliding",
     "agg_string_agg", "agg_grouping_sets", "win_running_sum",
@@ -97,7 +84,11 @@ _SWEEP_ORDER: tuple[str, ...] = (
     "fn_variant", "fn_date_arith", "reshape_pivot", "set_union",
     "win_distribution", "sort_events", "stream_stream_join", "agg_mode",
     "agg_skew_salted",
-    # stamp age r4
+    # round-9 additions — never driver-stamped, so they ride this window
+    "agg_quantile_sketch", "ts_stl_decompose", "llm_chunk_rank",
+    "llm_preference_pairs",
+    # stamp age r4 — the 15 oldest fill the 50-key window; the rest
+    # lead the round-10 window
     "llm_dedup_semantic", "llm_split_leakage_safe", "llm_serving_e2e",
     "llm_ann_index_probe", "llm_dedup_minhash_clusters", "ts_gap_detect",
     "llm_dedup_minhash", "llm_dedup_simhash", "llm_ann_ivf", "llm_ann_lsh",
@@ -132,8 +123,8 @@ _SWEEP_ORDER: tuple[str, ...] = (
     "llm_curriculum_order", "join_asof_nearest", "ts_downsample_lttb",
     "sink_partition_overwrite", "llm_multimodal", "llm_multimodal_resize",
     "llm_multimodal_frames", "ts_seasonal_profile",
-    # stamp age r7 — freshest stamps, last (the former round-7 window:
-    # the 5 round-6/7 additions + the 29 ex-r1 keys + the 16 ex-r2 keys)
+    # stamp age r7 (the former round-7 window: the 5 round-6/7 additions
+    # + the 29 ex-r1 keys + the 16 ex-r2 keys)
     "ts_downsample_lttb_hier", "scan_jdbc_partitioned",
     "agg_weighted_median", "ts_acf", "llm_importance_resample",
     "agg_distinct", "agg_arg_max", "join_anti", "agg_histogram",
@@ -149,6 +140,22 @@ _SWEEP_ORDER: tuple[str, ...] = (
     "filter_table_class", "filter_negative", "filter_isin", "string_scrub",
     "llm_text_normalize", "reshape_unpivot", "reshape_explode",
     "delimited_parse",
+    # stamp age r8 — freshest stamps, last (the former round-8 window:
+    # the 33 ex-r2 keys + the 17 ex-r3 keys)
+    "fn_case_when", "win_row_number", "agg_conditional",
+    "filter_rlike", "fn_cast", "llm_sample_stratified", "fn_math", "fn_hash",
+    "win_rank", "project_columns", "scan_parquet", "fn_regexp_replace",
+    "fn_split", "fn_date_format", "win_pattern_match", "sort_topk",
+    "llm_text_bpe_count", "fn_map", "fn_json", "llm_text_redact",
+    "llm_text_quality", "stream_tumbling", "agg_cube", "stream_retry",
+    "llm_quality_classifier", "fn_div_mod", "filter_gt_watermark",
+    "stream_incremental_dump", "udf_scalar", "reshape_struct_flatten",
+    "scan_partitioned", "agg_pending_count", "agg_duration",
+    "llm_multimodal_features", "agg_table_profile", "agg_approx_distinct",
+    "agg_hll_sketch", "agg_approx_percentile", "ts_changepoint",
+    "llm_corpus_shuffle", "llm_tokenizer_apply", "llm_bpe_merges",
+    "llm_ann_batch", "llm_embed_pq", "llm_pack_sequences", "win_lag",
+    "llm_text_tokens", "join_asof_forward", "llm_text_langid", "set_except",
 )
 
 

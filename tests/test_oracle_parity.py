@@ -56,38 +56,46 @@ def test_sweep_window_pins_stalest_stamps():
     """The driver stamps the FIRST ~50 registry keys each round, so the
     front of ``_SWEEP_ORDER`` is load-bearing: it must hold exactly the
     keys with the oldest (or missing) driver CORRECTNESS stamps. This
-    pins the round-8 window contents (VERDICT r7 ask #1: the 33 remaining
-    r2-stamped keys + the 17 oldest r3-stamped keys) — regenerate the
-    expectation alongside any ``_SWEEP_ORDER`` rotation."""
+    pins the round-9 window contents (VERDICT r8 ask #2: the 31 remaining
+    r3-stamped keys, then the four round-9 additions, then the 15 oldest
+    r4-stamped keys) — regenerate the expectation alongside any
+    ``_SWEEP_ORDER`` rotation."""
     from hive3_replication_spark.registry import _SWEEP_ORDER
 
     window = list(_SWEEP_ORDER[:50])
-    # all 33 keys whose latest driver stamp is r2 (the registry's stalest)
-    r2 = {
-        "agg_conditional", "agg_cube", "agg_duration", "agg_pending_count",
-        "filter_gt_watermark", "filter_rlike", "fn_case_when", "fn_cast",
-        "fn_date_format", "fn_div_mod", "fn_hash", "fn_json", "fn_map",
-        "fn_math", "fn_regexp_replace", "fn_split",
-        "llm_quality_classifier", "llm_sample_stratified",
-        "llm_text_bpe_count", "llm_text_quality", "llm_text_redact",
-        "project_columns", "reshape_struct_flatten", "scan_parquet",
-        "scan_partitioned", "sort_topk", "stream_incremental_dump",
-        "stream_retry", "stream_tumbling", "udf_scalar",
-        "win_pattern_match", "win_rank", "win_row_number",
+    # all 31 keys whose latest driver stamp is r3 (the registry's stalest)
+    r3 = {
+        "agg_bitmap_distinct", "agg_grouping_sets", "agg_mode",
+        "agg_skew_salted", "agg_string_agg", "fn_concat", "fn_date_arith",
+        "fn_datetime_extract", "fn_levenshtein", "fn_try_arith",
+        "fn_variant", "llm_chunk_windows", "llm_dedup_exact",
+        "llm_dedup_ngram", "llm_text_fingerprint", "llm_text_profile",
+        "reshape_pivot", "set_union", "sort_events",
+        "stream_consistent_cut", "stream_dedup", "stream_divergence",
+        "stream_late_data", "stream_session", "stream_sliding",
+        "stream_stream_join", "win_distribution", "win_latest_per_group",
+        "win_range_frame", "win_running_sum", "win_topk_per_group",
     }
-    assert r2 <= set(window), sorted(r2 - set(window))
-    # the remaining 17 slots are exactly the OLDEST r3-stamped keys
-    # (profiled cheapest-first order within the r3 block)
-    r3_oldest = {
-        "llm_multimodal_features", "agg_table_profile",
-        "agg_approx_distinct", "agg_hll_sketch", "agg_approx_percentile",
-        "ts_changepoint", "llm_corpus_shuffle", "llm_tokenizer_apply",
-        "llm_bpe_merges", "llm_ann_batch", "llm_embed_pq",
-        "llm_pack_sequences", "win_lag", "llm_text_tokens",
-        "join_asof_forward", "llm_text_langid", "set_except",
+    assert r3 <= set(window), sorted(r3 - set(window))
+    # the four round-9 additions have no driver stamp yet — they must
+    # ride this window to be stamped the round they land
+    new_r9 = {
+        "agg_quantile_sketch", "ts_stl_decompose", "llm_chunk_rank",
+        "llm_preference_pairs",
     }
-    rest = set(window) - r2
-    assert rest == r3_oldest, sorted(rest ^ r3_oldest)
+    assert new_r9 <= set(window), sorted(new_r9 - set(window))
+    # the remaining 15 slots are exactly the OLDEST r4-stamped keys
+    # (profiled cheapest-first order within the r4 block)
+    r4_oldest = {
+        "llm_dedup_semantic", "llm_split_leakage_safe", "llm_serving_e2e",
+        "llm_ann_index_probe", "llm_dedup_minhash_clusters",
+        "ts_gap_detect", "llm_dedup_minhash", "llm_dedup_simhash",
+        "llm_ann_ivf", "llm_ann_lsh", "sql_promo_revenue",
+        "sql_pricing_summary", "sql_discount_revenue",
+        "sql_shipmode_priority", "sql_small_quantity_revenue",
+    }
+    rest = set(window) - r3 - new_r9
+    assert rest == r4_oldest, sorted(rest ^ r4_oldest)
     assert len(window) == len(set(window)) == 50
 
 
