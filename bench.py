@@ -434,16 +434,24 @@ def shrink_compact_line(compact: dict, limit: int = 1900) -> str:
     (ADVICE r7: e.g. a very large e2e dict, which no step drops), fall
     back to the irreducible headline fields. Everything dropped is still
     in the detail file. Mutates ``compact``."""
+    # every step is total over PARTIAL compact dicts (ADVICE r8: an
+    # unconditional c["queries"] indexing raised KeyError mid-shrink for
+    # callers whose dict omits a section) — guard each key access
     shrink_steps = (
-        lambda c: c.update(queries=dict(list(c["queries"].items())[:5])),
+        lambda c: c.update(queries=dict(list(c["queries"].items())[:5]))
+        if "queries" in c
+        else None,
         lambda c: c.pop("pairs", None),
         lambda c: c.pop("sink_restate", None),
         lambda c: c.pop("e2e_x10", None),
         lambda c: c.update(
             scale_ratios=dict(list(c["scale_ratios"].items())[:8])
-        ),
+        )
+        if "scale_ratios" in c
+        else None,
         lambda c: c.pop("scale_ratios", None),
-        lambda c: c.update(queries={}),
+        lambda c: c.update(queries={}) if "queries" in c else None,
+        lambda c: c.pop("contention", None),
     )
     line = json.dumps(compact)
     for step in shrink_steps:
@@ -460,6 +468,72 @@ def shrink_compact_line(compact: dict, limit: int = 1900) -> str:
         }
         line = json.dumps(headline)
     return line
+
+
+def _host_ticks() -> dict:
+    """Cheap host-state snapshot (the scripts/diag_outlier.py probes the
+    round-8 VERDICT asked to fold in): /proc/stat cpu ticks — STEAL is
+    the sharpest external-contention signal on this virtualized host —
+    plus 1-minute loadavg. Empty dict on non-Linux."""
+    out: dict = {}
+    try:
+        with open("/proc/stat") as fh:
+            first = fh.readline().split()
+        # cpu user nice system idle iowait irq softirq steal ...
+        if first and first[0] == "cpu" and len(first) > 8:
+            out["busy"] = sum(int(v) for v in first[1:4])
+            out["idle"] = int(first[4])
+            out["steal"] = int(first[8])
+    except OSError:  # pragma: no cover - non-Linux
+        pass
+    try:
+        with open("/proc/loadavg") as fh:
+            out["loadavg_1m"] = float(fh.read().split()[0])
+    except OSError:  # pragma: no cover - non-Linux
+        pass
+    return out
+
+
+def _jvm_cpu_ns(spark) -> int | None:
+    """Whole-JVM process CPU time (executors live in the driver JVM in
+    local mode) via the OS management bean; None when unavailable (Spark
+    Connect, restricted JMX)."""
+    try:
+        mf = spark._jvm.java.lang.management.ManagementFactory
+        return int(mf.getOperatingSystemMXBean().getProcessCpuTime())
+    except Exception:  # noqa: BLE001 — fingerprint is best-effort
+        return None
+
+
+def _fingerprint_begin(spark) -> dict:
+    return {
+        "t0": time.perf_counter(),
+        "ticks": _host_ticks(),
+        "jvm_ns": _jvm_cpu_ns(spark),
+    }
+
+
+def _fingerprint_end(spark, begin: dict) -> dict:
+    """Per-block contention fingerprint: wall, JVM-CPU/wall ratio (an
+    8-25x-inflated task CPU on identical work was the round-8 incident
+    signature), host steal/busy tick shares over the block, and end-of-
+    block loadavg. All deltas, so blocks are comparable across runs."""
+    wall = time.perf_counter() - begin["t0"]
+    out: dict = {"wall_s": round(wall, 3)}
+    jvm0, jvm1 = begin.get("jvm_ns"), _jvm_cpu_ns(spark)
+    if jvm0 is not None and jvm1 is not None and wall > 0:
+        cpu_s = (jvm1 - jvm0) / 1e9
+        out["jvm_cpu_s"] = round(cpu_s, 3)
+        out["cpu_wall_ratio"] = round(cpu_s / wall, 2)
+    t0, t1 = begin.get("ticks", {}), _host_ticks()
+    if "steal" in t0 and "steal" in t1:
+        total = sum(t1[k] - t0[k] for k in ("busy", "idle", "steal"))
+        if total > 0:
+            out["steal_pct"] = round(100 * (t1["steal"] - t0["steal"]) / total, 3)
+            out["busy_pct"] = round(100 * (t1["busy"] - t0["busy"]) / total, 1)
+    if "loadavg_1m" in t1:
+        out["loadavg_1m"] = t1["loadavg_1m"]
+    return out
 
 
 def main() -> None:
@@ -494,8 +568,10 @@ def main() -> None:
     from hive3_replication_spark.llm.dedup import clear_caches
 
     timings: dict[str, float] = {}
+    contention: dict[str, dict] = {}
     for _pass in range(N_PASSES):
         clear_caches()
+        fp = _fingerprint_begin(spark)
         for name in HEADLINE:
             t0 = time.perf_counter()
             df = queries[name](spark, sf_dir)
@@ -504,6 +580,7 @@ def main() -> None:
             assert n >= 0
             if elapsed < timings.get(name, float("inf")):
                 timings[name] = elapsed
+        contention[f"headline_pass_{_pass + 1}"] = _fingerprint_end(spark, fp)
     total = round(sum(timings.values()), 3)
 
     # Steady-state e2e: min over N_PASSES full pipeline runs (same policy
@@ -512,17 +589,21 @@ def main() -> None:
     # Cleanup first so the measurement starts from a drained block manager.
     clear_caches()
     spark.catalog.clearCache()
+    fp = _fingerprint_begin(spark)
     try:
         e2e = _bench_replication_min(spark, sf_dir)
     except Exception as exc:  # noqa: BLE001 — e2e rows are additive
         print(f"replication e2e bench failed: {exc}", file=sys.stderr)
         e2e = {}
+    contention["e2e"] = _fingerprint_end(spark, fp)
 
+    fp = _fingerprint_begin(spark)
     try:
         scale_probe = _scale_probe(spark, queries, sf_dir)
     except Exception as exc:  # noqa: BLE001 — probe rows are additive
         print(f"scale probe failed: {exc}", file=sys.stderr)
         scale_probe = {}
+    contention["scale_probe"] = _fingerprint_end(spark, fp)
 
     sf_num = float(sf) if sf.replace(".", "").isdigit() else sf
     detail_file = os.environ.get("SPARK_GRAFT_BENCH_DETAIL", "BENCH_DETAIL.json")
@@ -539,6 +620,7 @@ def main() -> None:
                 "queries": timings,
                 "e2e": e2e,
                 "scale_probe": scale_probe,
+                "contention": contention,
                 "sf": sf_num,
             },
             fh,
@@ -566,6 +648,23 @@ def main() -> None:
         "pairs": scale_probe.get("pairs", {}),
         "sink_restate": scale_probe.get("sink_restate", {}),
         "e2e_x10": scale_probe.get("e2e_x10", {}),
+        # worst-case contention fingerprint across the run's blocks (full
+        # per-block rows in the detail file): a run with elevated steal /
+        # loadavg / cpu-wall ratio is flagged contaminated, not regressed
+        "contention": {
+            "steal_pct_max": max(
+                (b.get("steal_pct", 0.0) for b in contention.values()),
+                default=0.0,
+            ),
+            "loadavg_max": max(
+                (b.get("loadavg_1m", 0.0) for b in contention.values()),
+                default=0.0,
+            ),
+            "cpu_wall_max": max(
+                (b.get("cpu_wall_ratio", 0.0) for b in contention.values()),
+                default=0.0,
+            ),
+        },
         "detail_file": detail_file,
         "sf": sf_num,
     }

@@ -215,12 +215,14 @@ def llm_preference_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     membership is bit-stable across engines and partition counts. Pairs
     whose score gap is below ``_DPO_MARGIN`` are dropped.
 
-    Plan shape: ONE exchange on the bucket key for the ranking window
-    (row_number + count share it), then the chosen/rejected halves —
-    each pruned to ≤ _DPO_TOPK rows per bucket by WindowGroupLimit-style
-    rank filters — join on (bucket, pair_rank): both sides are
-    k·|buckets| rows, never corpus-sized, so the join cost is bounded by
-    the OUTPUT size at any corpus scale."""
+    Plan shape (single DAG, nothing recomputed): ONE corpus exchange on
+    the bucket key for the ranking window (row_number + count share it).
+    A chosen/rejected SELF-JOIN would have scanned, shuffled, and
+    windowed the corpus twice; instead each surviving row is tagged with
+    its role (top-k rows are chosen, bottom-k rejected — disjoint
+    because k ≤ ⌊n/2⌋) and the pair assembles in one output-sized
+    groupBy on (bucket, pair_rank): the only other exchange carries
+    ≤ 2k rows per bucket, bounded by the OUTPUT at any corpus scale."""
     docs = load_table(spark, sf_dir, "documents")
     from .text import quality_score_col
 
@@ -236,35 +238,34 @@ def llm_preference_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").over(Window.partitionBy("source")).alias("n"),
     )
     k = F.least(F.lit(_DPO_TOPK).cast("bigint"), F.expr("n DIV 2"))
-    chosen = ranked.filter(F.col("rn") <= k).select(
-        "source",
-        F.col("rn").alias("pair_rank"),
-        F.col("doc_id").alias("chosen_doc_id"),
-        F.col("score").alias("chosen_score"),
-    )
+    is_chosen = F.col("rn") <= k
     bottom_rank = F.col("n") - F.col("rn") + 1
-    rejected = ranked.filter(bottom_rank <= k).select(
+    roles = ranked.filter(is_chosen | (bottom_rank <= k)).select(
         "source",
-        bottom_rank.alias("pair_rank"),
-        F.col("doc_id").alias("rejected_doc_id"),
-        F.col("score").alias("rejected_score"),
+        F.when(is_chosen, F.col("rn")).otherwise(bottom_rank).alias(
+            "pair_rank"
+        ),
+        F.when(is_chosen, F.col("doc_id")).alias("c_doc"),
+        F.when(is_chosen, F.col("score")).alias("c_score"),
+        F.when(~is_chosen, F.col("doc_id")).alias("r_doc"),
+        F.when(~is_chosen, F.col("score")).alias("r_score"),
     )
-    return (
-        chosen.join(rejected, ["source", "pair_rank"])
-        .filter(
-            F.col("chosen_score") - F.col("rejected_score") >= _DPO_MARGIN
-        )
-        .select(
-            "source",
-            "pair_rank",
-            "chosen_doc_id",
-            "chosen_score",
-            "rejected_doc_id",
-            "rejected_score",
-            (F.col("chosen_score") - F.col("rejected_score")).alias(
-                "score_gap"
-            ),
-        )
+    pairs = roles.groupBy("source", "pair_rank").agg(
+        F.max("c_doc").alias("chosen_doc_id"),
+        F.max("c_score").alias("chosen_score"),
+        F.max("r_doc").alias("rejected_doc_id"),
+        F.max("r_score").alias("rejected_score"),
+    )
+    return pairs.filter(
+        F.col("chosen_score") - F.col("rejected_score") >= _DPO_MARGIN
+    ).select(
+        "source",
+        "pair_rank",
+        "chosen_doc_id",
+        "chosen_score",
+        "rejected_doc_id",
+        "rejected_score",
+        (F.col("chosen_score") - F.col("rejected_score")).alias("score_gap"),
     )
 
 

@@ -212,13 +212,19 @@ def agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 #: A27 sketch size: per-sketch retained-sample bound. A bottom-m (KMV-
 #: style) sample of m items estimates any quantile with rank standard
-#: error ≈ sqrt(q(1-q)/m) — ~1.1% at m=2048 — independent of n, so the
-#: per-key state is a fixed ~16 KB however large the keyed stream grows.
-_QSK_M = 2048
-#: Bracketing-oracle tolerance: relative rank slack (4.5+ sampling sigmas
-#: at m=2048 for every fixture scale) with an absolute floor so sub-
-#: hundred-row groups (where the sketch is exact anyway) never fail on
-#: the <=-tie granularity of tiny n.
+#: error ≈ sqrt(q(1-q)/m) — ~1.6% at m=999 — independent of n, so the
+#: per-key state is a fixed ~8 KB however large the keyed stream grows.
+#: 999 deliberately sits one under Spark's
+#: spark.sql.optimizer.windowGroupLimitThreshold (1000): the build
+#: stage's rank filter then runs as a WindowGroupLimit, so the per-group
+#: sort never materializes more than m rows per group on any executor —
+#: at m=1000+ the optimizer would fall back to full-group sorts.
+_QSK_M = 999
+#: Bracketing-oracle tolerance: relative rank slack (≥3.2 sampling
+#: sigmas at every fixture scale — groups at or under m are sampled
+#: whole and therefore exact; measured margins are asserted in the
+#: property test) with an absolute floor so sub-hundred-row groups never
+#: fail on the <=-tie granularity of tiny n.
 _QSK_TOL = 0.05
 _QSK_ABS = 8.0
 
@@ -238,22 +244,25 @@ def agg_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     bottom-m after any union IS the merged sketch, exactly like HLL
     union. The query demonstrates the full lifecycle: per-(type, day)
     sketch rows are materialized as bounded arrays (the storable form,
-    ≤ m items each), merged per type by explode → re-rank, then merged
-    once more across ALL types for the '__all__' row — whose estimates
-    come from the sketches alone, never from re-scanning the events.
+    ≤ m items each), then merged by sketch union alone — per type AND
+    corpus-wide ('__all__') — never by re-scanning the events.
 
-    Plan shape: the day-rank filter runs as a WindowGroupLimit (the sort
-    never materializes more than m rows per group), the sketch groupBy
-    reuses the window's (type, day) partitioning — one exchange for the
-    build — and every downstream relation is sketch-sized (days×m, then
-    m), never data-sized; the '__all__' bottom-m uses TakeOrdered, not a
-    single-partition window. Estimates are engine-seeded (the hash tag),
-    so the verifiable contract is A18's rank bracket: one pass re-counts
-    values ≤ each estimate against a broadcast (|types|+1)-row estimate
-    relation and the query emits exact counts plus booleans asserting
-    |rank − q·n| ≤ max(0.05·n, 8) — which the SQL oracle reproduces as
-    (exact, TRUE). The raw sampling margins stay asserted in the property
-    test (tests/test_properties.py)."""
+    Plan shape (single-DAG, nothing recomputed): the day-rank filter runs
+    against a WindowGroupLimit-prunable sort whose (type, day) exchange
+    the sketch groupBy reuses; the merge stage EXPLODE-DUPLICATES each
+    sketch item under its own type and under '__all__', so one
+    sketch-sized window pass produces every merged bottom-m — per type
+    and global — and one groupBy yields all estimate rows (the same
+    duplication device as the verification pass; an orderBy().limit()
+    global merge would have referenced the merge relation twice and
+    recomputed the build subtree). Estimates are engine-seeded (the hash
+    tag), so the verifiable contract is A18's rank bracket: the
+    verification pass explode-duplicates each event under its type and
+    '__all__', joins the broadcast 6-row estimate relation, and emits
+    exact counts plus booleans asserting |rank − q·n| ≤ max(0.05·n, 8) —
+    which the SQL oracle reproduces as (exact, TRUE). The raw sampling
+    margins stay asserted in the property test (tests/test_properties.py).
+    """
     from pyspark.sql import Window
 
     events = load_table(spark, sf_dir, "events")
@@ -275,16 +284,28 @@ def agg_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sk"
         )
     )
-    exploded = day_sketches.select(
+    # merge by union: each stored item re-enters ranked under its own type
+    # AND under '__all__'; bottom-m per merge group = the merged sketch
+    items = day_sketches.select(
         "event_type", F.explode("sk").alias("it")
-    ).select("event_type", "it.tag", "it.event_id", "it.v")
-    w_type = Window.partitionBy("event_type").orderBy("tag", "event_id")
-    merged = exploded.withColumn("rn", F.row_number().over(w_type)).filter(
+    ).select(
+        F.explode(F.array(F.col("event_type"), F.lit("__all__"))).alias(
+            "gtype"
+        ),
+        "it.tag",
+        "it.event_id",
+        "it.v",
+    )
+    w_g = Window.partitionBy("gtype").orderBy("tag", "event_id")
+    merged = items.withColumn("rn", F.row_number().over(w_g)).filter(
         F.col("rn") <= _QSK_M
     )
     # integer quantile indexing (exact on every engine / partitioning):
     # p50 -> ceil(s/2) = (s+1) DIV 2, p90 -> ceil(9s/10) = (9s+9) DIV 10
-    est_cols = [
+    est = merged.groupBy("gtype").agg(
+        F.array_sort(F.collect_list("v")).alias("vals")
+    ).select(
+        "gtype",
         F.size(F.col("vals")).cast("bigint").alias("n_sample"),
         F.expr(
             "element_at(vals, CAST((size(vals) + 1) DIV 2 AS INT))"
@@ -292,33 +313,19 @@ def agg_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(
             "element_at(vals, CAST((9 * size(vals) + 9) DIV 10 AS INT))"
         ).alias("p90_est"),
-    ]
-    est_type = merged.groupBy("event_type").agg(
-        F.array_sort(F.collect_list("v")).alias("vals")
-    ).select("event_type", *est_cols)
-    # second-level merge: bottom-m of the union of per-type sketches IS
-    # the global bottom-m (TakeOrderedAndProject — sketch-sized input)
-    glob = (
-        merged.select("tag", "event_id", "v")
-        .orderBy("tag", "event_id")
-        .limit(_QSK_M)
-        .agg(F.array_sort(F.collect_list("v")).alias("vals"))
-        .select(*est_cols)
-        .select(
-            F.col("n_sample").alias("g_n_sample"),
-            F.col("p50_est").alias("g_p50_est"),
-            F.col("p90_est").alias("g_p90_est"),
-        )
     )
-    # one verification pass over the events: per-type rank counts against
-    # the broadcast per-type estimates AND the broadcast global estimates
-    base = events.select(
-        "event_type", F.col("value").cast("double").alias("v")
-    )
+    # ONE verification pass: every event counts toward its type's bracket
+    # and the global one via the same explode duplication; the estimate
+    # relation is 6 rows — broadcast
     chk = (
-        base.join(F.broadcast(est_type), "event_type")
-        .crossJoin(F.broadcast(glob))
-        .groupBy("event_type")
+        events.select(
+            F.explode(
+                F.array(F.col("event_type"), F.lit("__all__"))
+            ).alias("gtype"),
+            F.col("value").cast("double").alias("v"),
+        )
+        .join(F.broadcast(est), "gtype")
+        .groupBy("gtype")
         .agg(
             F.count("*").alias("n_rows"),
             F.max("n_sample").alias("n_sample"),
@@ -328,21 +335,14 @@ def agg_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum((F.col("v") <= F.col("p90_est")).cast("bigint")).alias(
                 "n_le_p90"
             ),
-            F.max("g_n_sample").alias("g_n_sample"),
-            F.sum((F.col("v") <= F.col("g_p50_est")).cast("bigint")).alias(
-                "g_le_p50"
-            ),
-            F.sum((F.col("v") <= F.col("g_p90_est")).cast("bigint")).alias(
-                "g_le_p90"
-            ),
         )
     )
     in_bracket = lambda n_le, q, n: (  # noqa: E731 — readability helper
         F.abs(n_le.cast("double") - F.lit(q) * n.cast("double"))
         <= F.greatest(F.lit(_QSK_TOL) * n.cast("double"), F.lit(_QSK_ABS))
     )
-    by_type = chk.select(
-        "event_type",
+    return chk.select(
+        F.col("gtype").alias("event_type"),
         "n_rows",
         "n_sample",
         in_bracket(F.col("n_le_p50"), 0.5, F.col("n_rows")).alias(
@@ -352,26 +352,6 @@ def agg_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
             "p90_rank_ok"
         ),
     )
-    # the '__all__' row derives from the SAME single pass: global rank
-    # counts are the sums of the per-type counts against the global
-    # estimates — the events are never scanned a second time
-    all_row = chk.agg(
-        F.sum("n_rows").alias("n_rows"),
-        F.max("g_n_sample").alias("n_sample"),
-        F.sum("g_le_p50").alias("n_le_p50"),
-        F.sum("g_le_p90").alias("n_le_p90"),
-    ).select(
-        F.lit("__all__").alias("event_type"),
-        "n_rows",
-        "n_sample",
-        in_bracket(F.col("n_le_p50"), 0.5, F.col("n_rows")).alias(
-            "p50_rank_ok"
-        ),
-        in_bracket(F.col("n_le_p90"), 0.9, F.col("n_rows")).alias(
-            "p90_rank_ok"
-        ),
-    )
-    return by_type.unionByName(all_row)
 
 
 #: Columns profiled by agg_table_profile (numeric lineitem measures).
@@ -908,39 +888,19 @@ def agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     division-free ``2·cum ≥ total``. At 100 TB the window input is the
     per-price aggregate, not the fact table; for a skewed single group
     whose |distinct prices| is itself huge, the two-pass histogram form
-    is implemented as ``skew.weighted_median_histogram`` (bucket counts
-    → target bucket → exact scan within bucket; bit-identical output,
-    asserted across bucket counts in tests/test_skew.py)."""
-    li = load_table(spark, sf_dir, "lineitem")
-    per_price = (
-        li.select(
-            "l_returnflag",
-            F.col("l_extendedprice").cast("decimal(18,4)").alias("price"),
-            F.col("l_quantity").cast("decimal(18,4)").alias("w"),
-        )
-        .groupBy("l_returnflag", "price")
-        .agg(F.sum("w").alias("pw"))
-    )
-    from pyspark.sql import Window
+    (``skew.weighted_median_histogram``: bucket counts → target bucket →
+    exact scan within bucket) is bit-identical, asserted across bucket
+    counts in tests/test_skew.py. Round 9 wires the measured decision
+    rule in: this registers ``skew.weighted_median(strategy='auto')``,
+    whose one-scalar approx-distinct probe routes past the ~1M-distinct
+    crossover (docs/SCALE.md) to the histogram form automatically — at
+    fixture cardinalities it always resolves to the exact one-window
+    plan the gate test pins."""
+    from .skew import weighted_median
 
-    w_run = (
-        Window.partitionBy("l_returnflag")
-        .orderBy("price")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    w_all = Window.partitionBy("l_returnflag")
-    cum = per_price.withColumn("cw", F.sum("pw").over(w_run)).withColumn(
-        "tw", F.sum("pw").over(w_all)
-    )
-    return (
-        cum.filter(F.col("cw") * 2 >= F.col("tw"))
-        .groupBy("l_returnflag")
-        .agg(
-            F.round(F.min("price").cast("double"), 4).alias(
-                "weighted_median_price"
-            ),
-            F.round(F.max("tw").cast("double"), 4).alias("total_weight"),
-        )
+    li = load_table(spark, sf_dir, "lineitem")
+    return weighted_median(
+        li, "l_returnflag", "l_extendedprice", "l_quantity", strategy="auto"
     )
 
 

@@ -90,6 +90,99 @@ def join_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Measured exact-vs-histogram crossover: per-group |distinct values|
+#: above which the two-pass histogram form wins (docs/SCALE.md round-8:
+#: crossover ~1M distinct values; 5.5x faster at 20M). The auto strategy
+#: probes a cheap per-group approx distinct estimate against this.
+_WM_AUTO_CROSSOVER = 1_000_000
+
+
+def weighted_median_exact(
+    df: DataFrame, key: str, value_col: str, weight_col: str
+) -> DataFrame:
+    """The A26 one-window exact weighted median (lower), generalized over
+    any (key, value, weight) relation — the form
+    ``aggregates.agg_weighted_median`` registers over lineitem. Per-value
+    weights are pre-aggregated (the window input is |distinct values|,
+    never the fact), the running and total weights come from two frames
+    over ONE partitioned sort, and the crossing test is the division-free
+    ``2·cum >= total``. NULL values/weights are excluded (the shared
+    precondition that keeps this form and the histogram form
+    bit-identical — see ``weighted_median_histogram``).
+
+    Returns (key, weighted_median_price, total_weight) — the shared A26
+    column contract."""
+    from pyspark.sql import Window
+
+    per_value = (
+        df.select(
+            F.col(key),
+            F.col(value_col).cast("decimal(18,4)").alias("_v"),
+            F.col(weight_col).cast("decimal(18,4)").alias("_w"),
+        )
+        .filter(F.col("_v").isNotNull() & F.col("_w").isNotNull())
+        .groupBy(key, "_v")
+        .agg(F.sum("_w").alias("_pw"))
+    )
+    w_run = (
+        Window.partitionBy(key)
+        .orderBy("_v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_all = Window.partitionBy(key)
+    cum = per_value.withColumn("_cw", F.sum("_pw").over(w_run)).withColumn(
+        "_tw", F.sum("_pw").over(w_all)
+    )
+    return (
+        cum.filter(F.col("_cw") * 2 >= F.col("_tw"))
+        .groupBy(key)
+        .agg(
+            F.round(F.min("_v").cast("double"), 4).alias(
+                "weighted_median_price"
+            ),
+            F.round(F.max("_tw").cast("double"), 4).alias("total_weight"),
+        )
+    )
+
+
+def weighted_median(
+    df: DataFrame,
+    key: str,
+    value_col: str,
+    weight_col: str,
+    strategy: str = "auto",
+    n_buckets: int = 1024,
+) -> DataFrame:
+    """A26 entry point with the measured decision rule wired in (round-9
+    VERDICT ask #4): ``strategy='exact'`` runs the one-window form,
+    ``'histogram'`` the two-pass bucketed form, and ``'auto'`` probes the
+    MAX per-group approx-distinct count of ``value_col`` (one cheap
+    2-column scan, HLL-sketched, collected as a single scalar) and routes
+    above ``_WM_AUTO_CROSSOVER`` (~1M distinct values, the measured
+    crossover in docs/SCALE.md) to the histogram form. Both forms are
+    bit-identical on NULL-free input (tests/test_skew.py), and both
+    exclude NULL values/weights, so strategy only changes the PLAN,
+    never the answer."""
+    if strategy == "auto":
+        est = (
+            df.filter(F.col(value_col).isNotNull())
+            .groupBy(key)
+            .agg(F.approx_count_distinct(value_col).alias("_d"))
+            .agg(F.max("_d").alias("_m"))
+            .collect()[0]["_m"]
+        )
+        strategy = (
+            "histogram" if (est or 0) > _WM_AUTO_CROSSOVER else "exact"
+        )
+    if strategy == "histogram":
+        return weighted_median_histogram(
+            df, key, value_col, weight_col, n_buckets=n_buckets
+        )
+    if strategy != "exact":
+        raise ValueError(f"unknown weighted_median strategy: {strategy!r}")
+    return weighted_median_exact(df, key, value_col, weight_col)
+
+
 def weighted_median_histogram(
     df: DataFrame,
     key: str,
@@ -127,6 +220,12 @@ def weighted_median_histogram(
 
     Returns (key, weighted_median_price, total_weight) with the same
     column contract as ``agg_weighted_median``.
+
+    NULL values/weights are excluded up front: an unfiltered NULL value
+    would land in bucket n_buckets-1 (``least`` skips NULLs) while the
+    exact form's sort placed it first — the round-8 bit-identical
+    contract therefore holds over the NULL-free relation, which both
+    forms now enforce themselves (ADVICE r8).
     """
     from pyspark.sql import Window
 
@@ -134,7 +233,7 @@ def weighted_median_histogram(
         F.col(key),
         F.col(value_col).cast("decimal(18,4)").alias("_v"),
         F.col(weight_col).cast("decimal(18,4)").alias("_w"),
-    )
+    ).filter(F.col("_v").isNotNull() & F.col("_w").isNotNull())
     bounds = fact.groupBy(key).agg(
         F.min("_v").alias("_vmin"),
         F.max("_v").alias("_vmax"),

@@ -621,10 +621,13 @@ def ts_stl_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
     excluded — the MA is undefined there, and the cnt-based filter makes
     the interior engine-independent.
 
-    Plan shape: the hourly grid agg is one exchange; the 25-row frame is
-    a bounded ROWS window per stream; the seasonal relation is ≤ 24 rows
-    per type (broadcast back). Per-stream state never exceeds the frame,
-    so the operator scales to any number of streams × any history."""
+    Plan shape (single DAG, nothing recomputed): the hourly grid agg is
+    one exchange; the 25-row frame is a bounded ROWS window per stream;
+    the seasonal slot sums come from a SECOND window over (type,
+    hour-of-day) on the interior rows — the TS14 idiom — rather than a
+    groupBy + self-join, which would have recomputed the grid subtree.
+    Per-stream state never exceeds the frame, so the operator scales to
+    any number of streams × any history."""
     grid = _hourly_counts(spark, sf_dir).select(
         "event_type", "hour", "n_events"
     )
@@ -650,17 +653,23 @@ def ts_stl_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sum25",
         )
     )
-    seas = interior.groupBy("event_type", "hod").agg(
-        F.sum("n_events").alias("s_n"),
-        F.sum("sum25").alias("s_sum25"),
-        F.count("*").alias("k"),
+    w_hod = Window.partitionBy("event_type", "hod")
+    staged = interior.select(
+        "event_type",
+        "hour",
+        "hod",
+        "n_events",
+        "sum25",
+        F.sum("n_events").over(w_hod).alias("s_n"),
+        F.sum("sum25").over(w_hod).alias("s_sum25"),
+        F.count("*").over(w_hod).alias("k"),
     )
     kd = F.col("k").cast("double")
     trend = F.col("sum25").cast("double") / F.lit(float(_STL_W))
     seasonal = F.col("s_n").cast("double") / kd - F.col(
         "s_sum25"
     ).cast("double") / (F.lit(float(_STL_W)) * kd)
-    return interior.join(F.broadcast(seas), ["event_type", "hod"]).select(
+    return staged.select(
         "event_type",
         "hour",
         "hod",

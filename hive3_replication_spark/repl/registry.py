@@ -79,8 +79,20 @@ class RunLock:
                 try:
                     marker.mkdir()
                 except FileExistsError:
-                    # another claimer is mid-takeover; if ITS claimer died,
-                    # the marker itself goes stale — clear and retry
+                    # another claimer is mid-takeover. Staleness of the
+                    # MARKER mirrors the lock's own check (ADVICE r8): the
+                    # claimer records its pid inside, and the marker is
+                    # cleared only when that pid is DEAD — a pure age
+                    # threshold could rmtree a live claimer merely stalled
+                    # past the grace (NFS stall, SIGSTOP), re-opening the
+                    # narrow steal window the marker exists to close. The
+                    # age grace survives only for the pid-file-not-yet-
+                    # written sliver between mkdir and write_text.
+                    claimer = self._marker_pid(marker)
+                    if claimer is not None:
+                        if not _pid_alive(claimer):
+                            shutil.rmtree(marker, ignore_errors=True)
+                        continue
                     try:
                         marker_age = time.time() - marker.stat().st_mtime
                     except OSError:
@@ -89,6 +101,7 @@ class RunLock:
                         shutil.rmtree(marker, ignore_errors=True)
                     continue
                 try:
+                    (marker / "pid").write_text(str(os.getpid()))
                     owner = self._owner_pid()
                     if owner is not None and _pid_alive(owner):
                         raise LockHeldError(
@@ -129,6 +142,13 @@ class RunLock:
     def _owner_pid(self) -> int | None:
         try:
             return int((self.path / "pid").read_text())
+        except (OSError, ValueError):
+            return None
+
+    @staticmethod
+    def _marker_pid(marker: Path) -> int | None:
+        try:
+            return int((marker / "pid").read_text())
         except (OSError, ValueError):
             return None
 

@@ -65,15 +65,22 @@ def parquet_row_count(path: str | Path) -> int:
 
 
 def _local_path(uri: str) -> Path | None:
-    """The local filesystem path behind a scheme-less or ``file://`` URI,
-    or None for genuinely remote schemes (hdfs://, s3a://, ...)."""
+    """The local filesystem path behind a scheme-less or ``file:`` URI,
+    or None for anything that may live elsewhere (ADVICE r8 hardening):
+    a ``file://host/db`` URI with a real remote authority must NOT
+    silently resolve to the driver-local ``/db`` (it routes to the
+    Hadoop-FS branch instead), and a scheme-less path whose first
+    segment contains a colon (``dir:part/file``) is a PATH, not a
+    remote scheme — urlparse alone would misread both."""
     from urllib.parse import urlparse
 
     parsed = urlparse(uri)
-    if parsed.scheme == "":
-        return Path(uri)
     if parsed.scheme == "file":
+        if parsed.netloc not in ("", "localhost"):
+            return None
         return Path(parsed.path)
+    if "://" not in uri:
+        return Path(uri)
     return None
 
 

@@ -61,3 +61,35 @@ def test_unshrinkable_e2e_falls_back_to_headline_fields():
     assert got["value"] == 41.0
     assert got["detail_file"] == "BENCH_DETAIL.json"
     assert "e2e" not in got
+
+
+def test_shrink_total_over_partial_compact():
+    """ADVICE r8: shrink must not KeyError on a compact dict missing
+    queries/scale_ratios — each step guards its key access."""
+    from bench import shrink_compact_line
+
+    partial = {"metric": "m", "value": 1.0, "unit": "sec", "sf": 0.1,
+               "detail_file": "d.json", "big": "x" * 5000}
+    line = shrink_compact_line(partial, limit=200)
+    assert len(line) <= 200
+    import json
+
+    assert json.loads(line)["metric"] == "m"
+
+
+def test_contention_fingerprint_shapes():
+    """The per-block contention fingerprint must carry the three round-8
+    forensic signals (wall, host ticks, loadavg) without a live JVM."""
+    import time as _time
+
+    from bench import _fingerprint_begin, _fingerprint_end
+
+    class _NoJvm:
+        _jvm = None
+
+    begin = _fingerprint_begin(_NoJvm())
+    _time.sleep(0.05)
+    fp = _fingerprint_end(_NoJvm(), begin)
+    assert fp["wall_s"] >= 0.05
+    # Linux container: host tick + loadavg probes must be present
+    assert "steal_pct" in fp and "busy_pct" in fp and "loadavg_1m" in fp

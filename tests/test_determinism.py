@@ -75,6 +75,12 @@ FLOAT_HEAVY = [
     "ts_acf",
     # round-7: decimal-exact crossing test, float only at the final round
     "agg_weighted_median",
+    # round-9: hash-tag bottom-m sampling (sketch), integer-sum STL floats,
+    # fixed-order BM25 IEEE chain, rank-symmetric pair assembly
+    "agg_quantile_sketch",
+    "ts_stl_decompose",
+    "llm_chunk_rank",
+    "llm_preference_pairs",
 ]
 
 #: Keys whose cross-run memo (persisted signature/pair relations) must be

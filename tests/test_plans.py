@@ -618,3 +618,73 @@ def test_weighted_median_histogram_broadcasts_and_preaggs(spark):
     assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan, plan
     assert plan.count("BroadcastHashJoin") >= 3, plan
     assert "HashAggregate" in plan, plan
+
+
+def test_quantile_sketch_bounded_sorts_single_dag(spark):
+    """agg_quantile_sketch (round-9 A27): both rank filters must run as
+    WindowGroupLimits — _QSK_M sits one under Spark's
+    windowGroupLimitThreshold precisely so no executor ever materializes
+    more than m rows per group in the build sorts. The whole operator is
+    ONE DAG: 3 exchanges (day-window reused by the sketch groupBy, merge
+    window, verification agg), the events scanned exactly twice (build +
+    verification — never once per estimate branch), the 6-row estimate
+    relation broadcast; no cartesian / nested-loop anywhere."""
+    from hive3_replication_spark.operators.aggregates import (
+        agg_quantile_sketch,
+    )
+
+    plan = _plan(agg_quantile_sketch(spark, SF_DIR), "simple")
+    assert "WindowGroupLimit" in plan, plan
+    assert plan.count("Exchange hashpartitioning") == 3, plan
+    assert plan.count("FileScan") == 2, plan
+    assert plan.count("BroadcastExchange") == 1, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_stl_two_windows_no_recompute(spark):
+    """ts_stl_decompose (round-9 TS19): the seasonal stage is a window
+    over the interior rows — not a groupBy + join back, which would have
+    recomputed the grid subtree. Two exchanges (hourly agg; the per-
+    stream window, whose (type, hod) sibling reuses it), two grid scans
+    (counts + per-type bounds — the _hourly_counts contract), no join
+    of the fact to itself."""
+    from hive3_replication_spark.operators.timeseries import (
+        ts_stl_decompose,
+    )
+
+    plan = _plan(ts_stl_decompose(spark, SF_DIR), "simple")
+    assert plan.count("Exchange hashpartitioning") == 2, plan
+    assert plan.count("FileScan") == 2, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_chunk_rank_no_corpus_shuffle(spark):
+    """llm_chunk_rank (round-9 L30): corpus stats are ONE single-row
+    aggregate broadcast back; scoring is narrow; top-k is
+    TakeOrderedAndProject. The corpus is NEVER hash-shuffled — zero
+    hashpartitioning exchanges in the whole plan."""
+    from hive3_replication_spark.llm.retrieval import llm_chunk_rank
+
+    plan = _plan(llm_chunk_rank(spark, SF_DIR), "simple")
+    assert plan.count("Exchange hashpartitioning") == 0, plan
+    assert "TakeOrderedAndProject" in plan, plan
+    assert plan.count("BroadcastExchange") == 1, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_preference_pairs_single_corpus_pass(spark):
+    """llm_preference_pairs (round-9 L31): the corpus is scanned ONCE and
+    hash-shuffled ONCE (the bucket-key ranking window; the pair groupBy
+    runs on the same partitioning since its keys contain the bucket key).
+    The chosen/rejected halves assemble by role-tagged aggregation, not a
+    self-join — no join operator of any kind in the plan."""
+    from hive3_replication_spark.llm.sampling import llm_preference_pairs
+
+    plan = _plan(llm_preference_pairs(spark, SF_DIR), "simple")
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert plan.count("FileScan") == 1, plan
+    for join in ("BroadcastHashJoin", "SortMergeJoin", "ShuffledHashJoin",
+                 "CartesianProduct", "BroadcastNestedLoopJoin"):
+        assert join not in plan, (join, plan)

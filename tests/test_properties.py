@@ -250,3 +250,66 @@ def test_acf_matches_numpy_reference(spark, tmp_path_factory):
             eng = got[name][f"acf_{k}"]
             assert eng is not None, (name, k)
             assert abs(eng - ref) <= 2e-6, (name, k, eng, ref)
+
+
+def test_stl_matches_pandas_twin(spark):
+    """TS19 replayed with an independent pandas reference: hourly counts
+    reindexed to the dense grid, trend = centered rolling(25) mean,
+    seasonal = per-hour-of-day mean of the detrended interior, residual
+    the remainder — every output column must agree to float noise, and
+    the additive identity must hold row-exactly."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from hive3_replication_spark.catalog import load_table
+    from hive3_replication_spark.operators.timeseries import (
+        _STL_W,
+        ts_stl_decompose,
+    )
+
+    got = (
+        ts_stl_decompose(spark, SF_DIR)
+        .toPandas()
+        .sort_values(["event_type", "hour"])
+        .reset_index(drop=True)
+    )
+    assert len(got) > 0
+    recon = got.trend + got.seasonal + got.residual
+    assert np.allclose(recon, got.n_events, rtol=0, atol=1e-9)
+    ev = (
+        load_table(spark, SF_DIR, "events")
+        .select("event_type", F.date_trunc("hour", "ts").alias("hour"))
+        .toPandas()
+    )
+    frames = []
+    for t, g in ev.groupby("event_type"):
+        counts = g.groupby("hour").size()
+        idx = pd.date_range(counts.index.min(), counts.index.max(), freq="h")
+        series = counts.reindex(idx, fill_value=0).astype("float64")
+        trend = series.rolling(_STL_W, center=True).mean()
+        detr = series - trend
+        seasonal = detr.groupby(detr.index.hour).transform("mean")
+        interior = trend.notna()
+        frames.append(
+            pd.DataFrame(
+                {
+                    "event_type": t,
+                    "hour": series.index[interior],
+                    "n_events": series[interior].astype("int64").values,
+                    "trend": trend[interior].values,
+                    "seasonal": seasonal[interior].values,
+                }
+            )
+        )
+    ref = (
+        pd.concat(frames)
+        .sort_values(["event_type", "hour"])
+        .reset_index(drop=True)
+    )
+    assert len(ref) == len(got)
+    assert (ref.event_type.values == got.event_type.values).all()
+    assert (ref.hour.values == got.hour.values).all()
+    assert (ref.n_events.values == got.n_events.values).all()
+    assert np.allclose(ref.trend, got.trend, rtol=1e-9, atol=1e-9)
+    assert np.allclose(ref.seasonal, got.seasonal, rtol=1e-9, atol=1e-9)

@@ -450,3 +450,116 @@ def test_stale_lock_takeover_race_single_winner(tmp_path):
     assert (stale.path / "pid").read_text() == str(__import__("os").getpid())
     RunLock(tmp_path, "dump").release()
     assert not stale.path.exists()
+
+
+def test_takeover_marker_pid_staleness(tmp_path):
+    """ADVICE r8: the takeover marker carries its claimer's pid, and
+    marker staleness mirrors the lock's own check — a marker whose
+    claimer is STILL ALIVE is never cleared, however old (a takeover
+    stalled past the grace keeps its exclusivity; the old pure-age rule
+    would have rmtree'd it and re-opened the steal window), while a
+    dead-claimer marker is cleared and the takeover proceeds."""
+    import os
+    import time
+
+    stale = RunLock(tmp_path, "dump")
+    stale.path.mkdir(parents=True)
+    (stale.path / "pid").write_text("999999999")  # dead lock owner
+    marker = stale.path.with_name(f"{stale.path.name}.takeover")
+    marker.mkdir()
+    (marker / "pid").write_text(str(os.getpid()))  # live claimer (us)
+    old = time.time() - 3600
+    os.utime(marker, (old, old))
+    with pytest.raises(LockHeldError):
+        RunLock(tmp_path, "dump").acquire()
+    assert marker.exists(), "live-claimer marker must never be cleared"
+    # same marker with a DEAD claimer: cleared, takeover completes
+    (marker / "pid").write_text("999999999")
+    os.utime(marker, (old, old))
+    lock2 = RunLock(tmp_path, "dump")
+    lock2.acquire()
+    assert (stale.path / "pid").read_text() == str(os.getpid())
+    lock2.release()
+    assert not stale.path.exists()
+
+
+def test_local_path_uri_edge_cases():
+    """ADVICE r8: _local_path must not claim a remote-authority file://
+    URI as driver-local, and must treat colon-bearing scheme-less paths
+    as paths (urlparse reads 'dir:part' as a scheme)."""
+    from pathlib import Path
+
+    from hive3_replication_spark.repl.snapshot import _local_path
+
+    assert _local_path("/a/b") == Path("/a/b")
+    assert _local_path("rel/dir") == Path("rel/dir")
+    assert _local_path("dir:part/file") == Path("dir:part/file")
+    assert _local_path("file:/db") == Path("/db")
+    assert _local_path("file:///db") == Path("/db")
+    assert _local_path("file://localhost/db") == Path("/db")
+    assert _local_path("file://nfs-host/db") is None
+    assert _local_path("hdfs://nn:8020/db") is None
+    assert _local_path("s3a://bucket/key") is None
+
+
+def test_export_run_log_concurrent_writers_unique_valid(tmp_path, monkeypatch):
+    """round-9 race coverage (VERDICT ask #6): concurrent exporters pinned
+    to the SAME timestamp (worst case — monkeypatched clock) must each
+    write their OWN parseable JSON artifact. Pre-fix, same-stamp writers
+    opened one shared path with 'w' and interleaved two JSON bodies into
+    a corrupt file; the O_EXCL + collision-suffix create makes every
+    writer exclusive."""
+    import datetime as real_dt
+    import json as _json
+    import threading
+
+    from hive3_replication_spark.repl import pipeline as pl
+    from hive3_replication_spark.repl.model import ReplConfig
+
+    class _FixedDatetime(real_dt.datetime):
+        @classmethod
+        def now(cls, tz=None):  # noqa: D102 - stub
+            return cls(2026, 1, 1, 12, 0, 0, 123456, tzinfo=tz)
+
+    monkeypatch.setattr(pl.dt, "datetime", _FixedDatetime)
+    cfg = ReplConfig(
+        db_name="racedb",
+        source_root=str(tmp_path / "src"),
+        target_root=str(tmp_path / "tgt"),
+        repl_root=str(tmp_path / "repl"),
+        db_allowlist=("racedb",),
+        log_upload=True,
+        log_upload_dir=str(tmp_path),
+    )
+    paths: list[str] = []
+    errors: list[BaseException] = []
+    out_lock = threading.Lock()
+    n_threads, n_reps = 8, 10
+    barrier = threading.Barrier(n_threads)
+
+    def worker(i: int) -> None:
+        try:
+            barrier.wait()
+            for r in range(n_reps):
+                p = pl.export_run_log(cfg, {"writer": i, "rep": r})
+                with out_lock:
+                    paths.append(p)
+        except BaseException as exc:  # noqa: BLE001
+            errors.append(exc)
+
+    threads = [
+        threading.Thread(target=worker, args=(i,)) for i in range(n_threads)
+    ]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errors, errors
+    assert all(p is not None for p in paths)
+    assert len(paths) == n_threads * n_reps
+    assert len(set(paths)) == len(paths), "two writers shared one artifact"
+    seen = set()
+    for p in sorted(set(paths)):
+        body = _json.loads(open(p, encoding="utf-8").read())
+        seen.add((body["writer"], body["rep"]))
+    assert len(seen) == n_threads * n_reps
