@@ -494,13 +494,28 @@ def _host_ticks() -> dict:
     return out
 
 
+_JVM_PID: int | None = None
+
+
 def _jvm_cpu_ns(spark) -> int | None:
     """Whole-JVM process CPU time (executors live in the driver JVM in
-    local mode) via the OS management bean; None when unavailable (Spark
-    Connect, restricted JMX)."""
+    local mode), read from /proc/<jvm-pid>/stat utime+stime — the
+    management bean's getProcessCpuTime lives on a jdk.management
+    INTERNAL class that Java 17 strong encapsulation hides from py4j
+    reflection, so the portable JVM call is just the pid (ProcessHandle,
+    public API) and the accounting comes from the kernel. None when
+    unavailable (Spark Connect, non-Linux)."""
+    global _JVM_PID
     try:
-        mf = spark._jvm.java.lang.management.ManagementFactory
-        return int(mf.getOperatingSystemMXBean().getProcessCpuTime())
+        if _JVM_PID is None:
+            _JVM_PID = int(
+                spark._jvm.java.lang.ProcessHandle.current().pid()
+            )
+        with open(f"/proc/{_JVM_PID}/stat") as fh:
+            # field 2 (comm) may contain spaces — split after the ')'
+            parts = fh.read().rsplit(")", 1)[1].split()
+        ticks = int(parts[11]) + int(parts[12])  # utime + stime
+        return ticks * (1_000_000_000 // os.sysconf("SC_CLK_TCK"))
     except Exception:  # noqa: BLE001 — fingerprint is best-effort
         return None
 

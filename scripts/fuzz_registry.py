@@ -23,6 +23,15 @@ includes the Connect-safe parallel-copy path and the rotated round-8
 window keys) — eight consecutive clean seeds this round; the last found
 divergence was round 5's seed 137.
 
+Round-9: seeds 233/239 clean 234/234 — first sweep covering the four
+round-9 operators (agg_quantile_sketch: groups ≤ m sample whole so the
+sketch is exact on fuzz volumes and the rank brackets are trivially
+tight; ts_stl_decompose over the fuzz streams' irregular hour grids;
+llm_chunk_rank with query terms 'data' present / 'hash','dup' absent
+from the fuzz vocab — the zero-score tie-break total order is what the
+parity check exercises there; llm_preference_pairs over the 2-bucket
+web/book corpus with the empty-text and 1-char pinned docs in scoring).
+
 Round-7: the malformed-MEDIA payload family (truncated headers, wrong
 magic, hostile GIF length bytes, oversized declared dims) lives in
 pytest — tests/test_multimodal_decode.py::test_malformed_payload_* —
