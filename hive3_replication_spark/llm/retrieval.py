@@ -21,9 +21,10 @@ the chunk relation at any corpus size.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..catalog import load_table
 from .sampling import chunk_windows_cte, llm_chunk_windows
 
 #: The fixed retrieval query (one term per BM25 component, fixed order —
@@ -157,10 +158,228 @@ def _chunk_rank_oracle_sql() -> str:
     """
 
 
+#: RRF constants: the standard k=60 damping (Cormack, Clarke &
+#: Buettcher 2009), per-arm candidate lists of 50, fused top-10 out.
+#: Contributions are scaled-integer — SCALE DIV (k + rank) — so the
+#: fused score is exact and engine-identical with total-ordered ties.
+_RRF_K = 60
+_RRF_ARM_K = 50
+_RRF_TOPK = 10
+_RRF_SCALE = 1_000_000
+
+
+def llm_rank_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L32 — reciprocal-rank fusion of the two retrieval arms: BM25
+    lexical ranking over the documents (the L30 scorer at document
+    granularity) fused with embedding cosine ranking (the L3 arm,
+    vec_id keying the same corpus), RRF(d) = Σ_arm 1/(k + rank_arm(d))
+    — the standard hybrid-retrieval combiner (Cormack et al. 2009) a
+    RAG stack runs between retrieval and rescoring because lexical and
+    vector arms fail on disjoint query classes.
+
+    Each arm contributes its top-``_RRF_ARM_K`` list (TakeOrdered — the
+    corpus is never globally sorted; list-absent documents contribute
+    rank 0 = nothing, exactly how production fuses per-arm top-k lists);
+    ranks are assigned by a window over exactly K rows (bounded by
+    construction, the L17 idiom) and the fusion is a K-row full outer
+    join + integer contributions — everything after the two arm scans
+    is output-sized. Contributions use SCALE DIV (k + rank), so the
+    fused score is an exact BIGINT: no float ordering, ties total-
+    ordered on doc_id."""
+    from .similarity import _dot, _norm
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+
+    def tf_col(i: int, term: str) -> F.Column:
+        return (
+            F.size(F.filter(toks, lambda x: x == F.lit(term)))
+            .cast("bigint")
+            .alias(f"tf{i}")
+        )
+
+    base = docs.select(
+        "doc_id",
+        F.size(toks).cast("bigint").alias("dl"),
+        *[tf_col(i, t) for i, t in enumerate(_BM25_QUERY)],
+    )
+    stats = base.agg(
+        F.count("*").alias("n_docs"),
+        F.sum("dl").alias("total_tokens"),
+        *[
+            F.sum((F.col(f"tf{i}") > 0).cast("bigint")).alias(f"df{i}")
+            for i in range(len(_BM25_QUERY))
+        ],
+    )
+    scored = base.crossJoin(F.broadcast(stats))
+    avgdl = F.col("total_tokens").cast("double") / F.col("n_docs").cast(
+        "double"
+    )
+
+    def term_score(i: int) -> F.Column:
+        idf = F.expr(
+            f"(n_docs - df{i} + 1) * {_BM25_IDF_SCALE} DIV (df{i} + 1)"
+        )
+        tf = F.col(f"tf{i}").cast("double")
+        return (
+            idf.cast("double")
+            * (tf * F.lit(_BM25_K1 + 1.0))
+            / (
+                tf
+                + F.lit(_BM25_K1)
+                * (
+                    F.lit(1.0 - _BM25_B)
+                    + F.lit(_BM25_B) * F.col("dl").cast("double") / avgdl
+                )
+            )
+        )
+
+    lex_score = term_score(0)
+    for i in range(1, len(_BM25_QUERY)):
+        lex_score = lex_score + term_score(i)
+    lex_top = (
+        scored.select("doc_id", lex_score.alias("lex"))
+        .orderBy(F.desc("lex"), F.asc("doc_id"))
+        .limit(_RRF_ARM_K)
+    )
+    w_lex = Window.orderBy(F.desc("lex"), F.asc("doc_id"))
+    lex_ranked = lex_top.select(
+        "doc_id", F.row_number().over(w_lex).cast("bigint").alias("lex_rank")
+    )
+    emb = load_table(spark, sf_dir, "embeddings")
+    query = emb.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("q_emb")
+    )
+    vec_scored = (
+        emb.join(F.broadcast(query))
+        .filter(F.col("vec_id") != 0)
+        .select(
+            F.col("vec_id").alias("doc_id"),
+            (
+                _dot(F.col("embedding"), F.col("q_emb"))
+                / (_norm(F.col("embedding")) * _norm(F.col("q_emb")))
+            ).alias("cos"),
+        )
+    )
+    vec_top = vec_scored.orderBy(F.desc("cos"), F.asc("doc_id")).limit(
+        _RRF_ARM_K
+    )
+    w_vec = Window.orderBy(F.desc("cos"), F.asc("doc_id"))
+    vec_ranked = vec_top.select(
+        "doc_id", F.row_number().over(w_vec).cast("bigint").alias("vec_rank")
+    )
+    fused = lex_ranked.join(vec_ranked, "doc_id", "full_outer").select(
+        "doc_id",
+        F.coalesce(F.col("lex_rank"), F.lit(0)).alias("lex_rank"),
+        F.coalesce(F.col("vec_rank"), F.lit(0)).alias("vec_rank"),
+        (
+            F.coalesce(
+                F.expr(f"{_RRF_SCALE} DIV ({_RRF_K} + lex_rank)"), F.lit(0)
+            )
+            + F.coalesce(
+                F.expr(f"{_RRF_SCALE} DIV ({_RRF_K} + vec_rank)"), F.lit(0)
+            )
+        ).alias("rrf_score"),
+    )
+    return fused.orderBy(F.desc("rrf_score"), F.asc("doc_id")).limit(
+        _RRF_TOPK
+    )
+
+
+def _rank_fusion_oracle_sql() -> str:
+    terms = _BM25_QUERY
+    tf_exprs = ",\n                   ".join(
+        f"CAST(len(list_filter(string_split(text, ' '),"
+        f" x -> x = '{t}')) AS BIGINT) AS tf{i}"
+        for i, t in enumerate(terms)
+    )
+    df_exprs = ",\n                   ".join(
+        f"SUM(CASE WHEN tf{i} > 0 THEN 1 ELSE 0 END) AS df{i}"
+        for i in range(len(terms))
+    )
+    term_sqls = [
+        f"""(CAST((n_docs - df{i} + 1) * {_BM25_IDF_SCALE} // (df{i} + 1)
+                 AS DOUBLE)
+             * (CAST(tf{i} AS DOUBLE) * {_BM25_K1 + 1.0})
+             / (CAST(tf{i} AS DOUBLE)
+                + {_BM25_K1} * ({1.0 - _BM25_B}
+                   + {_BM25_B} * CAST(dl AS DOUBLE)
+                     / (CAST(total_tokens AS DOUBLE)
+                        / CAST(n_docs AS DOUBLE)))))"""
+        for i in range(len(terms))
+    ]
+    lex_sql = "\n               + ".join(term_sqls)
+    return f"""
+        WITH tf AS (
+            SELECT doc_id,
+                   CAST(len(string_split(text, ' ')) AS BIGINT) AS dl,
+                   {tf_exprs}
+            FROM documents
+        ),
+        stats AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+                   CAST(SUM(dl) AS BIGINT) AS total_tokens,
+                   {df_exprs}
+            FROM tf
+        ),
+        lex_top AS (
+            SELECT doc_id, {lex_sql} AS lex
+            FROM tf, stats
+            ORDER BY lex DESC, doc_id LIMIT {_RRF_ARM_K}
+        ),
+        lex_ranked AS (
+            SELECT doc_id,
+                   CAST(ROW_NUMBER() OVER (ORDER BY lex DESC, doc_id)
+                        AS BIGINT) AS lex_rank
+            FROM lex_top
+        ),
+        q AS (SELECT embedding AS q_emb FROM embeddings WHERE vec_id = 0),
+        vec_scored AS (
+            SELECT vec_id AS doc_id,
+                   list_aggregate(
+                       list_transform(range(1, len(embedding) + 1),
+                           i -> CAST(embedding[i] AS DOUBLE)
+                              * CAST(q_emb[i] AS DOUBLE)),
+                       'sum')
+                   / (sqrt(list_aggregate(list_transform(embedding,
+                           x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
+                           'sum'))
+                      * sqrt(list_aggregate(list_transform(q_emb,
+                           x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
+                           'sum'))) AS cos
+            FROM embeddings, q WHERE vec_id <> 0
+        ),
+        vec_top AS (
+            SELECT doc_id, cos FROM vec_scored
+            ORDER BY cos DESC, doc_id LIMIT {_RRF_ARM_K}
+        ),
+        vec_ranked AS (
+            SELECT doc_id,
+                   CAST(ROW_NUMBER() OVER (ORDER BY cos DESC, doc_id)
+                        AS BIGINT) AS vec_rank
+            FROM vec_top
+        ),
+        fused AS (
+            SELECT COALESCE(l.doc_id, v.doc_id) AS doc_id,
+                   CAST(COALESCE(l.lex_rank, 0) AS BIGINT) AS lex_rank,
+                   CAST(COALESCE(v.vec_rank, 0) AS BIGINT) AS vec_rank,
+                   CAST(COALESCE({_RRF_SCALE} // ({_RRF_K} + l.lex_rank), 0)
+                        + COALESCE({_RRF_SCALE} // ({_RRF_K} + v.vec_rank), 0)
+                        AS BIGINT) AS rrf_score
+            FROM lex_ranked l
+            FULL OUTER JOIN vec_ranked v ON l.doc_id = v.doc_id
+        )
+        SELECT * FROM fused
+        ORDER BY rrf_score DESC, doc_id LIMIT {_RRF_TOPK}
+    """
+
+
 ORACLES: dict[str, str] = {
     "llm_chunk_rank": _chunk_rank_oracle_sql(),
+    "llm_rank_fusion": _rank_fusion_oracle_sql(),
 }
 
 QUERY_FNS = {
     "llm_chunk_rank": llm_chunk_rank,
+    "llm_rank_fusion": llm_rank_fusion,
 }

@@ -1,4 +1,4 @@
-"""Joins (SURVEY.md §2.3, J1-J16).
+"""Joins (SURVEY.md §2.3, J1-J17).
 
 The reference's only "join" is a row-at-a-time comparison of two scalar
 watermarks in bash (``hive3repl.sh:106-120,155-169``); the engine generalizes
@@ -591,7 +591,154 @@ def join_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: J17 interval-overlap blocking bucket (1 hour) and the two
+#: sessionization gaps: user sessions reuse T5's 30-minute contract;
+#: error bursts cut at 5-minute silences (a burst is a tight cluster).
+_IVO_BUCKET_US = 3_600_000_000
+_IVO_SESSION_GAP_US = 1_800_000_000
+_IVO_BURST_GAP_US = 300_000_000
+
+
+def _intervals(
+    df: DataFrame, key_cols: list[str], gap_us: int
+) -> DataFrame:
+    """Gaps-and-islands intervals per key (the T5 two-window idiom —
+    one exchange, both windows + the final groupBy share the key
+    partitioning): rows more than ``gap_us`` apart start a new interval;
+    output one (key, iv_start, iv_end) row per island."""
+    w = Window.partitionBy(*key_cols).orderBy("ts", "event_id")
+    t_us = F.unix_micros(F.col("ts").cast("timestamp"))
+    prev_us = F.unix_micros(F.lag("ts").over(w).cast("timestamp"))
+    flagged = df.withColumn(
+        "new_iv",
+        F.when(prev_us.isNull() | (t_us - prev_us > gap_us), 1).otherwise(0),
+    ).withColumn(
+        "iv_idx",
+        F.sum("new_iv").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    return flagged.groupBy(*key_cols, "iv_idx").agg(
+        F.min("ts").alias("iv_start"), F.max("ts").alias("iv_end")
+    )
+
+
+def join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J17 — interval × interval overlap join via bucket blocking: which
+    user activity sessions overlap an error burst — the incident-impact
+    question ("who was active while the system was erroring") that
+    point-in-interval J12 cannot ask, because BOTH sides are intervals.
+
+    Both relations are gaps-and-islands intervals over the same event
+    stream (user sessions at T5's 30-min gap; error bursts at a 5-min
+    gap). A naive overlap join is a pure theta join —
+    O(|sessions| × |bursts|) nested-loop at any scale. Instead both
+    sides EXPLODE into the hour buckets they cover and equi-join on the
+    bucket (the distributed interval-join pattern used by genomics
+    joins and stream-window joins alike), with the exact closed-interval
+    overlap predicate (s_start ≤ b_end AND b_start ≤ s_end) as a
+    post-join filter. An overlapping pair co-occurs in EVERY shared
+    bucket, so the join keeps only the bucket of the overlap's start —
+    ``bucket == greatest(bucket(s_start), bucket(b_start))``, exact
+    because bucketing is monotone so max commutes with it — and each
+    pair emerges exactly once with NO distinct/dedup pass. Shuffle
+    volume is O(Σ interval-hours), linear in the data; bucket width
+    bounds the skew any single reducer can see."""
+    events = load_table(spark, sf_dir, "events")
+    sessions = _intervals(
+        events.select("user_id", "event_id", "ts"),
+        ["user_id"],
+        _IVO_SESSION_GAP_US,
+    ).select(
+        "user_id",
+        F.col("iv_start").alias("s_start"),
+        F.col("iv_end").alias("s_end"),
+    )
+    bursts = _intervals(
+        events.filter(F.col("event_type") == "error").select(
+            "event_type", "event_id", "ts"
+        ),
+        ["event_type"],
+        _IVO_BURST_GAP_US,
+    ).select(
+        F.col("iv_start").alias("b_start"), F.col("iv_end").alias("b_end")
+    )
+    bucket_of = lambda col: F.expr(  # noqa: E731 — readability helper
+        f"unix_micros(CAST({col} AS TIMESTAMP)) DIV {_IVO_BUCKET_US}"
+    )
+    s_b = sessions.withColumn(
+        "bucket",
+        F.explode(F.sequence(bucket_of("s_start"), bucket_of("s_end"))),
+    )
+    b_b = bursts.withColumn(
+        "bucket",
+        F.explode(F.sequence(bucket_of("b_start"), bucket_of("b_end"))),
+    )
+    return (
+        s_b.join(b_b, "bucket")
+        .filter(
+            (F.col("s_start") <= F.col("b_end"))
+            & (F.col("b_start") <= F.col("s_end"))
+            & (
+                F.col("bucket")
+                == F.greatest(bucket_of("s_start"), bucket_of("b_start"))
+            )
+        )
+        .select("user_id", "s_start", "s_end", "b_start", "b_end")
+    )
+
+
 ORACLES: dict[str, str] = {
+    "join_interval_overlap": f"""
+        WITH e AS (
+            SELECT user_id, event_type, event_id, CAST(ts AS TIMESTAMP) AS ts
+            FROM events
+        ),
+        s_flagged AS (
+            SELECT user_id, event_id, ts,
+                   CASE WHEN LAG(ts) OVER w IS NULL
+                             OR epoch_us(ts) - epoch_us(LAG(ts) OVER w)
+                                > {_IVO_SESSION_GAP_US}
+                        THEN 1 ELSE 0 END AS new_iv
+            FROM e
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ),
+        s_numbered AS (
+            SELECT user_id, ts,
+                   SUM(new_iv) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS UNBOUNDED PRECEDING
+                   ) AS iv_idx
+            FROM s_flagged
+        ),
+        sessions AS (
+            SELECT user_id, MIN(ts) AS s_start, MAX(ts) AS s_end
+            FROM s_numbered GROUP BY user_id, iv_idx
+        ),
+        b_flagged AS (
+            SELECT event_id, ts,
+                   CASE WHEN LAG(ts) OVER w IS NULL
+                             OR epoch_us(ts) - epoch_us(LAG(ts) OVER w)
+                                > {_IVO_BURST_GAP_US}
+                        THEN 1 ELSE 0 END AS new_iv
+            FROM e WHERE event_type = 'error'
+            WINDOW w AS (ORDER BY ts, event_id)
+        ),
+        b_numbered AS (
+            SELECT ts,
+                   SUM(new_iv) OVER (
+                       ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING
+                   ) AS iv_idx
+            FROM b_flagged
+        ),
+        bursts AS (
+            SELECT MIN(ts) AS b_start, MAX(ts) AS b_end
+            FROM b_numbered GROUP BY iv_idx
+        )
+        SELECT user_id, s_start, s_end, b_start, b_end
+        FROM sessions, bursts
+        WHERE s_start <= b_end AND b_start <= s_end
+    """,
     "join_asof_forward": """
         WITH e AS (
             SELECT event_id, user_id, event_type,
@@ -832,6 +979,7 @@ ORACLES: dict[str, str] = {
 }
 
 QUERY_FNS = {
+    "join_interval_overlap": join_interval_overlap,
     "join_watermark_compare": join_watermark_compare,
     "join_broadcast": join_broadcast,
     "join_sortmerge": join_sortmerge,

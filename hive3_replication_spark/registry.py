@@ -62,9 +62,10 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 #: driver cuts at ~50 keys per round BY COUNT, so the front block must
 #: hold exactly the keys that most need a fresh driver stamp. Round-9
 #: policy (VERDICT r8 ask #2): the 31 remaining r3-stamped keys lead,
-#: then the four round-9 additions (never driver-stamped), then the 15
-#: oldest r4-stamped keys — exactly 50. After this window lands, the
-#: minimum stamp age across the registry is r4. Behind the window, keys
+#: then the six round-9 additions (never driver-stamped — new coverage
+#: outranks an r4 restamp), then the 13 oldest r4-stamped keys —
+#: exactly 50. After this window lands, the minimum stamp age across
+#: the registry is r4. Behind the window, keys
 #: stay grouped oldest-latest-stamp first (r4 remainder, r6, r7, r8),
 #: preserving the profiled cheapest-first relative order inside each
 #: group. Regenerate by re-sorting on the CORRECTNESS_r* latest-stamp map
@@ -86,8 +87,8 @@ _SWEEP_ORDER: tuple[str, ...] = (
     "agg_skew_salted",
     # round-9 additions — never driver-stamped, so they ride this window
     "agg_quantile_sketch", "ts_stl_decompose", "llm_chunk_rank",
-    "llm_preference_pairs",
-    # stamp age r4 — the 15 oldest fill the 50-key window; the rest
+    "llm_preference_pairs", "join_interval_overlap", "llm_rank_fusion",
+    # stamp age r4 — the 13 oldest fill the 50-key window; the rest
     # lead the round-10 window
     "llm_dedup_semantic", "llm_split_leakage_safe", "llm_serving_e2e",
     "llm_ann_index_probe", "llm_dedup_minhash_clusters", "ts_gap_detect",

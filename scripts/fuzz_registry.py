@@ -31,6 +31,11 @@ llm_chunk_rank with query terms 'data' present / 'hash','dup' absent
 from the fuzz vocab — the zero-score tie-break total order is what the
 parity check exercises there; llm_preference_pairs over the 2-bucket
 web/book corpus with the empty-text and 1-char pinned docs in scoring).
+Seeds 241/251 clean 236/236 — first sweep covering the second-wave
+round-9 operators (join_interval_overlap over the fuzz stream's exact
+ts ties — 30% zero-increment rows stress the (ts, event_id) island
+tie-break; llm_rank_fusion with the planted near-identical vectors
+dominating the cosine arm and a lexically-degenerate BM25 arm).
 
 Round-7: the malformed-MEDIA payload family (truncated headers, wrong
 magic, hostile GIF length bytes, oversized declared dims) lives in

@@ -76,11 +76,15 @@ FLOAT_HEAVY = [
     # round-7: decimal-exact crossing test, float only at the final round
     "agg_weighted_median",
     # round-9: hash-tag bottom-m sampling (sketch), integer-sum STL floats,
-    # fixed-order BM25 IEEE chain, rank-symmetric pair assembly
+    # fixed-order BM25 IEEE chain, rank-symmetric pair assembly,
+    # exactly-once bucket-blocked interval join, integer RRF over
+    # double-ordered arm ranks
     "agg_quantile_sketch",
     "ts_stl_decompose",
     "llm_chunk_rank",
     "llm_preference_pairs",
+    "join_interval_overlap",
+    "llm_rank_fusion",
 ]
 
 #: Keys whose cross-run memo (persisted signature/pair relations) must be

@@ -57,7 +57,7 @@ def test_sweep_window_pins_stalest_stamps():
     front of ``_SWEEP_ORDER`` is load-bearing: it must hold exactly the
     keys with the oldest (or missing) driver CORRECTNESS stamps. This
     pins the round-9 window contents (VERDICT r8 ask #2: the 31 remaining
-    r3-stamped keys, then the four round-9 additions, then the 15 oldest
+    r3-stamped keys, then the six round-9 additions, then the 13 oldest
     r4-stamped keys) — regenerate the expectation alongside any
     ``_SWEEP_ORDER`` rotation."""
     from hive3_replication_spark.registry import _SWEEP_ORDER
@@ -81,10 +81,10 @@ def test_sweep_window_pins_stalest_stamps():
     # ride this window to be stamped the round they land
     new_r9 = {
         "agg_quantile_sketch", "ts_stl_decompose", "llm_chunk_rank",
-        "llm_preference_pairs",
+        "llm_preference_pairs", "join_interval_overlap", "llm_rank_fusion",
     }
     assert new_r9 <= set(window), sorted(new_r9 - set(window))
-    # the remaining 15 slots are exactly the OLDEST r4-stamped keys
+    # the remaining 13 slots are exactly the OLDEST r4-stamped keys
     # (profiled cheapest-first order within the r4 block)
     r4_oldest = {
         "llm_dedup_semantic", "llm_split_leakage_safe", "llm_serving_e2e",
@@ -92,7 +92,6 @@ def test_sweep_window_pins_stalest_stamps():
         "ts_gap_detect", "llm_dedup_minhash", "llm_dedup_simhash",
         "llm_ann_ivf", "llm_ann_lsh", "sql_promo_revenue",
         "sql_pricing_summary", "sql_discount_revenue",
-        "sql_shipmode_priority", "sql_small_quantity_revenue",
     }
     rest = set(window) - r3 - new_r9
     assert rest == r4_oldest, sorted(rest ^ r4_oldest)

@@ -688,3 +688,35 @@ def test_preference_pairs_single_corpus_pass(spark):
     for join in ("BroadcastHashJoin", "SortMergeJoin", "ShuffledHashJoin",
                  "CartesianProduct", "BroadcastNestedLoopJoin"):
         assert join not in plan, (join, plan)
+
+
+def test_interval_overlap_bucket_equijoin_no_theta(spark):
+    """join_interval_overlap (round-9 J17): the overlap must run as a
+    bucket EQUI-join (broadcast/shuffled hash or SMJ — never a
+    nested-loop theta join or cartesian), and the exactly-once bucket
+    filter means NO dedup pass: exactly the two island-building
+    exchanges exist (sessions on user_id, bursts on event_type) — a
+    third would be a distinct/dedup shuffle."""
+    from hive3_replication_spark.operators.joins import (
+        join_interval_overlap,
+    )
+
+    plan = _plan(join_interval_overlap(spark, SF_DIR), "simple")
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert plan.count("Exchange hashpartitioning") == 2, plan
+    assert plan.count("FileScan") == 2, plan
+
+
+def test_rank_fusion_bounded_fusion_no_corpus_shuffle(spark):
+    """llm_rank_fusion (round-9 L32): both arms reach their candidate
+    lists via TakeOrderedAndProject (plus the fused top-10 — three
+    total), corpus stats and the query vector are broadcasts, and the
+    corpus is NEVER hash-shuffled: everything after the arm scans is
+    bounded by the two 50-row lists."""
+    from hive3_replication_spark.llm.retrieval import llm_rank_fusion
+
+    plan = _plan(llm_rank_fusion(spark, SF_DIR), "simple")
+    assert plan.count("Exchange hashpartitioning") == 0, plan
+    assert plan.count("TakeOrderedAndProject") == 3, plan
+    assert "CartesianProduct" not in plan, plan

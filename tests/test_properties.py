@@ -313,3 +313,148 @@ def test_stl_matches_pandas_twin(spark):
     assert (ref.n_events.values == got.n_events.values).all()
     assert np.allclose(ref.trend, got.trend, rtol=1e-9, atol=1e-9)
     assert np.allclose(ref.seasonal, got.seasonal, rtol=1e-9, atol=1e-9)
+
+
+def test_interval_overlap_matches_pandas_twin(spark):
+    """J17 replayed in pure pandas: independent sessionization of both
+    relations (30-min user sessions, 5-min error bursts) and a plain
+    O(n·m) overlap join — the bucket-blocked Spark form must return
+    exactly that pair set, each pair exactly once (the exactly-once
+    bucket filter must not duplicate or drop boundary pairs)."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from hive3_replication_spark.catalog import load_table
+    from hive3_replication_spark.operators.joins import (
+        _IVO_BURST_GAP_US,
+        _IVO_SESSION_GAP_US,
+        join_interval_overlap,
+    )
+
+    got = join_interval_overlap(spark, SF_DIR).toPandas()
+    ev = (
+        load_table(spark, SF_DIR, "events")
+        .select("user_id", "event_type", "event_id", "ts")
+        .toPandas()
+        .sort_values(["ts", "event_id"])
+    )
+
+    def islands(df: pd.DataFrame, gap_us: int) -> list[tuple]:
+        out = []
+        start = end = None
+        for t in df.ts:
+            if end is not None and (t - end).value // 1000 <= gap_us:
+                end = t
+            else:
+                if start is not None:
+                    out.append((start, end))
+                start = end = t
+        if start is not None:
+            out.append((start, end))
+        return out
+
+    sessions = []
+    for uid, g in ev.groupby("user_id"):
+        sessions += [(uid, s, e) for s, e in islands(g, _IVO_SESSION_GAP_US)]
+    bursts = islands(ev[ev.event_type == "error"], _IVO_BURST_GAP_US)
+    expect = sorted(
+        (uid, s, e, bs, be)
+        for uid, s, e in sessions
+        for bs, be in bursts
+        if s <= be and bs <= e
+    )
+    got_rows = sorted(
+        map(
+            tuple,
+            got[
+                ["user_id", "s_start", "s_end", "b_start", "b_end"]
+            ].itertuples(index=False),
+        )
+    )
+    assert len(got_rows) == len(expect), (len(got_rows), len(expect))
+    assert got_rows == expect
+
+
+def test_rank_fusion_matches_python_twin(spark):
+    """L32 replayed in pure python: BM25 arm (document granularity),
+    cosine arm (sequential fold matching the engines' index-order sum),
+    per-arm top-50 ranks, integer RRF — the fused top-10 must match
+    exactly, scores included (they are exact BIGINTs)."""
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F  # noqa: F401 - parity of style
+
+    from hive3_replication_spark.llm.retrieval import (
+        _BM25_B,
+        _BM25_IDF_SCALE,
+        _BM25_K1,
+        _BM25_QUERY,
+        _RRF_ARM_K,
+        _RRF_K,
+        _RRF_SCALE,
+        _RRF_TOPK,
+        llm_rank_fusion,
+    )
+
+    got = llm_rank_fusion(spark, SF_DIR).toPandas()
+    docs = (
+        spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        .select("doc_id", "text")
+        .toPandas()
+    )
+    rows = []
+    for _, r in docs.iterrows():
+        toks = r.text.split(" ")
+        rows.append(
+            (int(r.doc_id), len(toks), [toks.count(t) for t in _BM25_QUERY])
+        )
+    n_docs = len(rows)
+    avgdl = sum(r[1] for r in rows) / n_docs
+    dfreq = [
+        sum(1 for r in rows if r[2][i] > 0) for i in range(len(_BM25_QUERY))
+    ]
+
+    def lex_score(r) -> float:
+        s = 0.0
+        for i in range(len(_BM25_QUERY)):
+            idf = (n_docs - dfreq[i] + 1) * _BM25_IDF_SCALE // (dfreq[i] + 1)
+            tf = r[2][i]
+            s += (
+                idf
+                * (tf * (_BM25_K1 + 1.0))
+                / (tf + _BM25_K1 * (1.0 - _BM25_B + _BM25_B * r[1] / avgdl))
+            )
+        return s
+
+    lex_sorted = sorted(rows, key=lambda r: (-lex_score(r), r[0]))
+    lex_rank = {r[0]: i + 1 for i, r in enumerate(lex_sorted[:_RRF_ARM_K])}
+    emb = pq.read_table(f"{SF_DIR}/embeddings.parquet").to_pandas()
+    q = list(map(float, emb.loc[emb.vec_id == 0, "embedding"].iloc[0]))
+
+    def seq_dot(a, b) -> float:
+        s = 0.0
+        for x, y in zip(a, b):
+            s += float(x) * float(y)
+        return s
+
+    cos = {}
+    qn = seq_dot(q, q) ** 0.5
+    for _, r in emb.iterrows():
+        if int(r.vec_id) == 0:
+            continue
+        v = list(map(float, r.embedding))
+        cos[int(r.vec_id)] = seq_dot(v, q) / ((seq_dot(v, v) ** 0.5) * qn)
+    vec_sorted = sorted(cos.items(), key=lambda kv: (-kv[1], kv[0]))
+    vec_rank = {d: i + 1 for i, (d, _) in enumerate(vec_sorted[:_RRF_ARM_K])}
+    fused = {}
+    for d in set(lex_rank) | set(vec_rank):
+        score = 0
+        if d in lex_rank:
+            score += _RRF_SCALE // (_RRF_K + lex_rank[d])
+        if d in vec_rank:
+            score += _RRF_SCALE // (_RRF_K + vec_rank[d])
+        fused[d] = score
+    expect = sorted(fused.items(), key=lambda kv: (-kv[1], kv[0]))[:_RRF_TOPK]
+    assert list(zip(got.doc_id, got.rrf_score)) == expect
+    for _, row in got.iterrows():
+        assert row.lex_rank == lex_rank.get(row.doc_id, 0)
+        assert row.vec_rank == vec_rank.get(row.doc_id, 0)
