@@ -228,6 +228,14 @@ SCALE_PROBE_KEYS = (
     # curve from their first round
     "ts_acf",
     "agg_weighted_median",
+    # round-9 operators — probed from their first round: the sketch's
+    # WindowGroupLimit build, the STL window chain, the bucket-blocked
+    # interval join (the one with data-dependent pair volume), and the
+    # TakeOrdered-only fusion (expected ~flat: arm lists are fixed-K)
+    "agg_quantile_sketch",
+    "ts_stl_decompose",
+    "join_interval_overlap",
+    "llm_rank_fusion",
 )
 
 
