@@ -172,11 +172,14 @@ def agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     The estimates themselves are partitioning-dependent within rank
     error, so the verifiable contract is the RANK of each estimate: the
     fact table is re-joined against the (broadcast, groups-sized)
-    estimate relation to count values ≤ estimate, and the query emits
-    per-group booleans asserting |rank/n − q| ≤ 0.01 — which the SQL
-    oracle reproduces as TRUE, making this a full value-hash row instead
-    of rows-only. The tighter (q ± ε + 1/n) bracket stays in the
-    property test."""
+    estimate relation to count values around the estimate, and the query
+    emits per-group booleans asserting the TWO-SIDED rank bracket
+    count(v < est)/n − q ≤ 0.01 AND q − count(v ≤ est)/n ≤ 0.01 — the
+    tie-safe form (round 9: a one-sided |count(≤)/n − q| test breaks on
+    heavy value ties, where every tied row lands at ≤ est and overshoots
+    for a PERFECT estimate) — which the SQL oracle reproduces as TRUE,
+    making this a full value-hash row instead of rows-only. The tighter
+    (q ± ε + 1/n) bracket stays in the property test."""
     lineitem = load_table(spark, sf_dir, "lineitem")
     pct = F.percentile_approx(
         "l_extendedprice", F.array(F.lit(0.5), F.lit(0.9)), 10000
@@ -191,22 +194,32 @@ def agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     ranks = joined.groupBy("l_returnflag").agg(
         F.count("*").alias("n_rows"),
         F.sum(
+            (F.col("l_extendedprice") < F.col("p50_approx")).cast("bigint")
+        ).alias("n_lt_p50"),
+        F.sum(
             (F.col("l_extendedprice") <= F.col("p50_approx")).cast("bigint")
         ).alias("n_le_p50"),
+        F.sum(
+            (F.col("l_extendedprice") < F.col("p90_approx")).cast("bigint")
+        ).alias("n_lt_p90"),
         F.sum(
             (F.col("l_extendedprice") <= F.col("p90_approx")).cast("bigint")
         ).alias("n_le_p90"),
     )
     tol = 0.01
+    in_bracket = lambda n_lt, n_le, q: (  # noqa: E731 — readability
+        (n_lt / F.col("n_rows") - F.lit(q) <= tol)
+        & (F.lit(q) - n_le / F.col("n_rows") <= tol)
+    )
     return ranks.select(
         "l_returnflag",
         "n_rows",
-        (
-            F.abs(F.col("n_le_p50") / F.col("n_rows") - F.lit(0.5)) <= tol
-        ).alias("p50_rank_ok"),
-        (
-            F.abs(F.col("n_le_p90") / F.col("n_rows") - F.lit(0.9)) <= tol
-        ).alias("p90_rank_ok"),
+        in_bracket(F.col("n_lt_p50"), F.col("n_le_p50"), 0.5).alias(
+            "p50_rank_ok"
+        ),
+        in_bracket(F.col("n_lt_p90"), F.col("n_le_p90"), 0.9).alias(
+            "p90_rank_ok"
+        ),
     )
 
 
@@ -329,28 +342,44 @@ def agg_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count("*").alias("n_rows"),
             F.max("n_sample").alias("n_sample"),
+            F.sum((F.col("v") < F.col("p50_est")).cast("bigint")).alias(
+                "n_lt_p50"
+            ),
             F.sum((F.col("v") <= F.col("p50_est")).cast("bigint")).alias(
                 "n_le_p50"
+            ),
+            F.sum((F.col("v") < F.col("p90_est")).cast("bigint")).alias(
+                "n_lt_p90"
             ),
             F.sum((F.col("v") <= F.col("p90_est")).cast("bigint")).alias(
                 "n_le_p90"
             ),
         )
     )
-    in_bracket = lambda n_le, q, n: (  # noqa: E731 — readability helper
-        F.abs(n_le.cast("double") - F.lit(q) * n.cast("double"))
-        <= F.greatest(F.lit(_QSK_TOL) * n.cast("double"), F.lit(_QSK_ABS))
+    # TWO-SIDED rank bracket — the tie-safe definition "est is a
+    # q-quantile within slack": count(v < est) may not overshoot q·n and
+    # count(v ≤ est) may not undershoot it. A single |count(≤) − q·n|
+    # test breaks on heavy ties (a constant-valued group puts EVERY row
+    # at ≤ est, overshooting by n/2 for a perfect estimate); with a tie
+    # run straddling the quantile, n_lt ≤ q·n ≤ n_le is exactly the
+    # membership test for the interval the quantile lives in.
+    slack = lambda n: F.greatest(  # noqa: E731 — readability helper
+        F.lit(_QSK_TOL) * n.cast("double"), F.lit(_QSK_ABS)
+    )
+    in_bracket = lambda n_lt, n_le, q, n: (  # noqa: E731
+        (n_lt.cast("double") - F.lit(q) * n.cast("double") <= slack(n))
+        & (F.lit(q) * n.cast("double") - n_le.cast("double") <= slack(n))
     )
     return chk.select(
         F.col("gtype").alias("event_type"),
         "n_rows",
         "n_sample",
-        in_bracket(F.col("n_le_p50"), 0.5, F.col("n_rows")).alias(
-            "p50_rank_ok"
-        ),
-        in_bracket(F.col("n_le_p90"), 0.9, F.col("n_rows")).alias(
-            "p90_rank_ok"
-        ),
+        in_bracket(
+            F.col("n_lt_p50"), F.col("n_le_p50"), 0.5, F.col("n_rows")
+        ).alias("p50_rank_ok"),
+        in_bracket(
+            F.col("n_lt_p90"), F.col("n_le_p90"), 0.9, F.col("n_rows")
+        ).alias("p90_rank_ok"),
     )
 
 

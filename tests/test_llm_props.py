@@ -1233,3 +1233,54 @@ def test_ann_index_build_race_single_layout(spark, monkeypatch):
         assert len(builds) == 1, f"layout built {len(builds)}x in one race"
     got = sim.llm_ann_index_probe(spark, SF_DIR)
     assert got.count() > 0
+
+
+def test_rank_brackets_tie_safe(spark, tmp_path):
+    """Round-9 hardening: on a group whose values are ALL EQUAL, the old
+    one-sided |count(<=) − q·n| bracket fails for a PERFECT estimate —
+    every tied row lands at <= est, overshooting q·n by (1−q)·n. The
+    two-sided form (count(<) may not overshoot q·n, count(<=) may not
+    undershoot it) must return TRUE across a planted constant-valued
+    events fixture (A27) and a constant-priced lineitem (A18)."""
+    import pandas as pd
+
+    from hive3_replication_spark.operators.aggregates import (
+        agg_approx_percentile,
+        agg_quantile_sketch,
+    )
+
+    out = str(tmp_path / "ties")
+    n = 400
+    ev = pd.DataFrame(
+        {
+            "event_id": range(n),
+            "ts": pd.to_datetime("2024-03-01")
+            + pd.to_timedelta([i * 97 for i in range(n)], unit="min"),
+            "user_id": [i % 7 for i in range(n)],
+            "event_type": ["flat" if i % 2 == 0 else "mixed" for i in range(n)],
+            # 'flat' is ONE constant value; 'mixed' is half-constant —
+            # the tie run straddles p50 exactly
+            "value": [
+                7.5 if i % 2 == 0 else (7.5 if i % 4 == 1 else i * 0.001)
+                for i in range(n)
+            ],
+            "props": ["{}"] * n,
+        }
+    )
+    spark.createDataFrame(ev).coalesce(1).write.parquet(
+        f"{out}/events.parquet"
+    )
+    li = pd.DataFrame(
+        {
+            "l_returnflag": ["A"] * 300 + ["N"] * 100,
+            "l_extendedprice": [500.0] * 300 + [250.0] * 50 + [900.0] * 50,
+            "l_quantity": [1.0] * 400,
+        }
+    )
+    spark.createDataFrame(li).coalesce(1).write.parquet(
+        f"{out}/lineitem.parquet"
+    )
+    sk = agg_quantile_sketch(spark, out).toPandas()
+    assert sk.p50_rank_ok.all() and sk.p90_rank_ok.all(), sk.to_string()
+    ap = agg_approx_percentile(spark, out).toPandas()
+    assert ap.p50_rank_ok.all() and ap.p90_rank_ok.all(), ap.to_string()
