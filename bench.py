@@ -488,9 +488,17 @@ def _host_ticks() -> dict:
         with open("/proc/stat") as fh:
             first = fh.readline().split()
         # cpu user nice system idle iowait irq softirq steal ...
+        # busy = user+nice+system+irq+softirq; the denominator must also
+        # carry idle+iowait+steal or an I/O-heavy block under-counts
+        # elapsed ticks and inflates every percentage ~1.4x (round-9
+        # review). guest/guest_nice (fields 9-10) are already folded
+        # into user by the kernel — adding them would double-count.
         if first and first[0] == "cpu" and len(first) > 8:
-            out["busy"] = sum(int(v) for v in first[1:4])
-            out["idle"] = int(first[4])
+            busy = sum(int(v) for v in first[1:4]) + int(first[6]) + int(
+                first[7]
+            )
+            out["busy"] = busy
+            out["idle"] = int(first[4]) + int(first[5])  # idle + iowait
             out["steal"] = int(first[8])
     except OSError:  # pragma: no cover - non-Linux
         pass

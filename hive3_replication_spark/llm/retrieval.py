@@ -1,8 +1,8 @@
-"""RAG retrieval scoring (SURVEY.md §2.11): BM25 chunk ranking over the
-``llm_chunk_windows`` relation — the lexical-retrieval step between corpus
-chunking (L14) and embedding-based ANN (L3*) in a retrieval-augmented
-pipeline: given a query, rank every chunk by BM25 and keep the top-k as
-retrieval candidates (typically re-scored by an embedding model — L3f).
+"""RAG retrieval scoring (SURVEY.md §2.11): BM25 lexical ranking (L30,
+over the ``llm_chunk_windows`` relation) and reciprocal-rank fusion of
+the lexical and embedding arms (L32) — the retrieval steps between
+corpus chunking (L14) and embedding-based ANN / rescoring (L3*) in a
+retrieval-augmented pipeline.
 
 Exactness policy: BM25's idf is transcendental (log), which would make
 scores engine-specific. The engine uses the same integer-idf device as
@@ -10,16 +10,21 @@ L13 (``llm_text_keywords``): idf_scaled = (N − df + 1)·10⁶ DIV (df + 1),
 an exact BIGINT that preserves the idf ordering; the tf-saturation factor
 then runs in IEEE doubles with a FIXED operation order shared
 character-for-character with the SQL oracle, so scores are bit-identical
-across engines and partition counts with no rounding step at all.
+across engines and partition counts with no rounding step at all. The
+scoring chain exists ONCE per engine — ``_bm25_score`` (Spark) and
+``_bm25_score_sql`` (DuckDB) are shared by both operators (round-9
+review: a duplicated IEEE-ordering chain is four places to keep
+character-identical instead of two).
 
-Scale shape: term frequencies are narrow per-chunk expressions; corpus
+Scale shape: term frequencies are narrow per-row expressions; corpus
 statistics (N, total tokens, per-term df) are ONE single-row aggregate
-broadcast back; the top-k is TakeOrderedAndProject. The corpus is never
-shuffled and never joined to itself — the whole operator is one pass over
-the chunk relation at any corpus size.
+broadcast back; every top-k is TakeOrderedAndProject. The corpus is never
+shuffled and never joined to itself.
 """
 
 from __future__ import annotations
+
+from collections.abc import Sequence
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
@@ -38,16 +43,10 @@ _BM25_IDF_SCALE = 1_000_000
 _BM25_TOPK = 20
 
 
-def llm_chunk_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """L30 — BM25 top-k chunk retrieval (Robertson & Spärck Jones's
-    Okapi BM25) for the fixed query ``_BM25_QUERY`` over the L14 chunk
-    relation: score(c) = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1−b+b·|c|/avgdl)),
-    k1=1.2, b=0.75, idf in the exact scaled-integer form (module
-    docstring). Output is the global top-20 chunks totally ordered by
-    (score DESC, doc_id, chunk_idx) — ties cannot reorder across engines
-    or cluster sizes."""
-    chunks = llm_chunk_windows(spark, sf_dir)
-    toks = F.split(F.col("chunk_text"), " ")
+def _bm25_tf_cols(text_col: str) -> list[F.Column]:
+    """Per-row term frequencies tf0..tfN for the fixed query over a
+    whitespace-tokenized text column — narrow expressions, no shuffle."""
+    toks = F.split(F.col(text_col), " ")
 
     def tf_col(i: int, term: str) -> F.Column:
         # one-arg lambda only: F.filter treats a 2-arg callable as
@@ -58,23 +57,27 @@ def llm_chunk_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias(f"tf{i}")
         )
 
-    tf_cols = [tf_col(i, term) for i, term in enumerate(_BM25_QUERY)]
-    base = chunks.select(
-        "doc_id",
-        "chunk_idx",
-        F.col("n_chunk_tokens").alias("dl"),
-        *tf_cols,
-    )
+    return [tf_col(i, term) for i, term in enumerate(_BM25_QUERY)]
+
+
+def _bm25_score(base: DataFrame, id_cols: Sequence[str]) -> DataFrame:
+    """The ONE Spark BM25 chain: ``base`` carries (ids..., dl, tf0..tfN);
+    returns (ids..., dl, tf0..tfN, score). Corpus stats (row count,
+    total tokens, per-term df) are a single-row aggregate broadcast
+    back; score(r) = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1−b+b·dl/avgdl))
+    with the scaled-integer idf and fixed IEEE association mirrored
+    op-for-op by ``_bm25_score_sql``."""
+    n_terms = len(_BM25_QUERY)
     stats = base.agg(
-        F.count("*").alias("n_chunks"),
+        F.count("*").alias("n_rel"),
         F.sum("dl").alias("total_tokens"),
         *[
             F.sum((F.col(f"tf{i}") > 0).cast("bigint")).alias(f"df{i}")
-            for i in range(len(_BM25_QUERY))
+            for i in range(n_terms)
         ],
     )
     scored = base.crossJoin(F.broadcast(stats))
-    avgdl = F.col("total_tokens").cast("double") / F.col("n_chunks").cast(
+    avgdl = F.col("total_tokens").cast("double") / F.col("n_rel").cast(
         "double"
     )
     dl_norm = F.lit(_BM25_K1) * (
@@ -84,7 +87,7 @@ def llm_chunk_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def term_score(i: int) -> F.Column:
         idf = F.expr(
-            f"(n_chunks - df{i} + 1) * {_BM25_IDF_SCALE} DIV (df{i} + 1)"
+            f"(n_rel - df{i} + 1) * {_BM25_IDF_SCALE} DIV (df{i} + 1)"
         )
         tf = F.col(f"tf{i}").cast("double")
         return (
@@ -94,64 +97,95 @@ def llm_chunk_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     score = term_score(0)
-    for i in range(1, len(_BM25_QUERY)):
+    for i in range(1, n_terms):
         score = score + term_score(i)
-    return (
-        scored.select(
-            "doc_id",
-            "chunk_idx",
-            F.col("dl").alias("n_chunk_tokens"),
-            *[f"tf{i}" for i in range(len(_BM25_QUERY))],
-            score.alias("score"),
-        )
-        .orderBy(F.desc("score"), F.asc("doc_id"), F.asc("chunk_idx"))
-        .limit(_BM25_TOPK)
+    return scored.select(
+        *id_cols,
+        "dl",
+        *[f"tf{i}" for i in range(n_terms)],
+        score.alias("score"),
     )
 
 
-def _chunk_rank_oracle_sql() -> str:
-    terms = _BM25_QUERY
-    tf_exprs = ",\n                   ".join(
-        f"CAST(len(list_filter(string_split(chunk_text, ' '),"
+def _bm25_tf_sqls(text_col: str) -> str:
+    """DuckDB tf0..tfN expressions mirroring ``_bm25_tf_cols``."""
+    return ",\n                   ".join(
+        f"CAST(len(list_filter(string_split({text_col}, ' '),"
         f" x -> x = '{t}')) AS BIGINT) AS tf{i}"
-        for i, t in enumerate(terms)
+        for i, t in enumerate(_BM25_QUERY)
     )
+
+
+def _bm25_stats_sql() -> str:
+    """DuckDB stats-CTE body over a ``tf`` relation carrying (dl, tfN) —
+    standardized column names (n_rel, total_tokens, dfN) shared with
+    ``_bm25_score_sql``."""
     df_exprs = ",\n                   ".join(
         f"SUM(CASE WHEN tf{i} > 0 THEN 1 ELSE 0 END) AS df{i}"
-        for i in range(len(terms))
+        for i in range(len(_BM25_QUERY))
     )
-    # IEEE-double expression mirrored op-for-op from term_score(): the
-    # scaled-integer idf, then tf·(k1+1) / (tf + k1·(1−b + b·dl/avgdl))
-    # with identical association so the double result is bit-identical.
+    return f"""
+            SELECT CAST(COUNT(*) AS BIGINT) AS n_rel,
+                   CAST(SUM(dl) AS BIGINT) AS total_tokens,
+                   {df_exprs}
+            FROM tf
+    """
+
+
+def _bm25_score_sql() -> str:
+    """The ONE DuckDB BM25 score expression, mirrored op-for-op from
+    ``_bm25_score`` (scaled-integer idf, then tf·(k1+1) / (tf + k1·(1−b
+    + b·dl/avgdl)) with identical association so the double result is
+    bit-identical)."""
     term_sqls = [
-        f"""(CAST((n_chunks - df{i} + 1) * {_BM25_IDF_SCALE} // (df{i} + 1)
+        f"""(CAST((n_rel - df{i} + 1) * {_BM25_IDF_SCALE} // (df{i} + 1)
                  AS DOUBLE)
              * (CAST(tf{i} AS DOUBLE) * {_BM25_K1 + 1.0})
              / (CAST(tf{i} AS DOUBLE)
                 + {_BM25_K1} * ({1.0 - _BM25_B}
                    + {_BM25_B} * CAST(dl AS DOUBLE)
                      / (CAST(total_tokens AS DOUBLE)
-                        / CAST(n_chunks AS DOUBLE)))))"""
-        for i in range(len(terms))
+                        / CAST(n_rel AS DOUBLE)))))"""
+        for i in range(len(_BM25_QUERY))
     ]
-    score_sql = "\n               + ".join(term_sqls)
-    tf_out = ", ".join(f"tf{i}" for i in range(len(terms)))
+    return "\n               + ".join(term_sqls)
+
+
+def llm_chunk_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L30 — BM25 top-k chunk retrieval (Robertson & Spärck Jones's
+    Okapi BM25) for the fixed query ``_BM25_QUERY`` over the L14 chunk
+    relation, k1=1.2, b=0.75, idf in the exact scaled-integer form
+    (module docstring). Output is the global top-20 chunks totally
+    ordered by (score DESC, doc_id, chunk_idx) — ties cannot reorder
+    across engines or cluster sizes."""
+    chunks = llm_chunk_windows(spark, sf_dir)
+    base = chunks.select(
+        "doc_id",
+        "chunk_idx",
+        F.col("n_chunk_tokens").alias("dl"),
+        *_bm25_tf_cols("chunk_text"),
+    )
+    return (
+        _bm25_score(base, ["doc_id", "chunk_idx"])
+        .withColumnRenamed("dl", "n_chunk_tokens")
+        .orderBy(F.desc("score"), F.asc("doc_id"), F.asc("chunk_idx"))
+        .limit(_BM25_TOPK)
+    )
+
+
+def _chunk_rank_oracle_sql() -> str:
+    tf_out = ", ".join(f"tf{i}" for i in range(len(_BM25_QUERY)))
     return f"""
         WITH {chunk_windows_cte()},
         tf AS (
             SELECT doc_id, chunk_idx,
                    CAST(n_chunk_tokens AS BIGINT) AS dl,
-                   {tf_exprs}
+                   {_bm25_tf_sqls("chunk_text")}
             FROM chunks
         ),
-        stats AS (
-            SELECT CAST(COUNT(*) AS BIGINT) AS n_chunks,
-                   CAST(SUM(dl) AS BIGINT) AS total_tokens,
-                   {df_exprs}
-            FROM tf
-        )
+        stats AS ({_bm25_stats_sql()})
         SELECT doc_id, chunk_idx, dl AS n_chunk_tokens, {tf_out},
-               {score_sql} AS score
+               {_bm25_score_sql()} AS score
         FROM tf, stats
         ORDER BY score DESC, doc_id, chunk_idx
         LIMIT {_BM25_TOPK}
@@ -171,11 +205,12 @@ _RRF_SCALE = 1_000_000
 def llm_rank_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     """L32 — reciprocal-rank fusion of the two retrieval arms: BM25
     lexical ranking over the documents (the L30 scorer at document
-    granularity) fused with embedding cosine ranking (the L3 arm,
-    vec_id keying the same corpus), RRF(d) = Σ_arm 1/(k + rank_arm(d))
-    — the standard hybrid-retrieval combiner (Cormack et al. 2009) a
-    RAG stack runs between retrieval and rescoring because lexical and
-    vector arms fail on disjoint query classes.
+    granularity — the SAME ``_bm25_score`` chain) fused with embedding
+    cosine ranking (the L3 arm, vec_id keying the same corpus),
+    RRF(d) = Σ_arm 1/(k + rank_arm(d)) — the standard hybrid-retrieval
+    combiner (Cormack et al. 2009) a RAG stack runs between retrieval
+    and rescoring because lexical and vector arms fail on disjoint
+    query classes.
 
     Each arm contributes its top-``_RRF_ARM_K`` list (TakeOrdered — the
     corpus is never globally sorted; list-absent documents contribute
@@ -190,55 +225,14 @@ def llm_rank_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     toks = F.split(F.col("text"), " ")
-
-    def tf_col(i: int, term: str) -> F.Column:
-        return (
-            F.size(F.filter(toks, lambda x: x == F.lit(term)))
-            .cast("bigint")
-            .alias(f"tf{i}")
-        )
-
     base = docs.select(
         "doc_id",
         F.size(toks).cast("bigint").alias("dl"),
-        *[tf_col(i, t) for i, t in enumerate(_BM25_QUERY)],
+        *_bm25_tf_cols("text"),
     )
-    stats = base.agg(
-        F.count("*").alias("n_docs"),
-        F.sum("dl").alias("total_tokens"),
-        *[
-            F.sum((F.col(f"tf{i}") > 0).cast("bigint")).alias(f"df{i}")
-            for i in range(len(_BM25_QUERY))
-        ],
-    )
-    scored = base.crossJoin(F.broadcast(stats))
-    avgdl = F.col("total_tokens").cast("double") / F.col("n_docs").cast(
-        "double"
-    )
-
-    def term_score(i: int) -> F.Column:
-        idf = F.expr(
-            f"(n_docs - df{i} + 1) * {_BM25_IDF_SCALE} DIV (df{i} + 1)"
-        )
-        tf = F.col(f"tf{i}").cast("double")
-        return (
-            idf.cast("double")
-            * (tf * F.lit(_BM25_K1 + 1.0))
-            / (
-                tf
-                + F.lit(_BM25_K1)
-                * (
-                    F.lit(1.0 - _BM25_B)
-                    + F.lit(_BM25_B) * F.col("dl").cast("double") / avgdl
-                )
-            )
-        )
-
-    lex_score = term_score(0)
-    for i in range(1, len(_BM25_QUERY)):
-        lex_score = lex_score + term_score(i)
     lex_top = (
-        scored.select("doc_id", lex_score.alias("lex"))
+        _bm25_score(base, ["doc_id"])
+        .select("doc_id", F.col("score").alias("lex"))
         .orderBy(F.desc("lex"), F.asc("doc_id"))
         .limit(_RRF_ARM_K)
     )
@@ -287,43 +281,16 @@ def llm_rank_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _rank_fusion_oracle_sql() -> str:
-    terms = _BM25_QUERY
-    tf_exprs = ",\n                   ".join(
-        f"CAST(len(list_filter(string_split(text, ' '),"
-        f" x -> x = '{t}')) AS BIGINT) AS tf{i}"
-        for i, t in enumerate(terms)
-    )
-    df_exprs = ",\n                   ".join(
-        f"SUM(CASE WHEN tf{i} > 0 THEN 1 ELSE 0 END) AS df{i}"
-        for i in range(len(terms))
-    )
-    term_sqls = [
-        f"""(CAST((n_docs - df{i} + 1) * {_BM25_IDF_SCALE} // (df{i} + 1)
-                 AS DOUBLE)
-             * (CAST(tf{i} AS DOUBLE) * {_BM25_K1 + 1.0})
-             / (CAST(tf{i} AS DOUBLE)
-                + {_BM25_K1} * ({1.0 - _BM25_B}
-                   + {_BM25_B} * CAST(dl AS DOUBLE)
-                     / (CAST(total_tokens AS DOUBLE)
-                        / CAST(n_docs AS DOUBLE)))))"""
-        for i in range(len(terms))
-    ]
-    lex_sql = "\n               + ".join(term_sqls)
     return f"""
         WITH tf AS (
             SELECT doc_id,
                    CAST(len(string_split(text, ' ')) AS BIGINT) AS dl,
-                   {tf_exprs}
+                   {_bm25_tf_sqls("text")}
             FROM documents
         ),
-        stats AS (
-            SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
-                   CAST(SUM(dl) AS BIGINT) AS total_tokens,
-                   {df_exprs}
-            FROM tf
-        ),
+        stats AS ({_bm25_stats_sql()}),
         lex_top AS (
-            SELECT doc_id, {lex_sql} AS lex
+            SELECT doc_id, {_bm25_score_sql()} AS lex
             FROM tf, stats
             ORDER BY lex DESC, doc_id LIMIT {_RRF_ARM_K}
         ),

@@ -24,6 +24,11 @@ def _dec_sum(col: str) -> F.Column:
     return F.sum(F.col(col).cast("decimal(18,4)")).cast("double")
 
 
+#: Per-process memo of the A26 auto-strategy probe result per sf_dir —
+#: the probe is an eager scan and the fixture's cardinality is stable.
+_WM_STRATEGY_CACHE: dict[str, str] = {}
+
+
 def agg_max_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A1 — current source watermark = max event id (`repl status`,
     ``HQL/replstatus.hql:4``; parsed at ``beeline_functions.sh:24``).
@@ -920,16 +925,26 @@ def agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     (``skew.weighted_median_histogram``: bucket counts → target bucket →
     exact scan within bucket) is bit-identical, asserted across bucket
     counts in tests/test_skew.py. Round 9 wires the measured decision
-    rule in: this registers ``skew.weighted_median(strategy='auto')``,
-    whose one-scalar approx-distinct probe routes past the ~1M-distinct
-    crossover (docs/SCALE.md) to the histogram form automatically — at
+    rule in: this registers the auto form of ``skew.weighted_median`` —
+    a one-scalar approx-distinct probe routes past the ~1M-distinct
+    crossover (docs/SCALE.md) to the histogram form automatically; at
     fixture cardinalities it always resolves to the exact one-window
-    plan the gate test pins."""
-    from .skew import weighted_median
+    plan the gate test pins. The probe result is MEMOIZED per sf_dir
+    (the fixture's cardinality is stable within a process), so repeated
+    plan constructions — EXPLAIN calls, bench passes — pay the probe
+    scan once, not per build (round-9 review)."""
+    from .skew import weighted_median, weighted_median_strategy
 
     li = load_table(spark, sf_dir, "lineitem")
+    strategy = _WM_STRATEGY_CACHE.get(sf_dir)
+    if strategy is None:
+        strategy = weighted_median_strategy(
+            li, "l_returnflag", "l_extendedprice"
+        )
+        _WM_STRATEGY_CACHE[sf_dir] = strategy
     return weighted_median(
-        li, "l_returnflag", "l_extendedprice", "l_quantity", strategy="auto"
+        li, "l_returnflag", "l_extendedprice", "l_quantity",
+        strategy=strategy,
     )
 
 

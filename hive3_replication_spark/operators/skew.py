@@ -145,6 +145,25 @@ def weighted_median_exact(
     )
 
 
+def weighted_median_strategy(df: DataFrame, key: str, value_col: str) -> str:
+    """The A26 auto decision probe as a reusable step: one cheap 2-column
+    scan (HLL-sketched max per-group distinct count, collected as a
+    single scalar) against the measured crossover. Exposed separately so
+    a caller whose input is stable (the registered fixture key, a daily
+    production table) can run it ONCE and pin the result — the probe is
+    an eager Spark job, and re-running it on every plan construction
+    (EXPLAIN, bench passes) would charge the real query for repeated
+    probe scans (round-9 review)."""
+    est = (
+        df.filter(F.col(value_col).isNotNull())
+        .groupBy(key)
+        .agg(F.approx_count_distinct(value_col).alias("_d"))
+        .agg(F.max("_d").alias("_m"))
+        .collect()[0]["_m"]
+    )
+    return "histogram" if (est or 0) > _WM_AUTO_CROSSOVER else "exact"
+
+
 def weighted_median(
     df: DataFrame,
     key: str,
@@ -164,16 +183,7 @@ def weighted_median(
     exclude NULL values/weights, so strategy only changes the PLAN,
     never the answer."""
     if strategy == "auto":
-        est = (
-            df.filter(F.col(value_col).isNotNull())
-            .groupBy(key)
-            .agg(F.approx_count_distinct(value_col).alias("_d"))
-            .agg(F.max("_d").alias("_m"))
-            .collect()[0]["_m"]
-        )
-        strategy = (
-            "histogram" if (est or 0) > _WM_AUTO_CROSSOVER else "exact"
-        )
+        strategy = weighted_median_strategy(df, key, value_col)
     if strategy == "histogram":
         return weighted_median_histogram(
             df, key, value_col, weight_col, n_buckets=n_buckets

@@ -31,6 +31,15 @@ from pathlib import Path
 #: mkdir→pid-write window of a live holder is milliseconds).
 _NO_PID_GRACE_S = 5.0
 
+#: Hard backstop for a takeover marker whose recorded claimer pid still
+#: reads alive: a takeover completes in milliseconds, so a marker this
+#: old belongs to a RECYCLED pid (or a foreign pid _pid_alive reports as
+#: alive via PermissionError) — without this bound one recycled pid
+#: would block every future takeover of a genuinely stale lock forever
+#: (round-9 review). Generous enough that no live stalled claimer (the
+#: ADVICE-r8 case the pid check exists for) plausibly spans it.
+_MARKER_MAX_AGE_S = 300.0
+
 
 class LockHeldError(RuntimeError):
     pass
@@ -89,14 +98,16 @@ class RunLock:
                     # age grace survives only for the pid-file-not-yet-
                     # written sliver between mkdir and write_text.
                     claimer = self._marker_pid(marker)
-                    if claimer is not None:
-                        if not _pid_alive(claimer):
-                            shutil.rmtree(marker, ignore_errors=True)
-                        continue
                     try:
                         marker_age = time.time() - marker.stat().st_mtime
                     except OSError:
                         continue  # marker just vanished; retry from mkdir
+                    if claimer is not None:
+                        if not _pid_alive(claimer) or (
+                            marker_age > _MARKER_MAX_AGE_S
+                        ):
+                            shutil.rmtree(marker, ignore_errors=True)
+                        continue
                     if marker_age > _NO_PID_GRACE_S:
                         shutil.rmtree(marker, ignore_errors=True)
                     continue

@@ -66,12 +66,16 @@ def parquet_row_count(path: str | Path) -> int:
 
 def _local_path(uri: str) -> Path | None:
     """The local filesystem path behind a scheme-less or ``file:`` URI,
-    or None for anything that may live elsewhere (ADVICE r8 hardening):
-    a ``file://host/db`` URI with a real remote authority must NOT
-    silently resolve to the driver-local ``/db`` (it routes to the
-    Hadoop-FS branch instead), and a scheme-less path whose first
-    segment contains a colon (``dir:part/file``) is a PATH, not a
-    remote scheme — urlparse alone would misread both."""
+    or None for anything that may live elsewhere (ADVICE r8 hardening +
+    round-9 review): a ``file://host/db`` URI with a real remote
+    authority must NOT silently resolve to the driver-local ``/db`` (it
+    routes to the Hadoop-FS branch instead); a scheme-less path whose
+    first segment contains a colon (``dir:part/file``) is a PATH, not a
+    remote scheme; and Hadoop's no-authority single-slash form
+    (``hdfs:/db``, ``s3a:/bucket/x``) is REMOTE even without ``://`` —
+    the disambiguator is the absolute path after the colon, which no
+    relative filename produces. Ambiguity errs toward the remote branch:
+    it raises clearly instead of copying the wrong local tree."""
     from urllib.parse import urlparse
 
     parsed = urlparse(uri)
@@ -79,9 +83,11 @@ def _local_path(uri: str) -> Path | None:
         if parsed.netloc not in ("", "localhost"):
             return None
         return Path(parsed.path)
-    if "://" not in uri:
-        return Path(uri)
-    return None
+    if "://" in uri:
+        return None
+    if parsed.scheme and parsed.path.startswith("/"):
+        return None  # scheme:/abs/path — Hadoop no-authority remote URI
+    return Path(uri)
 
 
 def _fs_copy(spark: SparkSession, src: str, dst: str) -> None:

@@ -77,7 +77,7 @@ def test_sweep_window_pins_stalest_stamps():
         "win_range_frame", "win_running_sum", "win_topk_per_group",
     }
     assert r3 <= set(window), sorted(r3 - set(window))
-    # the four round-9 additions have no driver stamp yet — they must
+    # the six round-9 additions have no driver stamp yet — they must
     # ride this window to be stamped the round they land
     new_r9 = {
         "agg_quantile_sketch", "ts_stl_decompose", "llm_chunk_rank",

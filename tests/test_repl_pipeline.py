@@ -453,14 +453,19 @@ def test_stale_lock_takeover_race_single_winner(tmp_path):
 
 
 def test_takeover_marker_pid_staleness(tmp_path):
-    """ADVICE r8: the takeover marker carries its claimer's pid, and
-    marker staleness mirrors the lock's own check — a marker whose
-    claimer is STILL ALIVE is never cleared, however old (a takeover
-    stalled past the grace keeps its exclusivity; the old pure-age rule
-    would have rmtree'd it and re-opened the steal window), while a
-    dead-claimer marker is cleared and the takeover proceeds."""
+    """ADVICE r8 + round-9 review: the takeover marker carries its
+    claimer's pid, and marker staleness mirrors the lock's own check —
+    a marker whose claimer is STILL ALIVE is kept through any realistic
+    stall (a takeover stalled past the 5 s grace keeps its exclusivity;
+    the old pure-age rule would have rmtree'd it and re-opened the
+    steal window) — but a pid-bearing marker older than the hard
+    backstop is cleared anyway, because at that age the 'alive' pid is
+    a RECYCLED one and honoring it would deadlock every future
+    takeover. A dead-claimer marker is cleared immediately."""
     import os
     import time
+
+    from hive3_replication_spark.repl import registry as reg
 
     stale = RunLock(tmp_path, "dump")
     stale.path.mkdir(parents=True)
@@ -468,19 +473,31 @@ def test_takeover_marker_pid_staleness(tmp_path):
     marker = stale.path.with_name(f"{stale.path.name}.takeover")
     marker.mkdir()
     (marker / "pid").write_text(str(os.getpid()))  # live claimer (us)
-    old = time.time() - 3600
-    os.utime(marker, (old, old))
+    stalled = time.time() - 60  # past the 5 s grace, inside the backstop
+    os.utime(marker, (stalled, stalled))
     with pytest.raises(LockHeldError):
         RunLock(tmp_path, "dump").acquire()
-    assert marker.exists(), "live-claimer marker must never be cleared"
-    # same marker with a DEAD claimer: cleared, takeover completes
-    (marker / "pid").write_text("999999999")
-    os.utime(marker, (old, old))
+    assert marker.exists(), "live-claimer marker cleared inside backstop"
+    # same live pid but older than the recycled-pid backstop: cleared,
+    # takeover completes
+    ancient = time.time() - reg._MARKER_MAX_AGE_S - 10
+    os.utime(marker, (ancient, ancient))
     lock2 = RunLock(tmp_path, "dump")
     lock2.acquire()
     assert (stale.path / "pid").read_text() == str(os.getpid())
     lock2.release()
     assert not stale.path.exists()
+    # dead-claimer marker: cleared immediately regardless of age
+    stale.path.mkdir()
+    (stale.path / "pid").write_text("999999999")
+    marker.mkdir()
+    (marker / "pid").write_text("999999999")
+    recent = time.time() - 1
+    os.utime(marker, (recent, recent))
+    lock3 = RunLock(tmp_path, "dump")
+    lock3.acquire()
+    assert (stale.path / "pid").read_text() == str(os.getpid())
+    lock3.release()
 
 
 def test_local_path_uri_edge_cases():
@@ -500,6 +517,10 @@ def test_local_path_uri_edge_cases():
     assert _local_path("file://nfs-host/db") is None
     assert _local_path("hdfs://nn:8020/db") is None
     assert _local_path("s3a://bucket/key") is None
+    # Hadoop no-authority single-slash URIs are REMOTE (round-9 review:
+    # the first '://'-only check silently treated these as local paths)
+    assert _local_path("hdfs:/user/repl/db") is None
+    assert _local_path("s3a:/bucket/key") is None
 
 
 def test_export_run_log_concurrent_writers_unique_valid(tmp_path, monkeypatch):
