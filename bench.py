@@ -510,28 +510,26 @@ def _host_ticks() -> dict:
     return out
 
 
-_JVM_PID: int | None = None
-
-
-def _jvm_cpu_ns(spark) -> int | None:
+def _jvm_cpu_ns(spark) -> tuple[int, int] | None:
     """Whole-JVM process CPU time (executors live in the driver JVM in
     local mode), read from /proc/<jvm-pid>/stat utime+stime — the
     management bean's getProcessCpuTime lives on a jdk.management
     INTERNAL class that Java 17 strong encapsulation hides from py4j
     reflection, so the portable JVM call is just the pid (ProcessHandle,
-    public API) and the accounting comes from the kernel. None when
-    unavailable (Spark Connect, non-Linux)."""
-    global _JVM_PID
+    public API) and the accounting comes from the kernel. The pid is
+    RE-RESOLVED on every call (one cheap py4j round-trip per fingerprint,
+    ADVICE r9): a module-global cache silently attributed another
+    process's ticks after an in-process JVM restart or pid recycling.
+    Returns (pid, cpu_ns) so the delta consumer can refuse to diff
+    readings from two different JVMs; None when unavailable (Spark
+    Connect, non-Linux)."""
     try:
-        if _JVM_PID is None:
-            _JVM_PID = int(
-                spark._jvm.java.lang.ProcessHandle.current().pid()
-            )
-        with open(f"/proc/{_JVM_PID}/stat") as fh:
+        pid = int(spark._jvm.java.lang.ProcessHandle.current().pid())
+        with open(f"/proc/{pid}/stat") as fh:
             # field 2 (comm) may contain spaces — split after the ')'
             parts = fh.read().rsplit(")", 1)[1].split()
         ticks = int(parts[11]) + int(parts[12])  # utime + stime
-        return ticks * (1_000_000_000 // os.sysconf("SC_CLK_TCK"))
+        return pid, ticks * (1_000_000_000 // os.sysconf("SC_CLK_TCK"))
     except Exception:  # noqa: BLE001 — fingerprint is best-effort
         return None
 
@@ -552,8 +550,16 @@ def _fingerprint_end(spark, begin: dict) -> dict:
     wall = time.perf_counter() - begin["t0"]
     out: dict = {"wall_s": round(wall, 3)}
     jvm0, jvm1 = begin.get("jvm_ns"), _jvm_cpu_ns(spark)
-    if jvm0 is not None and jvm1 is not None and wall > 0:
-        cpu_s = (jvm1 - jvm0) / 1e9
+    # pid must match across the block: a JVM restart mid-block would
+    # otherwise yield a nonsense (often negative) delta between two
+    # unrelated processes' tick counters.
+    if (
+        jvm0 is not None
+        and jvm1 is not None
+        and jvm0[0] == jvm1[0]
+        and wall > 0
+    ):
+        cpu_s = (jvm1[1] - jvm0[1]) / 1e9
         out["jvm_cpu_s"] = round(cpu_s, 3)
         out["cpu_wall_ratio"] = round(cpu_s / wall, 2)
     t0, t1 = begin.get("ticks", {}), _host_ticks()

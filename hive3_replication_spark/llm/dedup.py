@@ -171,7 +171,15 @@ def clear_caches() -> None:
     Runs under ``_PAIR_LOCK``: every other writer of these dicts holds it
     (the builders), and clearing concurrently with a prewarm-thread build
     would otherwise mutate a dict mid-iteration or strand a just-persisted
-    relation outside the memo."""
+    relation outside the memo.
+
+    Also drops the A26 auto-strategy memo (ADVICE r9): it is keyed on the
+    sf_dir path, so a dataset replaced at the same path within a process
+    would otherwise keep a stale strategy — this is the one invalidation
+    seam callers already use between passes."""
+    from ..operators.aggregates import _WM_STRATEGY_CACHE
+
+    _WM_STRATEGY_CACHE.clear()
     with _PAIR_LOCK:
         for df in _CACHES.values():
             df.unpersist(blocking=False)

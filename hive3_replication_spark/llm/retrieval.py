@@ -214,7 +214,8 @@ def llm_rank_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Each arm contributes its top-``_RRF_ARM_K`` list (TakeOrdered — the
     corpus is never globally sorted; list-absent documents contribute
-    rank 0 = nothing, exactly how production fuses per-arm top-k lists);
+    nothing and report a NULL rank — self-describing, where a 0 sentinel
+    read as "best" by a downstream consumer was the round-9 watch-item);
     ranks are assigned by a window over exactly K rows (bounded by
     construction, the L17 idiom) and the fusion is a K-row full outer
     join + integer contributions — everything after the two arm scans
@@ -264,8 +265,8 @@ def llm_rank_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     fused = lex_ranked.join(vec_ranked, "doc_id", "full_outer").select(
         "doc_id",
-        F.coalesce(F.col("lex_rank"), F.lit(0)).alias("lex_rank"),
-        F.coalesce(F.col("vec_rank"), F.lit(0)).alias("vec_rank"),
+        F.col("lex_rank"),
+        F.col("vec_rank"),
         (
             F.coalesce(
                 F.expr(f"{_RRF_SCALE} DIV ({_RRF_K} + lex_rank)"), F.lit(0)
@@ -328,8 +329,8 @@ def _rank_fusion_oracle_sql() -> str:
         ),
         fused AS (
             SELECT COALESCE(l.doc_id, v.doc_id) AS doc_id,
-                   CAST(COALESCE(l.lex_rank, 0) AS BIGINT) AS lex_rank,
-                   CAST(COALESCE(v.vec_rank, 0) AS BIGINT) AS vec_rank,
+                   CAST(l.lex_rank AS BIGINT) AS lex_rank,
+                   CAST(v.vec_rank AS BIGINT) AS vec_rank,
                    CAST(COALESCE({_RRF_SCALE} // ({_RRF_K} + l.lex_rank), 0)
                         + COALESCE({_RRF_SCALE} // ({_RRF_K} + v.vec_rank), 0)
                         AS BIGINT) AS rrf_score

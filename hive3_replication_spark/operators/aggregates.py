@@ -26,6 +26,12 @@ def _dec_sum(col: str) -> F.Column:
 
 #: Per-process memo of the A26 auto-strategy probe result per sf_dir —
 #: the probe is an eager scan and the fixture's cardinality is stable.
+#: Concurrency contract (ADVICE r9): writers use dict.setdefault AFTER
+#: probing, so racing first callers at most duplicate the cheap probe
+#: scan and then agree on the first-stored value; a dataset REPLACED at
+#: the same path within a process needs ``llm.dedup.clear_caches()``,
+#: which drops this memo alongside the corpus-keyed dedup memos (the
+#: one cache-invalidation seam benchmarks already call between passes).
 _WM_STRATEGY_CACHE: dict[str, str] = {}
 
 
@@ -938,10 +944,13 @@ def agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     strategy = _WM_STRATEGY_CACHE.get(sf_dir)
     if strategy is None:
-        strategy = weighted_median_strategy(
-            li, "l_returnflag", "l_extendedprice"
+        # setdefault AFTER the probe: concurrent first callers duplicate
+        # only the cheap probe scan, then converge on one stored value
+        # (the dict itself is GIL-atomic; no torn state is possible).
+        strategy = _WM_STRATEGY_CACHE.setdefault(
+            sf_dir,
+            weighted_median_strategy(li, "l_returnflag", "l_extendedprice"),
         )
-        _WM_STRATEGY_CACHE[sf_dir] = strategy
     return weighted_median(
         li, "l_returnflag", "l_extendedprice", "l_quantity",
         strategy=strategy,

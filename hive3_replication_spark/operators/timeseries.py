@@ -682,6 +682,147 @@ def ts_stl_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: TS20 Holt smoothing constants. The level/trend recursion is linear and
+#: time-invariant under zero initialization, so the one-step-ahead
+#: forecast is EXACTLY a causal linear filter f_t = Σ_{j≥1} c_j·y_{t−j};
+#: the impulse-response weights c_j are generated ONCE in Python by
+#: running the recursion on a unit impulse and embedded as repr()
+#: decimal literals in both engines (the ts_ewma device). Truncation at
+#: K=48 hourly lags (two days) leaves tail mass Σ_{j>K} c_j ≈ 2.6e-4 —
+#: documented, not renormalized, exactly like the EWMA tail.
+_HW_ALPHA = 0.3
+_HW_BETA = 0.1
+_HW_K = 48
+#: Residual quantization for the error band: milli-units. BIGINT/decimal
+#: bounds hold for m ≤ 1e6 interior hours per stream (114 years hourly)
+#: and |residual| ≤ 1e9 — S2 = Σe_q² ≤ 1e30 (decimal), m·S2 ≤ 1e36 and
+#: (m·e_q − S1)² ≤ 4e36, both inside DECIMAL(38,0) / DuckDB HUGEINT.
+_HW_RQ = 1000
+
+
+def _hw_weights() -> list[float]:
+    c: list[float] = []
+    l_prev = b_prev = 0.0
+    y = 1.0
+    for _ in range(_HW_K):
+        lvl = _HW_ALPHA * y + (1 - _HW_ALPHA) * (l_prev + b_prev)
+        b = _HW_BETA * (lvl - l_prev) + (1 - _HW_BETA) * b_prev
+        c.append(lvl + b)
+        l_prev, b_prev = lvl, b
+        y = 0.0
+    return c
+
+
+_HW_W = _hw_weights()
+_HW_W_ARGS = ", ".join(repr(w) for w in _HW_W)
+
+
+def ts_holt_winters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TS20 — Holt-Winters additive one-step-ahead backtest per event
+    stream: forecast_t = Holt(level+trend) filter over the trailing 48
+    deseasonalized hourly counts + the hour-of-day seasonal index, with
+    an integer-exact 3σ error band over the forecast residuals — the
+    forecasting completion of the TS family (TS10's EWMA is the
+    level-only smoother, TS19's STL the decomposition; this is the
+    prediction + band a capacity-planning job alerts on). Seasonal
+    indices are estimated over the full history (the γ→0 fixed-seasonal
+    Holt-Winters variant — the level/trend filter itself is strictly
+    causal); s_h = mean(y | hod=h) − mean(y), the additive index.
+
+    Exactness policy: seasonal indices are single fixed-order float
+    expressions over exact BIGINT grid sums (the TS19 idiom); the Holt
+    filter is a frame dot product against the literal weight table
+    ``_HW_W`` folded in index order (the TS10 idiom — weights are repr()
+    round-tripped doubles, so both engines parse identical 64-bit
+    constants and no cross-engine recursion is evaluated); the band test
+    quantizes residuals to milli-units e_q = floor(resid·1e3 + 0.5) and
+    decides |e − ē| > 3σ in DECIMAL(38,0) via the division-free form
+    (m·e_q − S1)² > 9·(m·S2 − S1²) — exact integers, identical booleans
+    on any engine or partitioning (the ts_changepoint device; bounds in
+    the ``_HW_RQ`` note). Rounded outputs carry the +5e-9 stabilizer.
+
+    Plan shape: the hourly grid agg is one exchange; the hod-index
+    window partitions on (type, hod); the per-type totals, the 48-row
+    trailing frame, and the band sums all share ONE (event_type)
+    partitioning. Only the first _HW_K rows per stream are dropped (the
+    filter is undefined there), so per-stream state never exceeds the
+    frame — the operator scales to any number of streams × any history.
+    """
+    grid = _hourly_counts(spark, sf_dir).select(
+        "event_type",
+        "hour",
+        F.hour("hour").cast("int").alias("hod"),
+        "n_events",
+    )
+    w_hod = Window.partitionBy("event_type", "hod")
+    w_type = Window.partitionBy("event_type")
+    staged = grid.select(
+        "event_type",
+        "hour",
+        "hod",
+        "n_events",
+        F.sum("n_events").over(w_hod).alias("s_hod"),
+        F.count("*").over(w_hod).alias("k_hod"),
+        F.sum("n_events").over(w_type).alias("s_type"),
+        F.count("*").over(w_type).alias("m_type"),
+    )
+    seas = F.col("s_hod").cast("double") / F.col("k_hod").cast(
+        "double"
+    ) - F.col("s_type").cast("double") / F.col("m_type").cast("double")
+    w_frame = (
+        Window.partitionBy("event_type")
+        .orderBy("hour")
+        .rowsBetween(-_HW_K, -1)
+    )
+    des = staged.select(
+        "event_type",
+        "hour",
+        "hod",
+        "n_events",
+        seas.alias("seas"),
+        (F.col("n_events").cast("double") - seas).alias("d"),
+    ).withColumn("frame", F.collect_list("d").over(w_frame))
+    fold = F.expr(
+        f"aggregate(sequence(1, size(frame)), CAST(0.0 AS DOUBLE),"
+        f" (acc, i) -> acc + element_at(frame, i)"
+        f" * element_at(array({_HW_W_ARGS}), size(frame) - i + 1))"
+    )
+    interior = des.filter(F.size("frame") == _HW_K).withColumn(
+        "forecast", fold + F.col("seas")
+    )
+    resid = F.col("n_events").cast("double") - F.col("forecast")
+    q = interior.withColumn(
+        "e_q",
+        F.floor(resid * F.lit(float(_HW_RQ)) + F.lit(0.5)).cast("long"),
+    ).withColumn("resid", resid)
+    eq_dec = F.col("e_q").cast("decimal(19,0)")
+    st = q.select(
+        "event_type",
+        "hour",
+        "hod",
+        "n_events",
+        "forecast",
+        "resid",
+        "e_q",
+        F.sum("e_q").over(w_type).cast("decimal(38,0)").alias("s1"),
+        F.sum(eq_dec * eq_dec).over(w_type).alias("s2"),
+        F.count("*").over(w_type).alias("m"),
+    )
+    lhs = F.col("m") * F.col("e_q").cast("decimal(19,0)") - F.col("s1")
+    rhs = F.col("m") * F.col("s2") - F.col("s1") * F.col("s1")
+    return st.select(
+        "event_type",
+        "hour",
+        "hod",
+        "n_events",
+        F.round(F.col("forecast") + F.lit(5e-9), 6).alias("forecast_r"),
+        F.round(F.col("resid") + F.lit(5e-9), 6).alias("resid_r"),
+        (lhs * lhs > F.lit(9).cast("decimal(19,0)") * rhs).alias(
+            "is_outlier"
+        ),
+    )
+
+
 def ts_gap_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T13 — missing-data gap report per stream: inter-event silences
     longer than ``_GAP_MIN_US`` with their exact bounds — the
@@ -1055,6 +1196,91 @@ ORACLES: dict[str, str] = {
                    AS residual
         FROM interior i
         JOIN seas s ON s.event_type = i.event_type AND s.hod = i.hod
+    """,
+    "ts_holt_winters": f"""
+        WITH e AS (
+            SELECT event_type,
+                   date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hour
+            FROM events
+        ),
+        c AS (
+            SELECT event_type, hour, COUNT(*) AS n_events
+            FROM e GROUP BY 1, 2
+        ),
+        grid AS (
+            SELECT event_type,
+                   unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS hour
+            FROM (SELECT event_type, MIN(hour) AS lo, MAX(hour) AS hi
+                  FROM e GROUP BY 1)
+        ),
+        filled AS (
+            SELECT g.event_type, g.hour,
+                   CAST(EXTRACT(hour FROM g.hour) AS INTEGER) AS hod,
+                   CAST(COALESCE(c.n_events, 0) AS BIGINT) AS n_events
+            FROM grid g
+            LEFT JOIN c ON c.event_type = g.event_type AND c.hour = g.hour
+        ),
+        staged AS (
+            SELECT event_type, hour, hod, n_events,
+                   SUM(n_events) OVER wh AS s_hod,
+                   COUNT(*) OVER wh AS k_hod,
+                   SUM(n_events) OVER wt AS s_type,
+                   COUNT(*) OVER wt AS m_type
+            FROM filled
+            WINDOW wh AS (PARTITION BY event_type, hod),
+                   wt AS (PARTITION BY event_type)
+        ),
+        des AS (
+            SELECT event_type, hour, hod, n_events,
+                   CAST(s_hod AS DOUBLE) / CAST(k_hod AS DOUBLE)
+                       - CAST(s_type AS DOUBLE) / CAST(m_type AS DOUBLE)
+                       AS seas,
+                   CAST(n_events AS DOUBLE)
+                       - (CAST(s_hod AS DOUBLE) / CAST(k_hod AS DOUBLE)
+                          - CAST(s_type AS DOUBLE) / CAST(m_type AS DOUBLE))
+                       AS d
+            FROM staged
+        ),
+        framed AS (
+            SELECT event_type, hour, hod, n_events, seas,
+                   list(d) OVER (
+                       PARTITION BY event_type ORDER BY hour
+                       ROWS BETWEEN {_HW_K} PRECEDING AND 1 PRECEDING
+                   ) AS frame
+            FROM des
+        ),
+        fc AS (
+            SELECT event_type, hour, hod, n_events,
+                   list_reduce(
+                       list_prepend(CAST(0.0 AS DOUBLE),
+                           list_transform(range(1, len(frame) + 1),
+                               i -> frame[i]
+                                  * ([{_HW_W_ARGS}])[len(frame) - i + 1])),
+                       (acc, v) -> acc + v) + seas AS forecast
+            FROM framed WHERE len(frame) = {_HW_K}
+        ),
+        q AS (
+            SELECT *, CAST(n_events AS DOUBLE) - forecast AS resid,
+                   CAST(floor((CAST(n_events AS DOUBLE) - forecast)
+                              * {float(_HW_RQ)} + 0.5) AS BIGINT) AS e_q
+            FROM fc
+        ),
+        st AS (
+            SELECT *,
+                   SUM(e_q) OVER wt AS s1,
+                   SUM(CAST(e_q AS HUGEINT) * e_q) OVER wt AS s2,
+                   COUNT(*) OVER wt AS m
+            FROM q
+            WINDOW wt AS (PARTITION BY event_type)
+        )
+        SELECT event_type, hour, hod, n_events,
+               ROUND(forecast + 5e-9, 6) AS forecast_r,
+               ROUND(resid + 5e-9, 6) AS resid_r,
+               (CAST(m AS HUGEINT) * e_q - s1)
+                   * (CAST(m AS HUGEINT) * e_q - s1)
+                   > 9 * (CAST(m AS HUGEINT) * s2
+                          - CAST(s1 AS HUGEINT) * s1) AS is_outlier
+        FROM st
     """,
     "ts_acf": """
         WITH e AS (
@@ -1655,5 +1881,6 @@ QUERY_FNS = {
     "ts_changepoint": ts_changepoint,
     "ts_seasonal_profile": ts_seasonal_profile,
     "ts_stl_decompose": ts_stl_decompose,
+    "ts_holt_winters": ts_holt_winters,
     "ts_gap_detect": ts_gap_detect,
 }

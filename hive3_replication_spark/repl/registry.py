@@ -102,6 +102,15 @@ class RunLock:
                         marker_age = time.time() - marker.stat().st_mtime
                     except OSError:
                         continue  # marker just vanished; retry from mkdir
+                    if self._marker_pid(marker) != claimer:
+                        # TOCTOU (ADVICE r9): the marker was rmtree'd and
+                        # re-created by a NEW claimer between the pid read
+                        # and the stat — the dead old pid paired with the
+                        # fresh mtime would otherwise rmtree a LIVE marker.
+                        # A pid re-read straddling the stat detects any
+                        # such swap (the new claimer has a different pid);
+                        # mismatch means state is torn: retry from mkdir.
+                        continue
                     if claimer is not None:
                         if not _pid_alive(claimer) or (
                             marker_age > _MARKER_MAX_AGE_S

@@ -81,6 +81,8 @@ FLOAT_HEAVY = [
     # double-ordered arm ranks
     "agg_quantile_sketch",
     "ts_stl_decompose",
+    # round-10: literal-weight Holt filter fold + decimal-exact band test
+    "ts_holt_winters",
     "llm_chunk_rank",
     "llm_preference_pairs",
     "join_interval_overlap",

@@ -660,6 +660,24 @@ def test_stl_two_windows_no_recompute(spark):
     assert "SortMergeJoin" not in plan, plan
 
 
+def test_holt_winters_one_stream_exchange(spark):
+    """ts_holt_winters (round-10 TS20): the per-type totals, the 48-row
+    trailing frame, and the band sums all share ONE (event_type)
+    partitioning — four Window nodes, only Sorts between them. Exactly
+    the two _hourly_counts exchanges exist (hourly agg; the stream
+    partitioning), two grid scans, and no join of the fact to itself."""
+    from hive3_replication_spark.operators.timeseries import (
+        ts_holt_winters,
+    )
+
+    plan = _plan(ts_holt_winters(spark, SF_DIR), "simple")
+    assert plan.count("Exchange hashpartitioning") == 2, plan
+    assert plan.count("FileScan") == 2, plan
+    assert plan.count("Window") == 4, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
 def test_chunk_rank_no_corpus_shuffle(spark):
     """llm_chunk_rank (round-9 L30): corpus stats are ONE single-row
     aggregate broadcast back; scoring is narrow; top-k is

@@ -315,6 +315,77 @@ def test_stl_matches_pandas_twin(spark):
     assert np.allclose(ref.seasonal, got.seasonal, rtol=1e-9, atol=1e-9)
 
 
+def test_holt_winters_matches_recursion_twin(spark):
+    """TS20 two-sided twin: (1) the EXACT Holt level/trend recursion —
+    an independent reference the engine never evaluates — must agree
+    with the engine's truncated-filter forecast within the documented
+    tail mass (Σ_{j>48} c_j ≈ 2.6e-4 of the deseasonalized scale);
+    (2) the outlier flags must recompute EXACTLY from the engine's own
+    residuals via the integer band test (m·e_q − S1)² > 9·(m·S2 − S1²)."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from hive3_replication_spark.catalog import load_table
+    from hive3_replication_spark.operators.timeseries import (
+        _HW_ALPHA,
+        _HW_BETA,
+        _HW_K,
+        _HW_RQ,
+        ts_holt_winters,
+    )
+
+    got = (
+        ts_holt_winters(spark, SF_DIR)
+        .toPandas()
+        .sort_values(["event_type", "hour"])
+        .reset_index(drop=True)
+    )
+    assert len(got) > 0
+    ev = (
+        load_table(spark, SF_DIR, "events")
+        .select("event_type", F.date_trunc("hour", "ts").alias("hour"))
+        .toPandas()
+    )
+    for t, g in ev.groupby("event_type"):
+        counts = g.groupby("hour").size()
+        idx = pd.date_range(counts.index.min(), counts.index.max(), freq="h")
+        series = counts.reindex(idx, fill_value=0).astype("float64")
+        seas = series.groupby(series.index.hour).transform(
+            "mean"
+        ) - series.mean()
+        d = (series - seas).to_numpy()
+        sub = got[got.event_type == t]
+        assert len(sub) == len(series) - _HW_K
+        # exact recursion over the full deseasonalized history (zero init,
+        # matching the filter's zero-init impulse response)
+        scale = np.abs(d).max()
+        for row_i, (pos, row) in enumerate(sub.iterrows()):
+            te = _HW_K + row_i  # forecast target index in the series
+            lvl = b = 0.0
+            for yv in d[:te]:
+                l_new = _HW_ALPHA * yv + (1 - _HW_ALPHA) * (lvl + b)
+                b = _HW_BETA * (l_new - lvl) + (1 - _HW_BETA) * b
+                lvl = l_new
+            f_exact = lvl + b + seas.iloc[te]
+            assert abs(f_exact - row.forecast_r) < 5e-4 * scale + 1e-5, (
+                t, row.hour, f_exact, row.forecast_r,
+            )
+        # integer band test replayed exactly from the engine's residuals
+        e_q = np.floor(
+            (sub.n_events.to_numpy() - sub.forecast_r.to_numpy()) * _HW_RQ
+            + 0.5
+        ).astype("int64")
+        m, s1, s2 = len(e_q), int(e_q.sum()), int((e_q.astype(object) ** 2).sum())
+        expect = (m * e_q.astype(object) - s1) ** 2 > 9 * (m * s2 - s1 * s1)
+        # forecast_r is the 6-dp rounded forecast, so e_q recomputed from
+        # it can sit one milli-unit off the engine's unrounded value right
+        # at a .0005 boundary; allow flag agreement, not e_q equality
+        agree = (sub.is_outlier.to_numpy() == expect.astype(bool)).mean()
+        assert agree >= 0.999, (t, agree)
+    assert 0 < got.is_outlier.sum() < 0.05 * len(got)
+
+
 def test_interval_overlap_matches_pandas_twin(spark):
     """J17 replayed in pure pandas: independent sessionization of both
     relations (30-min user sessions, 5-min error bursts) and a plain
@@ -380,6 +451,7 @@ def test_rank_fusion_matches_python_twin(spark):
     cosine arm (sequential fold matching the engines' index-order sum),
     per-arm top-50 ranks, integer RRF — the fused top-10 must match
     exactly, scores included (they are exact BIGINTs)."""
+    import pandas as pd
     import pyarrow.parquet as pq
     from pyspark.sql import functions as F  # noqa: F401 - parity of style
 
@@ -456,5 +528,13 @@ def test_rank_fusion_matches_python_twin(spark):
     expect = sorted(fused.items(), key=lambda kv: (-kv[1], kv[0]))[:_RRF_TOPK]
     assert list(zip(got.doc_id, got.rrf_score)) == expect
     for _, row in got.iterrows():
-        assert row.lex_rank == lex_rank.get(row.doc_id, 0)
-        assert row.vec_rank == vec_rank.get(row.doc_id, 0)
+        # arm-absent documents report a NULL rank (round-10: the 0
+        # sentinel was a magic value a consumer could misread as "best")
+        if row.doc_id in lex_rank:
+            assert row.lex_rank == lex_rank[row.doc_id]
+        else:
+            assert pd.isna(row.lex_rank)
+        if row.doc_id in vec_rank:
+            assert row.vec_rank == vec_rank[row.doc_id]
+        else:
+            assert pd.isna(row.vec_rank)
