@@ -236,6 +236,14 @@ SCALE_PROBE_KEYS = (
     "ts_stl_decompose",
     "join_interval_overlap",
     "llm_rank_fusion",
+    # round-10 operators — probed from their first round: the Holt filter
+    # window chain over the hour grid, the line-frequency corpus shuffle,
+    # and the corpus×queries eval scan. llm_mmr_rerank is deliberately
+    # NOT probed: its data-proportional part IS llm_rank_fusion's arm
+    # scans (already probed) plus a fixed-K fold.
+    "ts_holt_winters",
+    "llm_line_boilerplate",
+    "llm_eval_ndcg",
 )
 
 
@@ -376,7 +384,7 @@ def _scale_probe(spark, queries, sf_dir: str) -> dict:
         fn = queries[name]
         if tag == "x10_sec" and name in x10_overrides:
             fn = x10_overrides[name]
-        clear_caches()
+        clear_caches(strategy_memo=False)
         t0 = time.perf_counter()
         fn(spark, d).count()
         return time.perf_counter() - t0
@@ -410,7 +418,7 @@ def _scale_probe(spark, queries, sf_dir: str) -> dict:
             )
             times["outlier_retried"] = True
         out["keys"][name] = times
-    clear_caches()
+    clear_caches(strategy_memo=False)
     try:
         out["pairs"] = _ngram_pair_counts(spark, sf_dir, probe_dir)
     except Exception as exc:  # noqa: BLE001 — probe rows are additive
@@ -426,7 +434,7 @@ def _scale_probe(spark, queries, sf_dir: str) -> dict:
         out["sink_restate"] = _sink_restate_probe(spark, sf_dir, probe_dir)
     except Exception as exc:  # noqa: BLE001 — probe rows are additive
         print(f"sink restate probe failed: {exc}", file=sys.stderr)
-    clear_caches()
+    clear_caches(strategy_memo=False)
     try:
         out["e2e_x10"] = _bench_replication_min(spark, probe_dir)
     except Exception as exc:  # noqa: BLE001 — probe rows are additive
@@ -607,7 +615,7 @@ def main() -> None:
     timings: dict[str, float] = {}
     contention: dict[str, dict] = {}
     for _pass in range(N_PASSES):
-        clear_caches()
+        clear_caches(strategy_memo=False)
         fp = _fingerprint_begin(spark)
         for name in HEADLINE:
             t0 = time.perf_counter()
@@ -624,7 +632,7 @@ def main() -> None:
     # as the headline per-query min — a single run mixes first-compile
     # fixed costs into the number; see _bench_replication docstring).
     # Cleanup first so the measurement starts from a drained block manager.
-    clear_caches()
+    clear_caches(strategy_memo=False)
     spark.catalog.clearCache()
     fp = _fingerprint_begin(spark)
     try:

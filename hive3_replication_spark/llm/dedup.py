@@ -162,7 +162,7 @@ def _memo_sig(cache_key: str, token: str, build) -> DataFrame:
         return df
 
 
-def clear_caches() -> None:
+def clear_caches(strategy_memo: bool = True) -> None:
     """Unpersist and forget all memoized relations (shingle caches, minhash
     signatures, scored-pair memos). Benchmarks call this between timing
     passes so each pass measures real work; within a pass the cross-operator
@@ -173,13 +173,17 @@ def clear_caches() -> None:
     would otherwise mutate a dict mid-iteration or strand a just-persisted
     relation outside the memo.
 
-    Also drops the A26 auto-strategy memo (ADVICE r9): it is keyed on the
-    sf_dir path, so a dataset replaced at the same path within a process
-    would otherwise keep a stale strategy — this is the one invalidation
-    seam callers already use between passes."""
-    from ..operators.aggregates import _WM_STRATEGY_CACHE
+    ``strategy_memo``: by default also drops the A26 auto-strategy memo
+    (ADVICE r9 — keyed on the sf_dir path, so a dataset REPLACED at the
+    same path would otherwise keep a stale strategy). bench.py passes
+    False: the strategy memo is a PLAN-choice cache, not a relation
+    cache, and clearing it per timing pass would re-charge the eager
+    probe scan to every agg_weighted_median measurement — the exact
+    per-pass contamination the round-9 memoization removed."""
+    if strategy_memo:
+        from ..operators.aggregates import _WM_STRATEGY_CACHE
 
-    _WM_STRATEGY_CACHE.clear()
+        _WM_STRATEGY_CACHE.clear()
     with _PAIR_LOCK:
         for df in _CACHES.values():
             df.unpersist(blocking=False)

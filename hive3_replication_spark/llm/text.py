@@ -452,6 +452,77 @@ def llm_text_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: L33 line-boilerplate constants: "lines" are non-overlapping _BP_W-token
+#: tiles of the whitespace token stream (the fixture corpus carries no
+#: newlines or sentence punctuation, so the tile is the deterministic
+#: sentence proxy; on real web text the split is on '\n' — one changed
+#: split expression). A line whose EXACT normalized text occurs >= _BP_T
+#: times across the whole corpus is boilerplate (nav menus, cookie
+#: banners, repeated headers) and is dropped from every document.
+_BP_W = 3
+_BP_T = 3
+
+
+def llm_line_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L33 — C4-style line-level boilerplate removal (Raffel et al. 2020
+    §2.2 removed repeated three-sentence spans; the line-frequency form
+    is the CCNet/RefinedWeb pretraining-cleanup stage): drop every line
+    whose exact text occurs ``_BP_T``+ times corpus-wide, reassemble each
+    document from its surviving lines in order, and report per document
+    the line counts plus an md5 of the cleaned text (the value proof the
+    oracle can replay). This is the one cleanup the dedup family (L2*)
+    does not cover: L2* drops whole near-duplicate DOCUMENTS; this strips
+    duplicated LINES from otherwise-unique documents.
+
+    Scale shape (the llm_text_bigrams lesson applied): tiling is a narrow
+    higher-order expression over the once-materialized token array; the
+    corpus-wide line frequency is a COUNT(*) window over the line key —
+    the job's one inherent corpus shuffle — and the reassembly groupBy on
+    doc_id is the second; nothing is ever joined back to the corpus and
+    no relation is referenced from two branches (single-DAG discipline).
+    Exactly 2 hashpartitioning exchanges at any corpus size, plan-gated.
+    All arithmetic is integer/string — bit-identical across engines."""
+    documents = load_table(spark, sf_dir, "documents")
+    toked = documents.select(
+        "doc_id",
+        F.explode(F.array(F.split(F.col("text"), " "))).alias("toks"),
+    )
+    tiles = F.expr(
+        f"transform(sequence(0, (size(toks) + {_BP_W - 1}) DIV {_BP_W} - 1),"
+        f" i -> array_join(slice(toks, i * {_BP_W} + 1, {_BP_W}), ' '))"
+    )
+    lines = toked.select(
+        "doc_id", F.posexplode(tiles).alias("line_idx", "line")
+    )
+    w_line = Window.partitionBy("line")
+    flagged = lines.withColumn("occ", F.count("*").over(w_line))
+    kept = F.expr(
+        "transform(array_sort(kept_pairs), p -> p.line)"
+    )
+    return (
+        flagged.groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_lines"),
+            F.sum((F.col("occ") >= _BP_T).cast("bigint")).alias("n_dropped"),
+            F.collect_list(
+                F.when(
+                    F.col("occ") < _BP_T,
+                    F.struct(
+                        F.col("line_idx").alias("line_idx"),
+                        F.col("line").alias("line"),
+                    ),
+                )
+            ).alias("kept_pairs"),
+        )
+        .select(
+            "doc_id",
+            "n_lines",
+            "n_dropped",
+            F.md5(F.array_join(kept, " ")).alias("cleaned_md5"),
+        )
+    )
+
+
 def llm_eval_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     """L22 — classifier evaluation as a distributed op: confusion matrix
     of the lang-ID heuristic (L4c) against the gold ``lang`` labels, one
@@ -1211,6 +1282,38 @@ ORACLES["llm_text_redact"] = """
     FROM r
 """
 
+ORACLES["llm_line_boilerplate"] = f"""
+    WITH t AS (
+        SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+    ),
+    c AS (
+        SELECT doc_id, toks,
+               (len(toks) + {_BP_W - 1}) // {_BP_W} AS n_tiles
+        FROM t
+    ),
+    idx AS (
+        SELECT doc_id, toks, unnest(range(n_tiles)) AS line_idx FROM c
+    ),
+    lines AS (
+        SELECT doc_id, CAST(line_idx AS INTEGER) AS line_idx,
+               array_to_string(
+                   list_slice(toks, line_idx * {_BP_W} + 1,
+                              line_idx * {_BP_W} + {_BP_W}), ' ') AS line
+        FROM idx
+    ),
+    flagged AS (
+        SELECT *, COUNT(*) OVER (PARTITION BY line) AS occ FROM lines
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_lines,
+           CAST(SUM(CASE WHEN occ >= {_BP_T} THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_dropped,
+           md5(COALESCE(
+               string_agg(CASE WHEN occ < {_BP_T} THEN line END, ' '
+                          ORDER BY line_idx), '')) AS cleaned_md5
+    FROM flagged GROUP BY doc_id
+"""
+
 QUERY_FNS = {
     "llm_text_tokens": llm_text_tokens,
     "llm_text_profile": llm_text_profile,
@@ -1227,6 +1330,7 @@ QUERY_FNS = {
     "llm_text_keywords": llm_text_keywords,
     "llm_vocab_coverage": llm_vocab_coverage,
     "llm_text_bigrams": llm_text_bigrams,
+    "llm_line_boilerplate": llm_line_boilerplate,
     "llm_quality_classifier": llm_quality_classifier,
     "llm_doc_embed_hash": llm_doc_embed_hash,
     "llm_eval_confusion": llm_eval_confusion,

@@ -60,40 +60,24 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 
 #: Sweep order for queries(): DRIVER-COVERAGE FIRST. The external verify
 #: driver cuts at ~50 keys per round BY COUNT, so the front block must
-#: hold exactly the keys that most need a fresh driver stamp. Round-9
-#: policy (VERDICT r8 ask #2): the 31 remaining r3-stamped keys lead,
-#: then the six round-9 additions (never driver-stamped — new coverage
-#: outranks an r4 restamp), then the 13 oldest r4-stamped keys —
-#: exactly 50. After this window lands, the minimum stamp age across
-#: the registry is r4. Behind the window, keys
-#: stay grouped oldest-latest-stamp first (r4 remainder, r6, r7, r8),
-#: preserving the profiled cheapest-first relative order inside each
-#: group. Regenerate by re-sorting on the CORRECTNESS_r* latest-stamp map
-#: (see tests/test_oracle_parity.py window-pinning test, which locks the
+#: hold exactly the keys that most need a fresh driver stamp. Round-10
+#: policy (VERDICT r9 ask #2): the 36 remaining r4-stamped keys lead,
+#: then the four round-10 additions (never driver-stamped — new coverage
+#: outranks a restamp), then llm_rank_fusion (r9-stamped but CHANGED
+#: this round: the absent-arm rank sentinel went 0 → NULL in engine and
+#: oracle, so its stamp must be refreshed), then the 9 oldest r6-stamped
+#: keys — exactly 50. After this window lands, the minimum stamp age
+#: across the registry is r6. Behind the window, keys stay grouped
+#: oldest-latest-stamp first (r6 remainder, r7, r8, r9), preserving the
+#: profiled cheapest-first relative order inside each group. Regenerate
+#: by re-sorting on the CORRECTNESS_r* latest-stamp map (see
+#: tests/test_oracle_parity.py window-pinning test, which locks the
 #: front 50 to this policy). Keys missing from this list (new operators
 #: between profilings) are appended alphabetically, so registration never
 #: breaks on an unprofiled key.
 _SWEEP_ORDER: tuple[str, ...] = (
-    # stamp age r3 — the 31 stalest keys lead the round-9 window
-    "stream_divergence", "llm_text_profile", "fn_datetime_extract",
-    "llm_dedup_exact", "llm_chunk_windows", "stream_sliding",
-    "agg_string_agg", "agg_grouping_sets", "win_running_sum",
-    "llm_dedup_ngram", "win_topk_per_group", "fn_levenshtein",
-    "agg_bitmap_distinct", "stream_late_data", "win_range_frame",
-    "win_latest_per_group", "stream_consistent_cut", "llm_text_fingerprint",
-    "stream_dedup", "stream_session", "fn_try_arith", "fn_concat",
-    "fn_variant", "fn_date_arith", "reshape_pivot", "set_union",
-    "win_distribution", "sort_events", "stream_stream_join", "agg_mode",
-    "agg_skew_salted",
-    # round-9 additions — never driver-stamped, so they ride this window
-    "agg_quantile_sketch", "ts_stl_decompose", "llm_chunk_rank",
-    "llm_preference_pairs", "join_interval_overlap", "llm_rank_fusion",
-    # stamp age r4 — the 13 oldest fill the 50-key window; the rest
-    # lead the round-10 window
-    "llm_dedup_semantic", "llm_split_leakage_safe", "llm_serving_e2e",
-    "llm_ann_index_probe", "llm_dedup_minhash_clusters", "ts_gap_detect",
-    "llm_dedup_minhash", "llm_dedup_simhash", "llm_ann_ivf", "llm_ann_lsh",
-    "sql_promo_revenue", "sql_pricing_summary", "sql_discount_revenue",
+    # stamp age r4 — the 36 remaining r4-stamped keys lead the round-10
+    # window (profiled cheapest-first order preserved from the r4 block)
     "sql_shipmode_priority", "sql_small_quantity_revenue",
     "sql_top_supplier", "sql_returned_items", "sql_order_priority",
     "sql_inactive_customer_balance", "sql_waiting_supplier",
@@ -107,10 +91,17 @@ _SWEEP_ORDER: tuple[str, ...] = (
     "join_range", "join_skew_salted", "agg_corr", "scan_binaryfile",
     "llm_embed_quantize", "fn_crypto_roundtrip", "llm_sample_temperature",
     "udf_grouped_agg", "llm_mix_sources",
-    # stamp age r6 — freshest stamps, last (re-stamped in the r6 window)
+    # round-10 additions — never driver-stamped, so they ride this window
+    "ts_holt_winters", "llm_line_boilerplate", "llm_eval_ndcg",
+    "llm_mmr_rerank",
+    # changed this round (NULL absent-arm sentinel) — restamp required
+    "llm_rank_fusion",
+    # stamp age r6 — the 9 oldest fill the 50-key window; the rest lead
+    # the round-11 window
     "llm_similarity_topk", "llm_text_entropy", "udf_table_udtf",
     "ts_retention_cohort", "udf_table", "llm_doc_embed_hash",
     "scan_schema_evolution", "llm_vocab_coverage", "win_distinct_running",
+    # stamp age r6 remainder
     "agg_dq_checks", "agg_regression", "llm_text_unigram_nll",
     "stream_event_replay", "ts_sessionize", "agg_count_min", "llm_knn_join",
     "join_bloom_prefilter", "ts_fill_forward", "merge_scd2",
@@ -157,6 +148,26 @@ _SWEEP_ORDER: tuple[str, ...] = (
     "llm_corpus_shuffle", "llm_tokenizer_apply", "llm_bpe_merges",
     "llm_ann_batch", "llm_embed_pq", "llm_pack_sequences", "win_lag",
     "llm_text_tokens", "join_asof_forward", "llm_text_langid", "set_except",
+    # stamp age r9 — freshest stamps, last (the former round-9 window
+    # minus llm_rank_fusion, which rides the r10 window again after the
+    # sentinel change: the 31 ex-r3 keys, the 5 other round-9 additions,
+    # and the 13 ex-r4 keys)
+    "stream_divergence", "llm_text_profile", "fn_datetime_extract",
+    "llm_dedup_exact", "llm_chunk_windows", "stream_sliding",
+    "agg_string_agg", "agg_grouping_sets", "win_running_sum",
+    "llm_dedup_ngram", "win_topk_per_group", "fn_levenshtein",
+    "agg_bitmap_distinct", "stream_late_data", "win_range_frame",
+    "win_latest_per_group", "stream_consistent_cut", "llm_text_fingerprint",
+    "stream_dedup", "stream_session", "fn_try_arith", "fn_concat",
+    "fn_variant", "fn_date_arith", "reshape_pivot", "set_union",
+    "win_distribution", "sort_events", "stream_stream_join", "agg_mode",
+    "agg_skew_salted",
+    "agg_quantile_sketch", "ts_stl_decompose", "llm_chunk_rank",
+    "llm_preference_pairs", "join_interval_overlap",
+    "llm_dedup_semantic", "llm_split_leakage_safe", "llm_serving_e2e",
+    "llm_ann_index_probe", "llm_dedup_minhash_clusters", "ts_gap_detect",
+    "llm_dedup_minhash", "llm_dedup_simhash", "llm_ann_ivf", "llm_ann_lsh",
+    "sql_promo_revenue", "sql_pricing_summary", "sql_discount_revenue",
 )
 
 

@@ -24,6 +24,7 @@ from __future__ import annotations
 
 import os
 import shutil
+import threading
 import time
 from pathlib import Path
 
@@ -60,6 +61,7 @@ class RunLock:
 
     def acquire(self) -> None:
         self.path.parent.mkdir(parents=True, exist_ok=True)
+        my_tokens: set[str] = set()
         for _ in range(16):  # bounded retries through takeover races
             try:
                 self.path.mkdir()
@@ -97,31 +99,57 @@ class RunLock:
                     # narrow steal window the marker exists to close. The
                     # age grace survives only for the pid-file-not-yet-
                     # written sliver between mkdir and write_text.
+                    if self._marker_token(marker) in my_tokens:
+                        # OUR abandoned marker: a racing clearer displaced
+                        # it mid-takeover (we aborted on the token check)
+                        # and then restored it — nobody else will ever
+                        # clear a fresh live-pid marker, so without this
+                        # reclaim every claimer would burn its retries
+                        # against a ghost (round-10 race find: the
+                        # all-lost livelock). It is ours; remove and retry.
+                        shutil.rmtree(marker, ignore_errors=True)
+                        continue
                     claimer = self._marker_pid(marker)
                     try:
                         marker_age = time.time() - marker.stat().st_mtime
                     except OSError:
                         continue  # marker just vanished; retry from mkdir
                     if self._marker_pid(marker) != claimer:
-                        # TOCTOU (ADVICE r9): the marker was rmtree'd and
+                        # TOCTOU (ADVICE r9): the marker was cleared and
                         # re-created by a NEW claimer between the pid read
                         # and the stat — the dead old pid paired with the
-                        # fresh mtime would otherwise rmtree a LIVE marker.
-                        # A pid re-read straddling the stat detects any
-                        # such swap (the new claimer has a different pid);
-                        # mismatch means state is torn: retry from mkdir.
+                        # fresh mtime would have mis-read a LIVE marker as
+                        # stale. The pid re-read detects the cross-process
+                        # swap; the FROZEN validation inside
+                        # _clear_marker_frozen is the authoritative guard
+                        # (it re-checks after an atomic rename, where no
+                        # further swap is possible).
                         continue
-                    if claimer is not None:
-                        if not _pid_alive(claimer) or (
-                            marker_age > _MARKER_MAX_AGE_S
-                        ):
-                            shutil.rmtree(marker, ignore_errors=True)
-                        continue
-                    if marker_age > _NO_PID_GRACE_S:
-                        shutil.rmtree(marker, ignore_errors=True)
+                    stale_marker = (
+                        claimer is None and marker_age > _NO_PID_GRACE_S
+                    ) or (
+                        claimer is not None
+                        and (
+                            not _pid_alive(claimer)
+                            or marker_age > _MARKER_MAX_AGE_S
+                        )
+                    )
+                    if stale_marker:
+                        self._clear_marker_frozen(marker)
                     continue
+                # Ownership token: pid alone cannot distinguish two
+                # claimers in ONE process (threads share it), and the
+                # round-10 race harness turned exactly that blindness
+                # into a double acquire. First line stays the pid (the
+                # staleness checks parse it); the second line makes the
+                # token unique per claimer attempt.
+                token = (
+                    f"{os.getpid()}\n"
+                    f"{threading.get_ident()}:{time.monotonic_ns()}"
+                )
+                my_tokens.add(token)
                 try:
-                    (marker / "pid").write_text(str(os.getpid()))
+                    (marker / "pid").write_text(token)
                     owner = self._owner_pid()
                     if owner is not None and _pid_alive(owner):
                         raise LockHeldError(
@@ -132,6 +160,14 @@ class RunLock:
                         raise LockHeldError(
                             f"{self.path} being acquired by another process"
                         )
+                    if self._marker_token(marker) != token:
+                        # a racing claimer's staleness pass displaced OUR
+                        # marker (and another may hold the path now):
+                        # takeover exclusivity is gone — abandon this
+                        # attempt and retry from mkdir. The conditional
+                        # finally below keeps us from deleting the new
+                        # claimer's marker on the way out.
+                        continue
                     trash = self.path.with_name(
                         f"{self.path.name}.stale-"
                         f"{os.getpid()}-{time.monotonic_ns()}"
@@ -140,9 +176,59 @@ class RunLock:
                         os.rename(self.path, trash)
                     except OSError:
                         continue  # dir released meanwhile; retry from mkdir
+                    # The rename FROZE the dir (nobody else touches the
+                    # trash path), so this identity check is race-free:
+                    # confirm we renamed the STALE lock we validated —
+                    # not a fresh lock that a faster claimer re-created
+                    # between our owner check and the rename (the round-10
+                    # race harness caught exactly that steal: validate-
+                    # then-rename is itself a TOCTOU; validate-AFTER-
+                    # rename is not).
+                    try:
+                        got: int | None = int((trash / "pid").read_text())
+                    except (OSError, ValueError):
+                        got = None
+                    if got != owner or (
+                        got is not None and _pid_alive(got)
+                    ):
+                        # mis-rename of a live/foreign lock: put it back
+                        # and retry from mkdir
+                        try:
+                            os.rename(trash, self.path)
+                        except OSError:
+                            # restore blocked (a third claimer occupied
+                            # the vacancy): leave the victim's dir intact
+                            # at the trash path for operator recovery and
+                            # surface the anomaly instead of deleting a
+                            # live lock
+                            raise LockHeldError(
+                                f"{self.path}: takeover collision — "
+                                f"displaced live lock preserved at {trash}"
+                            ) from None
+                        continue
                     shutil.rmtree(trash, ignore_errors=True)
+                    # Complete the re-acquire NOW, still under the
+                    # marker's exclusivity: bouncing back through the
+                    # retry loop can exhaust the budget right after the
+                    # rename and leave the path VACANT with every
+                    # claimer reporting contention (round-10 race find —
+                    # the all-lost livelock). Only an uncontended
+                    # acquirer sneaking into the microsecond vacancy can
+                    # beat this mkdir; it then owns the lock legitimately
+                    # and we fall back to the loop and lose normally.
+                    try:
+                        self.path.mkdir()
+                    except FileExistsError:
+                        continue
+                    (self.path / "pid").write_text(str(os.getpid()))
+                    return
                 finally:
-                    shutil.rmtree(marker, ignore_errors=True)
+                    # only tear down a marker that is still OURS (token,
+                    # not pid — thread-distinct): after a racing clear +
+                    # re-create, an unconditional rmtree here would
+                    # delete the new claimer's marker
+                    if self._marker_token(marker) == token:
+                        shutil.rmtree(marker, ignore_errors=True)
                 continue
             (self.path / "pid").write_text(str(os.getpid()))
             return
@@ -168,9 +254,64 @@ class RunLock:
     @staticmethod
     def _marker_pid(marker: Path) -> int | None:
         try:
-            return int((marker / "pid").read_text())
-        except (OSError, ValueError):
+            return int((marker / "pid").read_text().split()[0])
+        except (OSError, ValueError, IndexError):
             return None
+
+    @staticmethod
+    def _marker_token(marker: Path) -> str | None:
+        try:
+            return (marker / "pid").read_text()
+        except OSError:
+            return None
+
+    @staticmethod
+    def _clear_marker_frozen(marker: Path) -> None:
+        """Clear a stale takeover marker WITHOUT a check-then-rmtree race:
+        atomically rename it aside (exactly one concurrent clearer wins;
+        after the rename nobody else can swap the dir), re-validate
+        staleness on the frozen copy, and either delete it or rename it
+        back. A marker that turns out LIVE is restored; if its path was
+        re-occupied meanwhile, the displaced claimer self-aborts via its
+        token re-checks (pre-rename and teardown), so dropping the frozen
+        copy cannot enable a second concurrent takeover."""
+        pid_now = RunLock._marker_pid(marker)
+        if pid_now is None or _pid_alive(pid_now):
+            # last-instant freshness re-check, for LIVE/unwritten claimers
+            # only: a marker re-created since the caller's staleness read
+            # is not ours to displace — this cuts the spurious
+            # displace-restore of a live claimer to the stat→rename
+            # sliver (the displaced claimer's token reclaim path recovers
+            # even that). A DEAD claimer's marker must clear immediately
+            # whatever its age.
+            try:
+                if time.time() - marker.stat().st_mtime <= _NO_PID_GRACE_S:
+                    return
+            except OSError:
+                return
+        mtrash = marker.with_name(
+            f"{marker.name}.clear-{os.getpid()}-{time.monotonic_ns()}"
+        )
+        try:
+            os.rename(marker, mtrash)
+        except OSError:
+            return  # vanished or already claimed by another clearer
+        pid = RunLock._marker_pid(mtrash)
+        try:
+            age = time.time() - mtrash.stat().st_mtime
+        except OSError:
+            age = 0.0
+        stale = (pid is None and age > _NO_PID_GRACE_S) or (
+            pid is not None
+            and (not _pid_alive(pid) or age > _MARKER_MAX_AGE_S)
+        )
+        if stale:
+            shutil.rmtree(mtrash, ignore_errors=True)
+            return
+        try:
+            os.rename(mtrash, marker)
+        except OSError:
+            shutil.rmtree(mtrash, ignore_errors=True)
 
     def _age_s(self) -> float:
         try:

@@ -93,3 +93,68 @@ def test_contention_fingerprint_shapes():
     assert fp["wall_s"] >= 0.05
     # Linux container: host tick + loadavg probes must be present
     assert "steal_pct" in fp and "busy_pct" in fp and "loadavg_1m" in fp
+
+
+def _detail(wall, cpu, pairs) -> dict:
+    return {
+        "contention": {
+            "headline_pass_1": {
+                "wall_s": wall,
+                "jvm_cpu_s": cpu,
+                "steal_pct": 0.1,
+            }
+        },
+        "scale_probe": {"pairs": pairs},
+    }
+
+
+def test_bench_compare_cpu_classification():
+    """The r10 CPU-primary classifier (VERDICT r9 ask #3): a wall-only
+    move reads as environment, a CPU move on bit-identical counters
+    reads as a compute regression to investigate, and a CPU move with
+    moved counters reads as a changed workload."""
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(
+        0, str(Path(__file__).resolve().parent.parent / "scripts")
+    )
+    from bench_compare import diff_contention
+
+    base = _detail(50.0, 200.0, {"ngram_base": 1000})
+    env = diff_contention(
+        base, _detail(75.0, 205.0, {"ngram_base": 1000}), 0.2
+    )
+    assert any("environment" in ln for ln in env), env
+    compute = diff_contention(
+        base, _detail(52.0, 300.0, {"ngram_base": 1000}), 0.2
+    )
+    assert any("INVESTIGATE" in ln for ln in compute), compute
+    workload = diff_contention(
+        base, _detail(80.0, 300.0, {"ngram_base": 2000}), 0.2
+    )
+    assert any("workload changed" in ln for ln in workload), workload
+    # newly registered headline keys are a workload change too — the
+    # CPU they add must NOT read as a compute regression (round-10
+    # review finding: counters alone can't see added keys)
+    grown = _detail(60.0, 300.0, {"ngram_base": 1000})
+    grown["queries"] = {"old_key": 0.1, "new_key": 0.2}
+    based = dict(base)
+    based["queries"] = {"old_key": 0.1}
+    newkeys = diff_contention(based, grown, 0.2)
+    assert any("workload changed" in ln for ln in newkeys), newkeys
+    # a 0.0-rounded CPU baseline with a large new reading must read as a
+    # move, not 'flat' (division guard inverted the signal pre-fix)
+    zero = _detail(1.0, 0.0, {"ngram_base": 1000})
+    big = diff_contention(zero, _detail(1.1, 50.0, {"ngram_base": 1000}), 0.2)
+    assert any("INVESTIGATE" in ln for ln in big), big
+    flat = diff_contention(
+        base, _detail(51.0, 205.0, {"ngram_base": 1000}), 0.2
+    )
+    assert any("[flat]" in ln for ln in flat), flat
+    # a JVM restart mid-run leaves the cpu reading absent — must report
+    # the incomplete fingerprint rather than crash or misclassify
+    broken = dict(base)
+    broken["contention"] = {"headline_pass_1": {"wall_s": 50.0}}
+    incomplete = diff_contention(broken, base, 0.2)
+    assert any("incomplete" in ln for ln in incomplete), incomplete

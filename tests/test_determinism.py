@@ -81,8 +81,12 @@ FLOAT_HEAVY = [
     # double-ordered arm ranks
     "agg_quantile_sketch",
     "ts_stl_decompose",
-    # round-10: literal-weight Holt filter fold + decimal-exact band test
+    # round-10: literal-weight Holt filter fold + decimal-exact band test;
+    # cosine-ordered ranks under integer gain/discount arithmetic
     "ts_holt_winters",
+    "llm_eval_ndcg",
+    "llm_line_boilerplate",
+    "llm_mmr_rerank",
     "llm_chunk_rank",
     "llm_preference_pairs",
     "join_interval_overlap",

@@ -56,45 +56,50 @@ def test_sweep_window_pins_stalest_stamps():
     """The driver stamps the FIRST ~50 registry keys each round, so the
     front of ``_SWEEP_ORDER`` is load-bearing: it must hold exactly the
     keys with the oldest (or missing) driver CORRECTNESS stamps. This
-    pins the round-9 window contents (VERDICT r8 ask #2: the 31 remaining
-    r3-stamped keys, then the six round-9 additions, then the 13 oldest
-    r4-stamped keys) — regenerate the expectation alongside any
-    ``_SWEEP_ORDER`` rotation."""
+    pins the round-10 window contents (VERDICT r9 ask #2: the 36
+    remaining r4-stamped keys, then the four round-10 additions, then
+    llm_rank_fusion — r9-stamped but changed by the NULL-sentinel fix —
+    then the 9 oldest r6-stamped keys) — regenerate the expectation
+    alongside any ``_SWEEP_ORDER`` rotation."""
     from hive3_replication_spark.registry import _SWEEP_ORDER
 
     window = list(_SWEEP_ORDER[:50])
-    # all 31 keys whose latest driver stamp is r3 (the registry's stalest)
-    r3 = {
-        "agg_bitmap_distinct", "agg_grouping_sets", "agg_mode",
-        "agg_skew_salted", "agg_string_agg", "fn_concat", "fn_date_arith",
-        "fn_datetime_extract", "fn_levenshtein", "fn_try_arith",
-        "fn_variant", "llm_chunk_windows", "llm_dedup_exact",
-        "llm_dedup_ngram", "llm_text_fingerprint", "llm_text_profile",
-        "reshape_pivot", "set_union", "sort_events",
-        "stream_consistent_cut", "stream_dedup", "stream_divergence",
-        "stream_late_data", "stream_session", "stream_sliding",
-        "stream_stream_join", "win_distribution", "win_latest_per_group",
-        "win_range_frame", "win_running_sum", "win_topk_per_group",
+    # all 36 keys whose latest driver stamp is r4 (the registry's stalest)
+    r4 = {
+        "sql_shipmode_priority", "sql_small_quantity_revenue",
+        "sql_top_supplier", "sql_returned_items", "sql_order_priority",
+        "sql_inactive_customer_balance", "sql_waiting_supplier",
+        "sql_shipping_priority", "sql_parts_supplier_count",
+        "sql_product_profit", "sql_customer_distribution",
+        "sql_nation_volume", "sql_large_volume_customer",
+        "sql_market_share", "sql_local_supplier_volume",
+        "sql_recursive_hierarchy", "win_first_value", "win_ntile",
+        "llm_text_repetition", "llm_shard_assign", "udf_arrow", "ts_ohlc",
+        "llm_text_bigrams", "ts_resample", "set_intersect",
+        "ts_rollup_hypertable", "scan_xml", "join_range",
+        "join_skew_salted", "agg_corr", "scan_binaryfile",
+        "llm_embed_quantize", "fn_crypto_roundtrip",
+        "llm_sample_temperature", "udf_grouped_agg", "llm_mix_sources",
     }
-    assert r3 <= set(window), sorted(r3 - set(window))
-    # the six round-9 additions have no driver stamp yet — they must
-    # ride this window to be stamped the round they land
-    new_r9 = {
-        "agg_quantile_sketch", "ts_stl_decompose", "llm_chunk_rank",
-        "llm_preference_pairs", "join_interval_overlap", "llm_rank_fusion",
+    assert r4 <= set(window), sorted(r4 - set(window))
+    # the four round-10 additions have no driver stamp yet, and
+    # llm_rank_fusion's engine+oracle changed (0 → NULL absent-arm rank
+    # sentinel) — all five must ride this window
+    new_r10 = {
+        "ts_holt_winters", "llm_line_boilerplate", "llm_eval_ndcg",
+        "llm_mmr_rerank", "llm_rank_fusion",
     }
-    assert new_r9 <= set(window), sorted(new_r9 - set(window))
-    # the remaining 13 slots are exactly the OLDEST r4-stamped keys
-    # (profiled cheapest-first order within the r4 block)
-    r4_oldest = {
-        "llm_dedup_semantic", "llm_split_leakage_safe", "llm_serving_e2e",
-        "llm_ann_index_probe", "llm_dedup_minhash_clusters",
-        "ts_gap_detect", "llm_dedup_minhash", "llm_dedup_simhash",
-        "llm_ann_ivf", "llm_ann_lsh", "sql_promo_revenue",
-        "sql_pricing_summary", "sql_discount_revenue",
+    assert new_r10 <= set(window), sorted(new_r10 - set(window))
+    # the remaining 9 slots are exactly the OLDEST r6-stamped keys
+    # (profiled cheapest-first order within the r6 block)
+    r6_oldest = {
+        "llm_similarity_topk", "llm_text_entropy", "udf_table_udtf",
+        "ts_retention_cohort", "udf_table", "llm_doc_embed_hash",
+        "scan_schema_evolution", "llm_vocab_coverage",
+        "win_distinct_running",
     }
-    rest = set(window) - r3 - new_r9
-    assert rest == r4_oldest, sorted(rest ^ r4_oldest)
+    rest = set(window) - r4 - new_r10
+    assert rest == r6_oldest, sorted(rest ^ r6_oldest)
     assert len(window) == len(set(window)) == 50
 
 

@@ -678,6 +678,22 @@ def test_holt_winters_one_stream_exchange(spark):
     assert "SortMergeJoin" not in plan, plan
 
 
+def test_line_boilerplate_two_exchanges_one_scan(spark):
+    """llm_line_boilerplate (round-10 L33): tiling is narrow over the
+    once-materialized token array; the line-frequency window is the job's
+    one inherent corpus shuffle and the doc reassembly groupBy the
+    second. ONE corpus scan (no relation referenced from two branches),
+    exactly 2 hashpartitioning exchanges, no join anywhere."""
+    from hive3_replication_spark.llm.text import llm_line_boilerplate
+
+    plan = _plan(llm_line_boilerplate(spark, SF_DIR), "simple")
+    assert plan.count("Exchange hashpartitioning") == 2, plan
+    assert plan.count("FileScan") == 1, plan
+    for join in ("BroadcastHashJoin", "SortMergeJoin", "ShuffledHashJoin",
+                 "CartesianProduct", "BroadcastNestedLoopJoin"):
+        assert join not in plan, (join, plan)
+
+
 def test_chunk_rank_no_corpus_shuffle(spark):
     """llm_chunk_rank (round-9 L30): corpus stats are ONE single-row
     aggregate broadcast back; scoring is narrow; top-k is
@@ -724,6 +740,40 @@ def test_interval_overlap_bucket_equijoin_no_theta(spark):
     assert "BroadcastNestedLoopJoin" not in plan, plan
     assert plan.count("Exchange hashpartitioning") == 2, plan
     assert plan.count("FileScan") == 2, plan
+
+
+def test_eval_ndcg_single_query_exchange(spark):
+    """llm_eval_ndcg (round-10 L34): queries broadcast against the
+    corpus; ONE (q_id) exchange serves both the rank window and the
+    grade-count window sums (the ideal DCG needs no sort — prefix-sum
+    arithmetic over grade counts); the rank filter bounds the final agg.
+    No corpus self-join, no cartesian."""
+    from hive3_replication_spark.llm.retrieval import llm_eval_ndcg
+
+    plan = _plan(llm_eval_ndcg(spark, SF_DIR), "simple")
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert plan.count("BroadcastExchange") == 1, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_mmr_rerank_zero_exchange_fold(spark):
+    """llm_mmr_rerank (round-10 L35): the greedy loop runs as a
+    higher-order fold over the collected ≤100-row candidate array — no
+    driver loop, no self-join, no UDF. The corpus is touched exactly as
+    _rrf_fused touches it plus ONE broadcast-probe for the candidate
+    embeddings: zero hashpartitioning exchanges end to end."""
+    from hive3_replication_spark.llm.retrieval import llm_mmr_rerank
+
+    plan = _plan(llm_mmr_rerank(spark, SF_DIR), "simple")
+    assert plan.count("Exchange hashpartitioning") == 0, plan
+    assert "CartesianProduct" not in plan, plan
+    # the only joins: the arms' 1-row stats/query-vector broadcasts (the
+    # _bm25_score cross shape rank_fusion's gate also accepts), the
+    # bounded K-row fusion outer join, and the candidate-embedding
+    # broadcast probe
+    assert plan.count("TakeOrderedAndProject") >= 2, plan
+    assert plan.count("BroadcastHashJoin") == 1, plan
 
 
 def test_rank_fusion_bounded_fusion_no_corpus_shuffle(spark):

@@ -380,9 +380,11 @@ def test_holt_winters_matches_recursion_twin(spark):
         expect = (m * e_q.astype(object) - s1) ** 2 > 9 * (m * s2 - s1 * s1)
         # forecast_r is the 6-dp rounded forecast, so e_q recomputed from
         # it can sit one milli-unit off the engine's unrounded value right
-        # at a .0005 boundary; allow flag agreement, not e_q equality
-        agree = (sub.is_outlier.to_numpy() == expect.astype(bool)).mean()
-        assert agree >= 0.999, (t, agree)
+        # at a .0005 boundary; allow AT MOST ONE flipped flag per stream
+        # (an absolute bound — a 0.1% RATE bound is vacuous below 1000
+        # rows, where a single benign flip would already fail it)
+        flips = int((sub.is_outlier.to_numpy() != expect.astype(bool)).sum())
+        assert flips <= 1, (t, flips)
     assert 0 < got.is_outlier.sum() < 0.05 * len(got)
 
 
@@ -444,6 +446,245 @@ def test_interval_overlap_matches_pandas_twin(spark):
     )
     assert len(got_rows) == len(expect), (len(got_rows), len(expect))
     assert got_rows == expect
+
+
+def test_mmr_rerank_matches_python_twin(spark):
+    """L35 replayed in pure python: both retrieval arms (BM25 +
+    sequential-fold cosine) → fused RRF scores for every candidate →
+    greedy MMR with quantized integer sims — the selected sequence,
+    relevances, and scores must match the engine EXACTLY (the greedy
+    path is all-BIGINT comparisons). Also asserts the MMR invariants:
+    scores are non-increasing in step (the greedy argmax can only
+    shrink), and the diversified list differs from pure-relevance order
+    (the penalty actually did something)."""
+    import math
+
+    import pyarrow.parquet as pq
+
+    from hive3_replication_spark.llm.retrieval import (
+        _BM25_B,
+        _BM25_IDF_SCALE,
+        _BM25_K1,
+        _BM25_QUERY,
+        _MMR_D_NUM,
+        _MMR_L_NUM,
+        _MMR_OUT,
+        _MMR_RELMAX,
+        _MMR_SIMQ,
+        _RRF_ARM_K,
+        _RRF_K,
+        _RRF_SCALE,
+        llm_mmr_rerank,
+    )
+
+    got = (
+        llm_mmr_rerank(spark, SF_DIR)
+        .toPandas()
+        .sort_values("step")
+        .reset_index(drop=True)
+    )
+    docs = pq.read_table(f"{SF_DIR}/documents.parquet").to_pandas()
+    rows = []
+    for _, r in docs.iterrows():
+        toks = r.text.split(" ")
+        rows.append(
+            (int(r.doc_id), len(toks), [toks.count(t) for t in _BM25_QUERY])
+        )
+    n_docs = len(rows)
+    avgdl = sum(r[1] for r in rows) / n_docs
+    dfreq = [
+        sum(1 for r in rows if r[2][i] > 0) for i in range(len(_BM25_QUERY))
+    ]
+
+    def lex_score(r) -> float:
+        s = 0.0
+        for i in range(len(_BM25_QUERY)):
+            idf = (n_docs - dfreq[i] + 1) * _BM25_IDF_SCALE // (dfreq[i] + 1)
+            tf = r[2][i]
+            s += (
+                idf
+                * (tf * (_BM25_K1 + 1.0))
+                / (tf + _BM25_K1 * (1.0 - _BM25_B + _BM25_B * r[1] / avgdl))
+            )
+        return s
+
+    lex_sorted = sorted(rows, key=lambda r: (-lex_score(r), r[0]))
+    lex_rank = {r[0]: i + 1 for i, r in enumerate(lex_sorted[:_RRF_ARM_K])}
+    emb = pq.read_table(f"{SF_DIR}/embeddings.parquet").to_pandas()
+    vecs = {
+        int(r.vec_id): list(map(float, r.embedding))
+        for _, r in emb.iterrows()
+    }
+    q = vecs[0]
+
+    def seq_dot(a, b) -> float:
+        s = 0.0
+        for x, y in zip(a, b):
+            s += x * y
+        return s
+
+    qn = math.sqrt(seq_dot(q, q))
+    cos_q = {
+        d: seq_dot(v, q) / (math.sqrt(seq_dot(v, v)) * qn)
+        for d, v in vecs.items()
+        if d != 0
+    }
+    vec_sorted = sorted(cos_q.items(), key=lambda kv: (-kv[1], kv[0]))
+    vec_rank = {d: i + 1 for i, (d, _) in enumerate(vec_sorted[:_RRF_ARM_K])}
+    rel_n = {}
+    for d in set(lex_rank) | set(vec_rank):
+        rrf = 0
+        if d in lex_rank:
+            rrf += _RRF_SCALE // (_RRF_K + lex_rank[d])
+        if d in vec_rank:
+            rrf += _RRF_SCALE // (_RRF_K + vec_rank[d])
+        rel_n[d] = rrf * _MMR_SIMQ // _MMR_RELMAX
+
+    def sim_q(a: int, b: int) -> int:
+        va, vb = vecs[a], vecs[b]
+        cos = seq_dot(va, vb) / (
+            math.sqrt(seq_dot(va, va)) * math.sqrt(seq_dot(vb, vb))
+        )
+        return math.floor(cos * _MMR_SIMQ + 0.5)
+
+    selected: list[tuple[int, int]] = []
+    remaining = set(rel_n)
+    for _ in range(min(_MMR_OUT, len(rel_n))):
+        best = None
+        for c in sorted(remaining):
+            pen = max(0, max((sim_q(c, s) for s, _ in selected), default=0))
+            score = _MMR_L_NUM * rel_n[c] - _MMR_D_NUM * pen
+            if best is None or score > best[1]:
+                best = (c, score)
+        selected.append(best)
+        remaining.discard(best[0])
+    assert [
+        (int(r.doc_id), int(r.mmr_score)) for _, r in got.iterrows()
+    ] == selected
+    assert [int(r.rel_n) for _, r in got.iterrows()] == [
+        rel_n[d] for d, _ in selected
+    ]
+    scores = got.mmr_score.tolist()
+    assert all(a >= b for a, b in zip(scores, scores[1:]))
+    pure_rel = [
+        d for d, _ in sorted(rel_n.items(), key=lambda kv: (-kv[1], kv[0]))
+    ][:_MMR_OUT]
+    assert got.doc_id.tolist() != pure_rel
+
+
+def test_eval_ndcg_matches_python_twin(spark):
+    """L34 replayed in pure python: cosine ranking per query (sequential
+    index-order dot products matching the engines), label-distance
+    grades, textbook DCG@10 = Σ (2^rel − 1)·D_i against the literal
+    discount table, ideal DCG from the sorted grade multiset (NOT the
+    engine's prefix-sum shortcut — an independent formulation that must
+    land on the identical integer), and the metric sanity bounds
+    0 ≤ nDCG ≤ 1 with at least two queries strictly inside."""
+    import pyarrow.parquet as pq
+
+    from hive3_replication_spark.llm.retrieval import (
+        _NDCG_D,
+        _NDCG_K,
+        _NDCG_NQ,
+        llm_eval_ndcg,
+    )
+
+    got = (
+        llm_eval_ndcg(spark, SF_DIR)
+        .toPandas()
+        .sort_values("q_id")
+        .reset_index(drop=True)
+    )
+    emb = pq.read_table(f"{SF_DIR}/embeddings.parquet").to_pandas()
+
+    def seq_dot(a, b) -> float:
+        s = 0.0
+        for x, y in zip(a, b):
+            s += float(x) * float(y)
+        return s
+
+    corpus = emb[emb.vec_id >= _NDCG_NQ]
+    assert len(got) == _NDCG_NQ
+    for _, qrow in emb[emb.vec_id < _NDCG_NQ].iterrows():
+        q = list(map(float, qrow.embedding))
+        qn = seq_dot(q, q) ** 0.5
+        scored = []
+        for _, r in corpus.iterrows():
+            v = list(map(float, r.embedding))
+            cos = seq_dot(v, q) / ((seq_dot(v, v) ** 0.5) * qn)
+            rel = max(0, 3 - abs(int(r.label) - int(qrow.label)))
+            scored.append((cos, int(r.vec_id), rel))
+        scored.sort(key=lambda t: (-t[0], t[1]))
+        dcg = sum(
+            ((1 << rel) - 1) * _NDCG_D[i]
+            for i, (_, _, rel) in enumerate(scored[:_NDCG_K])
+        )
+        ideal = sorted((rel for _, _, rel in scored), reverse=True)
+        idcg = sum(
+            ((1 << rel) - 1) * _NDCG_D[i]
+            for i, rel in enumerate(ideal[:_NDCG_K])
+        )
+        row = got[got.q_id == int(qrow.vec_id)].iloc[0]
+        assert row.dcg_s == dcg, (qrow.vec_id, row.dcg_s, dcg)
+        assert row.idcg_s == idcg, (qrow.vec_id, row.idcg_s, idcg)
+        assert row.ndcg_micro == dcg * 1_000_000 // idcg
+    assert (got.ndcg_micro >= 0).all() and (got.ndcg_micro <= 1_000_000).all()
+    assert ((got.ndcg_micro > 0) & (got.ndcg_micro < 1_000_000)).sum() >= 2
+
+
+def test_line_boilerplate_matches_python_twin(spark):
+    """L33 replayed in pure python: tile every document into 3-token
+    lines, count exact line occurrences corpus-wide, drop lines at the
+    threshold, md5 the space-joined survivors — every output row must
+    match exactly, and the planted invariants must hold (a doc whose
+    every line is unique corpus-wide keeps md5(text); n_dropped ≤
+    n_lines everywhere; at least one line is actually dropped)."""
+    import hashlib
+    from collections import Counter
+
+    import pyarrow.parquet as pq
+
+    from hive3_replication_spark.llm.text import (
+        _BP_T,
+        _BP_W,
+        llm_line_boilerplate,
+    )
+
+    got = (
+        llm_line_boilerplate(spark, SF_DIR)
+        .toPandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    docs = pq.read_table(f"{SF_DIR}/documents.parquet").to_pandas()
+    tiled: dict[int, list[str]] = {}
+    freq: Counter = Counter()
+    for _, r in docs.iterrows():
+        toks = r.text.split(" ")
+        lines = [
+            " ".join(toks[i : i + _BP_W]) for i in range(0, len(toks), _BP_W)
+        ]
+        tiled[int(r.doc_id)] = lines
+        freq.update(lines)
+    assert len(got) == len(docs)
+    n_dropped_total = 0
+    for _, row in got.iterrows():
+        lines = tiled[int(row.doc_id)]
+        kept = [ln for ln in lines if freq[ln] < _BP_T]
+        dropped = len(lines) - len(kept)
+        n_dropped_total += dropped
+        assert row.n_lines == len(lines)
+        assert row.n_dropped == dropped
+        assert (
+            row.cleaned_md5
+            == hashlib.md5(" ".join(kept).encode()).hexdigest()
+        )
+        if dropped == 0:
+            assert (
+                row.cleaned_md5
+                == hashlib.md5(" ".join(lines).encode()).hexdigest()
+            )
+    assert n_dropped_total > 0
 
 
 def test_rank_fusion_matches_python_twin(spark):

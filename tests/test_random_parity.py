@@ -45,6 +45,9 @@ KEYS = (
     # the corpus plants doc 350 (empty, %7==0) to pin the skip path
     "scan_text",
     "scan_binaryfile",
+    # round-10: the line filter's empty-text / sub-tile-length / exact-dup
+    # paths only exist on random corpora — the fixture has none of them
+    "llm_line_boilerplate",
 )
 
 _SEEDS = (7, 23)
@@ -125,6 +128,9 @@ TS_KEYS = (
     "ts_downsample_lttb",
     "ts_downsample_lttb_hier",
     "ts_acf",
+    # round-10: the Holt filter over the irregular hour grid — the 1-6 h
+    # gap mixture exercises zero-filled slots inside the 48-lag frame
+    "ts_holt_winters",
     "sink_partition_overwrite",
     # windows/streams over the same stream — their (ts, event_id)
     # tie-breaks are what the 30% duplicate timestamps exercise
@@ -372,6 +378,10 @@ FULL_KEYS = (
     "reshape_unpivot", "reshape_explode", "reshape_struct_flatten",
     "reshape_pivot",
     "sort_top1", "sort_topk", "set_except", "set_union", "set_intersect",
+    # round-10: the retrieval eval/rerank pair needs the full dataset's
+    # embeddings relation (random labels exercise the sparse-grade and
+    # missing-arm paths the fixture's dense labels never hit)
+    "llm_eval_ndcg", "llm_mmr_rerank",
 )
 
 _FULL_SEED = 11  # the round-4 bug-finding seed
@@ -535,6 +545,9 @@ def test_degenerate_boilerplate_corpus(spark, tmp_path_factory):
         "llm_dedup_semantic",
         "llm_split_leakage_safe",
         "llm_dedup_graph_stats",
+        # round-10: 200 identical docs = every line at corpus frequency
+        # 200 — the whole duplicate block's text must strip to empty
+        "llm_line_boilerplate",
     ):
         clear_caches()
         assert_frames_match(

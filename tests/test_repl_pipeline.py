@@ -500,6 +500,75 @@ def test_takeover_marker_pid_staleness(tmp_path):
     lock3.release()
 
 
+def test_marker_backstop_takeover_race_single_winner(tmp_path):
+    """Round-10 race target (VERDICT r9 ask #4): 8 claimers racing the
+    RECYCLED-PID BACKSTOP — a stale dead-pid lock guarded by a takeover
+    marker that is older than _MARKER_MAX_AGE_S yet carries a live pid
+    (the recycled-pid shape the backstop exists for). Exactly one
+    claimer may clear the ancient marker and complete the takeover; the
+    losers must see the winner's fresh marker/lock and raise, never
+    double-claim. 10 repetitions — this harness found real bugs three
+    rounds running."""
+    import os
+    import time
+
+    from hive3_replication_spark.repl import registry as reg
+
+    for rep in range(10):
+        base = tmp_path / f"rep{rep}"
+        base.mkdir()
+        stale = RunLock(base, "dump")
+        stale.path.mkdir(parents=True)
+        (stale.path / "pid").write_text("999999999")  # dead lock owner
+        marker = stale.path.with_name(f"{stale.path.name}.takeover")
+        marker.mkdir()
+        (marker / "pid").write_text(str(os.getpid()))  # "live" claimer
+        ancient = time.time() - reg._MARKER_MAX_AGE_S - 10
+        os.utime(marker, (ancient, ancient))
+
+        results = _race_acquire(base, 8)
+        assert results.count("won") == 1, (rep, results)
+        assert (stale.path / "pid").read_text() == str(os.getpid())
+        assert not marker.exists(), "winner must clear its own marker"
+        RunLock(base, "dump").release()
+        assert not stale.path.exists()
+
+
+def test_marker_pid_reread_detects_swap(tmp_path, monkeypatch):
+    """ADVICE r9 TOCTOU regression test: if the marker is replaced by a
+    NEW live claimer between the staleness pid read and the stat, the
+    pid re-read straddling the stat must detect the swap and retry —
+    the pre-fix code paired the dead old pid with the fresh mtime and
+    rmtree'd the LIVE claimer's marker. Simulated deterministically by
+    feeding the two reads different pids for one iteration."""
+    import os
+
+    from hive3_replication_spark.repl import registry as reg
+
+    stale = RunLock(tmp_path, "dump")
+    stale.path.mkdir(parents=True)
+    (stale.path / "pid").write_text("999999999")  # dead lock owner
+    marker = stale.path.with_name(f"{stale.path.name}.takeover")
+    marker.mkdir()
+    (marker / "pid").write_text(str(os.getpid()))  # live claimer, fresh
+
+    real = reg.RunLock._marker_pid
+    feed = iter([999999999])  # first read: the vanished old claimer
+
+    def swapped(m):
+        try:
+            return next(feed)
+        except StopIteration:
+            return real(m)
+
+    monkeypatch.setattr(reg.RunLock, "_marker_pid", staticmethod(swapped))
+    with pytest.raises(LockHeldError):
+        RunLock(tmp_path, "dump").acquire()
+    assert marker.exists(), (
+        "pid/stat swap window rmtree'd a live claimer's marker"
+    )
+
+
 def test_local_path_uri_edge_cases():
     """ADVICE r8: _local_path must not claim a remote-authority file://
     URI as driver-local, and must treat colon-bearing scheme-less paths
