@@ -67,8 +67,12 @@ def _counters_flat(old: dict, new: dict, threshold: float) -> bool:
     move."""
     if set(old.get("queries", {}) or {}) != set(new.get("queries", {}) or {}):
         return False
-    oc = old.get("scale_probe", {}).get("pairs", {}) or {}
-    nc = new.get("scale_probe", {}).get("pairs", {}) or {}
+    osp = old.get("scale_probe", {}) or {}
+    nsp = new.get("scale_probe", {}) or {}
+    if set(osp.get("keys", {}) or {}) != set(nsp.get("keys", {}) or {}):
+        return False  # the probe block's own workload changed
+    oc = osp.get("pairs", {}) or {}
+    nc = nsp.get("pairs", {}) or {}
     if set(oc) != set(nc):
         return False
     for k in oc:
