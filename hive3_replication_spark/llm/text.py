@@ -549,6 +549,96 @@ def llm_eval_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: L36 calibration constants: confidences live on the micro grid
+#: [0, 1e6]; 10 equal-width bins (bin = conf DIV 1e5, the 1.0 edge
+#: clamped into the last bin). The no-marker prior is the uniform 1/3.
+#: BIGINT bounds: per-bin gap |k·1e6 − Σconf| ≤ n_b·1e6 and the ECE
+#: numerator Σ_b gap ≤ N·1e6 — inside int64 up to N ≈ 9·10^12 docs.
+_CAL_BINS = 10
+_CAL_SCALE = 1_000_000
+_CAL_PRIOR = _CAL_SCALE // 3
+
+
+def llm_eval_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L36 — expected calibration error (ECE) of the lang-ID heuristic
+    (L4c) against the gold labels (Naeini et al. 2015; Guo et al. 2017's
+    reliability-diagram form): bin predictions by confidence, compare
+    each bin's accuracy to its mean confidence, weight by bin mass —
+    the eval a pipeline runs before TRUSTING a classifier's scores as
+    routing thresholds (L22's confusion matrix says WHERE it errs; this
+    says whether its confidence MEANS anything). Completes the eval
+    family: confusion (L22), recall/best-rank (L23), nDCG (L34),
+    calibration (L36).
+
+    Confidence is exact: conf_micro = best-marker-count·1e6 DIV total
+    (the uniform prior 333333 when no marker occurs), so bins, per-bin
+    sums, accuracy/avg-confidence (·1e6 DIV n), per-bin gap
+    |k·1e6 − Σconf| and ece_micro = Σ_b gap DIV N are ALL BIGINT — no
+    float anywhere, bit-identical on any engine or partitioning.
+
+    Plan: the prediction/confidence expressions are narrow codegen over
+    the corpus scan; ONE hash agg to ≤10 bin rows (partial map-side);
+    the ECE total is a window over those ≤10 rows (bounded by
+    construction — the L17 idiom), never a second corpus pass or a
+    join-back. Output: one row per non-empty bin, the corpus-wide
+    ece_micro repeated on each (it is the Σ over a 10-row relation)."""
+    documents = load_table(spark, sf_dir, "documents")
+    n_the = _occurrences(F.col("text"), "the")
+    n_data = _occurrences(F.col("text"), "data")
+    n_spark = _occurrences(F.col("text"), "spark")
+    pred = (
+        F.when((n_the >= n_data) & (n_the >= n_spark), "en")
+        .when(n_data >= n_spark, "de")
+        .otherwise("zh")
+    )
+    staged = documents.select(
+        (pred == F.col("lang")).cast("bigint").alias("correct"),
+        F.greatest(n_the, n_data, n_spark).alias("best"),
+        (n_the + n_data + n_spark).alias("total"),
+    ).select(
+        "correct",
+        F.expr(
+            f"CASE WHEN total > 0 THEN best * {_CAL_SCALE} DIV total"
+            f" ELSE {_CAL_PRIOR} END"
+        ).alias("conf_micro"),
+    ).select(
+        "correct",
+        "conf_micro",
+        F.least(
+            F.expr(f"conf_micro DIV {_CAL_SCALE // _CAL_BINS}"),
+            F.lit(_CAL_BINS - 1).cast("bigint"),
+        )
+        .cast("int")
+        .alias("bin"),
+    )
+    bins = staged.groupBy("bin").agg(
+        F.count("*").alias("n"),
+        F.sum("correct").alias("n_correct"),
+        F.sum("conf_micro").alias("conf_sum"),
+    )
+    w_all = Window.partitionBy()  # ≤ _CAL_BINS rows by construction
+    gap = F.expr(f"abs(n_correct * {_CAL_SCALE} - conf_sum)")
+    staged2 = bins.select(
+        "bin",
+        "n",
+        "n_correct",
+        "conf_sum",
+        F.sum(gap).over(w_all).alias("gap_total"),
+        F.sum("n").over(w_all).alias("n_total"),
+    )
+    return staged2.select(
+        "bin",
+        "n",
+        "n_correct",
+        F.expr(f"n_correct * {_CAL_SCALE} DIV n").alias("acc_micro"),
+        F.expr("conf_sum DIV n").alias("avg_conf_micro"),
+        F.expr(f"abs(n_correct * {_CAL_SCALE} - conf_sum) DIV n").alias(
+            "gap_micro"
+        ),
+        F.expr("gap_total DIV n_total").alias("ece_micro"),
+    )
+
+
 _VOCAB_TOP = 100
 
 
@@ -1282,6 +1372,51 @@ ORACLES["llm_text_redact"] = """
     FROM r
 """
 
+ORACLES["llm_eval_calibration"] = f"""
+    WITH c AS (
+        SELECT lang,
+               CAST((LENGTH(text) - LENGTH(REPLACE(text, 'the', ''))) / 3
+                    AS BIGINT) AS n_the,
+               CAST((LENGTH(text) - LENGTH(REPLACE(text, 'data', ''))) / 4
+                    AS BIGINT) AS n_data,
+               CAST((LENGTH(text) - LENGTH(REPLACE(text, 'spark', ''))) / 5
+                    AS BIGINT) AS n_spark
+        FROM documents
+    ),
+    p AS (
+        SELECT CASE WHEN (CASE WHEN n_the >= n_data AND n_the >= n_spark
+                               THEN 'en'
+                               WHEN n_data >= n_spark THEN 'de'
+                               ELSE 'zh' END) = lang
+                    THEN 1 ELSE 0 END AS correct,
+               CASE WHEN n_the + n_data + n_spark > 0
+                    THEN GREATEST(n_the, n_data, n_spark) * {_CAL_SCALE}
+                         // (n_the + n_data + n_spark)
+                    ELSE {_CAL_PRIOR} END AS conf_micro
+        FROM c
+    ),
+    binned AS (
+        SELECT correct, conf_micro,
+               CAST(LEAST(conf_micro // {_CAL_SCALE // _CAL_BINS},
+                          {_CAL_BINS - 1}) AS INTEGER) AS bin
+        FROM p
+    ),
+    bins AS (
+        SELECT bin,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(correct) AS BIGINT) AS n_correct,
+               CAST(SUM(conf_micro) AS BIGINT) AS conf_sum
+        FROM binned GROUP BY bin
+    )
+    SELECT bin, n, n_correct,
+           n_correct * {_CAL_SCALE} // n AS acc_micro,
+           conf_sum // n AS avg_conf_micro,
+           ABS(n_correct * {_CAL_SCALE} - conf_sum) // n AS gap_micro,
+           CAST(SUM(ABS(n_correct * {_CAL_SCALE} - conf_sum)) OVER ()
+                // SUM(n) OVER () AS BIGINT) AS ece_micro
+    FROM bins
+"""
+
 ORACLES["llm_line_boilerplate"] = f"""
     WITH t AS (
         SELECT doc_id, string_split(text, ' ') AS toks FROM documents
@@ -1334,6 +1469,7 @@ QUERY_FNS = {
     "llm_quality_classifier": llm_quality_classifier,
     "llm_doc_embed_hash": llm_doc_embed_hash,
     "llm_eval_confusion": llm_eval_confusion,
+    "llm_eval_calibration": llm_eval_calibration,
     "llm_bpe_merges": llm_bpe_merges,
     "llm_tokenizer_apply": llm_tokenizer_apply,
 }

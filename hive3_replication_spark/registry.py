@@ -62,10 +62,10 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 #: driver cuts at ~50 keys per round BY COUNT, so the front block must
 #: hold exactly the keys that most need a fresh driver stamp. Round-10
 #: policy (VERDICT r9 ask #2): the 36 remaining r4-stamped keys lead,
-#: then the four round-10 additions (never driver-stamped — new coverage
+#: then the five round-10 additions (never driver-stamped — new coverage
 #: outranks a restamp), then llm_rank_fusion (r9-stamped but CHANGED
 #: this round: the absent-arm rank sentinel went 0 → NULL in engine and
-#: oracle, so its stamp must be refreshed), then the 9 oldest r6-stamped
+#: oracle, so its stamp must be refreshed), then the 8 oldest r6-stamped
 #: keys — exactly 50. After this window lands, the minimum stamp age
 #: across the registry is r6. Behind the window, keys stay grouped
 #: oldest-latest-stamp first (r6 remainder, r7, r8, r9), preserving the
@@ -93,15 +93,16 @@ _SWEEP_ORDER: tuple[str, ...] = (
     "udf_grouped_agg", "llm_mix_sources",
     # round-10 additions — never driver-stamped, so they ride this window
     "ts_holt_winters", "llm_line_boilerplate", "llm_eval_ndcg",
-    "llm_mmr_rerank",
+    "llm_mmr_rerank", "llm_eval_calibration",
     # changed this round (NULL absent-arm sentinel) — restamp required
     "llm_rank_fusion",
-    # stamp age r6 — the 9 oldest fill the 50-key window; the rest lead
+    # stamp age r6 — the 8 oldest fill the 50-key window; the rest lead
     # the round-11 window
     "llm_similarity_topk", "llm_text_entropy", "udf_table_udtf",
     "ts_retention_cohort", "udf_table", "llm_doc_embed_hash",
-    "scan_schema_evolution", "llm_vocab_coverage", "win_distinct_running",
+    "scan_schema_evolution", "llm_vocab_coverage",
     # stamp age r6 remainder
+    "win_distinct_running",
     "agg_dq_checks", "agg_regression", "llm_text_unigram_nll",
     "stream_event_replay", "ts_sessionize", "agg_count_min", "llm_knn_join",
     "join_bloom_prefilter", "ts_fill_forward", "merge_scd2",

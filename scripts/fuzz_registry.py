@@ -37,15 +37,16 @@ ts ties — 30% zero-increment rows stress the (ts, event_id) island
 tie-break; llm_rank_fusion with the planted near-identical vectors
 dominating the cosine arm and a lexically-degenerate BM25 arm).
 
-Round-10: seeds 257/263 clean 240/240 — first sweep covering the four
-round-10 operators (ts_holt_winters over irregular fuzz hour grids —
-zero-filled slots inside the 48-lag frame and milli-unit band
-boundaries; llm_line_boilerplate with the fuzz corpus's empty and
-sub-tile-length docs plus planted exact-dup blocks; llm_eval_ndcg on
-random labels — sparse grade multisets exercise the prefix-sum ideal
-and the idcg=0 NULL guard; llm_mmr_rerank's all-BIGINT greedy over a
-fused list whose arms disagree) and the NULL-sentinel llm_rank_fusion
-restamp.
+Round-10: seeds 257/263 clean 240/240, re-run clean 241/241 after the
+fifth addition — sweeps covering the five round-10 operators
+(ts_holt_winters over irregular fuzz hour grids — zero-filled slots
+inside the 48-lag frame and milli-unit band boundaries;
+llm_line_boilerplate with the fuzz corpus's empty and sub-tile-length
+docs plus planted exact-dup blocks; llm_eval_ndcg on random labels —
+sparse grade multisets exercise the prefix-sum ideal and the idcg=0
+NULL guard; llm_mmr_rerank's all-BIGINT greedy over a fused list whose
+arms disagree; llm_eval_calibration's zero-marker uniform-prior bin)
+and the NULL-sentinel llm_rank_fusion restamp.
 
 Round-7: the malformed-MEDIA payload family (truncated headers, wrong
 magic, hostile GIF length bytes, oversized declared dims) lives in

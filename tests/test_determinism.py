@@ -87,6 +87,7 @@ FLOAT_HEAVY = [
     "llm_eval_ndcg",
     "llm_line_boilerplate",
     "llm_mmr_rerank",
+    "llm_eval_calibration",
     "llm_chunk_rank",
     "llm_preference_pairs",
     "join_interval_overlap",

@@ -57,9 +57,9 @@ def test_sweep_window_pins_stalest_stamps():
     front of ``_SWEEP_ORDER`` is load-bearing: it must hold exactly the
     keys with the oldest (or missing) driver CORRECTNESS stamps. This
     pins the round-10 window contents (VERDICT r9 ask #2: the 36
-    remaining r4-stamped keys, then the four round-10 additions, then
+    remaining r4-stamped keys, then the five round-10 additions, then
     llm_rank_fusion — r9-stamped but changed by the NULL-sentinel fix —
-    then the 9 oldest r6-stamped keys) — regenerate the expectation
+    then the 8 oldest r6-stamped keys) — regenerate the expectation
     alongside any ``_SWEEP_ORDER`` rotation."""
     from hive3_replication_spark.registry import _SWEEP_ORDER
 
@@ -82,21 +82,20 @@ def test_sweep_window_pins_stalest_stamps():
         "llm_sample_temperature", "udf_grouped_agg", "llm_mix_sources",
     }
     assert r4 <= set(window), sorted(r4 - set(window))
-    # the four round-10 additions have no driver stamp yet, and
+    # the five round-10 additions have no driver stamp yet, and
     # llm_rank_fusion's engine+oracle changed (0 → NULL absent-arm rank
-    # sentinel) — all five must ride this window
+    # sentinel) — all six must ride this window
     new_r10 = {
         "ts_holt_winters", "llm_line_boilerplate", "llm_eval_ndcg",
-        "llm_mmr_rerank", "llm_rank_fusion",
+        "llm_mmr_rerank", "llm_eval_calibration", "llm_rank_fusion",
     }
     assert new_r10 <= set(window), sorted(new_r10 - set(window))
-    # the remaining 9 slots are exactly the OLDEST r6-stamped keys
+    # the remaining 8 slots are exactly the OLDEST r6-stamped keys
     # (profiled cheapest-first order within the r6 block)
     r6_oldest = {
         "llm_similarity_topk", "llm_text_entropy", "udf_table_udtf",
         "ts_retention_cohort", "udf_table", "llm_doc_embed_hash",
         "scan_schema_evolution", "llm_vocab_coverage",
-        "win_distinct_running",
     }
     rest = set(window) - r4 - new_r10
     assert rest == r6_oldest, sorted(rest ^ r6_oldest)

@@ -742,6 +742,21 @@ def test_interval_overlap_bucket_equijoin_no_theta(spark):
     assert plan.count("FileScan") == 2, plan
 
 
+def test_eval_calibration_one_agg_bounded_window(spark):
+    """llm_eval_calibration (round-10 L36): prediction/confidence are
+    narrow codegen over ONE corpus scan; one hash agg to ≤10 bin rows;
+    the ECE total is a window over those rows (bounded by construction)
+    — never a second corpus pass or a join-back."""
+    from hive3_replication_spark.llm.text import llm_eval_calibration
+
+    plan = _plan(llm_eval_calibration(spark, SF_DIR), "simple")
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert plan.count("FileScan") == 1, plan
+    for join in ("BroadcastHashJoin", "SortMergeJoin", "ShuffledHashJoin",
+                 "CartesianProduct", "BroadcastNestedLoopJoin"):
+        assert join not in plan, (join, plan)
+
+
 def test_eval_ndcg_single_query_exchange(spark):
     """llm_eval_ndcg (round-10 L34): queries broadcast against the
     corpus; ONE (q_id) exchange serves both the rank window and the

@@ -572,6 +572,69 @@ def test_mmr_rerank_matches_python_twin(spark):
     assert got.doc_id.tolist() != pure_rel
 
 
+def test_eval_calibration_matches_python_twin(spark):
+    """L36 replayed in pure python integers: marker counts, argmax
+    prediction, exact rational confidence, binning, per-bin gaps, and
+    the textbook ECE = Σ (n_b/N)·|acc_b − conf̄_b| — the python twin
+    computes it as the exact integer numerator Σ|k·1e6 − Σconf| // N
+    and every output cell must match. Sanity: bins partition the corpus
+    and the heuristic's ECE is materially nonzero on the fixture (its
+    confidence is NOT trustworthy — which is the point of the metric)."""
+    import pyarrow.parquet as pq
+
+    from hive3_replication_spark.llm.text import (
+        _CAL_BINS,
+        _CAL_PRIOR,
+        _CAL_SCALE,
+        llm_eval_calibration,
+    )
+
+    got = (
+        llm_eval_calibration(spark, SF_DIR)
+        .toPandas()
+        .sort_values("bin")
+        .reset_index(drop=True)
+    )
+    docs = pq.read_table(f"{SF_DIR}/documents.parquet").to_pandas()
+    bins: dict[int, list[tuple[int, int]]] = {}
+    for _, r in docs.iterrows():
+        t = r.text
+        n_the = (len(t) - len(t.replace("the", ""))) // 3
+        n_data = (len(t) - len(t.replace("data", ""))) // 4
+        n_spark = (len(t) - len(t.replace("spark", ""))) // 5
+        if n_the >= n_data and n_the >= n_spark:
+            pred = "en"
+        elif n_data >= n_spark:
+            pred = "de"
+        else:
+            pred = "zh"
+        total = n_the + n_data + n_spark
+        conf = (
+            max(n_the, n_data, n_spark) * _CAL_SCALE // total
+            if total > 0
+            else _CAL_PRIOR
+        )
+        b = min(conf // (_CAL_SCALE // _CAL_BINS), _CAL_BINS - 1)
+        bins.setdefault(b, []).append((int(pred == r.lang), conf))
+    gap_total = sum(
+        abs(sum(c for c, _ in rows) * _CAL_SCALE - sum(x for _, x in rows))
+        for rows in bins.values()
+    )
+    ece = gap_total // len(docs)
+    assert got.n.sum() == len(docs)
+    assert set(got.bin) == set(bins)
+    for _, row in got.iterrows():
+        rows = bins[int(row.bin)]
+        n, k = len(rows), sum(c for c, _ in rows)
+        csum = sum(x for _, x in rows)
+        assert row.n == n and row.n_correct == k
+        assert row.acc_micro == k * _CAL_SCALE // n
+        assert row.avg_conf_micro == csum // n
+        assert row.gap_micro == abs(k * _CAL_SCALE - csum) // n
+        assert row.ece_micro == ece
+    assert got.ece_micro.iloc[0] > 10_000  # materially miscalibrated
+
+
 def test_eval_ndcg_matches_python_twin(spark):
     """L34 replayed in pure python: cosine ranking per query (sequential
     index-order dot products matching the engines), label-distance

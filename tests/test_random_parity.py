@@ -48,6 +48,9 @@ KEYS = (
     # round-10: the line filter's empty-text / sub-tile-length / exact-dup
     # paths only exist on random corpora — the fixture has none of them
     "llm_line_boilerplate",
+    # round-10: ECE with the zero-marker uniform-prior path (random docs
+    # with none of the three markers land in the prior bin)
+    "llm_eval_calibration",
 )
 
 _SEEDS = (7, 23)
