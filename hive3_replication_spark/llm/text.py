@@ -59,6 +59,44 @@ def _occurrences(col: F.Column, marker: str) -> F.Column:
     ).cast("bigint")
 
 
+def langid_exprs() -> tuple[F.Column, F.Column, F.Column, F.Column]:
+    """The ONE definition of the L4c lang-ID heuristic: marker counts
+    (n_the, n_data, n_spark) + the argmax ladder prediction. Shared by
+    ``llm_text_langid`` (which outputs it), ``llm_eval_confusion`` (via
+    composition), and ``llm_eval_calibration`` (which scores its
+    confidence) — the quality_score_expr convention: a tuned marker set
+    or tie ladder changes every consumer at once instead of letting the
+    evaluated copy drift from the deployed one."""
+    n_the = _occurrences(F.col("text"), "the")
+    n_data = _occurrences(F.col("text"), "data")
+    n_spark = _occurrences(F.col("text"), "spark")
+    pred = (
+        F.when((n_the >= n_data) & (n_the >= n_spark), "en")
+        .when(n_data >= n_spark, "de")
+        .otherwise("zh")
+    )
+    return n_the, n_data, n_spark, pred
+
+
+#: The matching single definition for DuckDB oracles: a CTE body
+#: computing (…, n_the, n_data, n_spark) over documents; callers add the
+#: ladder via ``_LANGID_PRED_SQL``.
+_LANGID_COUNTS_SQL = """
+            SELECT {cols}
+                   CAST((LENGTH(text) - LENGTH(REPLACE(text, 'the', ''))) / 3
+                        AS BIGINT) AS n_the,
+                   CAST((LENGTH(text) - LENGTH(REPLACE(text, 'data', ''))) / 4
+                        AS BIGINT) AS n_data,
+                   CAST((LENGTH(text) - LENGTH(REPLACE(text, 'spark', ''))) / 5
+                        AS BIGINT) AS n_spark
+            FROM documents
+"""
+_LANGID_PRED_SQL = """CASE WHEN n_the >= n_data AND n_the >= n_spark
+                           THEN 'en'
+                           WHEN n_data >= n_spark THEN 'de'
+                           ELSE 'zh' END"""
+
+
 def llm_text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Language-ID heuristic: marker-token frequencies + argmax ladder.
 
@@ -69,14 +107,7 @@ def llm_text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     plan shape.
     """
     documents = load_table(spark, sf_dir, "documents")
-    n_the = _occurrences(F.col("text"), "the")
-    n_data = _occurrences(F.col("text"), "data")
-    n_spark = _occurrences(F.col("text"), "spark")
-    pred = (
-        F.when((n_the >= n_data) & (n_the >= n_spark), "en")
-        .when(n_data >= n_spark, "de")
-        .otherwise("zh")
-    )
+    n_the, n_data, n_spark, pred = langid_exprs()
     return documents.select(
         "doc_id",
         n_the.alias("n_the"),
@@ -583,16 +614,15 @@ def llm_eval_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     join-back. Output: one row per non-empty bin, the corpus-wide
     ece_micro repeated on each (it is the Σ over a 10-row relation)."""
     documents = load_table(spark, sf_dir, "documents")
-    n_the = _occurrences(F.col("text"), "the")
-    n_data = _occurrences(F.col("text"), "data")
-    n_spark = _occurrences(F.col("text"), "spark")
-    pred = (
-        F.when((n_the >= n_data) & (n_the >= n_spark), "en")
-        .when(n_data >= n_spark, "de")
-        .otherwise("zh")
-    )
+    n_the, n_data, n_spark, pred = langid_exprs()
     staged = documents.select(
-        (pred == F.col("lang")).cast("bigint").alias("correct"),
+        # coalesce: a NULL gold label must score INCORRECT (0) exactly
+        # like the oracle's CASE, not propagate NULL into the bin sums
+        # (round-10 review: Spark's NULL-skipping SUM would silently
+        # drop that bin's gap from the ECE while DuckDB counts it)
+        F.coalesce(
+            (pred == F.col("lang")).cast("bigint"), F.lit(0)
+        ).alias("correct"),
         F.greatest(n_the, n_data, n_spark).alias("best"),
         (n_the + n_data + n_spark).alias("total"),
     ).select(
@@ -1287,18 +1317,12 @@ ORACLES: dict[str, str] = {
                CAST(SUM(n_chars) AS DOUBLE) / COUNT(*) AS avg_chars
         FROM documents GROUP BY lang, source
     """,
-    "llm_text_langid": """
+    "llm_text_langid": f"""
         WITH c AS (
-            SELECT doc_id,
-                   CAST((LENGTH(text) - LENGTH(REPLACE(text, 'the', ''))) / 3 AS BIGINT) AS n_the,
-                   CAST((LENGTH(text) - LENGTH(REPLACE(text, 'data', ''))) / 4 AS BIGINT) AS n_data,
-                   CAST((LENGTH(text) - LENGTH(REPLACE(text, 'spark', ''))) / 5 AS BIGINT) AS n_spark
-            FROM documents
+            {_LANGID_COUNTS_SQL.format(cols="doc_id,")}
         )
         SELECT doc_id, n_the, n_data, n_spark,
-               CASE WHEN n_the >= n_data AND n_the >= n_spark THEN 'en'
-                    WHEN n_data >= n_spark THEN 'de'
-                    ELSE 'zh' END AS pred_lang
+               {_LANGID_PRED_SQL} AS pred_lang
         FROM c
     """,
     "llm_text_quality": """
@@ -1374,20 +1398,10 @@ ORACLES["llm_text_redact"] = """
 
 ORACLES["llm_eval_calibration"] = f"""
     WITH c AS (
-        SELECT lang,
-               CAST((LENGTH(text) - LENGTH(REPLACE(text, 'the', ''))) / 3
-                    AS BIGINT) AS n_the,
-               CAST((LENGTH(text) - LENGTH(REPLACE(text, 'data', ''))) / 4
-                    AS BIGINT) AS n_data,
-               CAST((LENGTH(text) - LENGTH(REPLACE(text, 'spark', ''))) / 5
-                    AS BIGINT) AS n_spark
-        FROM documents
+        {_LANGID_COUNTS_SQL.format(cols="lang,")}
     ),
     p AS (
-        SELECT CASE WHEN (CASE WHEN n_the >= n_data AND n_the >= n_spark
-                               THEN 'en'
-                               WHEN n_data >= n_spark THEN 'de'
-                               ELSE 'zh' END) = lang
+        SELECT CASE WHEN ({_LANGID_PRED_SQL}) = lang
                     THEN 1 ELSE 0 END AS correct,
                CASE WHEN n_the + n_data + n_spark > 0
                     THEN GREATEST(n_the, n_data, n_spark) * {_CAL_SCALE}

@@ -559,3 +559,37 @@ def test_degenerate_boilerplate_corpus(spark, tmp_path_factory):
     # the 200-clique enumerates completely (bucket of 200 < the 1000 cap)
     clear_caches()
     assert q["llm_dedup_minhash"](spark, out).count() >= 200 * 199 // 2
+
+
+def test_calibration_null_gold_labels(spark, tmp_path_factory):
+    """Round-10 review regression: a NULL gold ``lang`` must score
+    INCORRECT (0) identically in both engines — Spark's raw
+    ``(pred == lang)`` yields NULL, whose NULL-skipping SUM would
+    silently drop the bin's gap from the ECE while DuckDB's CASE counts
+    it. No standard corpus (fixture, random, fuzz) emits NULL lang, so
+    this plants one corpus that is ~half NULL-labeled."""
+    rows = []
+    for d in range(60):
+        text = ("the data spark", "data data x", "spark only w")[d % 3]
+        rows.append((d, text, None if d % 2 == 0 else "en"))
+    pdf = pd.DataFrame(rows, columns=["doc_id", "text", "lang"])
+    pdf["source"] = ["web"] * len(pdf)
+    pdf["n_chars"] = pdf.text.str.len().astype("int64")
+    out = str(tmp_path_factory.mktemp("nulllang"))
+    spark.createDataFrame(pdf).coalesce(1).write.parquet(
+        f"{out}/documents.parquet"
+    )
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"'{out}/documents.parquet/*.parquet'"
+    )
+    from hive3_replication_spark.registry import build_oracles, build_queries
+
+    key = "llm_eval_calibration"
+    spark_pdf = build_queries()[key](spark, out).toPandas()
+    oracle_pdf = con.sql(build_oracles()[key]).df()
+    assert_frames_match(spark_pdf, oracle_pdf, f"{key}@null-gold")
+    # every NULL-labeled doc counted as incorrect, none dropped
+    assert spark_pdf.n.sum() == 60
+    assert spark_pdf.n_correct.sum() <= 30
