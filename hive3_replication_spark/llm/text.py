@@ -505,28 +505,46 @@ def llm_line_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
     does not cover: L2* drops whole near-duplicate DOCUMENTS; this strips
     duplicated LINES from otherwise-unique documents.
 
-    Scale shape (the llm_text_bigrams lesson applied): tiling is a narrow
-    higher-order expression over the once-materialized token array; the
-    corpus-wide line frequency is a COUNT(*) window over the line key —
-    the job's one inherent corpus shuffle — and the reassembly groupBy on
-    doc_id is the second; nothing is ever joined back to the corpus and
-    no relation is referenced from two branches (single-DAG discipline).
-    Exactly 2 hashpartitioning exchanges at any corpus size, plan-gated.
-    All arithmetic is integer/string — bit-identical across engines."""
+    Scale shape (the llm_text_bigrams lesson + the dedup family's
+    skew discipline): tiling is a narrow higher-order expression over
+    the once-materialized token array. The corpus-wide line frequency
+    deliberately runs as a groupBy, NOT a window: boilerplate lines are
+    HOT by definition (a cookie banner occurring 10⁹ times at 100 TB),
+    and ``COUNT(*) OVER (PARTITION BY line)`` would funnel every copy of
+    the hot line into one window partition — a skew bomb — while the
+    hash agg partially aggregates map-side, collapsing each hot line to
+    one row per input partition before the exchange. The frequent-line
+    relation that survives the ≥ threshold filter is SMALL (bounded by
+    |corpus lines| / threshold), so the drop step is a left join against
+    it (AQE picks broadcast when it fits, the common case); the cost is
+    a second narrow scan of the corpus — the standard two-pass C4 shape.
+    Exchanges: the line-key agg and the doc reassembly (plus the join's,
+    only if the frequent set ever outgrows broadcast). All arithmetic is
+    integer/string — bit-identical across engines."""
     documents = load_table(spark, sf_dir, "documents")
-    toked = documents.select(
-        "doc_id",
-        F.explode(F.array(F.split(F.col("text"), " "))).alias("toks"),
+
+    def lines_rel() -> DataFrame:
+        toked = documents.select(
+            "doc_id",
+            F.explode(F.array(F.split(F.col("text"), " "))).alias("toks"),
+        )
+        tiles = F.expr(
+            f"transform(sequence(0,"
+            f" (size(toks) + {_BP_W - 1}) DIV {_BP_W} - 1),"
+            f" i -> array_join(slice(toks, i * {_BP_W} + 1, {_BP_W}), ' '))"
+        )
+        return toked.select(
+            "doc_id", F.posexplode(tiles).alias("line_idx", "line")
+        )
+
+    boiler = (
+        lines_rel()
+        .groupBy("line")
+        .agg(F.count("*").alias("occ"))
+        .filter(F.col("occ") >= _BP_T)
+        .select("line", F.lit(True).alias("is_boiler"))
     )
-    tiles = F.expr(
-        f"transform(sequence(0, (size(toks) + {_BP_W - 1}) DIV {_BP_W} - 1),"
-        f" i -> array_join(slice(toks, i * {_BP_W} + 1, {_BP_W}), ' '))"
-    )
-    lines = toked.select(
-        "doc_id", F.posexplode(tiles).alias("line_idx", "line")
-    )
-    w_line = Window.partitionBy("line")
-    flagged = lines.withColumn("occ", F.count("*").over(w_line))
+    flagged = lines_rel().join(boiler, "line", "left")
     kept = F.expr(
         "transform(array_sort(kept_pairs), p -> p.line)"
     )
@@ -534,10 +552,12 @@ def llm_line_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
         flagged.groupBy("doc_id")
         .agg(
             F.count("*").alias("n_lines"),
-            F.sum((F.col("occ") >= _BP_T).cast("bigint")).alias("n_dropped"),
+            F.sum(
+                F.coalesce(F.col("is_boiler"), F.lit(False)).cast("bigint")
+            ).alias("n_dropped"),
             F.collect_list(
                 F.when(
-                    F.col("occ") < _BP_T,
+                    F.col("is_boiler").isNull(),
                     F.struct(
                         F.col("line_idx").alias("line_idx"),
                         F.col("line").alias("line"),

@@ -678,19 +678,24 @@ def test_holt_winters_one_stream_exchange(spark):
     assert "SortMergeJoin" not in plan, plan
 
 
-def test_line_boilerplate_two_exchanges_one_scan(spark):
-    """llm_line_boilerplate (round-10 L33): tiling is narrow over the
-    once-materialized token array; the line-frequency window is the job's
-    one inherent corpus shuffle and the doc reassembly groupBy the
-    second. ONE corpus scan (no relation referenced from two branches),
-    exactly 2 hashpartitioning exchanges, no join anywhere."""
+def test_line_boilerplate_skew_safe_groupby(spark):
+    """llm_line_boilerplate (round-10 L33): the line frequency runs as a
+    partially-aggregated groupBy, NEVER a window — boilerplate lines are
+    hot by definition, and a (PARTITION BY line) window would funnel a
+    10⁹-copy cookie banner into one window partition. The ≥T frequent
+    set is small, so the drop step broadcasts it against the second
+    narrow corpus pass (the two-pass C4 shape): exactly 2
+    hashpartitioning exchanges (line agg + doc reassembly), 2 scans,
+    one broadcast left join, no window node, no cartesian."""
     from hive3_replication_spark.llm.text import llm_line_boilerplate
 
     plan = _plan(llm_line_boilerplate(spark, SF_DIR), "simple")
     assert plan.count("Exchange hashpartitioning") == 2, plan
-    assert plan.count("FileScan") == 1, plan
-    for join in ("BroadcastHashJoin", "SortMergeJoin", "ShuffledHashJoin",
-                 "CartesianProduct", "BroadcastNestedLoopJoin"):
+    assert plan.count("FileScan") == 2, plan
+    assert plan.count("BroadcastHashJoin") == 1, plan
+    assert "Window" not in plan, plan
+    for join in ("SortMergeJoin", "CartesianProduct",
+                 "BroadcastNestedLoopJoin"):
         assert join not in plan, (join, plan)
 
 
