@@ -46,7 +46,9 @@ docs plus planted exact-dup blocks; llm_eval_ndcg on random labels —
 sparse grade multisets exercise the prefix-sum ideal and the idcg=0
 NULL guard; llm_mmr_rerank's all-BIGINT greedy over a fused list whose
 arms disagree; llm_eval_calibration's zero-marker uniform-prior bin)
-and the NULL-sentinel llm_rank_fusion restamp.
+and the NULL-sentinel llm_rank_fusion restamp. Bonus seed 269 clean
+241/241 after the L33 skew redesign and the L36 NULL-gold fix. Next
+primes: 271, 277.
 
 Round-7: the malformed-MEDIA payload family (truncated headers, wrong
 magic, hostile GIF length bytes, oversized declared dims) lives in
