@@ -181,9 +181,12 @@ def clear_caches(strategy_memo: bool = True) -> None:
     probe scan to every agg_weighted_median measurement — the exact
     per-pass contamination the round-9 memoization removed."""
     if strategy_memo:
-        from ..operators.aggregates import _WM_STRATEGY_CACHE
+        # generation-bumping clear: an A26 probe in flight across this
+        # call cannot re-install its (stale-dataset) result afterwards
+        # (ADVICE r10 — plain dict.clear left that interleaving open)
+        from ..operators.aggregates import _wm_strategy_clear
 
-        _WM_STRATEGY_CACHE.clear()
+        _wm_strategy_clear()
     with _PAIR_LOCK:
         for df in _CACHES.values():
             df.unpersist(blocking=False)

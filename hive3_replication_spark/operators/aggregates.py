@@ -14,6 +14,8 @@ exactly what a 100 TB deployment needs for reproducible pipelines.
 
 from __future__ import annotations
 
+import threading
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -26,13 +28,26 @@ def _dec_sum(col: str) -> F.Column:
 
 #: Per-process memo of the A26 auto-strategy probe result per sf_dir —
 #: the probe is an eager scan and the fixture's cardinality is stable.
-#: Concurrency contract (ADVICE r9): writers use dict.setdefault AFTER
-#: probing, so racing first callers at most duplicate the cheap probe
-#: scan and then agree on the first-stored value; a dataset REPLACED at
-#: the same path within a process needs ``llm.dedup.clear_caches()``,
-#: which drops this memo alongside the corpus-keyed dedup memos (the
-#: one cache-invalidation seam benchmarks already call between passes).
+#: Concurrency contract (ADVICE r9/r10): reads and installs run under
+#: ``_WM_STRATEGY_LOCK`` with a generation stamp — a probe that was in
+#: flight when ``llm.dedup.clear_caches()`` invalidated the memo sees
+#: the generation bump and does NOT install its (possibly stale-dataset)
+#: result, so clear-then-reinstall can no longer resurrect a stale plan
+#: choice. Racing first callers at most duplicate the cheap probe scan.
+#: The lock is never held across the probe itself (an eager Spark scan).
 _WM_STRATEGY_CACHE: dict[str, str] = {}
+_WM_STRATEGY_LOCK = threading.Lock()
+_WM_STRATEGY_GEN = 0
+
+
+def _wm_strategy_clear() -> None:
+    """Invalidate the A26 strategy memo (the ``clear_caches`` seam).
+    Bumps the generation under the lock so an in-flight probe started
+    against the replaced dataset cannot re-install its stale result."""
+    global _WM_STRATEGY_GEN
+    with _WM_STRATEGY_LOCK:
+        _WM_STRATEGY_GEN += 1
+        _WM_STRATEGY_CACHE.clear()
 
 
 def agg_max_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -942,15 +957,23 @@ def agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .skew import weighted_median, weighted_median_strategy
 
     li = load_table(spark, sf_dir, "lineitem")
-    strategy = _WM_STRATEGY_CACHE.get(sf_dir)
+    with _WM_STRATEGY_LOCK:
+        strategy = _WM_STRATEGY_CACHE.get(sf_dir)
+        gen = _WM_STRATEGY_GEN
     if strategy is None:
-        # setdefault AFTER the probe: concurrent first callers duplicate
-        # only the cheap probe scan, then converge on one stored value
-        # (the dict itself is GIL-atomic; no torn state is possible).
-        strategy = _WM_STRATEGY_CACHE.setdefault(
-            sf_dir,
-            weighted_median_strategy(li, "l_returnflag", "l_extendedprice"),
+        # probe OUTSIDE the lock (eager scan), install under it only if
+        # no clear_caches() ran meanwhile — a probe racing an
+        # invalidation must not re-install a result read from the
+        # replaced dataset (ADVICE r10). Concurrent first callers at
+        # most duplicate the probe scan, then converge on one value.
+        probed = weighted_median_strategy(
+            li, "l_returnflag", "l_extendedprice"
         )
+        with _WM_STRATEGY_LOCK:
+            if _WM_STRATEGY_GEN == gen:
+                strategy = _WM_STRATEGY_CACHE.setdefault(sf_dir, probed)
+            else:
+                strategy = probed  # use fresh result; leave memo cleared
     return weighted_median(
         li, "l_returnflag", "l_extendedprice", "l_quantity",
         strategy=strategy,

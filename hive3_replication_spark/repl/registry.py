@@ -106,8 +106,14 @@ class RunLock:
                         # clear a fresh live-pid marker, so without this
                         # reclaim every claimer would burn its retries
                         # against a ghost (round-10 race find: the
-                        # all-lost livelock). It is ours; remove and retry.
-                        shutil.rmtree(marker, ignore_errors=True)
+                        # all-lost livelock). It is ours; reclaim and
+                        # retry — via the rename-aside-frozen idiom, not
+                        # a bare rmtree (ADVICE r10: between this token
+                        # read and the rmtree, a racing clearer can
+                        # displace the ghost and a THIRD claimer create
+                        # a fresh LIVE marker here, which the rmtree
+                        # would then delete).
+                        self._reclaim_own_marker(marker, my_tokens)
                         continue
                     claimer = self._marker_pid(marker)
                     try:
@@ -264,6 +270,34 @@ class RunLock:
             return (marker / "pid").read_text()
         except OSError:
             return None
+
+    @staticmethod
+    def _reclaim_own_marker(marker: Path, my_tokens: set[str]) -> None:
+        """Remove OUR abandoned ghost marker WITHOUT a check-then-rmtree
+        race (ADVICE r10): atomically rename it aside (after the rename
+        nobody else can swap the dir), re-validate that the frozen copy's
+        token really is one of ours, and only then delete it. A frozen
+        copy that turns out to be another claimer's fresh marker (the
+        ghost was displaced and the path re-used between the caller's
+        token read and our rename) is renamed back; if ITS path was
+        re-occupied meanwhile, the copy is dropped — the displaced
+        claimer self-aborts via its token re-checks, so dropping the
+        copy cannot enable a second concurrent takeover (same restore
+        contract as ``_clear_marker_frozen``)."""
+        reclaim = marker.with_name(
+            f"{marker.name}.reclaim-{os.getpid()}-{time.monotonic_ns()}"
+        )
+        try:
+            os.rename(marker, reclaim)
+        except OSError:
+            return  # already displaced by a racing clearer; retry
+        if RunLock._marker_token(reclaim) in my_tokens:
+            shutil.rmtree(reclaim, ignore_errors=True)
+            return
+        try:
+            os.rename(reclaim, marker)
+        except OSError:
+            shutil.rmtree(reclaim, ignore_errors=True)
 
     @staticmethod
     def _clear_marker_frozen(marker: Path) -> None:

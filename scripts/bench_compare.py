@@ -98,7 +98,7 @@ def diff_contention(old: dict, new: dict, threshold: float) -> list[str]:
             continue
         ow, nw = o.get("wall_s"), n.get("wall_s")
         oc, nc = o.get("jvm_cpu_s"), n.get("jvm_cpu_s")
-        if not ow or oc is None or nc is None:
+        if not ow or nw is None or oc is None or nc is None:
             lines.append(f"  ? {block}: fingerprint incomplete")
             continue
         dw = (nw - ow) / ow

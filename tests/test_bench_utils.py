@@ -158,3 +158,10 @@ def test_bench_compare_cpu_classification():
     broken["contention"] = {"headline_pass_1": {"wall_s": 50.0}}
     incomplete = diff_contention(broken, base, 0.2)
     assert any("incomplete" in ln for ln in incomplete), incomplete
+    # ... and the same when the NEW side is the incomplete one (ADVICE
+    # r10: a new-file block with jvm_cpu_s but no wall_s raised TypeError
+    # at the wall ratio instead of reporting the incomplete fingerprint)
+    broken_new = dict(base)
+    broken_new["contention"] = {"headline_pass_1": {"jvm_cpu_s": 200.0}}
+    incomplete_new = diff_contention(base, broken_new, 0.2)
+    assert any("incomplete" in ln for ln in incomplete_new), incomplete_new

@@ -388,6 +388,77 @@ def test_holt_winters_matches_recursion_twin(spark):
     assert 0 < got.is_outlier.sum() < 0.05 * len(got)
 
 
+def test_holt_winters_band_bound_edge(spark):
+    """TS20 bound gate (VERDICT r10 ask #4): the documented DECIMAL(38,0)
+    capacity claim — m ≤ 1e6 interior hours per stream, |residual| ≤ 1e9
+    (so |e_q| ≤ 1e12) — exercised AT the edge through Spark's own decimal
+    engine with the band's exact expression shapes. At the edge every
+    intermediate ((m·e_q − S1)² ≤ 4e36, 9·(m·S2 − S1²) ≤ 1.8e37) must fit
+    DECIMAL(38,0): an overflow would surface as NULL (non-ANSI) or raise
+    (ANSI), so the assertion that both the boolean and its inputs are
+    non-NULL and equal the exact Python-int evaluation IS the capacity
+    proof, in the A18/A27 bracket style."""
+    from decimal import Decimal
+
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import (
+        DecimalType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    m_edge = 10**6  # 114 years of hourly rows per stream
+    eq_edge = 10**12  # |resid| = 1e9 at milli-unit quantization
+    s1_edge = m_edge * eq_edge  # |S1| maximal when every e_q is extreme
+    s2_edge = m_edge * eq_edge**2  # S2 = Σe_q² at the same extreme
+    rows = [
+        # (m, e_q, s1, s2) — all four corners of the bound box, with s1
+        # signed AGAINST e_q so |m·e_q − S1| is maximal (2e18)
+        (m_edge, eq_edge, -s1_edge, s2_edge),
+        (m_edge, -eq_edge, s1_edge, s2_edge),
+        (m_edge, eq_edge, s1_edge, s2_edge),
+        (m_edge, -eq_edge, -s1_edge, s2_edge),
+    ]
+    schema = StructType(
+        [
+            StructField("m", LongType()),
+            StructField("e_q", LongType()),
+            StructField("s1", DecimalType(38, 0)),
+            StructField("s2", DecimalType(38, 0)),
+        ]
+    )
+    df = spark.createDataFrame(
+        [(m, e, Decimal(s1), Decimal(s2)) for m, e, s1, s2 in rows], schema
+    )
+    # character-identical expression shapes to ts_holt_winters
+    lhs = F.col("m") * F.col("e_q").cast("decimal(19,0)") - F.col("s1")
+    rhs = F.col("m") * F.col("s2") - F.col("s1") * F.col("s1")
+    got = df.select(
+        "m",
+        "e_q",
+        "s1",
+        "s2",
+        (lhs * lhs).alias("lhs_sq"),
+        (F.lit(9).cast("decimal(19,0)") * rhs).alias("rhs_9"),
+        (lhs * lhs > F.lit(9).cast("decimal(19,0)") * rhs).alias(
+            "is_outlier"
+        ),
+    ).collect()
+    assert len(got) == len(rows)
+    for r in got:
+        m, e_q, s1, s2 = r["m"], r["e_q"], int(r["s1"]), int(r["s2"])
+        lhs_exact = (m * e_q - s1) ** 2
+        rhs_exact = 9 * (m * s2 - s1 * s1)
+        assert r["lhs_sq"] is not None and r["rhs_9"] is not None, (
+            "decimal overflow inside the documented bound",
+            r,
+        )
+        assert int(r["lhs_sq"]) == lhs_exact, r
+        assert int(r["rhs_9"]) == rhs_exact, r
+        assert r["is_outlier"] == (lhs_exact > rhs_exact), r
+
+
 def test_interval_overlap_matches_pandas_twin(spark):
     """J17 replayed in pure pandas: independent sessionization of both
     relations (30-min user sessions, 5-min error bursts) and a plain

@@ -569,6 +569,124 @@ def test_marker_pid_reread_detects_swap(tmp_path, monkeypatch):
     )
 
 
+def test_reclaim_own_marker_frozen_validation(tmp_path, monkeypatch):
+    """ADVICE r10: the own-ghost-marker reclaim must rename-aside and
+    re-validate the frozen copy's token, never rmtree on a pre-read
+    token. Three branches: (a) the frozen copy IS ours — deleted;
+    (b) the frozen copy carries a FOREIGN token (the ghost was displaced
+    and the path re-used between the caller's read and the rename) —
+    restored intact; (c) foreign token AND the restore path re-occupied
+    — the copy is dropped, the occupier's marker survives."""
+    import os
+
+    from hive3_replication_spark.repl.registry import RunLock
+
+    marker = tmp_path / "dump.lock.takeover"
+
+    # (a) ours → reclaimed
+    marker.mkdir()
+    (marker / "pid").write_text("123\nghost-token")
+    RunLock._reclaim_own_marker(marker, {"123\nghost-token"})
+    assert not marker.exists()
+    assert not list(tmp_path.glob("*.reclaim-*")), "frozen copy leaked"
+
+    # (b) foreign → restored with its token intact
+    marker.mkdir()
+    (marker / "pid").write_text("456\nlive-claimer-token")
+    RunLock._reclaim_own_marker(marker, {"123\nghost-token"})
+    assert marker.exists()
+    assert (marker / "pid").read_text() == "456\nlive-claimer-token"
+    assert not list(tmp_path.glob("*.reclaim-*"))
+
+    # (c) foreign + restore blocked (path re-occupied while frozen):
+    # the copy is dropped, the occupier's marker is untouched
+    real_rename = os.rename
+    occupied = {"done": False}
+
+    def rename_and_occupy(src, dst):
+        real_rename(src, dst)
+        if not occupied["done"]:
+            occupied["done"] = True
+            marker.mkdir()  # a third claimer re-creates the marker
+            (marker / "pid").write_text("789\noccupier-token")
+
+    monkeypatch.setattr(os, "rename", rename_and_occupy)
+    RunLock._reclaim_own_marker(marker, {"123\nghost-token"})
+    monkeypatch.undo()
+    assert (marker / "pid").read_text() == "789\noccupier-token", (
+        "occupier's live marker must survive the blocked restore"
+    )
+    assert not list(tmp_path.glob("*.reclaim-*")), "frozen copy leaked"
+
+
+def test_marker_zero_backstop_race_single_winner(tmp_path, monkeypatch):
+    """Round-11 race target (VERDICT r10 ask #7): the takeover race at an
+    adversarial ZERO-second recycled-pid backstop — every claimer's fresh
+    marker reads as backstop-stale to every other claimer, so all of them
+    route through _clear_marker_frozen against each other's LIVE markers
+    every retry. The freshness re-check inside the frozen clear (live pid
+    + mtime within grace → restore untouched) is the only thing standing
+    between this configuration and a marker-steal double acquire; 10 reps
+    must elect exactly one winner each with no frozen-copy debris."""
+    import os
+
+    from hive3_replication_spark.repl import registry as reg
+
+    monkeypatch.setattr(reg, "_MARKER_MAX_AGE_S", 0.0)
+    for rep in range(10):
+        base = tmp_path / f"rep{rep}"
+        base.mkdir()
+        stale = RunLock(base, "dump")
+        stale.path.mkdir(parents=True)
+        (stale.path / "pid").write_text("999999999")  # dead lock owner
+
+        results = _race_acquire(base, 8)
+        assert results.count("won") == 1, (rep, results)
+        assert (stale.path / "pid").read_text() == str(os.getpid())
+        RunLock(base, "dump").release()
+        assert not stale.path.exists()
+        debris = [
+            p.name
+            for p in base.glob("*")
+            if ".reclaim-" in p.name or ".clear-" in p.name
+            or ".stale-" in p.name
+        ]
+        assert not debris, (rep, debris)
+
+
+def test_token_format_marker_backstop_race(tmp_path):
+    """Round-11 race target (VERDICT r10 ask #7, thread-token format):
+    the recycled-pid-backstop race seeded with a marker in the TWO-LINE
+    token format the round-10 code writes (pid + thread-token second
+    line) — the staleness parsers must read the pid off line one and the
+    clear/takeover paths must behave exactly as with a bare-pid marker.
+    10 reps, exactly one winner each."""
+    import os
+    import time
+
+    from hive3_replication_spark.repl import registry as reg
+
+    for rep in range(10):
+        base = tmp_path / f"rep{rep}"
+        base.mkdir()
+        stale = RunLock(base, "dump")
+        stale.path.mkdir(parents=True)
+        (stale.path / "pid").write_text("999999999")  # dead lock owner
+        marker = stale.path.with_name(f"{stale.path.name}.takeover")
+        marker.mkdir()
+        # live pid, token format, ancient — the recycled-pid shape
+        (marker / "pid").write_text(f"{os.getpid()}\n12345:67890")
+        ancient = time.time() - reg._MARKER_MAX_AGE_S - 10
+        os.utime(marker, (ancient, ancient))
+
+        results = _race_acquire(base, 8)
+        assert results.count("won") == 1, (rep, results)
+        assert (stale.path / "pid").read_text() == str(os.getpid())
+        assert not marker.exists(), "winner must clear its own marker"
+        RunLock(base, "dump").release()
+        assert not stale.path.exists()
+
+
 def test_local_path_uri_edge_cases():
     """ADVICE r8: _local_path must not claim a remote-authority file://
     URI as driver-local, and must treat colon-bearing scheme-less paths
