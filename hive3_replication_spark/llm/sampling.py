@@ -138,6 +138,65 @@ def llm_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def llm_pack_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L10b — packing quality report: per-shard efficiency and
+    fragmentation statistics over the L10 packed sequences (VERDICT r10
+    ask #3d — the op that makes the packing policy's cost VISIBLE before
+    a training run burns GPU-hours on padding). Per (shard, seq_no) the
+    fill is Σ n_tokens; a sequence may legitimately overflow the budget
+    (the straddling document stays in the window where it started — L10's
+    documented greedy rule), so the report splits slack (padding the
+    trainer would waste) from overflow (tokens the tokenizer truncates).
+    efficiency_micro = total_tokens·1e6 DIV (n_seqs·budget) — all-BIGINT,
+    bit-identical on any engine/partitioning.
+
+    Plan shape: composes on L10's single (shard) exchange — both the
+    (shard, seq_no) roll-up and the per-shard agg are satisfied by the
+    existing hash partitioning (shard ⊆ both keys), so the whole report
+    adds ZERO exchanges to the packing plan."""
+    packed = llm_pack_sequences(spark, sf_dir)
+    per_seq = packed.groupBy("shard", "seq_no").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tokens").alias("used_tokens"),
+    )
+    return (
+        per_seq.groupBy("shard")
+        .agg(
+            F.count("*").alias("n_seqs"),
+            F.sum("n_docs").alias("n_docs"),
+            F.sum("used_tokens").alias("total_tokens"),
+            F.sum(
+                F.expr(
+                    f"CASE WHEN used_tokens < {_CTX_TOKENS}"
+                    f" THEN {_CTX_TOKENS} - used_tokens ELSE 0 END"
+                )
+            ).alias("slack_tokens"),
+            F.sum(
+                F.expr(
+                    f"CASE WHEN used_tokens > {_CTX_TOKENS}"
+                    f" THEN used_tokens - {_CTX_TOKENS} ELSE 0 END"
+                )
+            ).alias("overflow_tokens"),
+            F.max("used_tokens").alias("max_fill"),
+            F.min("used_tokens").alias("min_fill"),
+        )
+        .select(
+            "shard",
+            "n_seqs",
+            "n_docs",
+            "total_tokens",
+            "slack_tokens",
+            "overflow_tokens",
+            "max_fill",
+            "min_fill",
+            F.expr(
+                f"(total_tokens * 1000000)"
+                f" DIV (n_seqs * {_CTX_TOKENS})"
+            ).alias("efficiency_micro"),
+        )
+    )
+
+
 #: Chunking parameters: window W tokens with stride S (overlap W-S). Sized
 #: to the fixture's ~55-token docs so every doc yields 2-3 chunks; a
 #: production pipeline uses the model context (e.g. W=2048, S=1792) — the
@@ -531,6 +590,35 @@ def llm_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: The L10 packing relation as a DuckDB CTE chain ending in
+#: ``packed(doc_id, shard, n_tokens, seq_no, seq_offset_tokens)`` —
+#: shared verbatim by the llm_pack_sequences oracle and the L10b
+#: quality-report oracle (the report must grade the SAME packing, not a
+#: re-derivation).
+_PACK_ORACLE_CTES = f"""
+        staged AS (
+            SELECT doc_id,
+                   doc_id % {_PACK_SHARDS} AS shard,
+                   LEAST(CAST(LENGTH(string_split(text, ' ')) AS BIGINT),
+                         {_CTX_TOKENS}) AS n_tokens
+            FROM documents
+        ),
+        cum AS (
+            SELECT doc_id, shard, n_tokens,
+                   CAST(SUM(n_tokens) OVER (
+                       PARTITION BY shard ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ) AS BIGINT) AS cum_tokens
+            FROM staged
+        ),
+        packed AS (
+            SELECT doc_id, shard, n_tokens,
+                   (cum_tokens - n_tokens) // {_CTX_TOKENS} AS seq_no,
+                   cum_tokens - n_tokens AS seq_offset_tokens
+            FROM cum
+        )
+"""
+
 ORACLES: dict[str, str] = {
     "llm_curriculum_order": f"""
         WITH d AS (
@@ -629,25 +717,34 @@ ORACLES: dict[str, str] = {
               < keep_threshold
     """,
     "llm_pack_sequences": f"""
-        WITH staged AS (
-            SELECT doc_id,
-                   doc_id % {_PACK_SHARDS} AS shard,
-                   LEAST(CAST(LENGTH(string_split(text, ' ')) AS BIGINT),
-                         {_CTX_TOKENS}) AS n_tokens
-            FROM documents
-        ),
-        cum AS (
-            SELECT doc_id, shard, n_tokens,
-                   CAST(SUM(n_tokens) OVER (
-                       PARTITION BY shard ORDER BY doc_id
-                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
-                   ) AS BIGINT) AS cum_tokens
-            FROM staged
+        WITH {_PACK_ORACLE_CTES}
+        SELECT doc_id, shard, n_tokens, seq_no, seq_offset_tokens
+        FROM packed
+    """,
+    "llm_pack_quality": f"""
+        WITH {_PACK_ORACLE_CTES},
+        per_seq AS (
+            SELECT shard, seq_no,
+                   CAST(COUNT(*) AS BIGINT) AS n_docs,
+                   CAST(SUM(n_tokens) AS BIGINT) AS used_tokens
+            FROM packed GROUP BY shard, seq_no
         )
-        SELECT doc_id, shard, n_tokens,
-               (cum_tokens - n_tokens) // {_CTX_TOKENS} AS seq_no,
-               cum_tokens - n_tokens AS seq_offset_tokens
-        FROM cum
+        SELECT shard,
+               CAST(COUNT(*) AS BIGINT) AS n_seqs,
+               CAST(SUM(n_docs) AS BIGINT) AS n_docs,
+               CAST(SUM(used_tokens) AS BIGINT) AS total_tokens,
+               CAST(SUM(CASE WHEN used_tokens < {_CTX_TOKENS}
+                             THEN {_CTX_TOKENS} - used_tokens
+                             ELSE 0 END) AS BIGINT) AS slack_tokens,
+               CAST(SUM(CASE WHEN used_tokens > {_CTX_TOKENS}
+                             THEN used_tokens - {_CTX_TOKENS}
+                             ELSE 0 END) AS BIGINT) AS overflow_tokens,
+               CAST(MAX(used_tokens) AS BIGINT) AS max_fill,
+               CAST(MIN(used_tokens) AS BIGINT) AS min_fill,
+               CAST((SUM(used_tokens) * 1000000)
+                    // (COUNT(*) * {_CTX_TOKENS}) AS BIGINT)
+                   AS efficiency_micro
+        FROM per_seq GROUP BY shard
     """,
     "llm_importance_resample": f"""
         WITH scored AS (
@@ -753,6 +850,7 @@ QUERY_FNS = {
     "llm_preference_pairs": llm_preference_pairs,
     "llm_importance_resample": llm_importance_resample,
     "llm_pack_sequences": llm_pack_sequences,
+    "llm_pack_quality": llm_pack_quality,
     "llm_chunk_windows": llm_chunk_windows,
     "llm_mix_sources": llm_mix_sources,
     "llm_sample_temperature": llm_sample_temperature,

@@ -1,0 +1,536 @@
+"""Web-provenance operators (SURVEY.md §2.11 round-11 additions): URL
+canonicalization (L38), exact URL dedup (L2e), and domain-authority
+iteration (L37) — the crawl-side stages every C4/RefinedWeb-style corpus
+build runs BEFORE content dedup: canonicalize each page's URL, collapse
+the URL-level duplicates (far cheaper than content hashing — RefinedWeb
+§3.2 dedups by URL first), and score source domains with a PageRank-lite
+authority prior that downstream quality sampling (L20/L29) consumes
+(the CommonCrawl host-level graph idiom).
+
+The fixture corpus carries no raw URLs (TESTDATA.md), so URLs are
+synthesized deterministically from ``doc_id`` — three documents share
+each target page, each through a DIFFERENT mess variant (explicit
+default port + tracking param / uppercase scheme+host + fragment +
+fbclid / duplicated slashes), so canonicalization provably collapses
+real-world noise classes, not just byte-equal strings.
+
+Exactness policy: every operator here is pure string/integer arithmetic
+(integer division via DIV // for the rank masses — the L19
+deterministic-iteration idiom), so results are bit-identical across
+engines and partition counts with no rounding step.
+
+Scale shape: canonicalization is a narrow per-row projection (zero
+exchanges); URL dedup is ONE hash agg on the canonical URL (map-side
+combinable — hot mirrors collapse per input partition before the
+exchange); domain authority aggregates the doc-level outlink fan-out to
+the domain-level weighted edge relation once (the big, combinable agg),
+then each unrolled iteration joins that edge relation against the
+domain-sized rank vector — broadcast at any realistic domain count
+(~10⁸ domains × 16 B ≪ executor memory at 100 TB corpus scale); if the
+vector ever outgrows broadcast, pre-partitioning edges and ranks on
+src_id keeps the join co-located (noted in docs/SCALE.md).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+
+#: Rank mass scale (micro-rank units) and damping in percent — integer
+#: PageRank: r₀ = _PR_SCALE, r_{k+1}(d) = (15·SCALE) DIV 100
+#: + (85 · Σ_{s→d} (r_k(s)·w(s,d) DIV out_w(s))) DIV 100.
+_PR_SCALE = 1_000_000
+#: Outlinks synthesized per document: targets (doc_id·31 + 7j) mod n,
+#: j = 1..3 — three distinct residues (7·{1,2,3} are distinct mod any
+#: n > 21 and still ≥2 distinct below), so no domain dangles.
+_PR_FANOUT = 3
+
+
+def _messy_url_expr() -> str:
+    """Spark SQL expression synthesizing the deterministic messy URL for
+    a document row: page = doc_id DIV 3 (three docs per page), variant =
+    doc_id % 3 selects the noise class, host keys on page % 7. Shared
+    structure with ``_MESSY_URL_SQL`` (DuckDB spells CAST/|| the same)."""
+    page = "CAST(doc_id DIV 3 AS STRING)"
+    sdom = "CAST((doc_id DIV 3) % 7 AS STRING)"
+    return f"""CASE doc_id % 3
+        WHEN 0 THEN concat('https://www.src', {sdom},
+            '.example.com:443/page/', {page}, '/?utm_source=feed&id=',
+            {page})
+        WHEN 1 THEN concat('HTTPS://WWW.SRC', {sdom}, '.EXAMPLE.COM/page/',
+            {page}, '?id=', {page}, '&utm_campaign=x&fbclid=abc123',
+            '#section-2')
+        ELSE concat('https://www.src', {sdom}, '.example.com//page//',
+            {page}, '/?id=', {page})
+    END"""
+
+
+#: DuckDB twin of ``_messy_url_expr`` (CAST AS VARCHAR, // for DIV;
+#: same literals — a mechanical spelling map, not a re-derivation).
+_MESSY_URL_SQL = (
+    _messy_url_expr()
+    .replace("AS STRING", "AS VARCHAR")
+    .replace(" DIV ", " // ")
+)
+
+
+def _canonical_cols(df: DataFrame) -> DataFrame:
+    """Apply the canonicalization pipeline to a DataFrame carrying
+    ``url``: strip fragment, lowercase scheme+host, drop default ports
+    (:443 https / :80 http), collapse duplicate path slashes, strip the
+    trailing slash (except root), drop tracking params (utm_*, fbclid,
+    gclid), sort surviving params. Adds scratch columns then the outputs
+    ``canon_url``, ``host``, ``domain``, ``n_params_removed`` — callers
+    select what they need; every step is a codegen'd JVM expression."""
+    return (
+        df.withColumn("nofrag", F.expr("substring_index(url, '#', 1)"))
+        .withColumn(
+            "scheme_raw", F.expr("substring_index(nofrag, '://', 1)")
+        )
+        .withColumn(
+            "rest", F.expr("substring(nofrag, length(scheme_raw) + 4)")
+        )
+        .withColumn("hostport", F.expr("substring_index(rest, '/', 1)"))
+        .withColumn(
+            "host", F.expr("lower(substring_index(hostport, ':', 1))")
+        )
+        .withColumn(
+            "port_canon",
+            F.expr(
+                """CASE
+                    WHEN hostport NOT LIKE '%:%' THEN ''
+                    WHEN lower(scheme_raw) = 'https'
+                         AND substring_index(hostport, ':', -1) = '443'
+                        THEN ''
+                    WHEN lower(scheme_raw) = 'http'
+                         AND substring_index(hostport, ':', -1) = '80'
+                        THEN ''
+                    ELSE concat(':', substring_index(hostport, ':', -1))
+                END"""
+            ),
+        )
+        .withColumn(
+            "pathq", F.expr("substring(rest, length(hostport) + 1)")
+        )
+        .withColumn("path_raw", F.expr("substring_index(pathq, '?', 1)"))
+        .withColumn(
+            "query_raw",
+            F.expr(
+                """CASE WHEN pathq LIKE '%?%'
+                    THEN substring(pathq, length(path_raw) + 2)
+                    ELSE '' END"""
+            ),
+        )
+        .withColumn(
+            "path_canon",
+            F.expr(
+                """CASE
+                    WHEN regexp_replace(path_raw, '/{2,}', '/') IN ('', '/')
+                        THEN '/'
+                    ELSE regexp_replace(
+                        regexp_replace(path_raw, '/{2,}', '/'), '/$', '')
+                END"""
+            ),
+        )
+        .withColumn(
+            "params_kept",
+            F.expr(
+                """array_sort(filter(split(query_raw, '&'),
+                    x -> x != '' AND NOT startswith(x, 'utm_')
+                         AND NOT startswith(x, 'fbclid=')
+                         AND NOT startswith(x, 'gclid=')))"""
+            ),
+        )
+        .withColumn(
+            "n_params_removed",
+            F.expr(
+                """CAST(size(filter(split(query_raw, '&'), x -> x != ''))
+                        - size(params_kept) AS BIGINT)"""
+            ),
+        )
+        .withColumn(
+            "canon_url",
+            F.expr(
+                """concat(lower(scheme_raw), '://', host, port_canon,
+                    path_canon,
+                    CASE WHEN size(params_kept) > 0
+                        THEN concat('?', array_join(params_kept, '&'))
+                        ELSE '' END)"""
+            ),
+        )
+        .withColumn("domain", F.expr("substring_index(host, '.', -2)"))
+    )
+
+
+def _canonical_ctes() -> str:
+    """DuckDB CTE chain mirroring ``_canonical_cols`` step-for-step over
+    a ``raw(doc_id, url)`` relation (defined by the caller) — ends with
+    relation ``canon(doc_id, url, canon_url, host, domain,
+    n_params_removed)``. DuckDB spellings: split_part for the
+    first/second piece (every delimiter here occurs at most once where a
+    non-first piece is taken), list_* for the higher-order functions,
+    an explicit 'g' flag on the multi-occurrence regexp_replace (DuckDB
+    replaces the first match only by default; Spark is global)."""
+    return """
+        s1 AS (
+            SELECT doc_id, url,
+                   split_part(url, '#', 1) AS nofrag
+            FROM raw
+        ),
+        s2 AS (
+            SELECT *, split_part(nofrag, '://', 1) AS scheme_raw,
+                   substring(nofrag,
+                             length(split_part(nofrag, '://', 1)) + 4)
+                       AS rest
+            FROM s1
+        ),
+        s3 AS (
+            SELECT *, split_part(rest, '/', 1) AS hostport FROM s2
+        ),
+        s4 AS (
+            SELECT *,
+                   lower(split_part(hostport, ':', 1)) AS host,
+                   CASE
+                       WHEN hostport NOT LIKE '%:%' THEN ''
+                       WHEN lower(scheme_raw) = 'https'
+                            AND split_part(hostport, ':', 2) = '443'
+                           THEN ''
+                       WHEN lower(scheme_raw) = 'http'
+                            AND split_part(hostport, ':', 2) = '80'
+                           THEN ''
+                       ELSE ':' || split_part(hostport, ':', 2)
+                   END AS port_canon,
+                   substring(rest, length(hostport) + 1) AS pathq
+            FROM s3
+        ),
+        s5 AS (
+            SELECT *,
+                   split_part(pathq, '?', 1) AS path_raw,
+                   CASE WHEN pathq LIKE '%?%'
+                       THEN substring(
+                           pathq,
+                           length(split_part(pathq, '?', 1)) + 2)
+                       ELSE '' END AS query_raw
+            FROM s4
+        ),
+        s6 AS (
+            SELECT *,
+                   CASE
+                       WHEN regexp_replace(path_raw, '/{2,}', '/', 'g')
+                            IN ('', '/') THEN '/'
+                       ELSE regexp_replace(
+                           regexp_replace(path_raw, '/{2,}', '/', 'g'),
+                           '/$', '')
+                   END AS path_canon,
+                   list_sort(list_filter(string_split(query_raw, '&'),
+                       x -> x <> '' AND NOT starts_with(x, 'utm_')
+                            AND NOT starts_with(x, 'fbclid=')
+                            AND NOT starts_with(x, 'gclid=')))
+                       AS params_kept,
+                   CAST(len(list_filter(string_split(query_raw, '&'),
+                                        x -> x <> ''))
+                        AS BIGINT) AS n_params_all
+            FROM s5
+        ),
+        canon AS (
+            SELECT doc_id, url,
+                   lower(scheme_raw) || '://' || host || port_canon
+                       || path_canon
+                       || CASE WHEN len(params_kept) > 0
+                           THEN '?' || array_to_string(params_kept, '&')
+                           ELSE '' END AS canon_url,
+                   host,
+                   array_to_string(string_split(host, '.')[-2:], '.')
+                       AS domain,
+                   n_params_all - CAST(len(params_kept) AS BIGINT)
+                       AS n_params_removed
+            FROM s6
+        )
+    """
+
+
+def llm_url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L38 — URL canonicalization: normalize each document's (synthetic)
+    URL into the dedup-grade canonical form — fragment stripped, scheme
+    and host lowercased, default port dropped, duplicate path slashes
+    collapsed, trailing slash stripped (except root), tracking params
+    (utm_*/fbclid/gclid) removed, surviving params sorted. The first
+    stage of every crawl pipeline (C4 / RefinedWeb dedup by URL before
+    content); composes F17's parse step with the L1 dedup key.
+
+    Plan shape: one narrow projection over one scan — zero exchanges,
+    zero joins, fully whole-stage-codegen; at 100 TB this is the
+    cheapest pass in the pipeline and fuses into whatever scan follows.
+    """
+    documents = load_table(spark, sf_dir, "documents")
+    raw = documents.select(
+        "doc_id", F.expr(_messy_url_expr()).alias("url")
+    )
+    return _canonical_cols(raw).select(
+        "doc_id", "url", "canon_url", "host", "domain", "n_params_removed"
+    )
+
+
+def llm_dedup_url(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L2e — exact URL dedup: group documents by CANONICAL URL, keep the
+    smallest doc_id per group — the URL-level first stage RefinedWeb
+    (§3.2) runs before any content hashing, catching re-crawls and
+    tracking-param mirrors at string-compare cost. The synthesis plants
+    three mess-variants per page, so every group here collapses three
+    genuinely different raw strings (plus a partial tail group).
+
+    Plan shape: the L1 idiom — ONE hash agg on canon_url (map-side
+    combinable: hot mirrors collapse per input partition before the
+    exchange); the canonicalization itself fuses into the scan."""
+    documents = load_table(spark, sf_dir, "documents")
+    raw = documents.select(
+        "doc_id", F.expr(_messy_url_expr()).alias("url")
+    )
+    return (
+        _canonical_cols(raw)
+        .groupBy("canon_url")
+        .agg(
+            F.min("doc_id").alias("canonical_doc_id"),
+            F.count("*").alias("n_copies"),
+        )
+        .select("canon_url", "canonical_doc_id", "n_copies")
+    )
+
+
+def _domain_graph(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame]:
+    """(doms, edges) for the domain-authority graph, memoized + persisted
+    per sf_dir through dedup's ``_memo_sig`` seam (cleared by
+    ``llm.dedup.clear_caches`` like every other corpus-keyed relation).
+    Without the persist, every DataFrame reuse across the two unrolled
+    iterations re-expands the whole subtree — 27 corpus scans in the
+    naive plan vs two here (one per cached relation).
+
+    ``doms``: the DISTINCT (lang, source) set with contiguous ids
+    0..n-1 via dense_rank over a single-partition window — the relation
+    is domain-count-sized (tiny), never the corpus, so the single
+    partition is control-plane, not a bottleneck. ``edges``: the
+    doc-level fan-out collapsed to domain-level weighted edges in one
+    map-side-combinable agg — the only corpus-sized shuffle; the
+    single-row domain count rides a 1-row broadcast nested loop (the
+    _bm25_score scalar-broadcast idiom)."""
+    from .dedup import _memo_sig
+
+    def build_doms() -> DataFrame:
+        pairs = (
+            load_table(spark, sf_dir, "documents")
+            .select("lang", "source")
+            .distinct()
+        )
+        w_ids = Window.orderBy("lang", "source")
+        return pairs.select(
+            (F.dense_rank().over(w_ids) - 1)
+            .cast("bigint")
+            .alias("domain_id"),
+            F.concat_ws(
+                ".", "lang", "source", F.lit("example.com")
+            ).alias("host"),
+            "lang",
+            "source",
+        )
+
+    doms = _memo_sig("web_doms", sf_dir, build_doms)
+
+    def build_edges() -> DataFrame:
+        documents = load_table(spark, sf_dir, "documents")
+        n_doms = doms.agg(F.count("*").alias("n_domains"))
+        links = (
+            documents.join(F.broadcast(doms), ["lang", "source"])
+            .crossJoin(F.broadcast(n_doms))
+            .select(
+                F.col("domain_id").alias("src_id"),
+                F.explode(
+                    F.expr(
+                        f"transform(sequence(1, {_PR_FANOUT}),"
+                        f" j -> (doc_id * 31 + 7 * j) % n_domains)"
+                    )
+                ).alias("tgt_id"),
+            )
+            .filter(F.col("src_id") != F.col("tgt_id"))
+        )
+        return links.groupBy("src_id", "tgt_id").agg(
+            F.count("*").alias("w")
+        )
+
+    return doms, _memo_sig("web_edges", sf_dir, build_edges)
+
+
+def llm_domain_authority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L37 — domain-authority iteration: PageRank-lite over the synthetic
+    doc→domain link graph, TWO unrolled power iterations with
+    quantized-int64 rank masses (Page et al. 1999; the CommonCrawl
+    host-graph authority prior that feeds quality sampling L20/L29).
+    Domains are the distinct (lang, source) pairs; each document emits
+    ``_PR_FANOUT`` outlinks to deterministic targets
+    (doc_id·31 + 7j) mod n_domains. Rank arithmetic is all-BIGINT
+    (masses in ``_PR_SCALE`` micro-units, damping 85/100, per-edge
+    integer division — the L19 deterministic-iteration idiom), so two
+    engines and any partitioning agree bit-for-bit.
+
+    Plan shape: the doc-level fan-out collapses to the domain-level
+    WEIGHTED edge relation in one map-side-combinable agg (the only
+    corpus-sized shuffle); each unrolled iteration then joins that edge
+    relation to the domain-sized out-weight/rank vectors — broadcast
+    here and at any realistic domain count (~10⁸ domains ≪ executor
+    memory even at 100 TB corpus scale); beyond that, pre-partition
+    edges and ranks on src_id (docs/SCALE.md). Iterations never touch
+    the corpus again."""
+    doms, edges = _domain_graph(spark, sf_dir)
+    outw = edges.groupBy("src_id").agg(F.sum("w").alias("out_w"))
+    base = (15 * _PR_SCALE) // 100
+    # the loop-carried STATE is one domain-sized relation (id, host,
+    # out_w, rank columns so far), localCheckpointed per iteration so
+    # the plan never re-expands a prior iteration's tree (the L19 /
+    # label-propagation idiom; the relation is domain-count rows, so the
+    # eager checkpoint is control-plane cost)
+    state = (
+        doms.join(F.broadcast(outw), doms.domain_id == outw.src_id, "left")
+        .select(
+            "domain_id",
+            "host",
+            F.coalesce("out_w", F.lit(0)).alias("out_w"),
+            F.lit(_PR_SCALE).cast("bigint").alias("pr0"),
+        )
+        .localCheckpoint()
+    )
+    for prev, nxt in (("pr0", "pr1"), ("pr1", "pr2")):
+        mass = (
+            edges.join(
+                F.broadcast(
+                    state.select(
+                        F.col("domain_id").alias("src_id"),
+                        F.col(prev).alias("pr_s"),
+                        "out_w",
+                    )
+                ),
+                "src_id",
+            )
+            .groupBy("tgt_id")
+            .agg(F.sum(F.expr("(pr_s * w) DIV out_w")).alias("mass"))
+        )
+        state = state.join(
+            F.broadcast(mass), state.domain_id == mass.tgt_id, "left"
+        ).select(
+            "domain_id",
+            "host",
+            "out_w",
+            *([prev] if prev != "pr0" else []),
+            F.expr(f"{base} + (85 * coalesce(mass, 0)) DIV 100").alias(
+                nxt
+            ),
+        )
+        if nxt != "pr2":
+            # checkpoint between iterations only — the LAST iteration
+            # stays lazy so the returned plan exposes the per-iteration
+            # shape (edge relation ⋈ broadcast rank vector → one hash
+            # agg) for the plan gate and EXPLAIN users
+            state = state.localCheckpoint()
+    return state.select("host", "out_w", "pr1", "pr2")
+
+
+def _url_raw_cte() -> str:
+    """The ``raw(doc_id, url)`` CTE both URL oracles open with."""
+    return f"""
+        raw AS (
+            SELECT doc_id, {_MESSY_URL_SQL} AS url FROM documents
+        )
+    """
+
+
+def _domain_authority_oracle_sql() -> str:
+    base = (15 * _PR_SCALE) // 100
+    return f"""
+        WITH pairs AS (
+            SELECT DISTINCT lang, source FROM documents
+        ),
+        doms AS (
+            SELECT CAST(DENSE_RANK() OVER (ORDER BY lang, source) - 1
+                        AS BIGINT) AS domain_id,
+                   lang || '.' || source || '.example.com' AS host,
+                   lang, source
+            FROM pairs
+        ),
+        cnt AS (SELECT COUNT(*) AS n_domains FROM doms),
+        links AS (
+            SELECT d.domain_id AS src_id,
+                   (doc.doc_id * 31 + 7 * j.j) % cnt.n_domains AS tgt_id
+            FROM documents doc
+            JOIN doms d USING (lang, source)
+            CROSS JOIN cnt
+            CROSS JOIN (SELECT unnest(range(1, {_PR_FANOUT} + 1)) AS j) j
+        ),
+        edges AS (
+            SELECT src_id, tgt_id, COUNT(*) AS w
+            FROM links WHERE src_id <> tgt_id
+            GROUP BY 1, 2
+        ),
+        outw AS (
+            SELECT src_id, SUM(w) AS out_w FROM edges GROUP BY 1
+        ),
+        m1 AS (
+            SELECT e.tgt_id,
+                   SUM(({_PR_SCALE} * e.w) // o.out_w) AS mass
+            FROM edges e JOIN outw o USING (src_id)
+            GROUP BY 1
+        ),
+        r1 AS (
+            SELECT d.domain_id,
+                   {base} + (85 * COALESCE(m1.mass, 0)) // 100 AS pr1
+            FROM doms d LEFT JOIN m1 ON m1.tgt_id = d.domain_id
+        ),
+        m2 AS (
+            SELECT e.tgt_id,
+                   SUM((r.pr1 * e.w) // o.out_w) AS mass
+            FROM edges e
+            JOIN outw o USING (src_id)
+            JOIN r1 r ON r.domain_id = e.src_id
+            GROUP BY 1
+        ),
+        r2 AS (
+            SELECT d.domain_id,
+                   {base} + (85 * COALESCE(m2.mass, 0)) // 100 AS pr2
+            FROM doms d LEFT JOIN m2 ON m2.tgt_id = d.domain_id
+        )
+        SELECT d.host,
+               CAST(COALESCE(o.out_w, 0) AS BIGINT) AS out_w,
+               CAST(r1.pr1 AS BIGINT) AS pr1,
+               CAST(r2.pr2 AS BIGINT) AS pr2
+        FROM doms d
+        LEFT JOIN outw o ON o.src_id = d.domain_id
+        JOIN r1 ON r1.domain_id = d.domain_id
+        JOIN r2 ON r2.domain_id = d.domain_id
+    """
+
+
+ORACLES: dict[str, str] = {
+    "llm_url_canonicalize": f"""
+        WITH {_url_raw_cte()},
+        {_canonical_ctes()}
+        SELECT doc_id, url, canon_url, host, domain, n_params_removed
+        FROM canon
+    """,
+    "llm_dedup_url": f"""
+        WITH {_url_raw_cte()},
+        {_canonical_ctes()}
+        SELECT canon_url,
+               CAST(MIN(doc_id) AS BIGINT) AS canonical_doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_copies
+        FROM canon
+        GROUP BY canon_url
+    """,
+    "llm_domain_authority": _domain_authority_oracle_sql(),
+}
+
+QUERY_FNS = {
+    "llm_url_canonicalize": llm_url_canonicalize,
+    "llm_dedup_url": llm_dedup_url,
+    "llm_domain_authority": llm_domain_authority,
+}

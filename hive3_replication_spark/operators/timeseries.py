@@ -716,6 +716,111 @@ def _hw_weights() -> list[float]:
 _HW_W = _hw_weights()
 _HW_W_ARGS = ", ".join(repr(w) for w in _HW_W)
 
+#: Naive-seasonal baseline lag for the TS21 backtest: same hour, one
+#: day earlier (the standard "seasonal naive" yardstick, Hyndman &
+#: Athanasopoulos fpp3 §5.2 — a forecaster earns its keep only if it
+#: beats this).
+_BT_LAG = 24
+
+
+def _hw_oracle_ctes() -> str:
+    """The DuckDB CTE chain computing the TS20 relation (grid →
+    deseasonalize → truncated Holt filter → residual quantization →
+    band sums), shared verbatim by the ts_holt_winters oracle and the
+    ts_forecast_backtest oracle (VERDICT r10 ask #3c: the backtest must
+    replay the SAME forecast definition, not a re-derivation)."""
+    return f"""
+        WITH e AS (
+            SELECT event_type,
+                   date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hour
+            FROM events
+        ),
+        c AS (
+            SELECT event_type, hour, COUNT(*) AS n_events
+            FROM e GROUP BY 1, 2
+        ),
+        grid AS (
+            SELECT event_type,
+                   unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS hour
+            FROM (SELECT event_type, MIN(hour) AS lo, MAX(hour) AS hi
+                  FROM e GROUP BY 1)
+        ),
+        filled AS (
+            SELECT g.event_type, g.hour,
+                   CAST(EXTRACT(hour FROM g.hour) AS INTEGER) AS hod,
+                   CAST(COALESCE(c.n_events, 0) AS BIGINT) AS n_events
+            FROM grid g
+            LEFT JOIN c ON c.event_type = g.event_type AND c.hour = g.hour
+        ),
+        staged AS (
+            SELECT event_type, hour, hod, n_events,
+                   SUM(n_events) OVER wh AS s_hod,
+                   COUNT(*) OVER wh AS k_hod,
+                   SUM(n_events) OVER wt AS s_type,
+                   COUNT(*) OVER wt AS m_type
+            FROM filled
+            WINDOW wh AS (PARTITION BY event_type, hod),
+                   wt AS (PARTITION BY event_type)
+        ),
+        des AS (
+            SELECT event_type, hour, hod, n_events,
+                   CAST(s_hod AS DOUBLE) / CAST(k_hod AS DOUBLE)
+                       - CAST(s_type AS DOUBLE) / CAST(m_type AS DOUBLE)
+                       AS seas,
+                   CAST(n_events AS DOUBLE)
+                       - (CAST(s_hod AS DOUBLE) / CAST(k_hod AS DOUBLE)
+                          - CAST(s_type AS DOUBLE) / CAST(m_type AS DOUBLE))
+                       AS d
+            FROM staged
+        ),
+        framed AS (
+            SELECT event_type, hour, hod, n_events, seas,
+                   list(d) OVER (
+                       PARTITION BY event_type ORDER BY hour
+                       ROWS BETWEEN {_HW_K} PRECEDING AND 1 PRECEDING
+                   ) AS frame
+            FROM des
+        ),
+        fc AS (
+            SELECT event_type, hour, hod, n_events,
+                   list_reduce(
+                       list_prepend(CAST(0.0 AS DOUBLE),
+                           list_transform(range(1, len(frame) + 1),
+                               i -> frame[i]
+                                  * ([{_HW_W_ARGS}])[len(frame) - i + 1])),
+                       (acc, v) -> acc + v) + seas AS forecast
+            FROM framed WHERE len(frame) = {_HW_K}
+        ),
+        q AS (
+            SELECT *, CAST(n_events AS DOUBLE) - forecast AS resid,
+                   CAST(floor((CAST(n_events AS DOUBLE) - forecast)
+                              * {float(_HW_RQ)} + 0.5) AS BIGINT) AS e_q
+            FROM fc
+        ),
+        st AS (
+            SELECT *,
+                   SUM(e_q) OVER wt AS s1,
+                   SUM(CAST(e_q AS HUGEINT) * e_q) OVER wt AS s2,
+                   COUNT(*) OVER wt AS m
+            FROM q
+            WINDOW wt AS (PARTITION BY event_type)
+        )
+    """
+
+
+#: The TS20 output projection over the ``st`` CTE (no leading SELECT
+#: keyword sharing games — the whole statement is CTES + this).
+_HW_ORACLE_SELECT = """
+        SELECT event_type, hour, hod, n_events,
+               ROUND(forecast + 5e-9, 6) AS forecast_r,
+               ROUND(resid + 5e-9, 6) AS resid_r,
+               (CAST(m AS HUGEINT) * e_q - s1)
+                   * (CAST(m AS HUGEINT) * e_q - s1)
+                   > 9 * (CAST(m AS HUGEINT) * s2
+                          - CAST(s1 AS HUGEINT) * s1) AS is_outlier
+        FROM st
+    """
+
 
 def ts_holt_winters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TS20 — Holt-Winters additive one-step-ahead backtest per event
@@ -739,7 +844,11 @@ def ts_holt_winters(spark: SparkSession, sf_dir: str) -> DataFrame:
     decides |e − ē| > 3σ in DECIMAL(38,0) via the division-free form
     (m·e_q − S1)² > 9·(m·S2 − S1²) — exact integers, identical booleans
     on any engine or partitioning (the ts_changepoint device; bounds in
-    the ``_HW_RQ`` note). Rounded outputs carry the +5e-9 stabilizer.
+    the ``_HW_RQ`` note, exercised at the edge by
+    ``test_holt_winters_band_bound_edge``). Beyond the bound the decimal
+    products overflow to NULL (non-ANSI) rather than silently misflag —
+    a NULL ``is_outlier`` is the out-of-envelope signal a monitoring job
+    alerts on. Rounded outputs carry the +5e-9 stabilizer.
 
     Plan shape: the hourly grid agg is one exchange; the hod-index
     window partitions on (type, hod); the per-type totals, the 48-row
@@ -820,6 +929,86 @@ def ts_holt_winters(spark: SparkSession, sf_dir: str) -> DataFrame:
         (lhs * lhs > F.lit(9).cast("decimal(19,0)") * rhs).alias(
             "is_outlier"
         ),
+    )
+
+
+def ts_forecast_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TS21 — forecast backtest evaluation: MAE and sMAPE of the TS20
+    Holt-Winters one-step forecasts against the SEASONAL-NAIVE baseline
+    (ŷ_t = y_{t−24}, same hour yesterday — Hyndman & Athanasopoulos fpp3
+    §5.2), per stream, plus the skill score 1 − MAE_model/MAE_naive in
+    micro-units. The eval twin the forecast family lacked (VERDICT r10
+    ask #3c): L34/L36 score retrieval and classification; this scores
+    the forecaster — a model that cannot beat seasonal-naive (skill ≤ 0)
+    should not page anyone.
+
+    Exactness policy: everything derives from TS20's OUTPUT columns
+    (n_events exact, resid_r the 6-dp-rounded residual — hash-identical
+    across engines), never from re-derived intermediates: the implied
+    forecast is n_events − resid_r, absolute errors quantize to
+    milli-units via floor(|resid_r|·1e3 + 0.5) (BIGINT; naive errors are
+    born integer), per-row sMAPE terms quantize to nano-units from a
+    fixed-order double chain shared character-for-character with the
+    oracle, and every mean is an integer DIV — all-BIGINT output.
+
+    Plan shape: one more window (the lag-24 naive forecast) on TS20's
+    existing (event_type) partitioning — no new exchange — then one
+    stream-count-sized hash agg. Rows before the naive lag warms up
+    (the first _BT_LAG interior hours per stream) are excluded from the
+    comparison, so both forecasters are scored on identical rows."""
+    hw = ts_holt_winters(spark, sf_dir)
+    w = Window.partitionBy("event_type").orderBy("hour")
+    per = hw.select(
+        "event_type",
+        "n_events",
+        "resid_r",
+        F.lag("n_events", _BT_LAG).over(w).alias("naive_fc"),
+    ).filter(F.col("naive_fc").isNotNull())
+    scored = per.select(
+        "event_type",
+        F.expr(
+            "CAST(floor(abs(resid_r) * 1000.0 + 0.5) AS BIGINT)"
+        ).alias("err_model_milli"),
+        F.expr("abs(n_events - naive_fc) * 1000").alias("err_naive_milli"),
+        F.expr(
+            """CASE WHEN abs(CAST(n_events AS DOUBLE))
+                     + abs(CAST(n_events AS DOUBLE) - resid_r) = 0.0
+                THEN CAST(0 AS BIGINT)
+                ELSE CAST(floor(
+                    (2.0 * abs(resid_r))
+                    / (abs(CAST(n_events AS DOUBLE))
+                       + abs(CAST(n_events AS DOUBLE) - resid_r))
+                    * 1000000000.0 + 0.5) AS BIGINT) END"""
+        ).alias("sm_model_nano"),
+        F.expr(
+            """CASE WHEN n_events + naive_fc = 0
+                THEN CAST(0 AS BIGINT)
+                ELSE CAST(floor(
+                    (2.0 * CAST(abs(n_events - naive_fc) AS DOUBLE))
+                    / CAST(n_events + naive_fc AS DOUBLE)
+                    * 1000000000.0 + 0.5) AS BIGINT) END"""
+        ).alias("sm_naive_nano"),
+    )
+    return scored.groupBy("event_type").agg(
+        F.count("*").alias("n_eval"),
+        F.expr("SUM(err_model_milli) DIV COUNT(*)").alias(
+            "mae_model_milli"
+        ),
+        F.expr("SUM(err_naive_milli) DIV COUNT(*)").alias(
+            "mae_naive_milli"
+        ),
+        F.expr("SUM(sm_model_nano) DIV COUNT(*)").alias(
+            "smape_model_nano"
+        ),
+        F.expr("SUM(sm_naive_nano) DIV COUNT(*)").alias(
+            "smape_naive_nano"
+        ),
+        F.expr(
+            """CASE WHEN SUM(err_naive_milli) > 0
+                THEN ((SUM(err_naive_milli) - SUM(err_model_milli))
+                      * 1000000) DIV SUM(err_naive_milli)
+                END"""
+        ).alias("skill_micro"),
     )
 
 
@@ -1197,90 +1386,56 @@ ORACLES: dict[str, str] = {
         FROM interior i
         JOIN seas s ON s.event_type = i.event_type AND s.hod = i.hod
     """,
-    "ts_holt_winters": f"""
-        WITH e AS (
+    "ts_holt_winters": _hw_oracle_ctes() + _HW_ORACLE_SELECT,
+    "ts_forecast_backtest": _hw_oracle_ctes() + f""",
+        hw AS ({_HW_ORACLE_SELECT}),
+        lagged AS (
+            SELECT event_type, n_events, resid_r,
+                   LAG(n_events, {_BT_LAG}) OVER (
+                       PARTITION BY event_type ORDER BY hour) AS naive_fc
+            FROM hw
+        ),
+        per AS (
             SELECT event_type,
-                   date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hour
-            FROM events
-        ),
-        c AS (
-            SELECT event_type, hour, COUNT(*) AS n_events
-            FROM e GROUP BY 1, 2
-        ),
-        grid AS (
-            SELECT event_type,
-                   unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS hour
-            FROM (SELECT event_type, MIN(hour) AS lo, MAX(hour) AS hi
-                  FROM e GROUP BY 1)
-        ),
-        filled AS (
-            SELECT g.event_type, g.hour,
-                   CAST(EXTRACT(hour FROM g.hour) AS INTEGER) AS hod,
-                   CAST(COALESCE(c.n_events, 0) AS BIGINT) AS n_events
-            FROM grid g
-            LEFT JOIN c ON c.event_type = g.event_type AND c.hour = g.hour
-        ),
-        staged AS (
-            SELECT event_type, hour, hod, n_events,
-                   SUM(n_events) OVER wh AS s_hod,
-                   COUNT(*) OVER wh AS k_hod,
-                   SUM(n_events) OVER wt AS s_type,
-                   COUNT(*) OVER wt AS m_type
-            FROM filled
-            WINDOW wh AS (PARTITION BY event_type, hod),
-                   wt AS (PARTITION BY event_type)
-        ),
-        des AS (
-            SELECT event_type, hour, hod, n_events,
-                   CAST(s_hod AS DOUBLE) / CAST(k_hod AS DOUBLE)
-                       - CAST(s_type AS DOUBLE) / CAST(m_type AS DOUBLE)
-                       AS seas,
-                   CAST(n_events AS DOUBLE)
-                       - (CAST(s_hod AS DOUBLE) / CAST(k_hod AS DOUBLE)
-                          - CAST(s_type AS DOUBLE) / CAST(m_type AS DOUBLE))
-                       AS d
-            FROM staged
-        ),
-        framed AS (
-            SELECT event_type, hour, hod, n_events, seas,
-                   list(d) OVER (
-                       PARTITION BY event_type ORDER BY hour
-                       ROWS BETWEEN {_HW_K} PRECEDING AND 1 PRECEDING
-                   ) AS frame
-            FROM des
-        ),
-        fc AS (
-            SELECT event_type, hour, hod, n_events,
-                   list_reduce(
-                       list_prepend(CAST(0.0 AS DOUBLE),
-                           list_transform(range(1, len(frame) + 1),
-                               i -> frame[i]
-                                  * ([{_HW_W_ARGS}])[len(frame) - i + 1])),
-                       (acc, v) -> acc + v) + seas AS forecast
-            FROM framed WHERE len(frame) = {_HW_K}
-        ),
-        q AS (
-            SELECT *, CAST(n_events AS DOUBLE) - forecast AS resid,
-                   CAST(floor((CAST(n_events AS DOUBLE) - forecast)
-                              * {float(_HW_RQ)} + 0.5) AS BIGINT) AS e_q
-            FROM fc
-        ),
-        st AS (
-            SELECT *,
-                   SUM(e_q) OVER wt AS s1,
-                   SUM(CAST(e_q AS HUGEINT) * e_q) OVER wt AS s2,
-                   COUNT(*) OVER wt AS m
-            FROM q
-            WINDOW wt AS (PARTITION BY event_type)
+                   CAST(floor(abs(resid_r) * 1000.0 + 0.5) AS BIGINT)
+                       AS err_model_milli,
+                   abs(n_events - naive_fc) * 1000 AS err_naive_milli,
+                   CASE WHEN abs(CAST(n_events AS DOUBLE))
+                             + abs(CAST(n_events AS DOUBLE) - resid_r)
+                             = 0.0
+                       THEN CAST(0 AS BIGINT)
+                       ELSE CAST(floor(
+                           (2.0 * abs(resid_r))
+                           / (abs(CAST(n_events AS DOUBLE))
+                              + abs(CAST(n_events AS DOUBLE) - resid_r))
+                           * 1000000000.0 + 0.5) AS BIGINT) END
+                       AS sm_model_nano,
+                   CASE WHEN n_events + naive_fc = 0
+                       THEN CAST(0 AS BIGINT)
+                       ELSE CAST(floor(
+                           (2.0 * CAST(abs(n_events - naive_fc)
+                                       AS DOUBLE))
+                           / CAST(n_events + naive_fc AS DOUBLE)
+                           * 1000000000.0 + 0.5) AS BIGINT) END
+                       AS sm_naive_nano
+            FROM lagged WHERE naive_fc IS NOT NULL
         )
-        SELECT event_type, hour, hod, n_events,
-               ROUND(forecast + 5e-9, 6) AS forecast_r,
-               ROUND(resid + 5e-9, 6) AS resid_r,
-               (CAST(m AS HUGEINT) * e_q - s1)
-                   * (CAST(m AS HUGEINT) * e_q - s1)
-                   > 9 * (CAST(m AS HUGEINT) * s2
-                          - CAST(s1 AS HUGEINT) * s1) AS is_outlier
-        FROM st
+        SELECT event_type,
+               CAST(COUNT(*) AS BIGINT) AS n_eval,
+               CAST(SUM(err_model_milli) // COUNT(*) AS BIGINT)
+                   AS mae_model_milli,
+               CAST(SUM(err_naive_milli) // COUNT(*) AS BIGINT)
+                   AS mae_naive_milli,
+               CAST(SUM(sm_model_nano) // COUNT(*) AS BIGINT)
+                   AS smape_model_nano,
+               CAST(SUM(sm_naive_nano) // COUNT(*) AS BIGINT)
+                   AS smape_naive_nano,
+               CASE WHEN SUM(err_naive_milli) > 0
+                   THEN CAST(((SUM(err_naive_milli)
+                               - SUM(err_model_milli)) * 1000000)
+                             // SUM(err_naive_milli) AS BIGINT)
+                   END AS skill_micro
+        FROM per GROUP BY event_type
     """,
     "ts_acf": """
         WITH e AS (
@@ -1882,5 +2037,6 @@ QUERY_FNS = {
     "ts_seasonal_profile": ts_seasonal_profile,
     "ts_stl_decompose": ts_stl_decompose,
     "ts_holt_winters": ts_holt_winters,
+    "ts_forecast_backtest": ts_forecast_backtest,
     "ts_gap_detect": ts_gap_detect,
 }

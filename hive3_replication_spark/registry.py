@@ -17,6 +17,7 @@ from .llm import retrieval as _retrieval
 from .llm import sampling as _sampling
 from .llm import similarity as _similarity
 from .llm import text as _text
+from .llm import web as _web
 from .operators import aggregates as _aggregates
 from .operators import filters as _filters
 from .operators import joins as _joins
@@ -52,6 +53,7 @@ _MODULES = (
     _similarity,
     _sampling,
     _retrieval,
+    _web,
     _multimodal,
     _llm_pipeline,
 )
