@@ -244,6 +244,15 @@ SCALE_PROBE_KEYS = (
     "ts_holt_winters",
     "llm_line_boilerplate",
     "llm_eval_ndcg",
+    # round-11 operators — probed from their first round: the canonical-URL
+    # hot-key agg, the edge-relation build + broadcast-rank iterations, and
+    # the backtest's window chain over the 10x hour grid. llm_url_canonicalize
+    # (pure narrow projection) and llm_pack_quality (L10's window + two
+    # partitioning-reusing aggs) are deliberately NOT probed — their
+    # data-proportional parts are scans/windows already measured elsewhere.
+    "llm_dedup_url",
+    "llm_domain_authority",
+    "ts_forecast_backtest",
 )
 
 
@@ -272,6 +281,30 @@ def _ngram_pair_counts(spark, sf_dir: str, probe_dir: str) -> dict:
         out[tag] = ngram_pair_jaccard(
             docs, f"pairprobe_{tag}", memo_token=None, min_jaccard=0.0
         ).count()
+    return out
+
+
+def _web_volume_counts(spark, sf_dir: str, probe_dir: str) -> dict:
+    """Volume counters behind the round-11 web probes at base and 10x:
+    canonical-URL group count (llm_dedup_url's output cardinality — the
+    probe generator shifts doc_ids densely, so groups grow exactly with
+    the corpus) and total domain-graph edge MASS Σw (llm_domain_authority's
+    true cost driver: the edge KEY space saturates at n_domains² while the
+    aggregated link mass keeps growing linearly)."""
+    from hive3_replication_spark.llm.web import (
+        _domain_graph,
+        llm_dedup_url,
+    )
+
+    out = {}
+    for tag, d in (("base", sf_dir), ("x10", probe_dir)):
+        out[f"url_groups_{tag}"] = llm_dedup_url(spark, d).count()
+        _, edges = _domain_graph(spark, d)
+        from pyspark.sql import functions as F
+
+        out[f"domain_edge_mass_{tag}"] = (
+            edges.agg(F.sum("w")).collect()[0][0]
+        )
     return out
 
 
@@ -430,6 +463,13 @@ def _scale_probe(spark, queries, sf_dir: str) -> dict:
         }
     except Exception as exc:  # noqa: BLE001 — probe rows are additive
         print(f"ann candidate-count probe failed: {exc}", file=sys.stderr)
+    try:
+        out["pairs"] = {
+            **out.get("pairs", {}),
+            **_web_volume_counts(spark, sf_dir, probe_dir),
+        }
+    except Exception as exc:  # noqa: BLE001 — probe rows are additive
+        print(f"web volume-count probe failed: {exc}", file=sys.stderr)
     try:
         out["sink_restate"] = _sink_restate_probe(spark, sf_dir, probe_dir)
     except Exception as exc:  # noqa: BLE001 — probe rows are additive

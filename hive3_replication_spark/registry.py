@@ -62,24 +62,91 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 
 #: Sweep order for queries(): DRIVER-COVERAGE FIRST. The external verify
 #: driver cuts at ~50 keys per round BY COUNT, so the front block must
-#: hold exactly the keys that most need a fresh driver stamp. Round-10
-#: policy (VERDICT r9 ask #2): the 36 remaining r4-stamped keys lead,
-#: then the five round-10 additions (never driver-stamped — new coverage
-#: outranks a restamp), then llm_rank_fusion (r9-stamped but CHANGED
-#: this round: the absent-arm rank sentinel went 0 → NULL in engine and
-#: oracle, so its stamp must be refreshed), then the 8 oldest r6-stamped
-#: keys — exactly 50. After this window lands, the minimum stamp age
-#: across the registry is r6. Behind the window, keys stay grouped
-#: oldest-latest-stamp first (r6 remainder, r7, r8, r9), preserving the
-#: profiled cheapest-first relative order inside each group. Regenerate
-#: by re-sorting on the CORRECTNESS_r* latest-stamp map (see
-#: tests/test_oracle_parity.py window-pinning test, which locks the
-#: front 50 to this policy). Keys missing from this list (new operators
-#: between profilings) are appended alphabetically, so registration never
-#: breaks on an unprofiled key.
+#: hold exactly the keys that most need a fresh driver stamp. Round-11
+#: policy (VERDICT r10 asks #1 and #3): the full 42-key r6-stamped block
+#: (the registry's stalest) leads, then the five round-11 additions
+#: (never driver-stamped — new coverage outranks a restamp), then the
+#: r7 block whose first 3 keys complete the 50-key window as bonus
+#: restamps. After this window lands, the minimum stamp age across the
+#: registry is r7. Behind the window, keys stay grouped oldest-latest-
+#: stamp first (r7, r8, r9, r10), preserving the profiled cheapest-first
+#: relative order inside each group. Regenerate by re-sorting on the
+#: CORRECTNESS_r* latest-stamp map (see tests/test_oracle_parity.py
+#: window-pinning test, which locks the front 50 to this policy). Keys
+#: missing from this list (new operators between profilings) are
+#: appended alphabetically, so registration never breaks on an
+#: unprofiled key.
 _SWEEP_ORDER: tuple[str, ...] = (
-    # stamp age r4 — the 36 remaining r4-stamped keys lead the round-10
-    # window (profiled cheapest-first order preserved from the r4 block)
+    # stamp age r6 — the full 42-key stale block leads the round-11
+    # window (VERDICT r10 ask #1); relative profiled order preserved
+    "win_distinct_running", "agg_dq_checks", "agg_regression",
+    "llm_text_unigram_nll", "stream_event_replay", "ts_sessionize",
+    "agg_count_min", "llm_knn_join", "join_bloom_prefilter",
+    "ts_fill_forward", "merge_scd2", "llm_eval_confusion", "ts_ewma",
+    "filter_dpp", "llm_text_keywords", "llm_dedup_graph_stats",
+    "llm_dedup_spans", "llm_contamination", "llm_ann_rescore", "ts_funnel",
+    "ts_anomaly_zscore", "ts_interpolate", "llm_dedup_embed",
+    "stream_watermark_advance", "scan_pysource", "llm_eval_ranking",
+    "llm_dedup_incremental", "fn_param_sql", "fn_collate",
+    "llm_dedup_clusters", "llm_cluster_kmeans", "stream_stateful_progress",
+    "llm_pipeline_e2e", "llm_perplexity_filter", "llm_curriculum_order",
+    "join_asof_nearest", "ts_downsample_lttb", "sink_partition_overwrite",
+    "llm_multimodal", "llm_multimodal_resize", "llm_multimodal_frames",
+    "ts_seasonal_profile",
+    # round-11 additions — never driver-stamped, ride the window
+    "llm_url_canonicalize", "llm_dedup_url", "llm_domain_authority",
+    "ts_forecast_backtest", "llm_pack_quality",
+    # stamp age r7 — the first 3 fill the 50-key window as a bonus
+    # restamp; the rest lead the round-12 window
+    "ts_downsample_lttb_hier", "scan_jdbc_partitioned",
+    "agg_weighted_median", "ts_acf", "llm_importance_resample",
+    "agg_distinct", "agg_arg_max", "join_anti", "agg_histogram",
+    "agg_groupby", "scan_bucketed", "join_semi", "scan_csv", "agg_rollup",
+    "join_theta", "join_left", "jdbc_sink", "row_offset_filter",
+    "agg_percentile", "scan_json", "join_full", "join_sortmerge",
+    "join_snapshot_diff", "join_broadcast", "join_asof",
+    "join_watermark_compare", "log_append", "scan_orc", "jdbc_source",
+    "agg_max_watermark", "agg_stats", "snapshot_dump", "parallel_copy",
+    "snapshot_load", "fn_regexp_extract", "scan_text", "filter_prefix",
+    "filter_null", "fn_array", "fn_url", "filter_multi_rlike", "sort_top1",
+    "filter_table_class", "filter_negative", "filter_isin", "string_scrub",
+    "llm_text_normalize", "reshape_unpivot", "reshape_explode",
+    "delimited_parse",
+    # stamp age r8
+    "fn_case_when", "win_row_number", "agg_conditional", "filter_rlike",
+    "fn_cast", "llm_sample_stratified", "fn_math", "fn_hash", "win_rank",
+    "project_columns", "scan_parquet", "fn_regexp_replace", "fn_split",
+    "fn_date_format", "win_pattern_match", "sort_topk",
+    "llm_text_bpe_count", "fn_map", "fn_json", "llm_text_redact",
+    "llm_text_quality", "stream_tumbling", "agg_cube", "stream_retry",
+    "llm_quality_classifier", "fn_div_mod", "filter_gt_watermark",
+    "stream_incremental_dump", "udf_scalar", "reshape_struct_flatten",
+    "scan_partitioned", "agg_pending_count", "agg_duration",
+    "llm_multimodal_features", "agg_table_profile", "agg_approx_distinct",
+    "agg_hll_sketch", "agg_approx_percentile", "ts_changepoint",
+    "llm_corpus_shuffle", "llm_tokenizer_apply", "llm_bpe_merges",
+    "llm_ann_batch", "llm_embed_pq", "llm_pack_sequences", "win_lag",
+    "llm_text_tokens", "join_asof_forward", "llm_text_langid",
+    "set_except",
+    # stamp age r9
+    "stream_divergence", "llm_text_profile", "fn_datetime_extract",
+    "llm_dedup_exact", "llm_chunk_windows", "stream_sliding",
+    "agg_string_agg", "agg_grouping_sets", "win_running_sum",
+    "llm_dedup_ngram", "win_topk_per_group", "fn_levenshtein",
+    "agg_bitmap_distinct", "stream_late_data", "win_range_frame",
+    "win_latest_per_group", "stream_consistent_cut",
+    "llm_text_fingerprint", "stream_dedup", "stream_session",
+    "fn_try_arith", "fn_concat", "fn_variant", "fn_date_arith",
+    "reshape_pivot", "set_union", "win_distribution", "sort_events",
+    "stream_stream_join", "agg_mode", "agg_skew_salted",
+    "agg_quantile_sketch", "ts_stl_decompose", "llm_chunk_rank",
+    "llm_preference_pairs", "join_interval_overlap", "llm_dedup_semantic",
+    "llm_split_leakage_safe", "llm_serving_e2e", "llm_ann_index_probe",
+    "llm_dedup_minhash_clusters", "ts_gap_detect", "llm_dedup_minhash",
+    "llm_dedup_simhash", "llm_ann_ivf", "llm_ann_lsh", "sql_promo_revenue",
+    "sql_pricing_summary", "sql_discount_revenue",
+    # stamp age r10 — freshest stamps, last (the round-10 window:
+    # 36 ex-r4 + 5 r10 additions + llm_rank_fusion + 8 ex-r6)
     "sql_shipmode_priority", "sql_small_quantity_revenue",
     "sql_top_supplier", "sql_returned_items", "sql_order_priority",
     "sql_inactive_customer_balance", "sql_waiting_supplier",
@@ -92,85 +159,12 @@ _SWEEP_ORDER: tuple[str, ...] = (
     "ts_resample", "set_intersect", "ts_rollup_hypertable", "scan_xml",
     "join_range", "join_skew_salted", "agg_corr", "scan_binaryfile",
     "llm_embed_quantize", "fn_crypto_roundtrip", "llm_sample_temperature",
-    "udf_grouped_agg", "llm_mix_sources",
-    # round-10 additions — never driver-stamped, so they ride this window
-    "ts_holt_winters", "llm_line_boilerplate", "llm_eval_ndcg",
-    "llm_mmr_rerank", "llm_eval_calibration",
-    # changed this round (NULL absent-arm sentinel) — restamp required
-    "llm_rank_fusion",
-    # stamp age r6 — the 8 oldest fill the 50-key window; the rest lead
-    # the round-11 window
-    "llm_similarity_topk", "llm_text_entropy", "udf_table_udtf",
-    "ts_retention_cohort", "udf_table", "llm_doc_embed_hash",
-    "scan_schema_evolution", "llm_vocab_coverage",
-    # stamp age r6 remainder
-    "win_distinct_running",
-    "agg_dq_checks", "agg_regression", "llm_text_unigram_nll",
-    "stream_event_replay", "ts_sessionize", "agg_count_min", "llm_knn_join",
-    "join_bloom_prefilter", "ts_fill_forward", "merge_scd2",
-    "llm_eval_confusion", "ts_ewma", "filter_dpp", "llm_text_keywords",
-    "llm_dedup_graph_stats", "llm_dedup_spans", "llm_contamination",
-    "llm_ann_rescore", "ts_funnel", "ts_anomaly_zscore", "ts_interpolate",
-    "llm_dedup_embed", "stream_watermark_advance", "scan_pysource",
-    "llm_eval_ranking", "llm_dedup_incremental", "fn_param_sql",
-    "fn_collate", "llm_dedup_clusters", "llm_cluster_kmeans",
-    "stream_stateful_progress", "llm_pipeline_e2e", "llm_perplexity_filter",
-    "llm_curriculum_order", "join_asof_nearest", "ts_downsample_lttb",
-    "sink_partition_overwrite", "llm_multimodal", "llm_multimodal_resize",
-    "llm_multimodal_frames", "ts_seasonal_profile",
-    # stamp age r7 (the former round-7 window: the 5 round-6/7 additions
-    # + the 29 ex-r1 keys + the 16 ex-r2 keys)
-    "ts_downsample_lttb_hier", "scan_jdbc_partitioned",
-    "agg_weighted_median", "ts_acf", "llm_importance_resample",
-    "agg_distinct", "agg_arg_max", "join_anti", "agg_histogram",
-    "agg_groupby", "scan_bucketed", "join_semi", "scan_csv", "agg_rollup",
-    "join_theta", "join_left", "jdbc_sink", "row_offset_filter",
-    "agg_percentile", "scan_json", "join_full", "join_sortmerge",
-    "join_snapshot_diff", "join_broadcast", "join_asof",
-    "join_watermark_compare", "log_append", "scan_orc", "jdbc_source",
-    "agg_max_watermark", "agg_stats", "snapshot_dump", "parallel_copy",
-    "snapshot_load",
-    "fn_regexp_extract", "scan_text", "filter_prefix", "filter_null",
-    "fn_array", "fn_url", "filter_multi_rlike", "sort_top1",
-    "filter_table_class", "filter_negative", "filter_isin", "string_scrub",
-    "llm_text_normalize", "reshape_unpivot", "reshape_explode",
-    "delimited_parse",
-    # stamp age r8 — freshest stamps, last (the former round-8 window:
-    # the 33 ex-r2 keys + the 17 ex-r3 keys)
-    "fn_case_when", "win_row_number", "agg_conditional",
-    "filter_rlike", "fn_cast", "llm_sample_stratified", "fn_math", "fn_hash",
-    "win_rank", "project_columns", "scan_parquet", "fn_regexp_replace",
-    "fn_split", "fn_date_format", "win_pattern_match", "sort_topk",
-    "llm_text_bpe_count", "fn_map", "fn_json", "llm_text_redact",
-    "llm_text_quality", "stream_tumbling", "agg_cube", "stream_retry",
-    "llm_quality_classifier", "fn_div_mod", "filter_gt_watermark",
-    "stream_incremental_dump", "udf_scalar", "reshape_struct_flatten",
-    "scan_partitioned", "agg_pending_count", "agg_duration",
-    "llm_multimodal_features", "agg_table_profile", "agg_approx_distinct",
-    "agg_hll_sketch", "agg_approx_percentile", "ts_changepoint",
-    "llm_corpus_shuffle", "llm_tokenizer_apply", "llm_bpe_merges",
-    "llm_ann_batch", "llm_embed_pq", "llm_pack_sequences", "win_lag",
-    "llm_text_tokens", "join_asof_forward", "llm_text_langid", "set_except",
-    # stamp age r9 — freshest stamps, last (the former round-9 window
-    # minus llm_rank_fusion, which rides the r10 window again after the
-    # sentinel change: the 31 ex-r3 keys, the 5 other round-9 additions,
-    # and the 13 ex-r4 keys)
-    "stream_divergence", "llm_text_profile", "fn_datetime_extract",
-    "llm_dedup_exact", "llm_chunk_windows", "stream_sliding",
-    "agg_string_agg", "agg_grouping_sets", "win_running_sum",
-    "llm_dedup_ngram", "win_topk_per_group", "fn_levenshtein",
-    "agg_bitmap_distinct", "stream_late_data", "win_range_frame",
-    "win_latest_per_group", "stream_consistent_cut", "llm_text_fingerprint",
-    "stream_dedup", "stream_session", "fn_try_arith", "fn_concat",
-    "fn_variant", "fn_date_arith", "reshape_pivot", "set_union",
-    "win_distribution", "sort_events", "stream_stream_join", "agg_mode",
-    "agg_skew_salted",
-    "agg_quantile_sketch", "ts_stl_decompose", "llm_chunk_rank",
-    "llm_preference_pairs", "join_interval_overlap",
-    "llm_dedup_semantic", "llm_split_leakage_safe", "llm_serving_e2e",
-    "llm_ann_index_probe", "llm_dedup_minhash_clusters", "ts_gap_detect",
-    "llm_dedup_minhash", "llm_dedup_simhash", "llm_ann_ivf", "llm_ann_lsh",
-    "sql_promo_revenue", "sql_pricing_summary", "sql_discount_revenue",
+    "udf_grouped_agg", "llm_mix_sources", "ts_holt_winters",
+    "llm_line_boilerplate", "llm_eval_ndcg", "llm_mmr_rerank",
+    "llm_eval_calibration", "llm_rank_fusion", "llm_similarity_topk",
+    "llm_text_entropy", "udf_table_udtf", "ts_retention_cohort",
+    "udf_table", "llm_doc_embed_hash", "scan_schema_evolution",
+    "llm_vocab_coverage",
 )
 
 

@@ -92,12 +92,25 @@ FLOAT_HEAVY = [
     "llm_preference_pairs",
     "join_interval_overlap",
     "llm_rank_fusion",
+    # round-11: integer power-iteration over a memoized persisted graph,
+    # milli/nano-quantized eval of the Holt float chain, and the
+    # window-offset packing roll-up (llm_url_canonicalize is a pure
+    # per-row projection — partition-invariant by construction)
+    "llm_domain_authority",
+    "ts_forecast_backtest",
+    "llm_pack_quality",
+    "llm_dedup_url",
 ]
 
 #: Keys whose cross-run memo (persisted signature/pair relations) must be
 #: dropped between the two runs — otherwise the second run would read the
 #: first run's cached result and the invariance check would be vacuous.
-_MEMOIZED = {"llm_dedup_minhash", "llm_dedup_simhash", "llm_dedup_clusters"}
+_MEMOIZED = {
+    "llm_dedup_minhash",
+    "llm_dedup_simhash",
+    "llm_dedup_clusters",
+    "llm_domain_authority",  # persisted domain/edge relations (web.py)
+}
 
 
 @pytest.mark.parametrize("key", FLOAT_HEAVY)

@@ -56,49 +56,49 @@ def test_sweep_window_pins_stalest_stamps():
     """The driver stamps the FIRST ~50 registry keys each round, so the
     front of ``_SWEEP_ORDER`` is load-bearing: it must hold exactly the
     keys with the oldest (or missing) driver CORRECTNESS stamps. This
-    pins the round-10 window contents (VERDICT r9 ask #2: the 36
-    remaining r4-stamped keys, then the five round-10 additions, then
-    llm_rank_fusion — r9-stamped but changed by the NULL-sentinel fix —
-    then the 8 oldest r6-stamped keys) — regenerate the expectation
-    alongside any ``_SWEEP_ORDER`` rotation."""
+    pins the round-11 window contents (VERDICT r10 asks #1/#3: the full
+    42-key r6-stamped block — the registry's stalest — then the five
+    round-11 additions, then the 3 oldest r7-stamped keys completing
+    the 50) — regenerate the expectation alongside any ``_SWEEP_ORDER``
+    rotation."""
     from hive3_replication_spark.registry import _SWEEP_ORDER
 
     window = list(_SWEEP_ORDER[:50])
-    # all 36 keys whose latest driver stamp is r4 (the registry's stalest)
-    r4 = {
-        "sql_shipmode_priority", "sql_small_quantity_revenue",
-        "sql_top_supplier", "sql_returned_items", "sql_order_priority",
-        "sql_inactive_customer_balance", "sql_waiting_supplier",
-        "sql_shipping_priority", "sql_parts_supplier_count",
-        "sql_product_profit", "sql_customer_distribution",
-        "sql_nation_volume", "sql_large_volume_customer",
-        "sql_market_share", "sql_local_supplier_volume",
-        "sql_recursive_hierarchy", "win_first_value", "win_ntile",
-        "llm_text_repetition", "llm_shard_assign", "udf_arrow", "ts_ohlc",
-        "llm_text_bigrams", "ts_resample", "set_intersect",
-        "ts_rollup_hypertable", "scan_xml", "join_range",
-        "join_skew_salted", "agg_corr", "scan_binaryfile",
-        "llm_embed_quantize", "fn_crypto_roundtrip",
-        "llm_sample_temperature", "udf_grouped_agg", "llm_mix_sources",
+    # all 42 keys whose latest driver stamp is r6 (the registry's stalest)
+    r6 = {
+        "win_distinct_running", "agg_dq_checks", "agg_regression",
+        "llm_text_unigram_nll", "stream_event_replay", "ts_sessionize",
+        "agg_count_min", "llm_knn_join", "join_bloom_prefilter",
+        "ts_fill_forward", "merge_scd2", "llm_eval_confusion", "ts_ewma",
+        "filter_dpp", "llm_text_keywords", "llm_dedup_graph_stats",
+        "llm_dedup_spans", "llm_contamination", "llm_ann_rescore",
+        "ts_funnel", "ts_anomaly_zscore", "ts_interpolate",
+        "llm_dedup_embed", "stream_watermark_advance", "scan_pysource",
+        "llm_eval_ranking", "llm_dedup_incremental", "fn_param_sql",
+        "fn_collate", "llm_dedup_clusters", "llm_cluster_kmeans",
+        "stream_stateful_progress", "llm_pipeline_e2e",
+        "llm_perplexity_filter", "llm_curriculum_order",
+        "join_asof_nearest", "ts_downsample_lttb",
+        "sink_partition_overwrite", "llm_multimodal",
+        "llm_multimodal_resize", "llm_multimodal_frames",
+        "ts_seasonal_profile",
     }
-    assert r4 <= set(window), sorted(r4 - set(window))
-    # the five round-10 additions have no driver stamp yet, and
-    # llm_rank_fusion's engine+oracle changed (0 → NULL absent-arm rank
-    # sentinel) — all six must ride this window
-    new_r10 = {
-        "ts_holt_winters", "llm_line_boilerplate", "llm_eval_ndcg",
-        "llm_mmr_rerank", "llm_eval_calibration", "llm_rank_fusion",
+    assert r6 <= set(window), sorted(r6 - set(window))
+    # the five round-11 additions have no driver stamp yet — all must
+    # ride this window
+    new_r11 = {
+        "llm_url_canonicalize", "llm_dedup_url", "llm_domain_authority",
+        "ts_forecast_backtest", "llm_pack_quality",
     }
-    assert new_r10 <= set(window), sorted(new_r10 - set(window))
-    # the remaining 8 slots are exactly the OLDEST r6-stamped keys
-    # (profiled cheapest-first order within the r6 block)
-    r6_oldest = {
-        "llm_similarity_topk", "llm_text_entropy", "udf_table_udtf",
-        "ts_retention_cohort", "udf_table", "llm_doc_embed_hash",
-        "scan_schema_evolution", "llm_vocab_coverage",
+    assert new_r11 <= set(window), sorted(new_r11 - set(window))
+    # the remaining 3 slots are exactly the OLDEST r7-stamped keys
+    # (profiled cheapest-first order within the r7 block)
+    r7_oldest = {
+        "ts_downsample_lttb_hier", "scan_jdbc_partitioned",
+        "agg_weighted_median",
     }
-    rest = set(window) - r4 - new_r10
-    assert rest == r6_oldest, sorted(rest ^ r6_oldest)
+    rest = set(window) - r6 - new_r11
+    assert rest == r7_oldest, sorted(rest ^ r7_oldest)
     assert len(window) == len(set(window)) == 50
 
 

@@ -913,3 +913,243 @@ def test_rank_fusion_matches_python_twin(spark):
             assert row.vec_rank == vec_rank[row.doc_id]
         else:
             assert pd.isna(row.vec_rank)
+
+
+def _urllib_canon(url: str) -> tuple[str, int]:
+    """Independent canonicalizer (urllib.parse — a different URL grammar
+    implementation than the engine's string algebra): returns
+    (canon_url, n_params_removed)."""
+    import re
+    from urllib.parse import urlsplit
+
+    u = urlsplit(url)
+    scheme = u.scheme.lower()
+    host = (u.hostname or "").lower()
+    netloc = host
+    if u.port is not None and not (
+        (scheme == "https" and u.port == 443)
+        or (scheme == "http" and u.port == 80)
+    ):
+        netloc += f":{u.port}"
+    path = re.sub(r"/{2,}", "/", u.path)
+    path = "/" if path in ("", "/") else re.sub(r"/$", "", path)
+    raw = [p for p in u.query.split("&") if p]
+    kept = sorted(
+        p
+        for p in raw
+        if not p.startswith(("utm_", "fbclid=", "gclid="))
+    )
+    q = "?" + "&".join(kept) if kept else ""
+    return f"{scheme}://{netloc}{path}{q}", len(raw) - len(kept)
+
+
+def test_url_canonicalize_matches_urllib_twin(spark):
+    """L38 twin: the engine's string-algebra canonicalization must agree
+    with an independent urllib.parse-based implementation on every
+    synthesized URL (all three mess-variant classes), including the
+    tracking-removal count."""
+    from hive3_replication_spark.llm.web import llm_url_canonicalize
+
+    got = llm_url_canonicalize(spark, SF_DIR).toPandas()
+    assert len(got) > 0
+    for row in got.itertuples():
+        canon, removed = _urllib_canon(row.url)
+        assert row.canon_url == canon, (row.url, row.canon_url, canon)
+        assert row.n_params_removed == removed, row
+        # structural canonicality: one scheme case, no fragment, no
+        # default port, no duplicate slashes, no tracking params
+        assert canon.startswith("https://www.src"), canon
+        assert "#" not in canon and ":443" not in canon, canon
+        assert "//" not in canon[len("https://"):], canon
+        assert "utm_" not in canon and "fbclid" not in canon, canon
+
+
+def test_dedup_url_matches_python_twin(spark):
+    """L2e twin: URL groups replayed from the urllib canonicalizer over
+    the engine's raw URLs — group count, keeper, and copy count must all
+    match, and the synthesis guarantee (three mess variants per page)
+    must show up as all-but-at-most-one groups of size 3."""
+    from hive3_replication_spark.llm.web import (
+        llm_dedup_url,
+        llm_url_canonicalize,
+    )
+
+    raw = llm_url_canonicalize(spark, SF_DIR).toPandas()
+    groups: dict[str, list[int]] = {}
+    for row in raw.itertuples():
+        canon, _ = _urllib_canon(row.url)
+        groups.setdefault(canon, []).append(row.doc_id)
+    got = llm_dedup_url(spark, SF_DIR).toPandas()
+    assert len(got) == len(groups)
+    for row in got.itertuples():
+        ids = groups[row.canon_url]
+        assert row.canonical_doc_id == min(ids), row
+        assert row.n_copies == len(ids), row
+    sizes = sorted(got.n_copies.tolist())
+    assert set(sizes[-(len(sizes) - 1):]) <= {3}, (
+        "every full page group collapses exactly its 3 mess variants"
+    )
+
+
+def test_domain_authority_matches_python_twin(spark):
+    """L37 twin: the damped integer power iteration replayed in pure
+    Python dict arithmetic from the raw documents table — out-weights,
+    pr1, and pr2 must match the engine EXACTLY (same integer divisions
+    in the same places)."""
+    from pyspark.sql import functions as F
+
+    from hive3_replication_spark.catalog import load_table
+    from hive3_replication_spark.llm.web import _PR_SCALE, llm_domain_authority
+
+    docs = (
+        load_table(spark, SF_DIR, "documents")
+        .select("doc_id", "lang", "source")
+        .toPandas()
+    )
+    doms = sorted(set(zip(docs.lang, docs.source)))
+    dom_id = {d: i for i, d in enumerate(doms)}
+    host = {i: f"{d[0]}.{d[1]}.example.com" for i, d in enumerate(doms)}
+    n = len(doms)
+    edges: dict[tuple[int, int], int] = {}
+    for row in docs.itertuples():
+        s = dom_id[(row.lang, row.source)]
+        for j in (1, 2, 3):
+            t = (row.doc_id * 31 + 7 * j) % n
+            if t != s:
+                edges[(s, t)] = edges.get((s, t), 0) + 1
+    out_w = {i: 0 for i in range(n)}
+    for (s, _t), w in edges.items():
+        out_w[s] += w
+    base = (15 * _PR_SCALE) // 100
+
+    def iterate(rank: dict[int, int]) -> dict[int, int]:
+        mass = {i: 0 for i in range(n)}
+        for (s, t), w in edges.items():
+            mass[t] += (rank[s] * w) // out_w[s]
+        return {i: base + (85 * mass[i]) // 100 for i in range(n)}
+
+    r1 = iterate({i: _PR_SCALE for i in range(n)})
+    r2 = iterate(r1)
+    got = llm_domain_authority(spark, SF_DIR).toPandas()
+    assert len(got) == n
+    for row in got.itertuples():
+        i = next(k for k, h in host.items() if h == row.host)
+        assert row.out_w == out_w[i], row
+        assert row.pr1 == r1[i], row
+        assert row.pr2 == r2[i], row
+    # total rank mass stays bounded by the damping (sanity of the scheme)
+    assert 0 < got.pr2.min() <= got.pr2.max() < 100 * _PR_SCALE
+
+
+def test_forecast_backtest_matches_python_twin(spark):
+    """TS21 twin: MAE/sMAPE/skill replayed in Python big-int arithmetic
+    from the ENGINE's own TS20 output (the backtest grades the rounded
+    relation both engines already agree on bit-for-bit) — every
+    aggregate must match exactly, and the Holt forecaster must beat the
+    seasonal-naive baseline on the fixture (positive skill)."""
+    import math
+
+    from hive3_replication_spark.operators.timeseries import (
+        _BT_LAG,
+        ts_forecast_backtest,
+        ts_holt_winters,
+    )
+
+    hw = (
+        ts_holt_winters(spark, SF_DIR)
+        .toPandas()
+        .sort_values(["event_type", "hour"])
+    )
+    got = (
+        ts_forecast_backtest(spark, SF_DIR)
+        .toPandas()
+        .set_index("event_type")
+    )
+    for t, g in hw.groupby("event_type"):
+        y = g.n_events.tolist()
+        resid = g.resid_r.tolist()
+        rows = [
+            (y[i], resid[i], y[i - _BT_LAG]) for i in range(_BT_LAG, len(y))
+        ]
+        n = len(rows)
+        e_m = [int(math.floor(abs(r) * 1000.0 + 0.5)) for _, r, _ in rows]
+        e_n = [abs(yv - nf) * 1000 for yv, _, nf in rows]
+
+        def smape_q(num: float, den: float) -> int:
+            return (
+                0 if den == 0.0 else int(math.floor(num / den * 1e9 + 0.5))
+            )
+
+        s_m = [
+            smape_q(2.0 * abs(r), abs(float(yv)) + abs(float(yv) - r))
+            for yv, r, _ in rows
+        ]
+        s_n = [
+            smape_q(2.0 * float(abs(yv - nf)), float(yv + nf))
+            for yv, _, nf in rows
+        ]
+        row = got.loc[t]
+        assert row.n_eval == n, (t, n, row.n_eval)
+        assert row.mae_model_milli == sum(e_m) // n, t
+        assert row.mae_naive_milli == sum(e_n) // n, t
+        assert row.smape_model_nano == sum(s_m) // n, t
+        assert row.smape_naive_nano == sum(s_n) // n, t
+        assert row.skill_micro == (
+            (sum(e_n) - sum(e_m)) * 1_000_000 // sum(e_n)
+        ), t
+        assert row.skill_micro > 0, (
+            "Holt must beat seasonal-naive on the fixture", t, row,
+        )
+
+
+def test_pack_quality_matches_python_twin(spark):
+    """L10b twin: the packing quality report replayed from a pure-Python
+    greedy repack of the raw documents — every per-shard statistic must
+    match exactly, and the global accounting identity
+    n_seqs·budget = total − overflow + slack must hold per shard."""
+    from hive3_replication_spark.catalog import load_table
+    from hive3_replication_spark.llm.sampling import (
+        _CTX_TOKENS,
+        _PACK_SHARDS,
+        llm_pack_quality,
+    )
+
+    docs = (
+        load_table(spark, SF_DIR, "documents")
+        .select("doc_id", "text")
+        .toPandas()
+    )
+    fills: dict[tuple[int, int], list[int]] = {}
+    for row in docs.sort_values("doc_id").itertuples():
+        nt = min(len(row.text.split(" ")), _CTX_TOKENS)
+        shard = row.doc_id % _PACK_SHARDS
+        cum = sum(
+            sum(v) for (s, _q), v in fills.items() if s == shard
+        )
+        seq = cum // _CTX_TOKENS
+        fills.setdefault((shard, seq), []).append(nt)
+    got = llm_pack_quality(spark, SF_DIR).toPandas().set_index("shard")
+    shards = {s for s, _q in fills}
+    assert len(got) == len(shards)
+    for s in shards:
+        seqs = {q: v for (sh, q), v in fills.items() if sh == s}
+        used = {q: sum(v) for q, v in seqs.items()}
+        row = got.loc[s]
+        assert row.n_seqs == len(seqs), s
+        assert row.n_docs == sum(len(v) for v in seqs.values()), s
+        assert row.total_tokens == sum(used.values()), s
+        assert row.slack_tokens == sum(
+            max(_CTX_TOKENS - u, 0) for u in used.values()
+        ), s
+        assert row.overflow_tokens == sum(
+            max(u - _CTX_TOKENS, 0) for u in used.values()
+        ), s
+        assert row.max_fill == max(used.values()), s
+        assert row.min_fill == min(used.values()), s
+        assert row.efficiency_micro == (
+            row.total_tokens * 1_000_000 // (row.n_seqs * _CTX_TOKENS)
+        ), s
+        assert (
+            row.n_seqs * _CTX_TOKENS
+            == row.total_tokens - row.overflow_tokens + row.slack_tokens
+        ), s

@@ -51,6 +51,14 @@ KEYS = (
     # round-10: ECE with the zero-marker uniform-prior path (random docs
     # with none of the three markers land in the prior bin)
     "llm_eval_calibration",
+    # round-11: URL canonicalization/dedup (doc_id-keyed synthesis — the
+    # random corpus varies ID DENSITY, exercising partial dup groups),
+    # the domain-authority iteration on the 6-domain random graph, and
+    # the packing report over empty/1-token docs
+    "llm_url_canonicalize",
+    "llm_dedup_url",
+    "llm_domain_authority",
+    "llm_pack_quality",
 )
 
 _SEEDS = (7, 23)
@@ -134,6 +142,9 @@ TS_KEYS = (
     # round-10: the Holt filter over the irregular hour grid — the 1-6 h
     # gap mixture exercises zero-filled slots inside the 48-lag frame
     "ts_holt_winters",
+    # round-11: the backtest over the same irregular grid — random zero
+    # hours exercise the sMAPE zero-denominator guard on both forecasters
+    "ts_forecast_backtest",
     "sink_partition_overwrite",
     # windows/streams over the same stream — their (ts, event_id)
     # tie-breaks are what the 30% duplicate timestamps exercise
