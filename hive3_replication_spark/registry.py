@@ -267,6 +267,12 @@ def _prewarm_body(spark: SparkSession, sf_dir: str) -> None:
         _similarity.ann_index_path(spark, sf_dir)
     except Exception:  # noqa: BLE001
         pass
+    try:  # domain/edge graph memo (llm_domain_authority)
+        doms, edges = _web._domain_graph(spark, sf_dir)
+        doms.count()
+        edges.count()
+    except Exception:  # noqa: BLE001
+        pass
     try:  # real-image fixture layout (llm_multimodal / _resize)
         _multimodal.image_files_path(spark, sf_dir)
     except Exception:  # noqa: BLE001

@@ -47,8 +47,15 @@ sparse grade multisets exercise the prefix-sum ideal and the idcg=0
 NULL guard; llm_mmr_rerank's all-BIGINT greedy over a fused list whose
 arms disagree; llm_eval_calibration's zero-marker uniform-prior bin)
 and the NULL-sentinel llm_rank_fusion restamp. Bonus seed 269 clean
-241/241 after the L33 skew redesign and the L36 NULL-gold fix. Next
-primes: 271, 277.
+241/241 after the L33 skew redesign and the L36 NULL-gold fix.
+
+Round-11: seed 271 clean 246/246 — first sweep covering the five
+round-11 operators (llm_url_canonicalize / llm_dedup_url over the fuzz
+corpus's sparse doc_id space — partial dup groups and single-variant
+pages; llm_domain_authority on the fuzz corpus's small domain graph;
+ts_forecast_backtest over irregular fuzz hour grids — zero-count hours
+exercise both sMAPE zero-denominator guards; llm_pack_quality over
+empty/1-token docs). Next primes: 277, 281.
 
 Round-7: the malformed-MEDIA payload family (truncated headers, wrong
 magic, hostile GIF length bytes, oversized declared dims) lives in
