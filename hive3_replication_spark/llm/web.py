@@ -43,8 +43,13 @@ from ..catalog import load_table
 #: + (85 · Σ_{s→d} (r_k(s)·w(s,d) DIV out_w(s))) DIV 100.
 _PR_SCALE = 1_000_000
 #: Outlinks synthesized per document: targets (doc_id·31 + 7j) mod n,
-#: j = 1..3 — three distinct residues (7·{1,2,3} are distinct mod any
-#: n > 21 and still ≥2 distinct below), so no domain dangles.
+#: j = 1..3. The residues 7·{1,2,3} mod n usually differ but CAN
+#: collapse (all three ≡ 0 at n = 7), and after the self-link filter a
+#: domain can end up dangling (out_w = 0) — handled, not assumed away:
+#: dangling domains simply keep the base (15%) rank each iteration via
+#: the left joins, and their mass is NOT redistributed (the standard
+#: PageRank dangling-mass correction is out of scope for the -lite
+#: variant; at the fixture's n = 97 every domain has outlinks anyway).
 _PR_FANOUT = 3
 
 
@@ -320,9 +325,16 @@ def _domain_graph(
     from .dedup import _memo_sig
 
     def build_doms() -> DataFrame:
+        # NULL provenance cannot be assigned a domain — dropped from the
+        # graph in BOTH engines (without the filter Spark's concat_ws
+        # skips NULL parts while || yields NULL, and the two engines
+        # rank NULLs at opposite ends, shifting every domain_id)
         pairs = (
             load_table(spark, sf_dir, "documents")
             .select("lang", "source")
+            .where(
+                F.col("lang").isNotNull() & F.col("source").isNotNull()
+            )
             .distinct()
         )
         w_ids = Window.orderBy("lang", "source")
@@ -450,6 +462,7 @@ def _domain_authority_oracle_sql() -> str:
     return f"""
         WITH pairs AS (
             SELECT DISTINCT lang, source FROM documents
+            WHERE lang IS NOT NULL AND source IS NOT NULL
         ),
         doms AS (
             SELECT CAST(DENSE_RANK() OVER (ORDER BY lang, source) - 1

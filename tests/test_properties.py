@@ -985,9 +985,11 @@ def test_dedup_url_matches_python_twin(spark):
         ids = groups[row.canon_url]
         assert row.canonical_doc_id == min(ids), row
         assert row.n_copies == len(ids), row
-    sizes = sorted(got.n_copies.tolist())
-    assert set(sizes[-(len(sizes) - 1):]) <= {3}, (
-        "every full page group collapses exactly its 3 mess variants"
+    # every page group collapses exactly its 3 mess variants, except AT
+    # MOST ONE partial tail group (doc count not divisible by 3)
+    non_full = [s for s in got.n_copies.tolist() if s != 3]
+    assert len(non_full) <= 1 and all(1 <= s < 3 for s in non_full), (
+        "exactly the partial tail group may be smaller than 3", non_full,
     )
 
 
@@ -1006,6 +1008,7 @@ def test_domain_authority_matches_python_twin(spark):
         .select("doc_id", "lang", "source")
         .toPandas()
     )
+    docs = docs[docs.lang.notna() & docs.source.notna()]
     doms = sorted(set(zip(docs.lang, docs.source)))
     dom_id = {d: i for i, d in enumerate(doms)}
     host = {i: f"{d[0]}.{d[1]}.example.com" for i, d in enumerate(doms)}

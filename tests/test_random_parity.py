@@ -604,3 +604,42 @@ def test_calibration_null_gold_labels(spark, tmp_path_factory):
     # every NULL-labeled doc counted as incorrect, none dropped
     assert spark_pdf.n.sum() == 60
     assert spark_pdf.n_correct.sum() <= 30
+
+
+def test_domain_authority_null_provenance(spark, tmp_path_factory):
+    """Round-11 review regression: documents with NULL lang/source must
+    be DROPPED from the domain graph identically in both engines —
+    without the explicit filter, Spark's concat_ws skips NULL parts
+    while DuckDB's || yields a NULL host, and the two engines rank
+    NULLs at opposite ends of dense_rank, shifting every domain_id (and
+    with it every mod-addressed edge target). No standard corpus emits
+    NULL provenance, so this plants one that is ~third NULL-labeled."""
+    rows = []
+    for d in range(90):
+        lang = (None, "en", "de")[d % 3]
+        source = ("web", None, "book")[d % 3 if d % 5 else 1]
+        rows.append((d, f"tok{d} data", lang, source))
+    pdf = pd.DataFrame(rows, columns=["doc_id", "text", "lang", "source"])
+    pdf["n_chars"] = pdf.text.str.len().astype("int64")
+    out = str(tmp_path_factory.mktemp("nullprov"))
+    spark.createDataFrame(pdf).coalesce(1).write.parquet(
+        f"{out}/documents.parquet"
+    )
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"'{out}/documents.parquet/*.parquet'"
+    )
+    from hive3_replication_spark.llm.dedup import clear_caches
+    from hive3_replication_spark.registry import build_oracles, build_queries
+
+    clear_caches()
+    key = "llm_domain_authority"
+    spark_pdf = build_queries()[key](spark, out).toPandas()
+    oracle_pdf = con.sql(build_oracles()[key]).df()
+    clear_caches()
+    assert_frames_match(spark_pdf, oracle_pdf, f"{key}@null-prov")
+    # only fully-labeled (lang, source) pairs form domains; no NULL or
+    # partially-concatenated host may appear
+    assert spark_pdf.host.notna().all()
+    assert all(h.count(".") == 3 for h in spark_pdf.host)
