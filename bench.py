@@ -253,6 +253,9 @@ SCALE_PROBE_KEYS = (
     "llm_dedup_url",
     "llm_domain_authority",
     "ts_forecast_backtest",
+    # the MAD histograms saturate in cardinality like the domain graph —
+    # the wall ratio is the evidence
+    "ts_anomaly_mad",
 )
 
 

@@ -387,6 +387,94 @@ def ts_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: MAD flag threshold: dev > _MAD_K · MAD. The classical rule is
+#: |v − med| > k·1.4826·MAD (the 1.4826 normal-consistency constant);
+#: the -lite form folds the constant into the integer K (3·1.4826 ≈ 4.45
+#: → K = 3 is the conservative floor every monitoring stack starts at),
+#: keeping the comparison all-BIGINT.
+_MAD_K = 3
+
+
+def ts_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TS22 — robust MAD anomaly detection per event type: each value
+    scored against the stream's median and median-absolute-deviation
+    (Hampel identifier, Leys et al. 2013) — the robust complement to
+    TS8's z-score, which an actual outlier burst contaminates (outliers
+    inflate the very σ meant to flag them; the MAD's 50% breakdown point
+    doesn't care).
+
+    Exactness policy: values quantize to milli-units via the ts_acf
+    decimal device, and BOTH medians use the LOWER-median convention
+    (min v with 2·cum ≥ n — the A26 crossing test), so the entire
+    operator is BIGINT end to end: no interpolation, no floats, no
+    rounding step — bit-identical on any engine or partitioning. A
+    constant stream has MAD 0 and flags every value off the median
+    (standard MAD degeneracy, NULL-free); NULL values are excluded from
+    the histograms and carry NULL flags through.
+
+    Scale shape (the A26 histogram lesson): the median is NEVER computed
+    by buffering a stream's values (Spark's exact median/percentile
+    aggregate holds the whole group in memory — a 100 TB stream OOMs
+    it). Both medians run over the QUANTIZED-VALUE HISTOGRAM: groupBy
+    (type, v_q) collapses the fact map-side to one row per distinct
+    milli-value — a relation bounded by value-range/quantization
+    CARDINALITY, not row count — then one bounded window finds the
+    crossing, and the two tiny (type → med/mad) relations broadcast back
+    onto the fact. Histogram rows SATURATE as the corpus grows (the
+    domain-graph saturation property, measured in docs/SCALE.md)."""
+    events = load_table(spark, sf_dir, "events")
+    v_q = F.expr(
+        "CAST(CAST(value AS DECIMAL(18,3)) * 1000 AS BIGINT)"
+    ).alias("v_q")
+    ev = events.select("event_id", "event_type", v_q)
+
+    def lower_median(rel: DataFrame, col: str, out: str) -> DataFrame:
+        hist = (
+            rel.filter(F.col(col).isNotNull())
+            .groupBy("event_type", col)
+            .agg(F.count("*").alias("_n"))
+        )
+        w_run = (
+            Window.partitionBy("event_type")
+            .orderBy(col)
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        w_all = Window.partitionBy("event_type")
+        cum = hist.withColumn(
+            "_cum", F.sum("_n").over(w_run)
+        ).withColumn("_tot", F.sum("_n").over(w_all))
+        return (
+            cum.filter(F.col("_cum") * 2 >= F.col("_tot"))
+            .groupBy("event_type")
+            .agg(F.min(col).alias(out))
+        )
+
+    # med is stream-count rows and feeds TWO consumers (the deviation
+    # relation is scanned for the MAD histogram and for the output);
+    # checkpointing it stops the plan re-expanding its histogram window
+    # per consumer (the L37 loop-state idiom — control-plane cost)
+    med = lower_median(ev, "v_q", "med_milli").localCheckpoint()
+    dev = ev.join(F.broadcast(med), "event_type").select(
+        "event_id",
+        "event_type",
+        "v_q",
+        "med_milli",
+        (F.abs(F.col("v_q") - F.col("med_milli"))).alias("dev_milli"),
+    )
+    mad = lower_median(dev.withColumnRenamed("dev_milli", "d_q"), "d_q", "mad_milli")
+    return dev.join(F.broadcast(mad), "event_type").select(
+        "event_id",
+        "event_type",
+        F.col("v_q").alias("value_milli"),
+        "med_milli",
+        "dev_milli",
+        "mad_milli",
+        (F.col("dev_milli") > _MAD_K * F.col("mad_milli")).alias(
+            "is_outlier"
+        ),
+    )
+
+
 _EWMA_ALPHA = 0.25
 _EWMA_K = 20
 #: Truncated EWMA weights alpha*(1-alpha)^j, j = lag. Generated ONCE in
@@ -1437,6 +1525,58 @@ ORACLES: dict[str, str] = {
                    END AS skill_micro
         FROM per GROUP BY event_type
     """,
+    "ts_anomaly_mad": f"""
+        WITH ev AS (
+            SELECT event_id, event_type,
+                   CAST(CAST(value AS DECIMAL(18,3)) * 1000 AS BIGINT)
+                       AS v_q
+            FROM events
+        ),
+        h1 AS (
+            SELECT event_type, v_q, COUNT(*) AS n
+            FROM ev WHERE v_q IS NOT NULL GROUP BY 1, 2
+        ),
+        c1 AS (
+            SELECT event_type, v_q,
+                   SUM(n) OVER (PARTITION BY event_type ORDER BY v_q
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS cum,
+                   SUM(n) OVER (PARTITION BY event_type) AS tot
+            FROM h1
+        ),
+        med AS (
+            SELECT event_type, MIN(v_q) AS med_milli
+            FROM c1 WHERE cum * 2 >= tot GROUP BY 1
+        ),
+        dev AS (
+            SELECT e.event_id, e.event_type, e.v_q, m.med_milli,
+                   ABS(e.v_q - m.med_milli) AS dev_milli
+            FROM ev e JOIN med m USING (event_type)
+        ),
+        h2 AS (
+            SELECT event_type, dev_milli, COUNT(*) AS n
+            FROM dev WHERE dev_milli IS NOT NULL GROUP BY 1, 2
+        ),
+        c2 AS (
+            SELECT event_type, dev_milli,
+                   SUM(n) OVER (PARTITION BY event_type ORDER BY dev_milli
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS cum,
+                   SUM(n) OVER (PARTITION BY event_type) AS tot
+            FROM h2
+        ),
+        mad AS (
+            SELECT event_type, MIN(dev_milli) AS mad_milli
+            FROM c2 WHERE cum * 2 >= tot GROUP BY 1
+        )
+        SELECT d.event_id, d.event_type,
+               CAST(d.v_q AS BIGINT) AS value_milli,
+               CAST(d.med_milli AS BIGINT) AS med_milli,
+               CAST(d.dev_milli AS BIGINT) AS dev_milli,
+               CAST(a.mad_milli AS BIGINT) AS mad_milli,
+               d.dev_milli > {_MAD_K} * a.mad_milli AS is_outlier
+        FROM dev d JOIN mad a USING (event_type)
+    """,
     "ts_acf": """
         WITH e AS (
             SELECT event_type,
@@ -2038,5 +2178,6 @@ QUERY_FNS = {
     "ts_stl_decompose": ts_stl_decompose,
     "ts_holt_winters": ts_holt_winters,
     "ts_forecast_backtest": ts_forecast_backtest,
+    "ts_anomaly_mad": ts_anomaly_mad,
     "ts_gap_detect": ts_gap_detect,
 }

@@ -64,9 +64,9 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 #: driver cuts at ~50 keys per round BY COUNT, so the front block must
 #: hold exactly the keys that most need a fresh driver stamp. Round-11
 #: policy (VERDICT r10 asks #1 and #3): the full 42-key r6-stamped block
-#: (the registry's stalest) leads, then the five round-11 additions
+#: (the registry's stalest) leads, then the six round-11 additions
 #: (never driver-stamped — new coverage outranks a restamp), then the
-#: r7 block whose first 3 keys complete the 50-key window as bonus
+#: r7 block whose first 2 keys complete the 50-key window as bonus
 #: restamps. After this window lands, the minimum stamp age across the
 #: registry is r7. Behind the window, keys stay grouped oldest-latest-
 #: stamp first (r7, r8, r9, r10), preserving the profiled cheapest-first
@@ -95,8 +95,8 @@ _SWEEP_ORDER: tuple[str, ...] = (
     "ts_seasonal_profile",
     # round-11 additions — never driver-stamped, ride the window
     "llm_url_canonicalize", "llm_dedup_url", "llm_domain_authority",
-    "ts_forecast_backtest", "llm_pack_quality",
-    # stamp age r7 — the first 3 fill the 50-key window as a bonus
+    "ts_forecast_backtest", "llm_pack_quality", "ts_anomaly_mad",
+    # stamp age r7 — the first 2 fill the 50-key window as a bonus
     # restamp; the rest lead the round-12 window
     "ts_downsample_lttb_hier", "scan_jdbc_partitioned",
     "agg_weighted_median", "ts_acf", "llm_importance_resample",

@@ -100,6 +100,7 @@ FLOAT_HEAVY = [
     "ts_forecast_backtest",
     "llm_pack_quality",
     "llm_dedup_url",
+    "ts_anomaly_mad",
 ]
 
 #: Keys whose cross-run memo (persisted signature/pair relations) must be

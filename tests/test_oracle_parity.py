@@ -57,8 +57,8 @@ def test_sweep_window_pins_stalest_stamps():
     front of ``_SWEEP_ORDER`` is load-bearing: it must hold exactly the
     keys with the oldest (or missing) driver CORRECTNESS stamps. This
     pins the round-11 window contents (VERDICT r10 asks #1/#3: the full
-    42-key r6-stamped block — the registry's stalest — then the five
-    round-11 additions, then the 3 oldest r7-stamped keys completing
+    42-key r6-stamped block — the registry's stalest — then the six
+    round-11 additions, then the 2 oldest r7-stamped keys completing
     the 50) — regenerate the expectation alongside any ``_SWEEP_ORDER``
     rotation."""
     from hive3_replication_spark.registry import _SWEEP_ORDER
@@ -84,18 +84,17 @@ def test_sweep_window_pins_stalest_stamps():
         "ts_seasonal_profile",
     }
     assert r6 <= set(window), sorted(r6 - set(window))
-    # the five round-11 additions have no driver stamp yet — all must
+    # the six round-11 additions have no driver stamp yet — all must
     # ride this window
     new_r11 = {
         "llm_url_canonicalize", "llm_dedup_url", "llm_domain_authority",
-        "ts_forecast_backtest", "llm_pack_quality",
+        "ts_forecast_backtest", "llm_pack_quality", "ts_anomaly_mad",
     }
     assert new_r11 <= set(window), sorted(new_r11 - set(window))
-    # the remaining 3 slots are exactly the OLDEST r7-stamped keys
+    # the remaining 2 slots are exactly the OLDEST r7-stamped keys
     # (profiled cheapest-first order within the r7 block)
     r7_oldest = {
         "ts_downsample_lttb_hier", "scan_jdbc_partitioned",
-        "agg_weighted_median",
     }
     rest = set(window) - r6 - new_r11
     assert rest == r7_oldest, sorted(rest ^ r7_oldest)

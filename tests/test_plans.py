@@ -923,3 +923,30 @@ def test_pack_quality_adds_no_exchange_to_packing(spark):
     assert plan.count("FileScan") == 1, plan
     assert plan.count("Window") == 1, plan
     assert "Join" not in plan, plan
+
+
+def test_anomaly_mad_histogram_medians_no_buffering(spark):
+    """ts_anomaly_mad (round-11 TS22): both medians must run over the
+    quantized-value HISTOGRAM (map-side-combinable groupBy + a bounded
+    crossing window) — never Spark's buffering median/percentile
+    aggregate — with the stream-count med relation checkpointed and both
+    median relations BROADCAST back onto the fact: 2 hash exchanges
+    (the MAD histogram + its window; the med subtree is the checkpointed
+    RDD), 2 narrow fact scans, 3 broadcast joins, no sort-merge."""
+    from hive3_replication_spark.operators.timeseries import ts_anomaly_mad
+
+    plan = _plan(ts_anomaly_mad(spark, SF_DIR), "simple")
+    assert plan.count("Exchange hashpartitioning") == 2, plan
+    assert plan.count("FileScan") == 2, plan
+    assert plan.count("Window") == 2, plan
+    assert plan.count("BroadcastHashJoin") == 3, plan
+    assert "Scan ExistingRDD" in plan, plan  # the checkpointed med
+    assert "percentile" not in plan and "Median" not in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    # the fact scans are pruned to the 3 columns the operator touches
+    read_schema = next(
+        line for line in plan.splitlines() if "ReadSchema" in line
+    )
+    assert "props" not in read_schema and "ts:" not in read_schema, (
+        read_schema
+    )

@@ -1156,3 +1156,55 @@ def test_pack_quality_matches_python_twin(spark):
             row.n_seqs * _CTX_TOKENS
             == row.total_tokens - row.overflow_tokens + row.slack_tokens
         ), s
+
+
+def test_anomaly_mad_matches_python_twin(spark):
+    """TS22 twin: lower-median MAD replayed in pure Python from the raw
+    events — per-stream median, MAD, and every flag must match exactly
+    (the quantization replayed through Decimal, matching the engines'
+    DECIMAL(18,3) half-up device)."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    from hive3_replication_spark.catalog import load_table
+    from hive3_replication_spark.operators.timeseries import (
+        _MAD_K,
+        ts_anomaly_mad,
+    )
+
+    events = (
+        load_table(spark, SF_DIR, "events")
+        .select("event_id", "event_type", "value")
+        .toPandas()
+    )
+    q = {
+        row.event_id: int(
+            Decimal(repr(row.value)).quantize(
+                Decimal("0.001"), rounding=ROUND_HALF_UP
+            )
+            * 1000
+        )
+        for row in events.itertuples()
+    }
+
+    def lower_median(vals: list[int]) -> int:
+        s = sorted(vals)
+        # min v with 2*cum >= n  ==  element at ceil(n/2) - 1
+        return s[(len(s) + 1) // 2 - 1]
+
+    got = ts_anomaly_mad(spark, SF_DIR).toPandas()
+    assert len(got) == len(events)
+    for t, g in events.groupby("event_type"):
+        vals = [q[e] for e in g.event_id]
+        med = lower_median(vals)
+        mad = lower_median([abs(v - med) for v in vals])
+        sub = got[got.event_type == t].set_index("event_id")
+        assert (sub.med_milli == med).all(), t
+        assert (sub.mad_milli == mad).all(), t
+        for e in g.event_id:
+            d = abs(q[e] - med)
+            row = sub.loc[e]
+            assert row.value_milli == q[e], (t, e)
+            assert row.dev_milli == d, (t, e)
+            assert bool(row.is_outlier) == (d > _MAD_K * mad), (t, e)
+    # robustness sanity: the MAD flags a minority, never the majority
+    assert 0 < got.is_outlier.mean() < 0.5

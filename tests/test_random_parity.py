@@ -145,6 +145,9 @@ TS_KEYS = (
     # round-11: the backtest over the same irregular grid — random zero
     # hours exercise the sMAPE zero-denominator guard on both forecasters
     "ts_forecast_backtest",
+    # round-11: lower-median ties on the 30%-duplicate value stream and
+    # negative quantized values are what random events exercise here
+    "ts_anomaly_mad",
     "sink_partition_overwrite",
     # windows/streams over the same stream — their (ts, event_id)
     # tie-breaks are what the 30% duplicate timestamps exercise
