@@ -55,7 +55,10 @@ corpus's sparse doc_id space — partial dup groups and single-variant
 pages; llm_domain_authority on the fuzz corpus's small domain graph;
 ts_forecast_backtest over irregular fuzz hour grids — zero-count hours
 exercise both sMAPE zero-denominator guards; llm_pack_quality over
-empty/1-token docs). Next primes: 277, 281.
+empty/1-token docs). Seed 277 clean 247/247 after the sixth addition —
+first sweep covering ts_anomaly_mad (fuzz streams' 30% duplicate values
+stress the lower-median crossing ties; negative values stress the
+signed milli quantization). Next primes: 281, 283.
 
 Round-7: the malformed-MEDIA payload family (truncated headers, wrong
 magic, hostile GIF length bytes, oversized declared dims) lives in
