@@ -287,27 +287,36 @@ def _ngram_pair_counts(spark, sf_dir: str, probe_dir: str) -> dict:
     return out
 
 
-def _web_volume_counts(spark, sf_dir: str, probe_dir: str) -> dict:
-    """Volume counters behind the round-11 web probes at base and 10x:
-    canonical-URL group count (llm_dedup_url's output cardinality — the
-    probe generator shifts doc_ids densely, so groups grow exactly with
-    the corpus) and total domain-graph edge MASS Σw (llm_domain_authority's
-    true cost driver: the edge KEY space saturates at n_domains² while the
-    aggregated link mass keeps growing linearly)."""
-    from hive3_replication_spark.llm.web import (
-        _domain_graph,
-        llm_dedup_url,
-    )
+def _web_counts_one(spark, d: str) -> dict:
+    """THE canonical L2e/L37 volume-counter definitions for ONE sf_dir —
+    shared by the bench probe and scripts/probe_web_scaling.py (round-11
+    review: two independent copies would silently diverge on an output
+    rename): canonical-URL group count (llm_dedup_url's output
+    cardinality) and total domain-graph edge MASS Σw
+    (llm_domain_authority's true cost driver: the edge KEY space
+    saturates at n_domains² while aggregated link mass keeps growing
+    linearly)."""
+    from pyspark.sql import functions as F
 
+    from hive3_replication_spark.llm.web import _domain_graph, llm_dedup_url
+
+    _, edges = _domain_graph(spark, d)
+    return {
+        "url_groups": llm_dedup_url(spark, d).count(),
+        "domain_edge_mass": int(
+            edges.agg(F.sum("w")).collect()[0][0]
+        ),
+    }
+
+
+def _web_volume_counts(spark, sf_dir: str, probe_dir: str) -> dict:
+    """Round-11 web counters at base and 10x (see ``_web_counts_one``).
+    URL groups are ceil(docs/3) — corpus-linear up to the one partial
+    tail group, so a 10x read is 9.99-10.0x, never a round 10.000."""
     out = {}
     for tag, d in (("base", sf_dir), ("x10", probe_dir)):
-        out[f"url_groups_{tag}"] = llm_dedup_url(spark, d).count()
-        _, edges = _domain_graph(spark, d)
-        from pyspark.sql import functions as F
-
-        out[f"domain_edge_mass_{tag}"] = (
-            edges.agg(F.sum("w")).collect()[0][0]
-        )
+        for k, v in _web_counts_one(spark, d).items():
+            out[f"{k}_{tag}"] = v
     return out
 
 

@@ -449,10 +449,10 @@ def ts_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.min(col).alias(out))
         )
 
-    # med is stream-count rows and feeds TWO consumers (the deviation
-    # relation is scanned for the MAD histogram and for the output);
-    # checkpointing it stops the plan re-expanding its histogram window
-    # per consumer (the L37 loop-state idiom — control-plane cost)
+    # med is stream-count rows and the DEVIATION relation built on it is
+    # scanned twice (the MAD histogram and the output); checkpointing
+    # med stops the plan re-expanding its histogram window under each of
+    # dev's consumers (the L37 loop-state idiom — control-plane cost)
     med = lower_median(ev, "v_q", "med_milli").localCheckpoint()
     dev = ev.join(F.broadcast(med), "event_type").select(
         "event_id",

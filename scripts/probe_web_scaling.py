@@ -1,9 +1,10 @@
 """Two-decade counter probe for the round-11 web operators (L2e / L37).
 
 The scale claims: (1) llm_dedup_url's canonical-URL group count grows
-linearly with the corpus (the probe generator shifts doc_ids densely,
-so page ids — and with them canonical URLs — must read EXACTLY ×10 /
-×100); (2) llm_domain_authority's domain-level edge relation SATURATES
+linearly with the corpus — groups = ceil(docs/3), so a ×N read lands at
+N within one partial tail group (9.998 / 99.98 on the 5,000-doc base,
+never a round N.000); (2) llm_domain_authority's domain-level edge
+relation SATURATES
 in key space (n_domains is fixed by the (lang, source) vocabulary, so
 distinct edges stop growing) while edge MASS Σw grows exactly linearly
 — the property that keeps the per-iteration join cost flat at any
@@ -39,26 +40,27 @@ def _counters(spark, d: str) -> dict:
     clear_caches()
     out: dict = {}
     t0 = time.perf_counter()
+    # the two headline counters come from bench.py's canonical
+    # definitions (ONE source of truth — round-11 review); this probe
+    # only ADDS the saturation/timing columns the bench doesn't carry
+    from bench import _web_counts_one
+
+    shared = _web_counts_one(spark, d)
+    out["dedup_url_sec"] = round(time.perf_counter() - t0, 3)
+    out["url_groups"] = shared["url_groups"]
+    out["edge_mass"] = shared["domain_edge_mass"]
     grp = llm_dedup_url(spark, d).agg(
-        F.count("*").alias("groups"),
         F.sum("n_copies").alias("docs"),
         F.sum(F.expr("CASE WHEN n_copies > 1 THEN 1 ELSE 0 END")).alias(
             "dup_groups"
         ),
     ).collect()[0]
-    out["dedup_url_sec"] = round(time.perf_counter() - t0, 3)
-    out["url_groups"] = int(grp["groups"])
     out["url_docs"] = int(grp["docs"])
     out["url_dup_groups"] = int(grp["dup_groups"])
 
     doms, edges = _domain_graph(spark, d)
-    stats = edges.agg(
-        F.count("*").alias("n_edges"),
-        F.sum("w").alias("edge_mass"),
-    ).collect()[0]
     out["n_domains"] = doms.count()
-    out["n_distinct_edges"] = int(stats["n_edges"])
-    out["edge_mass"] = int(stats["edge_mass"])
+    out["n_distinct_edges"] = int(edges.count())
     t0 = time.perf_counter()
     llm_domain_authority(spark, d).count()
     out["authority_sec"] = round(time.perf_counter() - t0, 3)

@@ -943,10 +943,14 @@ def test_anomaly_mad_histogram_medians_no_buffering(spark):
     assert "Scan ExistingRDD" in plan, plan  # the checkpointed med
     assert "percentile" not in plan and "Median" not in plan, plan
     assert "SortMergeJoin" not in plan, plan
-    # the fact scans are pruned to the 3 columns the operator touches
-    read_schema = next(
+    # BOTH fact scans are pruned to the 3 columns the operator touches
+    # (the plan has two; checking only the first would let a widened
+    # second scan through — round-11 review)
+    schemas = [
         line for line in plan.splitlines() if "ReadSchema" in line
-    )
-    assert "props" not in read_schema and "ts:" not in read_schema, (
-        read_schema
-    )
+    ]
+    assert len(schemas) == 2, plan
+    for read_schema in schemas:
+        assert "props" not in read_schema and "ts:" not in read_schema, (
+            read_schema
+        )

@@ -1178,7 +1178,9 @@ def test_anomaly_mad_matches_python_twin(spark):
     )
     q = {
         row.event_id: int(
-            Decimal(repr(row.value)).quantize(
+            # float() first: itertuples yields numpy scalars, whose repr
+            # under numpy>=2 is 'np.float64(x)' — not Decimal-parseable
+            Decimal(repr(float(row.value))).quantize(
                 Decimal("0.001"), rounding=ROUND_HALF_UP
             )
             * 1000
