@@ -58,7 +58,8 @@ exercise both sMAPE zero-denominator guards; llm_pack_quality over
 empty/1-token docs). Seed 277 clean 247/247 after the sixth addition —
 first sweep covering ts_anomaly_mad (fuzz streams' 30% duplicate values
 stress the lower-median crossing ties; negative values stress the
-signed milli quantization). Next primes: 281, 283.
+signed milli quantization). Bonus seed 281 clean 247/247 after the
+second-review fixes. Next primes: 283, 293.
 
 Round-7: the malformed-MEDIA payload family (truncated headers, wrong
 magic, hostile GIF length bytes, oversized declared dims) lives in
