@@ -256,6 +256,11 @@ SCALE_PROBE_KEYS = (
     # the MAD histograms saturate in cardinality like the domain graph —
     # the wall ratio is the evidence
     "ts_anomaly_mad",
+    # round-12 operators deliberately NOT probed: llm_html_extract is a
+    # pure narrow projection (L38's rationale — its data-proportional
+    # part is the scan itself) and llm_classifier_trainset is one
+    # source-count agg (llm_dedup_url's combinable-agg shape, already
+    # probed) plus a narrow labeled pass.
 )
 
 

@@ -619,6 +619,125 @@ _PACK_ORACLE_CTES = f"""
         )
 """
 
+def llm_classifier_trainset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L40 — quality-classifier training-set assembly: the CCNet/DCLM
+    prep step L20 presumes (Wenzek et al. 2020 §4: positives from a
+    curated corpus, negatives a random crawl sample; DCLM's fastText
+    filter trains on exactly this shape). Positives = every document
+    from the CURATED source — chosen corpus-agnostically as the
+    lexicographically first non-NULL ``source`` (the fixture's stand-in
+    for "the Wikipedia slice"); negatives = a deterministic L8
+    hash-bucket sample of the remaining sources, rate-balanced to the
+    positive class size (threshold = ceil(_BUCKETS·n_pos/n_neg_pool),
+    capped at _BUCKETS). Each kept row carries the label AND the L20
+    feature vector (f_tokens/f_stop/f_distinct + composite score) — the
+    exact relation a trainer consumes. NULL-source documents belong to
+    neither pool (min() skips NULLs and both CASE arms require a
+    non-NULL source — identical in DuckDB).
+
+    Scale shape: class statistics come from ONE map-side-combinable
+    groupBy(source) agg whose output is source-count-sized (thousands of
+    rows at 100 TB, never corpus-sized), folded to a 1-row threshold
+    relation; labeling is then a single narrow pass over the corpus with
+    that row broadcast — the only corpus-sized shuffle in the whole op
+    is the partial-agg exchange of the source counts. The hash-bucket
+    keep decision is partition-invariant (L8's reproducibility
+    argument), so the assembled training set is bit-stable across
+    cluster sizes and resumes."""
+    from .text import quality_feature_cols, quality_score_col
+
+    docs = load_table(spark, sf_dir, "documents")
+    srcstats = (
+        docs.where(F.col("source").isNotNull())
+        .groupBy("source")
+        .agg(F.count("*").alias("n"))
+    )
+    stats = (
+        srcstats.agg(
+            F.min("source").alias("curated_src"),
+            F.expr("min_by(n, source)").alias("n_pos"),
+            F.sum("n").alias("n_total"),
+        )
+        .select(
+            "curated_src",
+            "n_pos",
+            (F.col("n_total") - F.col("n_pos")).alias("n_neg"),
+        )
+        .select(
+            "curated_src",
+            F.expr(
+                f"CASE WHEN n_neg = 0 THEN 0"
+                f" ELSE least({_BUCKETS},"
+                f" ({_BUCKETS} * n_pos + n_neg - 1) DIV n_neg) END"
+            ).alias("neg_thr"),
+        )
+    )
+    feats = quality_feature_cols()
+    labeled = (
+        docs.crossJoin(F.broadcast(stats))
+        .withColumn("bucket", sample_bucket(F.col("doc_id")))
+        .withColumn(
+            "label",
+            F.expr(
+                "CASE WHEN source = curated_src THEN 1"
+                " WHEN source IS NOT NULL AND bucket < neg_thr THEN 0"
+                " END"
+            ).cast("bigint"),
+        )
+        .where(F.col("label").isNotNull())
+    )
+    return labeled.select(
+        "doc_id",
+        "label",
+        feats["f_tokens"].alias("f_tokens"),
+        feats["f_stop"].alias("f_stop"),
+        feats["f_distinct"].alias("f_distinct"),
+        quality_score_col().alias("quality_score"),
+    )
+
+
+def _classifier_trainset_oracle_sql() -> str:
+    from .text import quality_feature_sql, quality_score_sql
+
+    f = quality_feature_sql()
+    return f"""
+        WITH srcstats AS (
+            SELECT source, COUNT(*) AS n FROM documents
+            WHERE source IS NOT NULL GROUP BY source
+        ),
+        stats AS (
+            SELECT MIN(source) AS curated_src,
+                   MIN_BY(n, source) AS n_pos,
+                   SUM(n) - MIN_BY(n, source) AS n_neg
+            FROM srcstats
+        ),
+        thr AS (
+            SELECT curated_src,
+                   CASE WHEN n_neg = 0 THEN 0
+                        ELSE LEAST({_BUCKETS},
+                            ({_BUCKETS} * n_pos + n_neg - 1) // n_neg) END
+                       AS neg_thr
+            FROM stats
+        ),
+        labeled AS (
+            SELECT d.doc_id, d.text, d.n_chars,
+                   CASE WHEN d.source = t.curated_src THEN 1
+                        WHEN d.source IS NOT NULL
+                             AND ((d.doc_id % {_PRIME}) * {_MULT}
+                                  + {_INC}) % {_BUCKETS} < t.neg_thr
+                            THEN 0
+                   END AS label
+            FROM documents d CROSS JOIN thr t
+        )
+        SELECT doc_id, CAST(label AS BIGINT) AS label,
+               {f['f_tokens']} AS f_tokens,
+               {f['f_stop']} AS f_stop,
+               {f['f_distinct']} AS f_distinct,
+               {quality_score_sql()} AS quality_score
+        FROM labeled WHERE label IS NOT NULL
+    """
+
+
 ORACLES: dict[str, str] = {
     "llm_curriculum_order": f"""
         WITH d AS (
@@ -844,6 +963,7 @@ def _preference_pairs_oracle_sql() -> str:
 
 
 ORACLES["llm_preference_pairs"] = _preference_pairs_oracle_sql()
+ORACLES["llm_classifier_trainset"] = _classifier_trainset_oracle_sql()
 
 QUERY_FNS = {
     "llm_sample_stratified": llm_sample_stratified,
@@ -857,4 +977,5 @@ QUERY_FNS = {
     "llm_shard_assign": llm_shard_assign,
     "llm_corpus_shuffle": llm_corpus_shuffle,
     "llm_curriculum_order": llm_curriculum_order,
+    "llm_classifier_trainset": llm_classifier_trainset,
 }

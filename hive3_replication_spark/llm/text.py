@@ -749,22 +749,49 @@ _QC_CHARS_DIV = 20
 _QC_THRESHOLD = 900
 
 
+def quality_feature_cols() -> dict[str, F.Column]:
+    """The L20 raw feature columns over a relation carrying ``text`` —
+    the individual model inputs (token count, stopword hits, distinct
+    tokens), exposed separately so the training-set assembly
+    (llm_classifier_trainset) can emit the feature VECTOR the classifier
+    trains on, not just the composite score the filter gate consumes."""
+    toks = F.split(F.col("text"), " ")
+    return {
+        "f_tokens": F.size(toks).cast("bigint"),
+        "f_stop": F.regexp_count(
+            F.col("text"), F.lit(r"\b(the|a|of|and|is)\b")
+        ).cast("bigint"),
+        "f_distinct": F.size(F.array_distinct(toks)).cast("bigint"),
+    }
+
+
+def quality_feature_sql() -> dict[str, str]:
+    """DuckDB twins of ``quality_feature_cols`` (same keys, same
+    arithmetic) over a ``text`` column."""
+    return {
+        "f_tokens": "CAST(len(string_split(text, ' ')) AS BIGINT)",
+        "f_stop": (
+            "CAST(len(regexp_extract_all(text,"
+            " '\\b(the|a|of|and|is)\\b')) AS BIGINT)"
+        ),
+        "f_distinct": (
+            "CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT)"
+        ),
+    }
+
+
 def quality_score_col() -> F.Column:
     """The L20 integer quality score as a reusable expression over a
-    relation carrying (text, n_chars) — shared by llm_quality_classifier
-    and the preference-pair assembly (llm_preference_pairs), which ranks
-    responses by exactly the scores the filter gate uses."""
-    toks = F.split(F.col("text"), " ")
-    f_tokens = F.size(toks).cast("bigint")
-    f_stop = F.regexp_count(
-        F.col("text"), F.lit(r"\b(the|a|of|and|is)\b")
-    ).cast("bigint")
-    f_distinct = F.size(F.array_distinct(toks)).cast("bigint")
+    relation carrying (text, n_chars) — shared by llm_quality_classifier,
+    the preference-pair assembly (llm_preference_pairs), which ranks
+    responses by exactly the scores the filter gate uses, and the
+    training-set assembly (llm_classifier_trainset)."""
+    f = quality_feature_cols()
     penalty = F.expr(f"n_chars DIV {_QC_CHARS_DIV}")
     return (
-        F.lit(_QC_W_TOKENS) * f_tokens
-        + F.lit(_QC_W_STOP) * f_stop
-        + F.lit(_QC_W_DISTINCT) * f_distinct
+        F.lit(_QC_W_TOKENS) * f["f_tokens"]
+        + F.lit(_QC_W_STOP) * f["f_stop"]
+        + F.lit(_QC_W_DISTINCT) * f["f_distinct"]
         - penalty
     )
 
@@ -772,11 +799,11 @@ def quality_score_col() -> F.Column:
 def quality_score_sql() -> str:
     """DuckDB expression mirroring ``quality_score_col`` exactly (the
     proven L20 oracle arithmetic) — over (text, n_chars) columns."""
+    f = quality_feature_sql()
     return (
-        f"CAST({_QC_W_TOKENS} * len(string_split(text, ' '))"
-        f" + {_QC_W_STOP} * len(regexp_extract_all(text,"
-        f" '\\b(the|a|of|and|is)\\b'))"
-        f" + {_QC_W_DISTINCT} * len(list_distinct(string_split(text, ' ')))"
+        f"CAST({_QC_W_TOKENS} * {f['f_tokens']}"
+        f" + {_QC_W_STOP} * {f['f_stop']}"
+        f" + {_QC_W_DISTINCT} * {f['f_distinct']}"
         f" - n_chars // {_QC_CHARS_DIV} AS BIGINT)"
     )
 

@@ -457,6 +457,163 @@ def _url_raw_cte() -> str:
     """
 
 
+#: Entity decode table, applied in THIS order — ``&amp;`` strictly last,
+#: so ``&amp;lt;`` decodes to the literal ``&lt;`` (the HTML5 double-escape
+#: rule), never to ``<``. Plain string replaces (no regex) — identical
+#: semantics in Spark, DuckDB, and Python.
+_HTML_ENTITIES: tuple[tuple[str, str], ...] = (
+    ("&lt;", "<"),
+    ("&gt;", ">"),
+    ("&quot;", '"'),
+    ("&#39;", "'"),
+    ("&nbsp;", " "),
+    ("&amp;", "&"),
+)
+
+#: Block-element strip patterns, in application order. ``(?is)`` = case
+#: fold + dotall — both Java regex (Spark) and RE2 (DuckDB) accept the
+#: inline flags; DuckDB additionally needs the explicit 'g' option since
+#: its regexp_replace is first-match-only by default (Spark is global).
+_HTML_STRIP_STEPS: tuple[str, ...] = (
+    r"(?is)<script[^>]*>.*?</script>",
+    r"(?is)<style[^>]*>.*?</style>",
+    r"(?s)<!--.*?-->",
+    r"<[^>]+>",
+)
+
+_HTML_TITLE_RE = r"(?is)<title[^>]*>(.*?)</title>"
+_HTML_BODY_RE = r"(?is)<body[^>]*>(.*?)</body>"
+
+
+def _synth_html_col() -> F.Column:
+    """Deterministic HTML page for a document row (the fixture corpus
+    carries no markup — TESTDATA.md — so the crawl page is synthesized
+    from the row itself, the ``_messy_url_expr`` idiom). The page plants
+    every noise class a real extractor must survive: a <script> block
+    whose payload contains ``>`` and quoted entities (so tag-stripping
+    alone would leak JS), a <style> block with braces, an HTML comment,
+    attribute-carrying tags, multi-line structure (dotall coverage), and
+    entities in both title and body — including a double-escaped
+    ``&amp;nbsp;`` that must survive as the literal text ``&nbsp;``.
+    NULL text/lang/source coalesce to '' BEFORE concat (Spark's concat
+    NULL-propagates while DuckDB's skips NULLs — pinning '' makes the
+    page, and thus the parity, NULL-shape-independent)."""
+    did = F.col("doc_id").cast("string")
+    return F.concat(
+        F.lit("<html>\n<head>\n<title>Doc &#39;"), did,
+        F.lit("&#39; &amp; "), F.coalesce(F.col("source"), F.lit("")),
+        F.lit("</title>\n<style>body { color: #0f0; }</style>\n"
+              '<script type="text/javascript">var d = '), did,
+        F.lit('; if (d > 0) { track("&amp;nbsp;"); }</script>\n'
+              '</head>\n<body class="doc lang-'),
+        F.coalesce(F.col("lang"), F.lit("")),
+        F.lit('">\n<h1>Doc '), did,
+        F.lit(" &lt;draft&gt;</h1>\n<!-- crawl artifact "), did,
+        F.lit(' -->\n<p id="p1">'), F.coalesce(F.col("text"), F.lit("")),
+        F.lit("</p>\n<script>inline(d);</script>\n"
+              '<p id="p2">tail&nbsp;&amp;&nbsp;end</p>\n'
+              "</body>\n</html>"),
+    )
+
+
+def _clean_fragment(col: F.Column) -> F.Column:
+    """Entity-decode + whitespace-collapse an already-untagged fragment
+    (title text or tag-stripped body) — the shared tail of both outputs."""
+    for src, dst in _HTML_ENTITIES:
+        col = F.replace(col, F.lit(src), F.lit(dst))
+    return F.trim(F.regexp_replace(col, r"\s+", " "))
+
+
+def llm_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L39 — HTML/markup text extraction: raw crawl page → (title, body
+    text) — the stage every C4 / RefinedWeb-style pipeline runs before
+    ANY quality filter (Raffel et al. 2020 §2.2 strip markup before the
+    line filters; this feeds L33/L4e here). Extraction order is the
+    load-bearing contract: (1) drop <script>/<style> PAYLOADS (untagging
+    them would leak JS/CSS into the corpus), (2) drop comments, (3) take
+    the <body> span, (4) strip remaining tags, (5) THEN decode entities
+    — so a planted ``&lt;draft&gt;`` surfaces as the literal text
+    ``<draft>`` instead of being eaten as a tag — (6) collapse
+    whitespace. Every step is a codegen'd JVM regexp/replace; reference
+    parity: the reference pipeline has no crawl stage (repl dump/load
+    only, hive_repl_bootstrap.sh:1-120) — this is mandated extension
+    surface.
+
+    Plan shape: ONE narrow projection over one scan — zero exchanges,
+    zero joins; at 100 TB the extractor fuses into the scan of whatever
+    filter follows (exactly like L38's canonicalizer)."""
+    documents = load_table(spark, sf_dir, "documents")
+    html = _synth_html_col()
+    # block strips run on the WHOLE page (an inline <script> in the body
+    # must lose its payload, not just its tags), THEN the body span is
+    # taken, THEN the residual tags go
+    cleaned = html
+    for pat in _HTML_STRIP_STEPS[:-1]:
+        cleaned = F.regexp_replace(cleaned, pat, " ")
+    body = F.regexp_replace(
+        F.regexp_extract(cleaned, _HTML_BODY_RE, 1),
+        _HTML_STRIP_STEPS[-1], " ",
+    )
+    body_text = _clean_fragment(body)
+    title = _clean_fragment(F.regexp_extract(html, _HTML_TITLE_RE, 1))
+    return documents.select(
+        "doc_id",
+        title.alias("title"),
+        body_text.alias("body_text"),
+        F.length(body_text).cast("bigint").alias("n_body_chars"),
+    )
+
+
+def _html_extract_oracle_sql() -> str:
+    """DuckDB twin of ``llm_html_extract`` — the same synthesis literals
+    and the same strip pipeline, spelled for DuckDB: concat() (NULL-skip
+    irrelevant: parts are pre-coalesced), chr(10) for newlines embedded
+    via literal strings, and the explicit 'g' flag on every
+    regexp_replace (RE2 default is first-match-only)."""
+    synth = (
+        "'<html>\n<head>\n<title>Doc &#39;' || CAST(doc_id AS VARCHAR)"
+        " || '&#39; &amp; ' || COALESCE(source, '')"
+        " || '</title>\n<style>body { color: #0f0; }</style>\n"
+        '<script type="text/javascript">var d = \''
+        " || CAST(doc_id AS VARCHAR)"
+        " || '; if (d > 0) { track(\"&amp;nbsp;\"); }</script>\n"
+        "</head>\n<body class=\"doc lang-' || COALESCE(lang, '')"
+        " || '\">\n<h1>Doc ' || CAST(doc_id AS VARCHAR)"
+        " || ' &lt;draft&gt;</h1>\n<!-- crawl artifact '"
+        " || CAST(doc_id AS VARCHAR)"
+        " || ' -->\n<p id=\"p1\">' || COALESCE(text, '')"
+        " || '</p>\n<script>inline(d);</script>\n"
+        "<p id=\"p2\">tail&nbsp;&amp;&nbsp;end</p>\n"
+        "</body>\n</html>'"
+    )
+    body = "html"
+    for pat in _HTML_STRIP_STEPS[:-1]:
+        body = f"regexp_replace({body}, '{pat}', ' ', 'g')"
+    body = (
+        f"regexp_replace(regexp_extract({body}, '{_HTML_BODY_RE}', 1),"
+        f" '{_HTML_STRIP_STEPS[-1]}', ' ', 'g')"
+    )
+    title = f"regexp_extract(html, '{_HTML_TITLE_RE}', 1)"
+    for src, dst in _HTML_ENTITIES:
+        esc_s, esc_d = src.replace("'", "''"), dst.replace("'", "''")
+        body = f"replace({body}, '{esc_s}', '{esc_d}')"
+        title = f"replace({title}, '{esc_s}', '{esc_d}')"
+    body = f"trim(regexp_replace({body}, '\\s+', ' ', 'g'))"
+    title = f"trim(regexp_replace({title}, '\\s+', ' ', 'g'))"
+    return f"""
+        WITH pages AS (
+            SELECT doc_id, {synth} AS html FROM documents
+        ),
+        extracted AS (
+            SELECT doc_id, {title} AS title, {body} AS body_text
+            FROM pages
+        )
+        SELECT doc_id, title, body_text,
+               CAST(length(body_text) AS BIGINT) AS n_body_chars
+        FROM extracted
+    """
+
+
 def _domain_authority_oracle_sql() -> str:
     base = (15 * _PR_SCALE) // 100
     return f"""
@@ -540,10 +697,12 @@ ORACLES: dict[str, str] = {
         GROUP BY canon_url
     """,
     "llm_domain_authority": _domain_authority_oracle_sql(),
+    "llm_html_extract": _html_extract_oracle_sql(),
 }
 
 QUERY_FNS = {
     "llm_url_canonicalize": llm_url_canonicalize,
     "llm_dedup_url": llm_dedup_url,
     "llm_domain_authority": llm_domain_authority,
+    "llm_html_extract": llm_html_extract,
 }

@@ -62,43 +62,22 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 
 #: Sweep order for queries(): DRIVER-COVERAGE FIRST. The external verify
 #: driver cuts at ~50 keys per round BY COUNT, so the front block must
-#: hold exactly the keys that most need a fresh driver stamp. Round-11
-#: policy (VERDICT r10 asks #1 and #3): the full 42-key r6-stamped block
-#: (the registry's stalest) leads, then the six round-11 additions
-#: (never driver-stamped — new coverage outranks a restamp), then the
-#: r7 block whose first 2 keys complete the 50-key window as bonus
-#: restamps. After this window lands, the minimum stamp age across the
-#: registry is r7. Behind the window, keys stay grouped oldest-latest-
-#: stamp first (r7, r8, r9, r10), preserving the profiled cheapest-first
-#: relative order inside each group. Regenerate by re-sorting on the
-#: CORRECTNESS_r* latest-stamp map (see tests/test_oracle_parity.py
-#: window-pinning test, which locks the front 50 to this policy). Keys
-#: missing from this list (new operators between profilings) are
-#: appended alphabetically, so registration never breaks on an
-#: unprofiled key.
+#: hold exactly the keys that most need a fresh driver stamp. Round-12
+#: policy (VERDICT r11 asks #1 and #4): the full 48-key r7-stamped block
+#: (the registry's stalest after the r11 window landed) leads, then the
+#: two round-12 additions (never driver-stamped — new coverage outranks
+#: a restamp) fill the 50-key window exactly. After this window lands,
+#: the minimum stamp age across the registry is r8. Behind the window,
+#: keys stay grouped oldest-latest-stamp first (r8, r9, r10, r11),
+#: preserving the profiled cheapest-first relative order inside each
+#: group. Regenerate by re-sorting on the CORRECTNESS_r* latest-stamp
+#: map (see tests/test_oracle_parity.py window-pinning test, which locks
+#: the front 50 to this policy). Keys missing from this list (new
+#: operators between profilings) are appended alphabetically, so
+#: registration never breaks on an unprofiled key.
 _SWEEP_ORDER: tuple[str, ...] = (
-    # stamp age r6 — the full 42-key stale block leads the round-11
-    # window (VERDICT r10 ask #1); relative profiled order preserved
-    "win_distinct_running", "agg_dq_checks", "agg_regression",
-    "llm_text_unigram_nll", "stream_event_replay", "ts_sessionize",
-    "agg_count_min", "llm_knn_join", "join_bloom_prefilter",
-    "ts_fill_forward", "merge_scd2", "llm_eval_confusion", "ts_ewma",
-    "filter_dpp", "llm_text_keywords", "llm_dedup_graph_stats",
-    "llm_dedup_spans", "llm_contamination", "llm_ann_rescore", "ts_funnel",
-    "ts_anomaly_zscore", "ts_interpolate", "llm_dedup_embed",
-    "stream_watermark_advance", "scan_pysource", "llm_eval_ranking",
-    "llm_dedup_incremental", "fn_param_sql", "fn_collate",
-    "llm_dedup_clusters", "llm_cluster_kmeans", "stream_stateful_progress",
-    "llm_pipeline_e2e", "llm_perplexity_filter", "llm_curriculum_order",
-    "join_asof_nearest", "ts_downsample_lttb", "sink_partition_overwrite",
-    "llm_multimodal", "llm_multimodal_resize", "llm_multimodal_frames",
-    "ts_seasonal_profile",
-    # round-11 additions — never driver-stamped, ride the window
-    "llm_url_canonicalize", "llm_dedup_url", "llm_domain_authority",
-    "ts_forecast_backtest", "llm_pack_quality", "ts_anomaly_mad",
-    # stamp age r7 — the first 2 fill the 50-key window as a bonus
-    # restamp; the rest lead the round-12 window
-    "ts_downsample_lttb_hier", "scan_jdbc_partitioned",
+    # stamp age r7 — the full 48-key stale block leads the round-12
+    # window (VERDICT r11 ask #1); relative profiled order preserved
     "agg_weighted_median", "ts_acf", "llm_importance_resample",
     "agg_distinct", "agg_arg_max", "join_anti", "agg_histogram",
     "agg_groupby", "scan_bucketed", "join_semi", "scan_csv", "agg_rollup",
@@ -112,6 +91,8 @@ _SWEEP_ORDER: tuple[str, ...] = (
     "filter_table_class", "filter_negative", "filter_isin", "string_scrub",
     "llm_text_normalize", "reshape_unpivot", "reshape_explode",
     "delimited_parse",
+    # round-12 additions — never driver-stamped, complete the window
+    "llm_html_extract", "llm_classifier_trainset",
     # stamp age r8
     "fn_case_when", "win_row_number", "agg_conditional", "filter_rlike",
     "fn_cast", "llm_sample_stratified", "fn_math", "fn_hash", "win_rank",
@@ -165,6 +146,25 @@ _SWEEP_ORDER: tuple[str, ...] = (
     "llm_text_entropy", "udf_table_udtf", "ts_retention_cohort",
     "udf_table", "llm_doc_embed_hash", "scan_schema_evolution",
     "llm_vocab_coverage",
+    # stamp age r11 — freshest stamps, last (the round-11 window:
+    # 42 ex-r6 + 6 r11 additions + 2 ex-r7 bonus restamps)
+    "win_distinct_running", "agg_dq_checks", "agg_regression",
+    "llm_text_unigram_nll", "stream_event_replay", "ts_sessionize",
+    "agg_count_min", "llm_knn_join", "join_bloom_prefilter",
+    "ts_fill_forward", "merge_scd2", "llm_eval_confusion", "ts_ewma",
+    "filter_dpp", "llm_text_keywords", "llm_dedup_graph_stats",
+    "llm_dedup_spans", "llm_contamination", "llm_ann_rescore", "ts_funnel",
+    "ts_anomaly_zscore", "ts_interpolate", "llm_dedup_embed",
+    "stream_watermark_advance", "scan_pysource", "llm_eval_ranking",
+    "llm_dedup_incremental", "fn_param_sql", "fn_collate",
+    "llm_dedup_clusters", "llm_cluster_kmeans", "stream_stateful_progress",
+    "llm_pipeline_e2e", "llm_perplexity_filter", "llm_curriculum_order",
+    "join_asof_nearest", "ts_downsample_lttb", "sink_partition_overwrite",
+    "llm_multimodal", "llm_multimodal_resize", "llm_multimodal_frames",
+    "ts_seasonal_profile",
+    "llm_url_canonicalize", "llm_dedup_url", "llm_domain_authority",
+    "ts_forecast_backtest", "llm_pack_quality", "ts_anomaly_mad",
+    "ts_downsample_lttb_hier", "scan_jdbc_partitioned",
 )
 
 

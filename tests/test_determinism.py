@@ -101,6 +101,10 @@ FLOAT_HEAVY = [
     "llm_pack_quality",
     "llm_dedup_url",
     "ts_anomaly_mad",
+    # round-12: the trainset's 1-row threshold fold + hash-bucket keep
+    # must be partition-invariant (llm_html_extract is a pure per-row
+    # projection — partition-invariant by construction, like L38)
+    "llm_classifier_trainset",
 ]
 
 #: Keys whose cross-run memo (persisted signature/pair relations) must be

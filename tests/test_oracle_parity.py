@@ -56,48 +56,37 @@ def test_sweep_window_pins_stalest_stamps():
     """The driver stamps the FIRST ~50 registry keys each round, so the
     front of ``_SWEEP_ORDER`` is load-bearing: it must hold exactly the
     keys with the oldest (or missing) driver CORRECTNESS stamps. This
-    pins the round-11 window contents (VERDICT r10 asks #1/#3: the full
-    42-key r6-stamped block — the registry's stalest — then the six
-    round-11 additions, then the 2 oldest r7-stamped keys completing
-    the 50) — regenerate the expectation alongside any ``_SWEEP_ORDER``
+    pins the round-12 window contents (VERDICT r11 asks #1/#4: the full
+    48-key r7-stamped block — the registry's stalest after the r11
+    window landed — then the two round-12 additions completing the 50)
+    — regenerate the expectation alongside any ``_SWEEP_ORDER``
     rotation."""
     from hive3_replication_spark.registry import _SWEEP_ORDER
 
     window = list(_SWEEP_ORDER[:50])
-    # all 42 keys whose latest driver stamp is r6 (the registry's stalest)
-    r6 = {
-        "win_distinct_running", "agg_dq_checks", "agg_regression",
-        "llm_text_unigram_nll", "stream_event_replay", "ts_sessionize",
-        "agg_count_min", "llm_knn_join", "join_bloom_prefilter",
-        "ts_fill_forward", "merge_scd2", "llm_eval_confusion", "ts_ewma",
-        "filter_dpp", "llm_text_keywords", "llm_dedup_graph_stats",
-        "llm_dedup_spans", "llm_contamination", "llm_ann_rescore",
-        "ts_funnel", "ts_anomaly_zscore", "ts_interpolate",
-        "llm_dedup_embed", "stream_watermark_advance", "scan_pysource",
-        "llm_eval_ranking", "llm_dedup_incremental", "fn_param_sql",
-        "fn_collate", "llm_dedup_clusters", "llm_cluster_kmeans",
-        "stream_stateful_progress", "llm_pipeline_e2e",
-        "llm_perplexity_filter", "llm_curriculum_order",
-        "join_asof_nearest", "ts_downsample_lttb",
-        "sink_partition_overwrite", "llm_multimodal",
-        "llm_multimodal_resize", "llm_multimodal_frames",
-        "ts_seasonal_profile",
+    # all 48 keys whose latest driver stamp is r7 (the registry's stalest)
+    r7 = {
+        "agg_arg_max", "agg_distinct", "agg_groupby", "agg_histogram",
+        "agg_max_watermark", "agg_percentile", "agg_rollup", "agg_stats",
+        "agg_weighted_median", "delimited_parse", "filter_isin",
+        "filter_multi_rlike", "filter_negative", "filter_null",
+        "filter_prefix", "filter_table_class", "fn_array",
+        "fn_regexp_extract", "fn_url", "jdbc_sink", "jdbc_source",
+        "join_anti", "join_asof", "join_broadcast", "join_full",
+        "join_left", "join_semi", "join_snapshot_diff", "join_sortmerge",
+        "join_theta", "join_watermark_compare", "llm_importance_resample",
+        "llm_text_normalize", "log_append", "parallel_copy",
+        "reshape_explode", "reshape_unpivot", "row_offset_filter",
+        "scan_bucketed", "scan_csv", "scan_json", "scan_orc", "scan_text",
+        "snapshot_dump", "snapshot_load", "sort_top1", "string_scrub",
+        "ts_acf",
     }
-    assert r6 <= set(window), sorted(r6 - set(window))
-    # the six round-11 additions have no driver stamp yet — all must
+    assert r7 <= set(window), sorted(r7 - set(window))
+    # the two round-12 additions have no driver stamp yet — both must
     # ride this window
-    new_r11 = {
-        "llm_url_canonicalize", "llm_dedup_url", "llm_domain_authority",
-        "ts_forecast_backtest", "llm_pack_quality", "ts_anomaly_mad",
-    }
-    assert new_r11 <= set(window), sorted(new_r11 - set(window))
-    # the remaining 2 slots are exactly the OLDEST r7-stamped keys
-    # (profiled cheapest-first order within the r7 block)
-    r7_oldest = {
-        "ts_downsample_lttb_hier", "scan_jdbc_partitioned",
-    }
-    rest = set(window) - r6 - new_r11
-    assert rest == r7_oldest, sorted(rest ^ r7_oldest)
+    new_r12 = {"llm_html_extract", "llm_classifier_trainset"}
+    rest = set(window) - r7
+    assert rest == new_r12, sorted(rest ^ new_r12)
     assert len(window) == len(set(window)) == 50
 
 

@@ -954,3 +954,40 @@ def test_anomaly_mad_histogram_medians_no_buffering(spark):
         assert "props" not in read_schema and "ts:" not in read_schema, (
             read_schema
         )
+
+
+def test_html_extract_narrow_projection_prunes_unused(spark):
+    """llm_html_extract (round-12 L39): the whole synth→strip→decode
+    pipeline is ONE narrow codegen projection — zero exchanges, zero
+    joins — and column pruning must drop the one column the extractor
+    never touches (n_chars); an extractor that dragged the full row
+    through the scan would pay for columns it discards at 100 TB."""
+    from hive3_replication_spark.llm.web import llm_html_extract
+
+    plan = _plan(llm_html_extract(spark, SF_DIR))
+    assert "Exchange" not in plan, plan
+    assert "Join" not in plan, plan
+    read_schema = next(
+        line for line in plan.splitlines() if "ReadSchema" in line
+    )
+    for col in ("doc_id", "text", "lang", "source"):
+        assert col in read_schema, read_schema
+    assert "n_chars" not in read_schema, read_schema
+
+
+def test_classifier_trainset_tiny_stats_broadcast(spark):
+    """llm_classifier_trainset (round-12 L40): class statistics must be
+    the ONE map-side-combinable source-count agg (partial_count before
+    its single hash exchange; output is source-count-sized), folded and
+    broadcast as a 1-row relation onto a narrow labeling pass — the
+    stats scan pruned to `source` alone, no corpus-sized shuffle, no
+    sort-merge anywhere."""
+    from hive3_replication_spark.llm.sampling import llm_classifier_trainset
+
+    plan = _plan(llm_classifier_trainset(spark, SF_DIR), "simple")
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert plan.count("FileScan") == 2, plan
+    assert "partial_count" in plan, plan
+    assert "BroadcastNestedLoopJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert "struct<source:string>" in plan, plan  # pruned stats scan

@@ -1210,3 +1210,129 @@ def test_anomaly_mad_matches_python_twin(spark):
             assert bool(row.is_outlier) == (d > _MAD_K * mad), (t, e)
     # robustness sanity: the MAD flags a minority, never the majority
     assert 0 < got.is_outlier.mean() < 0.5
+
+
+def _py_html_page(doc_id, text, lang, source) -> str:
+    """Python twin of web._synth_html_col — same literals, '' coalesce."""
+    d, t = str(doc_id), text or ""
+    lg, src = lang or "", source or ""
+    return (
+        f"<html>\n<head>\n<title>Doc &#39;{d}&#39; &amp; {src}</title>\n"
+        "<style>body { color: #0f0; }</style>\n"
+        f'<script type="text/javascript">var d = {d};'
+        ' if (d > 0) { track("&amp;nbsp;"); }</script>\n'
+        f'</head>\n<body class="doc lang-{lg}">\n'
+        f"<h1>Doc {d} &lt;draft&gt;</h1>\n<!-- crawl artifact {d} -->\n"
+        f'<p id="p1">{t}</p>\n<script>inline(d);</script>\n'
+        '<p id="p2">tail&nbsp;&amp;&nbsp;end</p>\n</body>\n</html>'
+    )
+
+
+def _py_html_extract(page: str) -> tuple[str, str]:
+    """Python twin of the L39 strip pipeline: block strips on the whole
+    page, body span, tag strip, entity decode (&amp; last), ws collapse."""
+    import re
+
+    cleaned = page
+    for pat in (
+        r"(?is)<script[^>]*>.*?</script>",
+        r"(?is)<style[^>]*>.*?</style>",
+        r"(?s)<!--.*?-->",
+    ):
+        cleaned = re.sub(pat, " ", cleaned)
+    m = re.search(r"(?is)<body[^>]*>(.*?)</body>", cleaned)
+    body = re.sub(r"<[^>]+>", " ", m.group(1) if m else "")
+    tm = re.search(r"(?is)<title[^>]*>(.*?)</title>", page)
+    title = tm.group(1) if tm else ""
+    out = []
+    for frag in (title, body):
+        for src, dst in (
+            ("&lt;", "<"), ("&gt;", ">"), ("&quot;", '"'),
+            ("&#39;", "'"), ("&nbsp;", " "), ("&amp;", "&"),
+        ):
+            frag = frag.replace(src, dst)
+        out.append(re.sub(r"\s+", " ", frag).strip())
+    return out[0], out[1]
+
+
+def test_html_extract_matches_python_twin(spark):
+    """L39 twin: the engine's regexp extraction must agree with an
+    independent Python `re` replay on every document — title, body text,
+    and length — and the planted noise classes must verifiably round-trip
+    (entities decoded, no tag/script/style/comment residue)."""
+    import pandas as pd
+
+    from hive3_replication_spark.catalog import load_table
+    from hive3_replication_spark.llm.web import llm_html_extract
+
+    docs = load_table(spark, SF_DIR, "documents").toPandas()
+    got = llm_html_extract(spark, SF_DIR).toPandas().set_index("doc_id")
+    assert len(got) == len(docs)
+    for row in docs.itertuples():
+        page = _py_html_page(row.doc_id, row.text, row.lang, row.source)
+        title, body = _py_html_extract(page)
+        g = got.loc[row.doc_id]
+        assert g.title == title, (row.doc_id, g.title, title)
+        assert g.body_text == body, (row.doc_id, g.body_text, body)
+        assert g.n_body_chars == len(body), row.doc_id
+        # noise classes provably handled
+        assert title == f"Doc '{row.doc_id}' & {row.source}", title
+        assert body.startswith(f"Doc {row.doc_id} <draft> "), body
+        assert body.endswith(" tail & end"), body
+        for residue in ("<p", "<script", "track(", "inline(", "color:",
+                        "crawl artifact", "&amp;", "&nbsp;"):
+            assert residue not in body, (residue, body)
+    assert not pd.isna(got.title).any()
+
+
+def test_classifier_trainset_matches_python_twin(spark):
+    """L40 twin: the training-set assembly replayed in pure Python —
+    curated source, balance threshold, per-doc keep decision, label and
+    every feature must match EXACTLY; and the assembled classes must be
+    usable (both present, hash-balanced within 2x on the fixture)."""
+    import re as _re
+
+    from hive3_replication_spark.catalog import load_table
+    from hive3_replication_spark.llm.sampling import (
+        _BUCKETS,
+        _INC,
+        _MULT,
+        _PRIME,
+        llm_classifier_trainset,
+    )
+
+    docs = load_table(spark, SF_DIR, "documents").toPandas()
+    pool = docs[docs.source.notna()]
+    curated = pool.source.min()
+    n_pos = int((pool.source == curated).sum())
+    n_neg = len(pool) - n_pos
+    thr = 0 if n_neg == 0 else min(
+        _BUCKETS, (_BUCKETS * n_pos + n_neg - 1) // n_neg
+    )
+    expected = {}
+    for row in pool.itertuples():
+        bucket = ((row.doc_id % _PRIME) * _MULT + _INC) % _BUCKETS
+        if row.source == curated:
+            expected[row.doc_id] = 1
+        elif bucket < thr:
+            expected[row.doc_id] = 0
+    got = llm_classifier_trainset(spark, SF_DIR).toPandas()
+    assert dict(zip(got.doc_id, got.label)) == expected
+    by_id = docs.set_index("doc_id")
+    for row in got.itertuples():
+        text = by_id.loc[row.doc_id, "text"]
+        toks = text.split(" ")
+        f_tokens, f_distinct = len(toks), len(set(toks))
+        f_stop = len(_re.findall(r"\b(the|a|of|and|is)\b", text))
+        assert row.f_tokens == f_tokens, row.doc_id
+        assert row.f_stop == f_stop, row.doc_id
+        assert row.f_distinct == f_distinct, row.doc_id
+        score = (2 * f_tokens + 5 * f_stop + 3 * f_distinct
+                 - int(by_id.loc[row.doc_id, "n_chars"]) // 20)
+        assert row.quality_score == score, row.doc_id
+    # class usability: both labels present, negatives within 2x of
+    # positives (the hash-uniform balance the threshold math targets)
+    n_p = int((got.label == 1).sum())
+    n_n = int((got.label == 0).sum())
+    assert n_p == n_pos and n_p > 0 and n_n > 0
+    assert n_p / 2 <= n_n <= 2 * n_p, (n_p, n_n)

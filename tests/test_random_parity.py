@@ -59,6 +59,11 @@ KEYS = (
     "llm_dedup_url",
     "llm_domain_authority",
     "llm_pack_quality",
+    # round-12: HTML extraction over empty/1-token docs (empty <p1> and
+    # whitespace-collapse edges only exist on random corpora) and the
+    # trainset's 2-source balance fold (random corpus: web/book split)
+    "llm_html_extract",
+    "llm_classifier_trainset",
 )
 
 _SEEDS = (7, 23)
@@ -646,3 +651,48 @@ def test_domain_authority_null_provenance(spark, tmp_path_factory):
     # partially-concatenated host may appear
     assert spark_pdf.host.notna().all()
     assert all(h.count(".") == 3 for h in spark_pdf.host)
+
+
+def test_round12_ops_null_columns(spark, tmp_path_factory):
+    """Round-12 regression: NULL text/lang/source must flow identically
+    through both new ops in both engines. L39 coalesces all three to ''
+    BEFORE concat (Spark's concat NULL-propagates, DuckDB's skips NULLs
+    — without the pin the engines build DIFFERENT pages); L40 excludes
+    NULL-source docs from both pools (min() skips NULLs, both CASE arms
+    need a non-NULL source). No standard corpus emits these NULLs, so
+    this plants one that is ~third NULL in every column."""
+    rows = []
+    for d in range(90):
+        text = (None, "", "the data spark x")[d % 3]
+        lang = ("en", None, "de")[d % 3]
+        source = ("web", "book", None)[d % 3]
+        rows.append((d, text, lang, source))
+    pdf = pd.DataFrame(rows, columns=["doc_id", "text", "lang", "source"])
+    pdf["n_chars"] = pdf.text.str.len().astype("float").fillna(0).astype("int64")
+    out = str(tmp_path_factory.mktemp("nullcols12"))
+    spark.createDataFrame(pdf).coalesce(1).write.parquet(
+        f"{out}/documents.parquet"
+    )
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"'{out}/documents.parquet/*.parquet'"
+    )
+    from hive3_replication_spark.registry import build_oracles, build_queries
+
+    q, o = build_queries(), build_oracles()
+    for key in ("llm_html_extract", "llm_classifier_trainset"):
+        assert_frames_match(
+            q[key](spark, out).toPandas(), con.sql(o[key]).df(),
+            f"{key}@null-cols",
+        )
+    # L39: every row survives with a non-NULL page (NULL text ⇒ the
+    # fixed scaffold text only)
+    got = q["llm_html_extract"](spark, out).toPandas()
+    assert len(got) == 90 and got.body_text.notna().all()
+    null_text = got[got.doc_id % 3 == 0]
+    assert (null_text.body_text.str.endswith("<draft> tail & end")).all()
+    # L40: the 30 NULL-source docs are in neither class
+    trained = q["llm_classifier_trainset"](spark, out).toPandas()
+    assert (trained.doc_id % 3 != 2).all()
+    assert set(trained[trained.doc_id % 3 == 1].label) == {1}  # book
