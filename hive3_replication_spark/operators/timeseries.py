@@ -387,11 +387,14 @@ def ts_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-#: MAD flag threshold: dev > _MAD_K · MAD. The classical rule is
-#: |v − med| > k·1.4826·MAD (the 1.4826 normal-consistency constant);
-#: the -lite form folds the constant into the integer K (3·1.4826 ≈ 4.45
-#: → K = 3 is the conservative floor every monitoring stack starts at),
-#: keeping the comparison all-BIGINT.
+#: MAD flag threshold: dev > _MAD_K · MAD, all-BIGINT. The classical
+#: Hampel 3σ rule is |v − med| > 3·1.4826·MAD ≈ 4.45·MAD (1.4826 is the
+#: normal-consistency constant), so K = 3 on RAW MAD corresponds to
+#: ≈ 2.0σ — deliberately MORE sensitive than classical 3σ, the
+#: page-early posture (flags more points, not fewer — ADVICE r11
+#: corrected an earlier comment that had this backwards). Bump K to 4-5
+#: for classical 3σ behavior; the oracle and python twin read this
+#: constant, so they follow automatically.
 _MAD_K = 3
 
 
@@ -409,8 +412,14 @@ def ts_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
     operator is BIGINT end to end: no interpolation, no floats, no
     rounding step — bit-identical on any engine or partitioning. A
     constant stream has MAD 0 and flags every value off the median
-    (standard MAD degeneracy, NULL-free); NULL values are excluded from
-    the histograms and carry NULL flags through.
+    (standard MAD degeneracy, NULL-free). NULL handling (ADVICE r11
+    precision): NULL values are excluded from the histograms; a NULL
+    value in a stream that has at least one non-NULL value carries NULL
+    dev/flag columns through, but an ALL-NULL stream produces no median
+    row at all and its rows are DROPPED by the inner med/mad joins —
+    as are rows with a NULL event_type (NULL never equi-joins). Both
+    engines agree; a left join from ev would be the carry-through
+    variant if a consumer ever needs those rows.
 
     Scale shape (the A26 histogram lesson): the median is NEVER computed
     by buffering a stream's values (Spark's exact median/percentile

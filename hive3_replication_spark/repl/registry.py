@@ -283,7 +283,22 @@ class RunLock:
         re-occupied meanwhile, the copy is dropped — the displaced
         claimer self-aborts via its token re-checks, so dropping the
         copy cannot enable a second concurrent takeover (same restore
-        contract as ``_clear_marker_frozen``)."""
+        contract as ``_clear_marker_frozen``).
+
+        Residual interleaving (ADVICE r11, on record): if the foreign
+        claimer whose copy we drop had ALREADY passed its token re-check
+        before our rename, its next token read never happens — for that
+        interval TWO claimers (it and the re-occupier) believe they hold
+        marker exclusivity simultaneously. Correctness then rests on the
+        lock-dir takeover tail alone, and holds: ``os.rename`` of the
+        one lock path is atomic (exactly one of the two renames wins;
+        the loser retries), and the POST-rename frozen validation makes
+        the winner restore-and-retry if what it froze is live or not the
+        stale lock it validated. The marker is an optimization that
+        serializes takeovers; the rename+frozen-validate is the safety
+        floor — exercised directly by
+        tests/test_repl_pipeline.py::
+        test_reclaim_drop_interval_frozen_validation_floor."""
         reclaim = marker.with_name(
             f"{marker.name}.reclaim-{os.getpid()}-{time.monotonic_ns()}"
         )

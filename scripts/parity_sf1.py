@@ -20,7 +20,11 @@ the engine side finished in seconds); those keys record engine wall +
 rows with pass=null and the reason.
 
 Usage: python scripts/parity_sf1.py [--out PARITY_SF1.json] [--all]
-(--all sweeps every registered key — the original full-registry mode.)
+                                    [--next N]
+(--all sweeps every registered key — the original full-registry mode;
+--next N targets the first N not-yet-measured keys in registry sweep
+order — oldest-driver-stamp first, the VERDICT r11 ask-#3 tranche
+rotation — on top of everything already recorded in the output file.)
 """
 
 from __future__ import annotations
@@ -86,8 +90,21 @@ def main() -> None:
     from tests.conftest import assert_frames_match
 
     queries, oracles = build_queries(), build_oracles()
+    results: dict[str, dict] = {}
+    if os.path.exists(out_path):
+        # resume: keep prior passing AND oracle-skip records (pass=None);
+        # re-running a skip's engine pass every resume was pure waste
+        # (ADVICE r11). Failures are dropped so they re-run.
+        prior = json.loads(Path(out_path).read_text()).get("keys", {})
+        results.update(
+            {k: v for k, v in prior.items() if v.get("pass") is not False}
+        )
     if "--all" in sys.argv:
         targets = list(queries)
+    elif "--next" in sys.argv:
+        n = int(sys.argv[sys.argv.index("--next") + 1])
+        fresh = [k for k in queries if k not in results][:n]
+        targets = list(results) + fresh
     else:
         window = list(queries)[:50]
         targets = window + [k for k in SCALE_PROBE_KEYS if k not in window]
@@ -102,13 +119,6 @@ def main() -> None:
             "pinned at sf0.1 + fuzz"
         ),
     }
-
-    results: dict[str, dict] = {}
-    if os.path.exists(out_path):  # resume: keep prior passing records
-        prior = json.loads(Path(out_path).read_text()).get("keys", {})
-        results.update(
-            {k: v for k, v in prior.items() if v.get("pass")}
-        )
 
     t_begin = time.perf_counter()
     todo = [k for k in targets if k not in results]
@@ -164,7 +174,10 @@ def main() -> None:
     summary = {
         "sf": 1.0,
         "base": "/root/testdata/sf0.1 x10 (gen_scale_probe)",
-        "complete": True,
+        # complete means the sweep finished AND nothing failed — a run
+        # that ends with recorded failures must not read as done
+        # (ADVICE r11)
+        "complete": len(results) == n_pass + n_skip,
         "n_keys": len(results),
         "n_pass": n_pass,
         "n_oracle_skip": n_skip,

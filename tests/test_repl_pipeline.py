@@ -771,3 +771,114 @@ def test_export_run_log_concurrent_writers_unique_valid(tmp_path, monkeypatch):
         body = _json.loads(open(p, encoding="utf-8").read())
         seen.add((body["writer"], body["rep"]))
     assert len(seen) == n_threads * n_reps
+
+
+def test_reclaim_drop_interval_frozen_validation_floor(tmp_path, monkeypatch):
+    """ADVICE r11: _reclaim_own_marker's blocked-restore branch drops a
+    foreign claimer's live marker copy; if that claimer had ALREADY
+    passed its token re-check, marker exclusivity is silently lost for
+    the interval and TWO claimers run the takeover tail concurrently.
+    This rep choreographs exactly that interval with event gates:
+
+      B: full acquire, past its token re-check, frozen just before its
+         lock rename;
+      R: the REAL _reclaim_own_marker — rename-aside lands, restore is
+         blocked by C's marker, B's copy is dropped (branch c);
+      C: full acquire through a fresh marker, wins the lock while B
+         still believes it holds exclusivity;
+      B released: renames C's LIVE lock — the post-rename frozen
+         validation MUST restore it and send B to a LockHeldError.
+
+    Confirms the lock-rename + frozen-validation floor alone prevents a
+    double acquire, with the victim lock intact."""
+    import os
+    import threading
+    import time as _time
+
+    from hive3_replication_spark.repl.registry import RunLock
+
+    base = tmp_path
+    stale = RunLock(base, "dump")
+    stale.path.mkdir(parents=True)
+    (stale.path / "pid").write_text("999999999")  # dead lock owner
+    lock_path = str(stale.path)
+    marker = stale.path.with_name(f"{stale.path.name}.takeover")
+
+    idents: dict[str, int] = {}
+    gates = {k: threading.Event() for k in (
+        "b_at_rename", "go_b", "aside_done", "c_marker_up", "go_c",
+    )}
+    real_rename = os.rename
+
+    def gated_rename(src, dst):
+        me = threading.get_ident()
+        if str(src) == lock_path and me == idents.get("b"):
+            gates["b_at_rename"].set()
+            assert gates["go_b"].wait(30)
+        elif str(src) == lock_path and me == idents.get("c"):
+            assert gates["go_c"].wait(30)
+        elif str(src) == str(marker) and me == idents.get("r"):
+            real_rename(src, dst)
+            gates["aside_done"].set()
+            assert gates["c_marker_up"].wait(30)
+            return
+        real_rename(src, dst)
+
+    monkeypatch.setattr(os, "rename", gated_rename)
+    results: dict[str, str] = {}
+
+    def claim(tag: str) -> None:
+        idents[tag] = threading.get_ident()
+        try:
+            RunLock(base, "dump").acquire()
+            results[tag] = "won"
+        except LockHeldError:
+            results[tag] = "lost"
+
+    t_b = threading.Thread(target=claim, args=("b",))
+    t_b.start()
+    assert gates["b_at_rename"].wait(30)  # B past its token re-check
+
+    def reclaim() -> None:
+        idents["r"] = threading.get_ident()
+        # ghost token ≠ B's live token ⇒ foreign-copy branch
+        RunLock._reclaim_own_marker(marker, {"000\nghost-token"})
+
+    t_r = threading.Thread(target=reclaim)
+    t_r.start()
+    assert gates["aside_done"].wait(30)  # B's marker frozen aside
+
+    t_c = threading.Thread(target=claim, args=("c",))
+    t_c.start()
+    for _ in range(300):  # C's fresh marker re-occupies the path
+        tok = RunLock._marker_token(marker)
+        if tok is not None and tok.splitlines()[0] == str(os.getpid()):
+            break
+        _time.sleep(0.01)
+    else:
+        raise AssertionError("C never created its marker")
+    gates["c_marker_up"].set()  # R's restore now blocked → drops B's copy
+    t_r.join(30)
+    assert not t_r.is_alive()
+    assert not list(base.glob("*.reclaim-*")), "B's frozen copy must drop"
+
+    gates["go_c"].set()  # C runs the takeover tail and wins
+    t_c.join(30)
+    assert not t_c.is_alive() and results["c"] == "won"
+    assert (stale.path / "pid").read_text() == str(os.getpid())
+
+    gates["go_b"].set()  # B now renames C's LIVE lock
+    t_b.join(30)
+    assert not t_b.is_alive()
+    # the frozen validation restored C's lock and B lost — no double
+    # acquire, no destroyed live lock
+    assert results["b"] == "lost"
+    assert (stale.path / "pid").read_text() == str(os.getpid())
+    monkeypatch.undo()
+    RunLock(base, "dump").release()
+    assert not stale.path.exists()
+    debris = [
+        p.name for p in base.glob("*")
+        if ".reclaim-" in p.name or ".stale-" in p.name
+    ]
+    assert not debris, debris

@@ -394,3 +394,75 @@ def test_wm_strategy_cache_concurrent_first_callers(spark, monkeypatch):
         t.join()
     assert not errors2, errors2
     assert set(aggs._WM_STRATEGY_CACHE.values()) <= {"exact"}
+
+
+def test_wm_strategy_generation_stamp_blocks_stale_install(spark, monkeypatch):
+    """Round-12 race target (VERDICT r11 ask #6): the GENERATION stamp on
+    the A26 memo lock — a probe that was in flight when clear_caches()
+    invalidated the memo must NOT install its (possibly stale-dataset)
+    result, while still returning a usable strategy to its caller; the
+    next cold caller must re-probe and install fresh. Deterministic gate:
+    the probe is frozen mid-flight, the invalidation lands, the probe is
+    released — then the same interleaving WITHOUT an invalidation must
+    install (the stamp may only block genuinely raced installs)."""
+    import threading
+
+    import hive3_replication_spark.operators.aggregates as aggs
+    import hive3_replication_spark.operators.skew as skew
+    from tests.conftest import SF_DIR
+
+    real = skew.weighted_median_strategy
+    probing = threading.Event()
+    release = threading.Event()
+    gate_on = {"v": True}
+
+    def gated(df, key, value_col):
+        if gate_on["v"]:
+            probing.set()
+            assert release.wait(30)
+        return real(df, key, value_col)
+
+    monkeypatch.setattr(skew, "weighted_median_strategy", gated)
+
+    for rep in range(5):
+        aggs._WM_STRATEGY_CACHE.clear()
+        probing.clear()
+        release.clear()
+        gate_on["v"] = True
+        errors: list[Exception] = []
+
+        def build() -> None:
+            try:
+                aggs.agg_weighted_median(spark, SF_DIR)
+            except Exception as exc:  # noqa: BLE001
+                errors.append(exc)
+
+        t = threading.Thread(target=build)
+        t.start()
+        assert probing.wait(30)         # probe is in flight
+        aggs._wm_strategy_clear()       # invalidation lands mid-probe
+        release.set()
+        t.join(30)
+        assert not t.is_alive() and not errors, (rep, errors)
+        # the raced probe must NOT have installed
+        assert aggs._WM_STRATEGY_CACHE == {}, (rep, aggs._WM_STRATEGY_CACHE)
+        # a fresh caller re-probes and installs (no gate this time)
+        gate_on["v"] = False
+        aggs.agg_weighted_median(spark, SF_DIR)
+        assert aggs._WM_STRATEGY_CACHE == {SF_DIR: "exact"}, rep
+
+    # control: the SAME gated interleaving without an invalidation must
+    # install — proving the stamp only blocks genuinely raced installs
+    aggs._WM_STRATEGY_CACHE.clear()
+    probing.clear()
+    release.clear()
+    gate_on["v"] = True
+    t = threading.Thread(
+        target=lambda: aggs.agg_weighted_median(spark, SF_DIR)
+    )
+    t.start()
+    assert probing.wait(30)
+    release.set()                       # no clear between probe & install
+    t.join(30)
+    assert not t.is_alive()
+    assert aggs._WM_STRATEGY_CACHE == {SF_DIR: "exact"}
