@@ -44,6 +44,7 @@ wall-times above — and is deliberately NOT part of the headline total.
 
 from __future__ import annotations
 
+import gc
 import json
 import os
 import sys
@@ -688,9 +689,18 @@ def main() -> None:
     # Steady-state e2e: min over N_PASSES full pipeline runs (same policy
     # as the headline per-query min — a single run mixes first-compile
     # fixed costs into the number; see _bench_replication docstring).
-    # Cleanup first so the measurement starts from a drained block manager.
+    # Cleanup first so the measurement starts from a drained block manager,
+    # then SETTLE before opening the fingerprint window: jvm_cpu_s is
+    # process-wide, and with zero gap the headline block's trailing async
+    # work (cache-block removal issued by the clearCache above, task
+    # teardown, GC) lands inside the e2e window — measured +17% phantom
+    # CPU on identical e2e work in a quiet-window A/B/C isolation
+    # (scripts/diag_e2e_regression.py, round 12; the r11 committed +26%
+    # e2e fingerprint was exactly this adjacency plus 0.5% steal).
     clear_caches(strategy_memo=False)
     spark.catalog.clearCache()
+    gc.collect()
+    time.sleep(3)
     fp = _fingerprint_begin(spark)
     try:
         e2e = _bench_replication_min(spark, sf_dir)

@@ -1216,6 +1216,16 @@ def _lttb_chunk_map(pdf):
     return _lttb_frame(pdf, _LTTB_CHUNK_K, with_pos=False)
 
 
+def _lttb_chunk_map_keyed(pdf):
+    """Chunk-level grouped map KEEPING the chunk key column — the
+    sf1.0 sampled-parity harness (scripts/parity_sf1.py) compares
+    engine level-1 picks per sampled chunk against the DuckDB chunk
+    replay, so the key must survive into the output."""
+    out = _lttb_frame(pdf, _LTTB_CHUNK_K, with_pos=False)
+    out.insert(1, "chunk", pdf["chunk"].iloc[0])
+    return out[["event_type", "chunk", "event_id", "x", "y"]]
+
+
 def ts_downsample_lttb(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T16 — largest-triangle-three-buckets downsampling (Steinarsson
     2013; the dashboard downsampler Timescale/Grafana expose): reduce
@@ -1281,6 +1291,32 @@ def ts_downsample_lttb_hier(spark: SparkSession, sf_dir: str) -> DataFrame:
     AQE-coalescible (a 2M-point series is ~60 MB of shuffle = ONE
     post-AQE partition), which would serialize all n/500 Arrow groups
     (~4 ms each) into one task."""
+    pts = _lttb_hier_chunked_pts(spark, sf_dir)
+    n_parts = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+
+    # explicit user repartition on the group keys: satisfies the
+    # grouped-map's ClusteredDistribution (no further exchange) and is
+    # not AQE-coalescible, so the level-1 groups really fan out
+    picks = (
+        pts.repartition(n_parts, "event_type", "chunk")
+        .groupBy("event_type", "chunk")
+        .applyInPandas(
+            _lttb_chunk_map,
+            "event_type string, event_id long, x long, y long",
+        )
+    )
+
+    return picks.groupBy("event_type").applyInPandas(
+        _lttb_series_map,
+        "event_type string, pos int, event_id long, x long, y long",
+    )
+
+
+def _lttb_hier_chunked_pts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T17 stage 1 input: the chunk-indexed point relation
+    (event_type, event_id, x, y, chunk) — factored out so the sf1.0
+    sampled-parity harness can run the level-1 grouped map on a
+    deterministic chunk subset through exactly the production plan."""
     events = load_table(spark, sf_dir, "events")
     base = events.select(
         "event_type",
@@ -1316,28 +1352,11 @@ def ts_downsample_lttb_hier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("pid", "event_type", "offset")
     )
     w_local = Window.partitionBy("pid", "event_type").orderBy("x", "event_id")
-    pts = (
+    return (
         parted.join(F.broadcast(offsets), ["pid", "event_type"])
         .withColumn("rn", F.col("offset") + F.row_number().over(w_local) - 1)
         .withColumn("chunk", F.expr(f"rn DIV {_LTTB_CHUNK}"))
         .select("event_type", "event_id", "x", "y", "chunk")
-    )
-
-    # explicit user repartition on the group keys: satisfies the
-    # grouped-map's ClusteredDistribution (no further exchange) and is
-    # not AQE-coalescible, so the level-1 groups really fan out
-    picks = (
-        pts.repartition(n_parts, "event_type", "chunk")
-        .groupBy("event_type", "chunk")
-        .applyInPandas(
-            _lttb_chunk_map,
-            "event_type string, event_id long, x long, y long",
-        )
-    )
-
-    return picks.groupBy("event_type").applyInPandas(
-        _lttb_series_map,
-        "event_type string, pos int, event_id long, x long, y long",
     )
 
 
@@ -1422,6 +1441,212 @@ def ts_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
         # fault — the NULL acf is the honest "undefined" answer
         sel.append(F.round(F.try_divide(num, den), 6).alias(f"acf_{k}"))
     return sums.select(*sel)
+
+
+
+def _lttb_hier_l1_ctes(chunk_pred: str = "TRUE") -> str:
+    """Level-1 (chunk) LTTB replay CTE chain, ending in relation
+    ``picks(event_type, chunk, x, y, event_id)`` — the chunk key is
+    carried so a sampled run can compare per chunk. ``chunk_pred``
+    restricts the replay to a chunk subset AFTER the global rank has
+    assigned chunk ids (so sampled chunk contents are identical to the
+    full run's); TRUE replays every chunk — the full registry oracle.
+    The sf1.0 sampled-parity harness (scripts/parity_sf1.py) builds its
+    level-1 spot checks from THIS text, so sampled and full verification
+    can never drift apart."""
+    return f"""
+        cpts0 AS (
+            SELECT event_type,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY event_type
+                       ORDER BY epoch_us(CAST(ts AS TIMESTAMP)), event_id
+                   ) - 1 AS gidx,
+                   epoch_us(CAST(ts AS TIMESTAMP)) AS x,
+                   CAST(CAST(value AS DECIMAL(18,3)) * 1000 AS BIGINT) AS y,
+                   event_id
+            FROM events
+        ),
+        cpts_all AS (
+            SELECT event_type, gidx // {_LTTB_CHUNK} AS chunk,
+                   gidx % {_LTTB_CHUNK} AS idx, x, y, event_id
+            FROM cpts0
+        ),
+        cpts AS (SELECT * FROM cpts_all WHERE {chunk_pred}),
+        cn AS (SELECT event_type, chunk, COUNT(*) AS n
+               FROM cpts GROUP BY event_type, chunk),
+        cbig AS (SELECT event_type, chunk, n FROM cn
+                 WHERE n > {_LTTB_CHUNK_K} + 2),
+        cinterior AS (
+            SELECT p.*, ((p.idx - 1) * {_LTTB_CHUNK_K}) // (b.n - 2)
+                       AS bucket
+            FROM cpts p JOIN cbig b USING (event_type, chunk)
+            WHERE p.idx >= 1 AND p.idx <= b.n - 2
+        ),
+        cbavg AS (
+            SELECT event_type, chunk, bucket, COUNT(*) AS m,
+                   SUM(CAST(x AS HUGEINT)) AS sx,
+                   SUM(CAST(y AS HUGEINT)) AS sy
+            FROM cinterior GROUP BY event_type, chunk, bucket
+        ),
+        clastpt AS (
+            SELECT p.event_type, p.chunk, p.idx, p.x, p.y, p.event_id
+            FROM cpts p JOIN cbig b USING (event_type, chunk)
+            WHERE p.idx = b.n - 1
+        ),
+        cnextc AS (
+            SELECT event_type, chunk, bucket - 1 AS bucket, m, sx, sy
+            FROM cbavg WHERE bucket >= 1
+            UNION ALL
+            SELECT event_type, chunk, {_LTTB_CHUNK_K} - 1, 1,
+                   CAST(x AS HUGEINT), CAST(y AS HUGEINT)
+            FROM clastpt
+        ),
+        csel AS (
+            SELECT p.event_type, p.chunk, -1 AS b, p.idx AS sel_idx,
+                   CAST(p.x AS HUGEINT) AS sel_x,
+                   CAST(p.y AS HUGEINT) AS sel_y
+            FROM cpts p JOIN cbig USING (event_type, chunk)
+            WHERE p.idx = 0
+            UNION ALL
+            SELECT s.event_type, s.chunk, s.b + 1, c.idx,
+                   CAST(c.x AS HUGEINT), CAST(c.y AS HUGEINT)
+            FROM csel s, LATERAL (
+                SELECT i.idx, i.x, i.y
+                FROM cinterior i JOIN cnextc nc
+                  ON nc.event_type = i.event_type
+                 AND nc.chunk = i.chunk AND nc.bucket = i.bucket
+                WHERE i.event_type = s.event_type AND i.chunk = s.chunk
+                  AND i.bucket = s.b + 1
+                ORDER BY abs((s.sel_x * nc.m - nc.sx)
+                             * (CAST(i.y AS HUGEINT) - s.sel_y)
+                           - (s.sel_x - CAST(i.x AS HUGEINT))
+                             * (nc.sy - s.sel_y * nc.m)) DESC,
+                         i.idx ASC
+                LIMIT 1
+            ) c
+            WHERE s.b < {_LTTB_CHUNK_K} - 1
+        ),
+        picks AS (
+            SELECT p.event_type, p.chunk, p.x, p.y, p.event_id
+            FROM csel s JOIN cpts p
+              ON p.event_type = s.event_type AND p.chunk = s.chunk
+             AND p.idx = s.sel_idx
+            UNION ALL
+            SELECT event_type, chunk, x, y, event_id FROM clastpt
+            UNION ALL
+            SELECT p.event_type, p.chunk, p.x, p.y, p.event_id
+            FROM cpts p JOIN cn USING (event_type, chunk)
+            WHERE cn.n <= {_LTTB_CHUNK_K} + 2
+        )"""
+
+
+def _lttb_l2_sql(source: str) -> str:
+    """Series-level LTTB replay (CTEs + final SELECT) over any
+    ``source(event_type, x, y, event_id)`` relation — level 2 of the
+    hier oracle. With ``source`` bound to an exported ENGINE picks
+    table, this is the sampled-parity harness's full level-2 check."""
+    return f"""
+        pts AS (
+            SELECT event_type,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY event_type ORDER BY x, event_id
+                   ) - 1 AS idx,
+                   x, y, event_id
+            FROM {source}
+        ),
+        n AS (SELECT event_type, COUNT(*) AS n FROM pts GROUP BY event_type),
+        big AS (SELECT event_type, n FROM n
+                WHERE n > {_LTTB_BUCKETS} + 2),
+        interior AS (
+            SELECT p.*, ((p.idx - 1) * {_LTTB_BUCKETS}) // (b.n - 2)
+                       AS bucket
+            FROM pts p JOIN big b USING (event_type)
+            WHERE p.idx >= 1 AND p.idx <= b.n - 2
+        ),
+        bavg AS (
+            SELECT event_type, bucket, COUNT(*) AS m,
+                   SUM(CAST(x AS HUGEINT)) AS sx,
+                   SUM(CAST(y AS HUGEINT)) AS sy
+            FROM interior GROUP BY event_type, bucket
+        ),
+        lastpt AS (
+            SELECT p.event_type, p.idx, p.x, p.y, p.event_id
+            FROM pts p JOIN big b USING (event_type) WHERE p.idx = b.n - 1
+        ),
+        nextc AS (
+            SELECT event_type, bucket - 1 AS bucket, m, sx, sy
+            FROM bavg WHERE bucket >= 1
+            UNION ALL
+            SELECT event_type, {_LTTB_BUCKETS} - 1, 1,
+                   CAST(x AS HUGEINT), CAST(y AS HUGEINT)
+            FROM lastpt
+        ),
+        sel AS (
+            SELECT p.event_type, -1 AS b, p.idx AS sel_idx,
+                   CAST(p.x AS HUGEINT) AS sel_x,
+                   CAST(p.y AS HUGEINT) AS sel_y
+            FROM pts p JOIN big USING (event_type) WHERE p.idx = 0
+            UNION ALL
+            SELECT s.event_type, s.b + 1, c.idx,
+                   CAST(c.x AS HUGEINT), CAST(c.y AS HUGEINT)
+            FROM sel s, LATERAL (
+                SELECT i.idx, i.x, i.y
+                FROM interior i JOIN nextc nc
+                  ON nc.event_type = i.event_type AND nc.bucket = i.bucket
+                WHERE i.event_type = s.event_type AND i.bucket = s.b + 1
+                ORDER BY abs((s.sel_x * nc.m - nc.sx)
+                             * (CAST(i.y AS HUGEINT) - s.sel_y)
+                           - (s.sel_x - CAST(i.x AS HUGEINT))
+                             * (nc.sy - s.sel_y * nc.m)) DESC,
+                         i.idx ASC
+                LIMIT 1
+            ) c
+            WHERE s.b < {_LTTB_BUCKETS} - 1
+        )
+        SELECT p.event_type, CAST(s.b + 1 AS INTEGER) AS pos,
+               p.event_id, p.x, p.y
+        FROM sel s JOIN pts p
+          ON p.event_type = s.event_type AND p.idx = s.sel_idx
+        UNION ALL
+        SELECT event_type, CAST({_LTTB_BUCKETS} + 1 AS INTEGER), event_id,
+               x, y
+        FROM lastpt
+        UNION ALL
+        SELECT p.event_type, CAST(p.idx AS INTEGER), p.event_id, p.x, p.y
+        FROM pts p JOIN n USING (event_type)
+        WHERE n.n <= {_LTTB_BUCKETS} + 2
+    """
+
+
+def _lttb_hier_oracle_sql(chunk_pred: str = "TRUE") -> str:
+    """The full two-level hier replay (the registry oracle): level-1
+    chain + level-2 chain over its picks. Same HUGEINT area form at
+    both levels; k1 = _LTTB_CHUNK_K, k = _LTTB_BUCKETS."""
+    return (
+        "WITH RECURSIVE "
+        + _lttb_hier_l1_ctes(chunk_pred)
+        + ",\n"
+        + _lttb_l2_sql("picks")
+    )
+
+
+def lttb_hier_sampled_l1_sql(chunk_pred: str) -> str:
+    """Sampled-parity level-1 check: replay ONLY the chunks matching
+    ``chunk_pred`` and emit their picks keyed by chunk — compared
+    against the engine's keyed level-1 grouped map on the same chunks
+    (scripts/parity_sf1.py; VERDICT r11 ask #5)."""
+    return (
+        "WITH RECURSIVE "
+        + _lttb_hier_l1_ctes(chunk_pred)
+        + "\nSELECT event_type, chunk, event_id, x, y FROM picks"
+    )
+
+
+def lttb_hier_l2_from_picks_sql(table: str = "hier_picks") -> str:
+    """Sampled-parity level-2 check: the FULL series-level replay over
+    an exported engine picks table — verifies level 2 exactly,
+    conditional on the (spot-checked) level-1 picks."""
+    return "WITH RECURSIVE " + _lttb_l2_sql(table)
 
 
 ORACLES: dict[str, str] = {
@@ -1726,164 +1951,7 @@ ORACLES: dict[str, str] = {
         FROM pts p JOIN n USING (event_type)
         WHERE n.n <= {_LTTB_BUCKETS} + 2
     """,
-    "ts_downsample_lttb_hier": f"""
-        -- two-level replay: the level-1 chain runs per (event_type,
-        -- chunk) with k1 = {_LTTB_CHUNK_K}; its picks are re-indexed per
-        -- series and fed through the identical level-2 chain with
-        -- k = {_LTTB_BUCKETS}. Same HUGEINT area form at both levels.
-        WITH RECURSIVE
-        cpts0 AS (
-            SELECT event_type,
-                   ROW_NUMBER() OVER (
-                       PARTITION BY event_type
-                       ORDER BY epoch_us(CAST(ts AS TIMESTAMP)), event_id
-                   ) - 1 AS gidx,
-                   epoch_us(CAST(ts AS TIMESTAMP)) AS x,
-                   CAST(CAST(value AS DECIMAL(18,3)) * 1000 AS BIGINT) AS y,
-                   event_id
-            FROM events
-        ),
-        cpts AS (
-            SELECT event_type, gidx // {_LTTB_CHUNK} AS chunk,
-                   gidx % {_LTTB_CHUNK} AS idx, x, y, event_id
-            FROM cpts0
-        ),
-        cn AS (SELECT event_type, chunk, COUNT(*) AS n
-               FROM cpts GROUP BY event_type, chunk),
-        cbig AS (SELECT event_type, chunk, n FROM cn
-                 WHERE n > {_LTTB_CHUNK_K} + 2),
-        cinterior AS (
-            SELECT p.*, ((p.idx - 1) * {_LTTB_CHUNK_K}) // (b.n - 2)
-                       AS bucket
-            FROM cpts p JOIN cbig b USING (event_type, chunk)
-            WHERE p.idx >= 1 AND p.idx <= b.n - 2
-        ),
-        cbavg AS (
-            SELECT event_type, chunk, bucket, COUNT(*) AS m,
-                   SUM(CAST(x AS HUGEINT)) AS sx,
-                   SUM(CAST(y AS HUGEINT)) AS sy
-            FROM cinterior GROUP BY event_type, chunk, bucket
-        ),
-        clastpt AS (
-            SELECT p.event_type, p.chunk, p.idx, p.x, p.y, p.event_id
-            FROM cpts p JOIN cbig b USING (event_type, chunk)
-            WHERE p.idx = b.n - 1
-        ),
-        cnextc AS (
-            SELECT event_type, chunk, bucket - 1 AS bucket, m, sx, sy
-            FROM cbavg WHERE bucket >= 1
-            UNION ALL
-            SELECT event_type, chunk, {_LTTB_CHUNK_K} - 1, 1,
-                   CAST(x AS HUGEINT), CAST(y AS HUGEINT)
-            FROM clastpt
-        ),
-        csel AS (
-            SELECT p.event_type, p.chunk, -1 AS b, p.idx AS sel_idx,
-                   CAST(p.x AS HUGEINT) AS sel_x,
-                   CAST(p.y AS HUGEINT) AS sel_y
-            FROM cpts p JOIN cbig USING (event_type, chunk)
-            WHERE p.idx = 0
-            UNION ALL
-            SELECT s.event_type, s.chunk, s.b + 1, c.idx,
-                   CAST(c.x AS HUGEINT), CAST(c.y AS HUGEINT)
-            FROM csel s, LATERAL (
-                SELECT i.idx, i.x, i.y
-                FROM cinterior i JOIN cnextc nc
-                  ON nc.event_type = i.event_type
-                 AND nc.chunk = i.chunk AND nc.bucket = i.bucket
-                WHERE i.event_type = s.event_type AND i.chunk = s.chunk
-                  AND i.bucket = s.b + 1
-                ORDER BY abs((s.sel_x * nc.m - nc.sx)
-                             * (CAST(i.y AS HUGEINT) - s.sel_y)
-                           - (s.sel_x - CAST(i.x AS HUGEINT))
-                             * (nc.sy - s.sel_y * nc.m)) DESC,
-                         i.idx ASC
-                LIMIT 1
-            ) c
-            WHERE s.b < {_LTTB_CHUNK_K} - 1
-        ),
-        picks AS (
-            SELECT p.event_type, p.x, p.y, p.event_id
-            FROM csel s JOIN cpts p
-              ON p.event_type = s.event_type AND p.chunk = s.chunk
-             AND p.idx = s.sel_idx
-            UNION ALL
-            SELECT event_type, x, y, event_id FROM clastpt
-            UNION ALL
-            SELECT p.event_type, p.x, p.y, p.event_id
-            FROM cpts p JOIN cn USING (event_type, chunk)
-            WHERE cn.n <= {_LTTB_CHUNK_K} + 2
-        ),
-        pts AS (
-            SELECT event_type,
-                   ROW_NUMBER() OVER (
-                       PARTITION BY event_type ORDER BY x, event_id
-                   ) - 1 AS idx,
-                   x, y, event_id
-            FROM picks
-        ),
-        n AS (SELECT event_type, COUNT(*) AS n FROM pts GROUP BY event_type),
-        big AS (SELECT event_type, n FROM n
-                WHERE n > {_LTTB_BUCKETS} + 2),
-        interior AS (
-            SELECT p.*, ((p.idx - 1) * {_LTTB_BUCKETS}) // (b.n - 2)
-                       AS bucket
-            FROM pts p JOIN big b USING (event_type)
-            WHERE p.idx >= 1 AND p.idx <= b.n - 2
-        ),
-        bavg AS (
-            SELECT event_type, bucket, COUNT(*) AS m,
-                   SUM(CAST(x AS HUGEINT)) AS sx,
-                   SUM(CAST(y AS HUGEINT)) AS sy
-            FROM interior GROUP BY event_type, bucket
-        ),
-        lastpt AS (
-            SELECT p.event_type, p.idx, p.x, p.y, p.event_id
-            FROM pts p JOIN big b USING (event_type) WHERE p.idx = b.n - 1
-        ),
-        nextc AS (
-            SELECT event_type, bucket - 1 AS bucket, m, sx, sy
-            FROM bavg WHERE bucket >= 1
-            UNION ALL
-            SELECT event_type, {_LTTB_BUCKETS} - 1, 1,
-                   CAST(x AS HUGEINT), CAST(y AS HUGEINT)
-            FROM lastpt
-        ),
-        sel AS (
-            SELECT p.event_type, -1 AS b, p.idx AS sel_idx,
-                   CAST(p.x AS HUGEINT) AS sel_x,
-                   CAST(p.y AS HUGEINT) AS sel_y
-            FROM pts p JOIN big USING (event_type) WHERE p.idx = 0
-            UNION ALL
-            SELECT s.event_type, s.b + 1, c.idx,
-                   CAST(c.x AS HUGEINT), CAST(c.y AS HUGEINT)
-            FROM sel s, LATERAL (
-                SELECT i.idx, i.x, i.y
-                FROM interior i JOIN nextc nc
-                  ON nc.event_type = i.event_type AND nc.bucket = i.bucket
-                WHERE i.event_type = s.event_type AND i.bucket = s.b + 1
-                ORDER BY abs((s.sel_x * nc.m - nc.sx)
-                             * (CAST(i.y AS HUGEINT) - s.sel_y)
-                           - (s.sel_x - CAST(i.x AS HUGEINT))
-                             * (nc.sy - s.sel_y * nc.m)) DESC,
-                         i.idx ASC
-                LIMIT 1
-            ) c
-            WHERE s.b < {_LTTB_BUCKETS} - 1
-        )
-        SELECT p.event_type, CAST(s.b + 1 AS INTEGER) AS pos,
-               p.event_id, p.x, p.y
-        FROM sel s JOIN pts p
-          ON p.event_type = s.event_type AND p.idx = s.sel_idx
-        UNION ALL
-        SELECT event_type, CAST({_LTTB_BUCKETS} + 1 AS INTEGER), event_id,
-               x, y
-        FROM lastpt
-        UNION ALL
-        SELECT p.event_type, CAST(p.idx AS INTEGER), p.event_id, p.x, p.y
-        FROM pts p JOIN n USING (event_type)
-        WHERE n.n <= {_LTTB_BUCKETS} + 2
-    """,
+    "ts_downsample_lttb_hier": _lttb_hier_oracle_sql(),
     "ts_seasonal_profile": """
         WITH e AS (
             SELECT event_type,

@@ -1,14 +1,22 @@
-"""One-off diagnosis for the r3->r4 repl e2e regression (VERDICT r4 item 3).
+"""Diagnosis harness for repl e2e block anomalies.
 
-Times _bench_replication in three states:
-  A. fresh session (nothing else has run)
-  B. after 2 full headline passes (the bench's actual measurement point)
-  C. after B plus aggressive cleanup (clear_caches + catalog.clearCache +
-     Python GC so py4j releases localCheckpoint RDD blocks)
+Round 4 (VERDICT r4 item 3): timed _bench_replication in three states to
+attribute a wall regression to accumulated block-manager pressure.
 
-If B >> A and C ~= A, the regression is accumulated block-manager/GC
-pressure from the round-4 headline additions (semantic/serving persist +
-localCheckpoint), and the fix is cleanup before the e2e measurement.
+Round 12 (VERDICT r11 ask #2): the committed r11 BENCH_DETAIL's e2e
+block read +26% jvm_cpu vs r10 while a quiet-window run read −3% — the
+suspect is CPU from the PRECEDING headline block (async cache-block
+removal, lingering task teardown, GC) bleeding into the e2e fingerprint
+window, which measures PROCESS-wide JVM CPU. This version fingerprints
+(jvm_cpu/steal/busy) each e2e window in three states:
+
+  A. fresh session          — the e2e block's intrinsic CPU
+  B. 0 s after 2 headline passes  — the bench's actual measurement point
+  C. after cleanup + settle — same work, trailing activity drained
+
+If B's jvm_cpu >> A ~= C on identical e2e walls, the +26% is window
+contamination (a measurement artifact of block adjacency), not an e2e
+workload change.
 """
 
 import gc
@@ -18,10 +26,25 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-from bench import HEADLINE, _bench_replication  # noqa: E402
+from bench import (  # noqa: E402
+    HEADLINE,
+    _bench_replication,
+    _fingerprint_begin,
+    _fingerprint_end,
+)
 from hive3_replication_spark.llm.dedup import clear_caches  # noqa: E402
 from hive3_replication_spark.registry import build_queries  # noqa: E402
 from hive3_replication_spark.session import get_spark  # noqa: E402
+
+
+def _fingerprinted_e2e(spark, sf_dir: str, tag: str) -> None:
+    fp = _fingerprint_begin(spark)
+    rows = {}
+    for i in range(2):
+        for k, v in _bench_replication(spark, sf_dir).items():
+            rows[k] = min(v, rows.get(k, float("inf")))
+    print(f"  {tag}: {rows}", flush=True)
+    print(f"  {tag} fingerprint: {_fingerprint_end(spark, fp)}", flush=True)
 
 
 def main() -> None:
@@ -30,31 +53,26 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     queries = build_queries()
 
-    print("A: fresh e2e x2", flush=True)
-    for i in range(2):
-        t0 = time.perf_counter()
-        r = _bench_replication(spark, sf_dir)
-        print(f"  A{i}: {r} (wall {time.perf_counter()-t0:.2f})", flush=True)
+    print("A: fresh-session e2e (intrinsic cost)", flush=True)
+    _fingerprinted_e2e(spark, sf_dir, "A")
 
     print("running 2 headline passes...", flush=True)
     for _p in range(2):
-        clear_caches()
+        clear_caches(strategy_memo=False)
         for name in HEADLINE:
             queries[name](spark, sf_dir).count()
 
-    print("B: post-headline e2e x2", flush=True)
-    for i in range(2):
-        r = _bench_replication(spark, sf_dir)
-        print(f"  B{i}: {r}", flush=True)
+    print("B: e2e immediately after headline (bench adjacency)", flush=True)
+    clear_caches(strategy_memo=False)  # what bench.py does before e2e
+    spark.catalog.clearCache()
+    _fingerprinted_e2e(spark, sf_dir, "B")
 
-    clear_caches()
+    print("C: e2e after cleanup + settle", flush=True)
+    clear_caches(strategy_memo=False)
     spark.catalog.clearCache()
     gc.collect()
-    time.sleep(2)  # let async block removal drain
-    print("C: post-cleanup e2e x2", flush=True)
-    for i in range(2):
-        r = _bench_replication(spark, sf_dir)
-        print(f"  C{i}: {r}", flush=True)
+    time.sleep(3)  # let async block removal / task teardown drain
+    _fingerprinted_e2e(spark, sf_dir, "C")
     spark.stop()
 
 
