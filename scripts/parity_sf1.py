@@ -168,24 +168,6 @@ def main() -> None:
 
     queries, oracles = build_queries(), build_oracles()
     results: dict[str, dict] = {}
-    if os.path.exists(out_path):
-        # resume: keep prior passing AND oracle-skip records (pass=None);
-        # re-running a skip's engine pass every resume was pure waste
-        # (ADVICE r11). Failures are dropped so they re-run.
-        prior = json.loads(Path(out_path).read_text()).get("keys", {})
-        results.update(
-            {k: v for k, v in prior.items() if v.get("pass") is not False}
-        )
-    if "--all" in sys.argv:
-        targets = list(queries)
-    elif "--next" in sys.argv:
-        n = int(sys.argv[sys.argv.index("--next") + 1])
-        fresh = [k for k in queries if k not in results][:n]
-        targets = list(results) + fresh
-    else:
-        window = list(queries)[:50]
-        targets = window + [k for k in SCALE_PROBE_KEYS if k not in window]
-
     # oracle replays that are super-linear in DuckDB at sf1 get a
     # SAMPLED verifier instead of a skip (VERDICT r11 ask #5): the
     # expensive level is spot-checked on deterministic chunks, the
@@ -194,6 +176,34 @@ def main() -> None:
     sampled_verify = {
         "ts_downsample_lttb_hier": _verify_lttb_hier_sampled,
     }
+
+    if os.path.exists(out_path):
+        prior = json.loads(Path(out_path).read_text()).get("keys", {})
+        # resume (ADVICE r11): keep passes AND oracle-skips (pass=None;
+        # re-running a skip's engine pass every resume was pure waste),
+        # drop failures so they re-run — EXCEPT a skip whose key now has
+        # a sampled verifier: that one re-runs so the record can flip to
+        # a (sampled) pass
+        results.update(
+            {
+                k: v
+                for k, v in prior.items()
+                if v.get("pass")
+                or (v.get("pass") is None and k not in sampled_verify)
+            }
+        )
+    if "--all" in sys.argv:
+        targets = list(queries)
+    elif "--next" in sys.argv:
+        n = int(sys.argv[sys.argv.index("--next") + 1])
+        fresh = [k for k in queries if k not in results][:n]
+        targets = list(results) + fresh + [
+            k for k in sampled_verify
+            if k not in results and k not in fresh
+        ]
+    else:
+        window = list(queries)[:50]
+        targets = window + [k for k in SCALE_PROBE_KEYS if k not in window]
 
     t_begin = time.perf_counter()
     todo = [k for k in targets if k not in results]
