@@ -484,6 +484,14 @@ _HTML_STRIP_STEPS: tuple[str, ...] = (
 _HTML_TITLE_RE = r"(?is)<title[^>]*>(.*?)</title>"
 _HTML_BODY_RE = r"(?is)<body[^>]*>(.*?)</body>"
 
+#: Whitespace-collapse class, spelled EXPLICITLY: Java's \s is
+#: [ \t\n\x0B\f\r], RE2's \s omits \x0B, and Python's is full Unicode —
+#: three engines, three different classes (round-12 review, verified
+#: live: DuckDB leaves 'a\x0bb' unchanged under \s+). The explicit
+#: ASCII class is identical everywhere; the escapes pass through SQL
+#: string literals untouched (standard SQL has no backslash escapes).
+_HTML_WS_RE = r"[ \t\r\n\x0b\f]+"
+
 
 def _synth_html_col() -> F.Column:
     """Deterministic HTML page for a document row (the fixture corpus
@@ -493,8 +501,11 @@ def _synth_html_col() -> F.Column:
     whose payload contains ``>`` and quoted entities (so tag-stripping
     alone would leak JS), a <style> block with braces, an HTML comment,
     attribute-carrying tags, multi-line structure (dotall coverage), and
-    entities in both title and body — including a double-escaped
-    ``&amp;nbsp;`` that must survive as the literal text ``&nbsp;``.
+    entities in both title and body — including a BODY-VISIBLE
+    double-escaped ``&amp;lt;esc&amp;gt;`` that must surface as the
+    literal text ``&lt;esc&gt;`` (never ``<esc>``): the output that
+    pins ``&amp;`` decoding strictly last (round-12 review — any other
+    entity ordering changes this fragment).
     NULL text/lang/source coalesce to '' BEFORE concat (Spark's concat
     NULL-propagates while DuckDB's skips NULLs — pinning '' makes the
     page, and thus the parity, NULL-shape-independent)."""
@@ -511,7 +522,7 @@ def _synth_html_col() -> F.Column:
         F.lit(" &lt;draft&gt;</h1>\n<!-- crawl artifact "), did,
         F.lit(' -->\n<p id="p1">'), F.coalesce(F.col("text"), F.lit("")),
         F.lit("</p>\n<script>inline(d);</script>\n"
-              '<p id="p2">tail&nbsp;&amp;&nbsp;end</p>\n'
+              '<p id="p2">tail&nbsp;&amp;&nbsp;end &amp;lt;esc&amp;gt;</p>\n'
               "</body>\n</html>"),
     )
 
@@ -521,7 +532,7 @@ def _clean_fragment(col: F.Column) -> F.Column:
     (title text or tag-stripped body) — the shared tail of both outputs."""
     for src, dst in _HTML_ENTITIES:
         col = F.replace(col, F.lit(src), F.lit(dst))
-    return F.trim(F.regexp_replace(col, r"\s+", " "))
+    return F.trim(F.regexp_replace(col, _HTML_WS_RE, " "))
 
 
 def llm_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -583,7 +594,7 @@ def _html_extract_oracle_sql() -> str:
         " || CAST(doc_id AS VARCHAR)"
         " || ' -->\n<p id=\"p1\">' || COALESCE(text, '')"
         " || '</p>\n<script>inline(d);</script>\n"
-        "<p id=\"p2\">tail&nbsp;&amp;&nbsp;end</p>\n"
+        "<p id=\"p2\">tail&nbsp;&amp;&nbsp;end &amp;lt;esc&amp;gt;</p>\n"
         "</body>\n</html>'"
     )
     body = "html"
@@ -598,8 +609,8 @@ def _html_extract_oracle_sql() -> str:
         esc_s, esc_d = src.replace("'", "''"), dst.replace("'", "''")
         body = f"replace({body}, '{esc_s}', '{esc_d}')"
         title = f"replace({title}, '{esc_s}', '{esc_d}')"
-    body = f"trim(regexp_replace({body}, '\\s+', ' ', 'g'))"
-    title = f"trim(regexp_replace({title}, '\\s+', ' ', 'g'))"
+    body = f"trim(regexp_replace({body}, '{_HTML_WS_RE}', ' ', 'g'))"
+    title = f"trim(regexp_replace({title}, '{_HTML_WS_RE}', ' ', 'g'))"
     return f"""
         WITH pages AS (
             SELECT doc_id, {synth} AS html FROM documents

@@ -59,7 +59,16 @@ empty/1-token docs). Seed 277 clean 247/247 after the sixth addition —
 first sweep covering ts_anomaly_mad (fuzz streams' 30% duplicate values
 stress the lower-median crossing ties; negative values stress the
 signed milli quantization). Bonus seed 281 clean 247/247 after the
-second-review fixes. Next primes: 283, 293.
+second-review fixes.
+
+Round-12: seed 283 clean 249/249 — first sweep covering the two
+round-12 additions (llm_html_extract: the fuzz corpus's empty/short/
+dup-heavy docs exercise empty-<p1> pages and whitespace collapse;
+llm_classifier_trainset: fuzz source skew exercises the balance
+threshold's ceil). Seed 293 clean 249/249 after the review fixes
+(explicit ASCII whitespace class — Java/RE2/Python \\s all differ —
+and the body-visible &amp;lt;esc&amp;gt; double-escape pinning entity
+order). Next primes: 307, 311.
 
 Round-7: the malformed-MEDIA payload family (truncated headers, wrong
 magic, hostile GIF length bytes, oversized declared dims) lives in

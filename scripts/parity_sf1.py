@@ -45,7 +45,7 @@ TABLES = (
 
 
 def _verify_lttb_hier_sampled(
-    spark, con, probe_dir: str, rec: dict, assert_frames_match
+    spark, con, probe_dir: str, final, rec: dict, assert_frames_match
 ) -> None:
     """Chunk-sampled sf1 oracle for ts_downsample_lttb_hier (VERDICT r11
     ask #5). The full two-level DuckDB replay is super-linear at 1.5M
@@ -61,19 +61,22 @@ def _verify_lttb_hier_sampled(
 
     Both comparisons are exact value matches; the sampled level-1 is the
     only bounded-confidence part, and its sample always includes the
-    boundary chunks where an off-by-one would live."""
+    boundary chunks where an off-by-one would live.
+
+    ``final`` is the main loop's already-collected engine output (the
+    round-12 review: re-running the pipeline here both doubled the
+    expensive chunking stage and booked engine time as oracle time);
+    ``rec['oracle_wall_s']`` covers ONLY the two DuckDB replays, with
+    the keyed-picks engine export timed separately."""
     from hive3_replication_spark.operators.timeseries import (
         _lttb_chunk_map_keyed,
         _lttb_hier_chunked_pts,
         lttb_hier_l2_from_picks_sql,
         lttb_hier_sampled_l1_sql,
-        ts_downsample_lttb_hier,
     )
 
-    final = ts_downsample_lttb_hier(spark, probe_dir).toPandas()
-    rec["rows"] = int(len(final))
-
     n_parts = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    t_picks = time.perf_counter()
     keyed_picks = (
         _lttb_hier_chunked_pts(spark, probe_dir)
         .repartition(n_parts, "event_type", "chunk")
@@ -84,8 +87,10 @@ def _verify_lttb_hier_sampled(
         )
         .toPandas()
     )
+    rec["picks_export_wall_s"] = round(time.perf_counter() - t_picks, 3)
 
     # level 2, full: DuckDB series replay over the engine's picks
+    t_orc = time.perf_counter()
     con.register(
         "hier_picks", keyed_picks[["event_type", "x", "y", "event_id"]]
     )
@@ -97,7 +102,9 @@ def _verify_lttb_hier_sampled(
     pred = " OR ".join(
         ["chunk % 89 = 3", "chunk <= 1"]
         + [
-            f"(event_type = '{et}' AND chunk = {int(c)})"
+            # SQL-escape the engine-provided type (round-12 review)
+            f"(event_type = '{et.replace(chr(39), chr(39) * 2)}'"
+            f" AND chunk = {int(c)})"
             for et, c in sorted(last.items())
         ]
     )
@@ -108,6 +115,7 @@ def _verify_lttb_hier_sampled(
         ["event_type", "chunk", "event_id", "x", "y"]
     ]
     orc_sample = con.sql(lttb_hier_sampled_l1_sql(pred)).df()
+    rec["oracle_wall_s"] = round(time.perf_counter() - t_orc, 3)
     assert_frames_match(
         eng_sample, orc_sample, "ts_downsample_lttb_hier@l1-sampled"
     )
@@ -171,7 +179,9 @@ def main() -> None:
     # oracle replays that are super-linear in DuckDB at sf1 get a
     # SAMPLED verifier instead of a skip (VERDICT r11 ask #5): the
     # expensive level is spot-checked on deterministic chunks, the
-    # cheap level verified in full over exported engine intermediates
+    # cheap level verified in full over exported engine intermediates.
+    # oracle_skip is intentionally kept (currently empty) as the escape
+    # hatch for a future key with no tractable sampled decomposition.
     oracle_skip: dict[str, str] = {}
     sampled_verify = {
         "ts_downsample_lttb_hier": _verify_lttb_hier_sampled,
@@ -219,11 +229,10 @@ def main() -> None:
                 rec["pass"] = None
                 rec["oracle_skipped"] = oracle_skip[key]
             elif key in sampled_verify:
-                t1 = time.perf_counter()
                 sampled_verify[key](
-                    spark, con, probe_dir, rec, assert_frames_match
+                    spark, con, probe_dir, spark_pdf, rec,
+                    assert_frames_match,
                 )
-                rec["oracle_wall_s"] = round(time.perf_counter() - t1, 3)
                 rec["pass"] = True
             else:
                 t1 = time.perf_counter()

@@ -1224,7 +1224,8 @@ def _py_html_page(doc_id, text, lang, source) -> str:
         f'</head>\n<body class="doc lang-{lg}">\n'
         f"<h1>Doc {d} &lt;draft&gt;</h1>\n<!-- crawl artifact {d} -->\n"
         f'<p id="p1">{t}</p>\n<script>inline(d);</script>\n'
-        '<p id="p2">tail&nbsp;&amp;&nbsp;end</p>\n</body>\n</html>'
+        '<p id="p2">tail&nbsp;&amp;&nbsp;end &amp;lt;esc&amp;gt;</p>\n'
+        "</body>\n</html>"
     )
 
 
@@ -1251,7 +1252,10 @@ def _py_html_extract(page: str) -> tuple[str, str]:
             ("&#39;", "'"), ("&nbsp;", " "), ("&amp;", "&"),
         ):
             frag = frag.replace(src, dst)
-        out.append(re.sub(r"\s+", " ", frag).strip())
+        # explicit ASCII class, NOT \s — Python's \s is Unicode-wide
+        # while Java/RE2 differ from it AND from each other (web.py
+        # _HTML_WS_RE)
+        out.append(re.sub(r"[ \t\r\n\x0b\f]+", " ", frag).strip())
     return out[0], out[1]
 
 
@@ -1278,7 +1282,11 @@ def test_html_extract_matches_python_twin(spark):
         # noise classes provably handled
         assert title == f"Doc '{row.doc_id}' & {row.source}", title
         assert body.startswith(f"Doc {row.doc_id} <draft> "), body
-        assert body.endswith(" tail & end"), body
+        # the double-escaped &amp;lt;esc&amp;gt; must surface as the
+        # LITERAL &lt;esc&gt; — pins &amp; decoding strictly last (any
+        # other entity ordering yields '<esc>' here)
+        assert body.endswith(" tail & end &lt;esc&gt;"), body
+        assert "<esc>" not in body, body
         for residue in ("<p", "<script", "track(", "inline(", "color:",
                         "crawl artifact", "&amp;", "&nbsp;"):
             assert residue not in body, (residue, body)

@@ -663,7 +663,12 @@ def test_round12_ops_null_columns(spark, tmp_path_factory):
     this plants one that is ~third NULL in every column."""
     rows = []
     for d in range(90):
-        text = (None, "", "the data spark x")[d % 3]
+        # the non-trivial text plants \x0b (in Java's \s but NOT RE2's),
+        # \xa0 (in Python's Unicode \s but neither engine's), and \t —
+        # the three-way whitespace-class divergence the explicit
+        # [ \t\r\n\x0b\f] collapse class exists for (round-12 review,
+        # verified live in DuckDB)
+        text = (None, "", "the\x0bdata\xa0spark\tx and of")[d % 3]
         lang = ("en", None, "de")[d % 3]
         source = ("web", "book", None)[d % 3]
         rows.append((d, text, lang, source))
@@ -691,7 +696,9 @@ def test_round12_ops_null_columns(spark, tmp_path_factory):
     got = q["llm_html_extract"](spark, out).toPandas()
     assert len(got) == 90 and got.body_text.notna().all()
     null_text = got[got.doc_id % 3 == 0]
-    assert (null_text.body_text.str.endswith("<draft> tail & end")).all()
+    assert (
+        null_text.body_text.str.endswith("<draft> tail & end &lt;esc&gt;")
+    ).all()
     # L40: the 30 NULL-source docs are in neither class
     trained = q["llm_classifier_trainset"](spark, out).toPandas()
     assert (trained.doc_id % 3 != 2).all()
