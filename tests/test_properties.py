@@ -1254,8 +1254,10 @@ def _py_html_extract(page: str) -> tuple[str, str]:
             frag = frag.replace(src, dst)
         # explicit ASCII class, NOT \s — Python's \s is Unicode-wide
         # while Java/RE2 differ from it AND from each other (web.py
-        # _HTML_WS_RE)
-        out.append(re.sub(r"[ \t\r\n\x0b\f]+", " ", frag).strip())
+        # _HTML_WS_RE); strip(' ') not strip() for the same reason —
+        # both engines' trim() strips ASCII spaces only, and after the
+        # collapse every boundary ASCII-ws char IS a space
+        out.append(re.sub(r"[ \t\r\n\x0b\f]+", " ", frag).strip(" "))
     return out[0], out[1]
 
 
