@@ -68,7 +68,7 @@ llm_classifier_trainset: fuzz source skew exercises the balance
 threshold's ceil). Seed 293 clean 249/249 after the review fixes
 (explicit ASCII whitespace class — Java/RE2/Python \\s all differ —
 and the body-visible &amp;lt;esc&amp;gt; double-escape pinning entity
-order). Next primes: 307, 311.
+order). Bonus seed 307 clean 249/249. Next primes: 311, 313.
 
 Round-7: the malformed-MEDIA payload family (truncated headers, wrong
 magic, hostile GIF length bytes, oversized declared dims) lives in
