@@ -74,7 +74,11 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 #: map (see tests/test_oracle_parity.py window-pinning test, which locks
 #: the front 50 to this policy). Keys missing from this list (new
 #: operators between profilings) are appended alphabetically, so
-#: registration never breaks on an unprofiled key.
+#: registration never breaks on an unprofiled key. Round-13 window
+#: math, precomputed: once the r12 stamps land, the stale block is
+#: EXACTLY the 50 r8-stamped keys — zero free slots; if round 13 adds
+#: N ops, lead with 50-N r8 keys and push the N cheapest-to-reverify
+#: r8 keys behind the window for round 14.
 _SWEEP_ORDER: tuple[str, ...] = (
     # stamp age r7 — the full 48-key stale block leads the round-12
     # window (VERDICT r11 ask #1); relative profiled order preserved
