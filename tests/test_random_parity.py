@@ -703,3 +703,84 @@ def test_round12_ops_null_columns(spark, tmp_path_factory):
     trained = q["llm_classifier_trainset"](spark, out).toPandas()
     assert (trained.doc_id % 3 != 2).all()
     assert set(trained[trained.doc_id % 3 == 1].label) == {1}  # book
+
+
+def test_round12_ops_hostile_and_degenerate_corpora(spark, tmp_path_factory):
+    """Round-12 hardening: (a) HOSTILE text — documents whose text
+    contains markup-looking fragments (partial entities, unclosed tags,
+    a literal </body>, regex metachars) must extract identically in
+    both engines (the synthesis embeds text verbatim, so a planted
+    </body> legitimately truncates the body span — in BOTH engines);
+    (b) a SINGLE-SOURCE corpus degrades the trainset to positives-only
+    (thr=0), (c) an EMPTY corpus yields empty outputs — all three as
+    engine-vs-oracle parity, not just engine assertions."""
+    from hive3_replication_spark.registry import build_oracles, build_queries
+
+    q, o = build_queries(), build_oracles()
+    hostile = [
+        "plain words here",
+        "amp& frag &amp tail",          # unterminated entity
+        "&lt;kept&gt; <b>unclosed",     # decodable entity + dangling tag
+        "a>b<c",                        # bare angle brackets
+        "x </body> y",                  # body-span truncator
+        "dot.* star[+] (paren) |pipe",  # regex metachars
+        "<script>not really",           # unterminated script opener
+    ]
+    rows = [(i, t, "en", ("web", "book")[i % 2]) for i, t in enumerate(hostile)]
+    pdf = pd.DataFrame(rows, columns=["doc_id", "text", "lang", "source"])
+    pdf["n_chars"] = pdf.text.str.len().astype("int64")
+    out = str(tmp_path_factory.mktemp("hostile12"))
+    spark.createDataFrame(pdf).coalesce(1).write.parquet(
+        f"{out}/documents.parquet"
+    )
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"'{out}/documents.parquet/*.parquet'"
+    )
+    for key in ("llm_html_extract", "llm_classifier_trainset"):
+        assert_frames_match(
+            q[key](spark, out).toPandas(), con.sql(o[key]).df(),
+            f"{key}@hostile",
+        )
+    got = q["llm_html_extract"](spark, out).toPandas().set_index("doc_id")
+    # the planted </body> truncates the span identically (parity above);
+    # the fragment BEFORE it survives
+    assert got.loc[4, "body_text"].endswith("x"), got.loc[4, "body_text"]
+    # decodable entities inside user text decode; unterminated ones pass
+    assert "<kept>" in got.loc[2, "body_text"]
+    assert "&amp tail" in got.loc[1, "body_text"]
+
+    # single source: positives only, thr=0 path
+    pdf2 = pdf.assign(source="only")
+    out2 = str(tmp_path_factory.mktemp("singlesrc12"))
+    spark.createDataFrame(pdf2).coalesce(1).write.parquet(
+        f"{out2}/documents.parquet"
+    )
+    con2 = duckdb.connect()
+    con2.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"'{out2}/documents.parquet/*.parquet'"
+    )
+    key = "llm_classifier_trainset"
+    eng = q[key](spark, out2).toPandas()
+    assert_frames_match(eng, con2.sql(o[key]).df(), f"{key}@single-source")
+    assert set(eng.label) == {1} and len(eng) == len(pdf2)
+
+    # empty corpus: both ops yield empty, no error (schema must be
+    # explicit — Spark cannot infer one from zero pandas rows)
+    out3 = str(tmp_path_factory.mktemp("empty12"))
+    spark.createDataFrame(
+        [],
+        "doc_id long, text string, lang string, source string,"
+        " n_chars long",
+    ).coalesce(1).write.parquet(f"{out3}/documents.parquet")
+    con3 = duckdb.connect()
+    con3.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"'{out3}/documents.parquet/*.parquet'"
+    )
+    for key in ("llm_html_extract", "llm_classifier_trainset"):
+        eng = q[key](spark, out3).toPandas()
+        assert_frames_match(eng, con3.sql(o[key]).df(), f"{key}@empty")
+        assert len(eng) == 0
