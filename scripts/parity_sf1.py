@@ -129,6 +129,62 @@ def _verify_lttb_hier_sampled(
     )
 
 
+def resume_and_targets(
+    prior: dict[str, dict],
+    query_keys: list[str],
+    sampled_verify: dict,
+    scale_probe_keys,
+    argv: list[str],
+) -> tuple[dict[str, dict], list[str]]:
+    """Pure resume/targeting policy (unit-tested in
+    tests/test_repl_pipeline.py) — given the prior output file's ``keys``
+    block, the registered sweep-order keys, and the CLI mode, return
+    (records to carry forward, keys to target this run).
+
+    - passes and oracle-skips carry forward (re-running a skip's engine
+      pass every resume was pure waste — ADVICE r11); a skip whose key
+      now has a sampled verifier re-runs so the record can flip to a
+      (sampled) pass;
+    - a prior FAILURE is never silently erased (round-12 review: a
+      resume whose mode didn't re-target the failed key dropped the
+      record and let the summary read complete/0-fail): every
+      still-registered failed key is forced into the target set so it
+      re-runs before ``complete`` can flip to true; a failed key no
+      longer in the registry keeps its failure record as-is.
+    """
+    results: dict[str, dict] = {}
+    prior_failed: list[str] = []
+    results.update(
+        {
+            k: v
+            for k, v in prior.items()
+            if v.get("pass")
+            or (v.get("pass") is None and k not in sampled_verify)
+        }
+    )
+    for k, v in prior.items():
+        if v.get("pass") is False:
+            if k in query_keys:
+                prior_failed.append(k)
+            else:
+                results[k] = v
+    if "--all" in argv:
+        targets = list(query_keys)
+    elif "--next" in argv:
+        n = int(argv[argv.index("--next") + 1])
+        fresh = [k for k in query_keys if k not in results][:n]
+        targets = list(results) + fresh + [
+            k for k in sampled_verify
+            if k not in results and k not in fresh
+        ]
+    else:
+        targets = query_keys[:50] + [
+            k for k in scale_probe_keys if k not in query_keys[:50]
+        ]
+    targets += [k for k in prior_failed if k not in targets]
+    return results, targets
+
+
 def main() -> None:
     out_path = "PARITY_SF1.json"
     if "--out" in sys.argv:
@@ -187,33 +243,13 @@ def main() -> None:
         "ts_downsample_lttb_hier": _verify_lttb_hier_sampled,
     }
 
+    prior: dict[str, dict] = {}
     if os.path.exists(out_path):
         prior = json.loads(Path(out_path).read_text()).get("keys", {})
-        # resume (ADVICE r11): keep passes AND oracle-skips (pass=None;
-        # re-running a skip's engine pass every resume was pure waste),
-        # drop failures so they re-run — EXCEPT a skip whose key now has
-        # a sampled verifier: that one re-runs so the record can flip to
-        # a (sampled) pass
-        results.update(
-            {
-                k: v
-                for k, v in prior.items()
-                if v.get("pass")
-                or (v.get("pass") is None and k not in sampled_verify)
-            }
-        )
-    if "--all" in sys.argv:
-        targets = list(queries)
-    elif "--next" in sys.argv:
-        n = int(sys.argv[sys.argv.index("--next") + 1])
-        fresh = [k for k in queries if k not in results][:n]
-        targets = list(results) + fresh + [
-            k for k in sampled_verify
-            if k not in results and k not in fresh
-        ]
-    else:
-        window = list(queries)[:50]
-        targets = window + [k for k in SCALE_PROBE_KEYS if k not in window]
+    resumed, targets = resume_and_targets(
+        prior, list(queries), sampled_verify, SCALE_PROBE_KEYS, sys.argv
+    )
+    results.update(resumed)
 
     t_begin = time.perf_counter()
     todo = [k for k in targets if k not in results]

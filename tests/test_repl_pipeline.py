@@ -882,3 +882,53 @@ def test_reclaim_drop_interval_frozen_validation_floor(tmp_path, monkeypatch):
         if ".reclaim-" in p.name or ".stale-" in p.name
     ]
     assert not debris, debris
+
+
+def test_parity_resume_never_erases_failures():
+    """Round-12 review: a resume whose mode didn't re-target a failed
+    key dropped its record at load, and the final summary then read
+    complete/0-fail on a sweep with a known failure. The policy
+    (scripts/parity_sf1.py resume_and_targets) must (a) carry passes
+    and non-sampled oracle-skips, (b) re-run a skip that gained a
+    sampled verifier, (c) force every still-registered failure back
+    into the target set in EVERY mode, and (d) keep — never erase —
+    the failure record of a key that left the registry."""
+    from scripts.parity_sf1 import resume_and_targets
+
+    keys = [f"k{i:02d}" for i in range(60)]
+    sampled = {"k03": object()}
+    prior = {
+        "k00": {"pass": True},
+        "k01": {"pass": None, "oracle_skipped": "slow"},  # plain skip
+        "k03": {"pass": None, "oracle_skipped": "slow"},  # now sampled
+        "k55": {"pass": False, "err": "boom"},  # outside default window
+        "gone": {"pass": False, "err": "old"},  # left the registry
+    }
+    probe = ["k58"]
+
+    # default (window) mode: k55 is outside keys[:50] yet must re-run
+    res, targets = resume_and_targets(prior, keys, sampled, probe, [])
+    assert res["k00"]["pass"] is True
+    assert res["k01"]["pass"] is None  # skip carried, not re-run
+    assert "k03" not in res  # sampled verifier exists → re-runs
+    assert "k55" not in res and "k55" in targets  # failure re-runs
+    assert res["gone"]["pass"] is False  # unregistered: record kept
+    assert "gone" not in targets
+    assert targets[:50] == keys[:50] and "k58" in targets
+
+    # --all mode: failure is already targeted, no duplicate appended
+    res, targets = resume_and_targets(
+        prior, keys, sampled, probe, ["--all"]
+    )
+    assert targets.count("k55") == 1 and "k55" not in res
+
+    # --next mode: N fresh keys on top of carried records, failure and
+    # sampled-skip forced in regardless of N
+    res, targets = resume_and_targets(
+        prior, keys, sampled, probe, ["--next", "2"]
+    )
+    todo = [k for k in targets if k not in res]
+    assert "k55" in todo and "k03" in todo
+    # the 2 "fresh" slots go to the first not-carried keys in sweep
+    # order — k02 plus the re-running sampled-skip k03
+    assert [k for k in todo if k not in ("k55",)][:2] == ["k02", "k03"]
