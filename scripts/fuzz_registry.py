@@ -68,8 +68,9 @@ llm_classifier_trainset: fuzz source skew exercises the balance
 threshold's ceil). Seed 293 clean 249/249 after the review fixes
 (explicit ASCII whitespace class — Java/RE2/Python \\s all differ —
 and the body-visible &amp;lt;esc&amp;gt; double-escape pinning entity
-order). Bonus seeds 307/311/313 all clean 249/249 — five
-consecutive clean seeds this round. Next primes: 317, 331.
+order). Bonus seeds 307/311/313 all clean 249/249, then 317/331 clean
+249/249 after the parity-resume policy fix — seven consecutive clean
+seeds this round. Next primes: 337, 347.
 
 Round-7: the malformed-MEDIA payload family (truncated headers, wrong
 magic, hostile GIF length bytes, oversized declared dims) lives in
