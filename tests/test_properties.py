@@ -1346,3 +1346,41 @@ def test_classifier_trainset_matches_python_twin(spark):
     n_n = int((got.label == 0).sum())
     assert n_p == n_pos and n_p > 0 and n_n > 0
     assert n_p / 2 <= n_n <= 2 * n_p, (n_p, n_n)
+
+
+# --- parity-sweep resume policy (scripts/parity_sf1.py) ----------------
+
+_rec = st.fixed_dictionaries(
+    {"pass": st.sampled_from([True, False, None])},
+    optional={"err": st.just("boom"), "oracle_skipped": st.just("slow")},
+)
+_key = st.text(alphabet="abcdefgh", min_size=1, max_size=3)
+
+
+@given(
+    prior=st.dictionaries(_key, _rec, max_size=12),
+    registered=st.lists(_key, unique=True, max_size=12),
+    sampled=st.lists(_key, unique=True, max_size=3),
+    mode=st.sampled_from([[], ["--all"], ["--next", "0"], ["--next", "3"]]),
+)
+def test_parity_resume_no_record_lost(prior, registered, sampled, mode):
+    """Round-12 invariant, for EVERY (prior file, registry, CLI mode)
+    combination: a prior record is either carried into the resumed
+    results or its key is re-targeted this run — never silently
+    dropped — and a still-registered failure is always re-targeted (so
+    the summary's `complete` can only flip true after a re-run)."""
+    from scripts.parity_sf1 import resume_and_targets
+
+    results, targets = resume_and_targets(
+        prior, registered, dict.fromkeys(sampled), [], mode
+    )
+    tset = set(targets)
+    for k, v in prior.items():
+        assert k in results or k in tset, (k, v, mode)
+        if v["pass"] is False and k in registered:
+            assert k in tset and k not in results, (k, mode)
+        if v["pass"] is True:
+            assert results[k] == v, (k, mode)
+    # targets stay within the known universe: registered keys plus
+    # carried-forward record keys (never an invented key)
+    assert tset <= set(registered) | set(results) | set(sampled)
