@@ -447,6 +447,8 @@ def llm_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         for pdf in batches:
             n_bytes, mean_num, n_distinct = [], [], []
             for b in pdf["payload"]:
+                if b is None:  # NULL payload (NULL text) — same path as
+                    b = b""    # a 0-byte payload: sentinel features
                 n = len(b)
                 n_bytes.append(n)
                 mean_num.append(sum(b))
@@ -476,20 +478,27 @@ def llm_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORACLES: dict[str, str] = {
     "llm_multimodal_features": """
-        WITH ch AS (
-            -- len(text) > 0 guard: DuckDB's string_split('', '') yields
-            -- [''] and unicode('') is -1, which would fabricate a 1-byte
-            -- row for an empty payload; empty docs take the LEFT JOIN
-            -- sentinel path instead (0 bytes, mean -1.0)
-            SELECT doc_id, unicode(unnest(string_split(text, ''))) AS cp
+        WITH b AS (
+            -- TRUE UTF-8 byte stats (hostile-row fuzz, round 12): the
+            -- previous codepoint form silently assumed ASCII text; hex
+            -- pairs of encode(text) are the actual payload bytes, so
+            -- non-ASCII docs agree with the engine's byte features.
+            -- NULL and empty text both take the LEFT JOIN sentinel path
+            -- (0 bytes, mean -1.0) — matching the engine's NULL→empty
+            -- payload convention.
+            SELECT doc_id,
+                   [CAST(('0x' || x) AS INT)
+                    FOR x IN regexp_extract_all(hex(encode(text)), '..')]
+                       AS bytes
             FROM documents WHERE len(text) > 0
         ),
         agg AS (
             SELECT doc_id,
-                   COUNT(*) AS n_bytes,
-                   CAST(SUM(cp) AS DOUBLE) / COUNT(*) AS mean_byte,
-                   CAST(COUNT(DISTINCT cp) AS INTEGER) AS n_distinct_bytes
-            FROM ch GROUP BY doc_id
+                   CAST(len(bytes) AS BIGINT) AS n_bytes,
+                   CAST(list_sum(bytes) AS DOUBLE) / len(bytes) AS mean_byte,
+                   CAST(len(list_distinct(bytes)) AS INTEGER)
+                       AS n_distinct_bytes
+            FROM b
         )
         SELECT d.doc_id,
                COALESCE(a.n_bytes, 0) AS n_bytes,

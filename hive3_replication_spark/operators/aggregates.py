@@ -304,7 +304,14 @@ def agg_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from pyspark.sql import Window
 
-    events = load_table(spark, sf_dir, "events")
+    # NULL measurements have no rank and NULL types no mergeable group
+    # (a NULL gtype could never equi-join the estimate relation anyway) —
+    # both are excluded from the sketch AND from the verification
+    # population, so n_rows is the denominator the brackets are over
+    # (mirrored in the oracle; hostile-row fuzz, round 12)
+    events = load_table(spark, sf_dir, "events").where(
+        F.col("value").isNotNull() & F.col("event_type").isNotNull()
+    )
     tagged = events.select(
         "event_type",
         F.date_trunc("day", F.col("ts")).alias("day"),
@@ -983,7 +990,9 @@ def agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLES: dict[str, str] = {
     "agg_quantile_sketch": f"""
         WITH t AS (
-            SELECT event_type, COUNT(*) AS n_rows FROM events GROUP BY 1
+            SELECT event_type, COUNT(*) AS n_rows FROM events
+            WHERE value IS NOT NULL AND event_type IS NOT NULL
+            GROUP BY 1
         ),
         u AS (
             SELECT * FROM t

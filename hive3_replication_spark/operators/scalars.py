@@ -385,7 +385,13 @@ ORACLES: dict[str, str] = {
         FROM events
     """,
     "fn_crypto_roundtrip": """
-        SELECT event_id, TRUE AS roundtrip_ok, TRUE AS len_ok FROM events
+        -- NULL plaintext: aes_encrypt/aes_decrypt NULL-propagate, so the
+        -- engine's flags are NULL (nothing to verify), not TRUE
+        SELECT event_id,
+               CASE WHEN props IS NULL THEN NULL ELSE TRUE END
+                   AS roundtrip_ok,
+               CASE WHEN props IS NULL THEN NULL ELSE TRUE END AS len_ok
+        FROM events
     """,
     "fn_collate": """
         SELECT lower(CASE WHEN o_orderkey % 3 = 0

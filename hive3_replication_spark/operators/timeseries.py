@@ -504,7 +504,11 @@ def ts_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     frame collects the trailing values and folds them against the
     literal weight array in index order — deterministic on both engines
     because the weights are shared decimal literals and the fold order
-    is the frame order. Output rounded 6 dp."""
+    is the frame order. NULL samples are SKIPPED (collect_list drops
+    them from the frame, mirrored by list_filter in the oracle): a NULL
+    observation neither contributes weight nor breaks the average, and
+    the NULL row itself is scored from its trailing observed values —
+    the standard irregular-sampling EWMA posture. Output rounded 6 dp."""
     events = load_table(spark, sf_dir, "events")
     w = (
         Window.partitionBy("event_type")
@@ -1246,8 +1250,13 @@ def ts_downsample_lttb(spark: SparkSession, sf_dir: str) -> DataFrame:
     (m = next-bucket size), expanded to the all-integer form
     |(x_a·m − Σx)(y_b − y_a) − (x_a − x_b)(Σy − y_a·m)| and computed in
     Python arbitrary-precision ints (oracle: HUGEINT) — bit-identical
-    argmaxes, ties to the earliest point."""
-    events = load_table(spark, sf_dir, "events")
+    argmaxes, ties to the earliest point. NULL-value points have no
+    plottable y and NULL event types no series — both are excluded
+    BEFORE bucketing (mirrored in the oracle's pts CTE; hostile-row
+    fuzz, round 12)."""
+    events = load_table(spark, sf_dir, "events").where(
+        F.col("value").isNotNull() & F.col("event_type").isNotNull()
+    )
     pts = events.select(
         "event_type",
         "event_id",
@@ -1316,8 +1325,13 @@ def _lttb_hier_chunked_pts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T17 stage 1 input: the chunk-indexed point relation
     (event_type, event_id, x, y, chunk) — factored out so the sf1.0
     sampled-parity harness can run the level-1 grouped map on a
-    deterministic chunk subset through exactly the production plan."""
-    events = load_table(spark, sf_dir, "events")
+    deterministic chunk subset through exactly the production plan.
+    NULL-value / NULL-type rows are excluded BEFORE chunk indexing (same
+    convention and reason as the flat variant), so chunk contents match
+    the oracle's post-filter gidx."""
+    events = load_table(spark, sf_dir, "events").where(
+        F.col("value").isNotNull() & F.col("event_type").isNotNull()
+    )
     base = events.select(
         "event_type",
         "event_id",
@@ -1465,6 +1479,7 @@ def _lttb_hier_l1_ctes(chunk_pred: str = "TRUE") -> str:
                    CAST(CAST(value AS DECIMAL(18,3)) * 1000 AS BIGINT) AS y,
                    event_id
             FROM events
+            WHERE value IS NOT NULL AND event_type IS NOT NULL
         ),
         cpts_all AS (
             SELECT event_type, gidx // {_LTTB_CHUNK} AS chunk,
@@ -1888,6 +1903,7 @@ ORACLES: dict[str, str] = {
                    CAST(CAST(value AS DECIMAL(18,3)) * 1000 AS BIGINT) AS y,
                    event_id
             FROM events
+            WHERE value IS NOT NULL AND event_type IS NOT NULL
         ),
         n AS (SELECT event_type, COUNT(*) AS n FROM pts GROUP BY event_type),
         big AS (SELECT event_type, n FROM n
@@ -2040,11 +2056,16 @@ ORACLES: dict[str, str] = {
     "ts_ewma": f"""
         WITH staged AS (
             SELECT event_id, event_type, CAST(value AS DOUBLE) AS vd,
-                   list(CAST(value AS DOUBLE)) OVER (
+                   -- list_filter mirrors Spark's collect_list, which
+                   -- SKIPS NULL samples inside the positional frame
+                   -- (hostile-row fuzz, round 12); the row positions come
+                   -- from the ROWS frame either way, so filtering after
+                   -- collection == skipping during collection
+                   list_filter(list(CAST(value AS DOUBLE)) OVER (
                        PARTITION BY event_type
                        ORDER BY CAST(ts AS TIMESTAMP), event_id
                        ROWS BETWEEN {_EWMA_K - 1} PRECEDING AND CURRENT ROW
-                   ) AS frame
+                   ), v -> v IS NOT NULL) AS frame
             FROM events
         )
         SELECT event_id, event_type,

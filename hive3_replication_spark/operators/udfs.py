@@ -28,7 +28,10 @@ def _text_len_udf():
 
     @pandas_udf("int")
     def text_len(text: pd.Series) -> pd.Series:
-        return text.str.len().astype("int32")
+        # nullable Int32, not int32: .str.len() is NaN for NULL text, and
+        # astype("int32") raises IntCastingNaNError on the first NULL row
+        # (hostile-row fuzz, round 12) — NULL in, NULL out, like LENGTH()
+        return text.str.len().astype("Int32")
 
     return text_len
 
@@ -41,7 +44,13 @@ def _scaled_sum_udf():
 
     @pandas_udf("long")
     def scaled_sum(value: pd.Series) -> int:
-        return int(np.floor(value.values * 100).astype("int64").sum())
+        # SQL SUM semantics exactly: NULLs are skipped (floor(NaN) casts
+        # to int64 GARBAGE near ±2^63 otherwise — hostile-row fuzz,
+        # round 12), and an empty/all-NULL group sums to NULL, not 0
+        v = value.dropna()
+        if v.empty:
+            return None
+        return int(np.floor(v.values * 100).astype("int64").sum())
 
     return scaled_sum
 

@@ -255,9 +255,16 @@ def win_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     and sort. The ORDER BY includes event_id to make ranks total and
     therefore cross-engine deterministic; both functions are exact
     rational values (rank-1)/(n-1) and rank/n computed identically by
-    Spark and DuckDB."""
+    Spark and DuckDB. NULL placement is pinned EXPLICITLY on both sides
+    (hostile-row fuzz, round 12): Spark's ascending default is NULLS
+    FIRST while DuckDB's is NULLS LAST, and because cume_dist counts
+    every row at-or-before the current one, a differing NULL position
+    shifts the distribution of EVERY row in the partition, not just the
+    NULL ones."""
     events = load_table(spark, sf_dir, "events")
-    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    w = Window.partitionBy("event_type").orderBy(
+        F.col("value").asc_nulls_first(), F.col("event_id").asc()
+    )
     return events.select(
         "event_id",
         "event_type",
@@ -296,7 +303,8 @@ ORACLES: dict[str, str] = {
                percent_rank() OVER w AS pct_rank,
                cume_dist() OVER w AS cume
         FROM events
-        WINDOW w AS (PARTITION BY event_type ORDER BY value, event_id)
+        WINDOW w AS (PARTITION BY event_type
+                     ORDER BY value NULLS FIRST, event_id)
     """,
     "win_range_frame": """
         SELECT event_id, user_id,

@@ -70,7 +70,27 @@ threshold's ceil). Seed 293 clean 249/249 after the review fixes
 and the body-visible &amp;lt;esc&amp;gt; double-escape pinning entity
 order). Bonus seeds 307/311/313 all clean 249/249, then 317/331 clean
 249/249 after the parity-resume policy fix — seven consecutive clean
-seeds this round. Next primes: 337, 347.
+seeds this round.
+
+Round-12, second wave: the generator now PINS NULL/unicode hostile rows
+into documents and events on every seed (NULL text/lang/source, NULL
+value/event_type/props, accents/CJK/4-byte emoji, \\x0b, tabs/CRLF —
+the driver fixtures are NULL-free pure-ASCII, so the sweep had never
+exercised NULL semantics or multi-byte UTF-8). The seed-337 probe of
+exactly this block found NINE divergent keys, all fixed with the
+convention pinned on BOTH sides: udf_scalar (nullable Int32 — astype
+int32 raised on NULL), udf_grouped_agg (floor(NaN)→int64 GARBAGE near
+±2^63; now SQL SUM semantics incl. all-NULL→NULL), win_distribution
+(Spark NULLS FIRST vs DuckDB NULLS LAST shifts cume_dist of EVERY row
+— now explicit both sides), llm_multimodal_features (len(None) crash +
+the oracle's silent ASCII codepoint==byte assumption — oracle now
+computes true UTF-8 bytes via hex pairs), fn_crypto_roundtrip (NULL
+plaintext → NULL flags, not TRUE), ts_ewma (collect_list skips NULL
+samples; oracle now list_filter's), agg_quantile_sketch (NULL values/
+types excluded from sketch AND verification population),
+ts_downsample_lttb + hier (int(NaN) crash; NULL-value/-type points now
+excluded before bucketing, mirrored in pts/cpts0 CTEs). Seeds 337 and
+347 clean 249/249 with the pinned block. Next primes: 349, 353.
 
 Round-7: the malformed-MEDIA payload family (truncated headers, wrong
 magic, hostile GIF length bytes, oversized declared dims) lives in
@@ -165,7 +185,7 @@ def gen(seed: int, out: str) -> None:
     small = np.where(rng.rand(n_e) < 0.3, 0, small)  # exact ts ties
     big = rng.randint(3_600_000_000, 21_600_000_000, n_e)
     inc = np.where(rng.rand(n_e) < 0.05, big, small)
-    write("events", pd.DataFrame({
+    ev = pd.DataFrame({
         "event_id": np.arange(n_e, dtype="int64"),
         "ts": pd.to_datetime(1_700_000_000_000_000 + np.cumsum(inc),
                              unit="us"),
@@ -174,7 +194,39 @@ def gen(seed: int, out: str) -> None:
                        for i in rng.randint(0, 4, n_e)],
         "value": np.round(rng.randn(n_e) * 100, 3),
         "props": [f'{{"k": {int(i)}}}' for i in rng.randint(0, 9, n_e)],
-    }))
+    })
+    # pinned NULL hostile events (every seed, round 12 — same rationale
+    # as the hostile docs block; ts/event_id/user_id stay NOT NULL, the
+    # engine's key/ordering contract)
+    hostile_ev = [
+        ("click", None, '{"k": 1}'),       # NULL value
+        (None, 42.5, '{"k": 2}'),          # NULL event_type
+        ("view", -123456.789, None),       # NULL props, extreme value
+        (None, None, None),                # all non-key NULL
+        ("purchase", 0.0005, '{"k": 3}'),  # sub-milli value
+    ]
+    ev = pd.concat(
+        [
+            ev,
+            pd.DataFrame(
+                [
+                    {
+                        "event_id": n_e + i,
+                        "ts": ev.ts.iloc[-1] + pd.Timedelta(seconds=i + 1),
+                        "user_id": 7,
+                        "event_type": et,
+                        "value": val,
+                        "props": props,
+                    }
+                    for i, (et, val, props) in enumerate(hostile_ev)
+                ]
+            ),
+        ],
+        ignore_index=True,
+    )
+    ev["event_id"] = ev.event_id.astype("int64")
+    ev["user_id"] = ev.user_id.astype("int64")
+    write("events", ev)
     vocab = [f"w{i}" for i in range(40)] + ["the", "and", "of", "data", "x"]
     n_d = 300
     rows = []
@@ -195,6 +247,47 @@ def gen(seed: int, out: str) -> None:
     docs["lang"] = [("en", "de", "fr")[i % 3] for i in range(len(docs))]
     docs["source"] = [("web", "book")[i % 2] for i in range(len(docs))]
     docs["n_chars"] = docs.text.str.len().astype("int64")
+    # pinned NULL/unicode hostile rows (every seed, round 12): the
+    # driver fixtures carry zero NULLs and pure-ASCII text, so without
+    # these the full-registry sweep never exercises NULL semantics or
+    # multi-byte UTF-8 — the seed-337 probe of exactly this block found
+    # 9 divergent keys (NaN→int64 garbage in the grouped-agg UDF, NULL
+    # ordering in win_distribution, codepoint-vs-byte stats in
+    # multimodal features, NULL crashes in LTTB/scalar-UDF, convention
+    # gaps in crypto/ewma/quantile-sketch oracles)
+    dbase = int(docs.doc_id.max()) + 1
+    hostile_docs = [
+        (None, "en", "web"),                       # NULL text
+        ("plain null-lang doc", None, "book"),     # NULL lang
+        ("plain null-source doc", "de", None),     # NULL source
+        (None, None, None),                        # all NULL
+        ("héllo wörld café", "fr", "web"),   # accents
+        ("数据 处理 数据", "en", "book"),  # CJK
+        ("\U0001f680 data \U0001f680 rocket", "en", "web"),  # 4-byte emoji
+        ("a\x0bb vertical tab", "en", "book"),     # \x0b: \s class differs
+        ("a\tb\nc d\r\ne", "en", "web"),           # tabs/newlines/CRLF
+        ("nb sp and é combining", "en", "book"),
+    ]
+    docs = pd.concat(
+        [
+            docs,
+            pd.DataFrame(
+                [
+                    {
+                        "doc_id": dbase + i,
+                        "text": t,
+                        "lang": lg,
+                        "source": s,
+                        "n_chars": None if t is None else len(t),
+                    }
+                    for i, (t, lg, s) in enumerate(hostile_docs)
+                ]
+            ),
+        ],
+        ignore_index=True,
+    )
+    docs["doc_id"] = docs.doc_id.astype("int64")
+    docs["n_chars"] = docs.n_chars.astype("Int64")
     write("documents", docs)
     n_v, dim = 500, 64
     emb = rng.randn(n_v, dim).astype("float32")

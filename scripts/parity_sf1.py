@@ -145,29 +145,28 @@ def resume_and_targets(
       pass every resume was pure waste — ADVICE r11); a skip whose key
       now has a sampled verifier re-runs so the record can flip to a
       (sampled) pass;
-    - a prior FAILURE is never silently erased (round-12 review: a
+    - NO prior record is ever silently erased (round-12 review: a
       resume whose mode didn't re-target the failed key dropped the
       record and let the summary read complete/0-fail): every
-      still-registered failed key is forced into the target set so it
-      re-runs before ``complete`` can flip to true; a failed key no
-      longer in the registry keeps its failure record as-is.
+      still-registered failure — and every skip that gained a sampled
+      verifier — is forced into the target set so it re-runs before
+      ``complete`` can flip to true, in EVERY mode; a key that left the
+      registry cannot re-run and keeps its record as-is (pass, fail, or
+      skip).
     """
     results: dict[str, dict] = {}
-    prior_failed: list[str] = []
-    results.update(
-        {
-            k: v
-            for k, v in prior.items()
-            if v.get("pass")
-            or (v.get("pass") is None and k not in sampled_verify)
-        }
-    )
+    rerun: list[str] = []  # keys forced into this run's target set
     for k, v in prior.items():
-        if v.get("pass") is False:
-            if k in query_keys:
-                prior_failed.append(k)
-            else:
-                results[k] = v
+        if k not in query_keys:
+            # left the registry: cannot re-run — keep the record AS-IS
+            # (pass, fail, or skip; hypothesis edge, round 12)
+            results[k] = v
+        elif v.get("pass") is False:
+            rerun.append(k)
+        elif v.get("pass") is None and k in sampled_verify:
+            rerun.append(k)  # skip that can now flip to a (sampled) pass
+        else:
+            results[k] = v
     if "--all" in argv:
         targets = list(query_keys)
     elif "--next" in argv:
@@ -181,7 +180,7 @@ def resume_and_targets(
         targets = query_keys[:50] + [
             k for k in scale_probe_keys if k not in query_keys[:50]
         ]
-    targets += [k for k in prior_failed if k not in targets]
+    targets += [k for k in rerun if k not in targets]
     return results, targets
 
 
