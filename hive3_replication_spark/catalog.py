@@ -60,3 +60,33 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     """Load every fixture table (lazy plans; nothing is materialized)."""
     return {name: load_table(spark, sf_dir, name) for name in TABLES}
+
+
+#: DuckDB twin of ``load_embeddings`` — an UNALIASED subquery, so the
+#: registry's mechanical ``embeddings`` → ``(subquery)`` relation
+#: substitution stays valid whether or not the original reference
+#: carried its own alias (``FROM embeddings e`` / ``JOIN embeddings ce``
+#: / bare ``FROM embeddings``).
+EMB_CLEAN_SUBQUERY = (
+    "(SELECT * FROM embeddings"
+    " WHERE embedding IS NOT NULL AND len(embedding) > 0"
+    " AND len(list_filter(embedding, v -> v <> 0)) > 0)"
+)
+
+
+def load_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The embeddings relation every vector operator consumes: NULL,
+    empty, and all-zero vectors are excluded at the source (one narrow
+    pushed-down filter on the scan). A zero-norm embedding has no cosine
+    direction — every normalized similarity would ANSI-fault on the 0
+    divisor — and real 100 TB corpora DO contain such rows (failed or
+    padded encoder outputs), so the policy is pinned HERE once rather
+    than per-op (hostile-row fuzz wave 2, round 12: 12 vector keys
+    faulted on one planted zero vector). The zero-norm test is exact
+    (``exists(v != 0)``, no float summation), identical in the SQL twin
+    ``EMB_CLEAN_SQL``."""
+    return load_table(spark, sf_dir, "embeddings").where(
+        F.col("embedding").isNotNull()
+        & (F.size("embedding") > 0)
+        & F.expr("exists(embedding, v -> v != CAST(0.0 AS FLOAT))")
+    )

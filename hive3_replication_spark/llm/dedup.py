@@ -17,7 +17,7 @@ import threading
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..catalog import load_table
+from ..catalog import load_embeddings, load_table
 
 #: Drop blocking buckets larger than this before pairing (skew guard).
 MAX_BUCKET = 1000
@@ -986,7 +986,7 @@ def llm_dedup_embed(
     Dot products fold the arrays in index order (F.aggregate is a sequential
     fold), so scores are bit-deterministic and SQL-verifiable.
     """
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = load_embeddings(spark, sf_dir)
     block_sizes = emb.groupBy("label").agg(F.count("*").alias("bn"))
     keep = block_sizes.filter(F.col("bn") <= max_block).select("label")
     emb = emb.join(keep, "label")

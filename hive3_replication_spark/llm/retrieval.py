@@ -30,7 +30,7 @@ from collections.abc import Sequence
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..catalog import load_table
+from ..catalog import load_embeddings, load_table
 from .sampling import chunk_windows_cte, llm_chunk_windows
 
 #: The fixed retrieval query (one term per BM25 component, fixed order —
@@ -244,7 +244,7 @@ def _rrf_fused(spark: SparkSession, sf_dir: str) -> DataFrame:
     lex_ranked = lex_top.select(
         "doc_id", F.row_number().over(w_lex).cast("bigint").alias("lex_rank")
     )
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = load_embeddings(spark, sf_dir)
     query = emb.filter(F.col("vec_id") == 0).select(
         F.col("embedding").alias("q_emb")
     )
@@ -402,7 +402,7 @@ def llm_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     comparisons are BIGINT: bit-identical greedy path on any engine.
     Oracle: recursive CTE replaying the greedy selection step-for-step."""
     fused = _rrf_fused(spark, sf_dir)
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = load_embeddings(spark, sf_dir)
     cand = (
         emb.join(F.broadcast(fused), emb.vec_id == fused.doc_id)
         .select(
@@ -576,7 +576,7 @@ def llm_eval_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
     groupBy at 10 rows per query."""
     from .similarity import _dot, _norm
 
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = load_embeddings(spark, sf_dir)
     qside = emb.filter(F.col("vec_id") < _NDCG_NQ).select(
         F.col("vec_id").alias("q_id"),
         F.col("embedding").alias("q_emb"),

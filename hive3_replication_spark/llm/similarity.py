@@ -14,7 +14,7 @@ import threading
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..catalog import load_table
+from ..catalog import load_embeddings, load_table
 from ..util import scratch_dir
 
 
@@ -41,7 +41,7 @@ def llm_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """L3 — brute-force cosine top-k: the exact baseline every ANN variant
     is measured against. The query vector is a 1-row broadcast; scoring is a
     narrow map over the corpus; top-k collapses to TakeOrderedAndProject."""
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = load_embeddings(spark, sf_dir)
     query = emb.filter(F.col("vec_id") == 0).select(
         F.col("embedding").alias("q_emb")
     )
@@ -71,7 +71,7 @@ def llm_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     At 100 TB with large Q the corpus side would pre-prune via IVF cells
     (llm_ann_ivf) before this exact scorer.
     """
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = load_embeddings(spark, sf_dir)
     queries = emb.filter(F.col("vec_id") < 10).select(
         F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
     )
@@ -157,7 +157,7 @@ def llm_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     and the centroid table (c × dim) is a broadcast dim. The int64
     component sums hold to ~9·10^12 vectors per cell before overflow.
     """
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = load_embeddings(spark, sf_dir)
     # element-wise centroid per label, rebuilt as an ordered array
     cent = _ivf_centroids(emb)
     query = emb.filter(F.col("vec_id") == 0).select(
@@ -210,7 +210,7 @@ def ann_index_path(spark: SparkSession, sf_dir: str) -> str:
     with _INDEX_LOCK:
         if sf_dir not in _INDEX_CACHE:
             out = scratch_dir(prefix="h3r_ivf_") + "/embeddings_by_cell"
-            emb = load_table(spark, sf_dir, "embeddings")
+            emb = load_embeddings(spark, sf_dir)
             (
                 emb.withColumn("cell", F.col("label"))
                 .repartition("cell")  # one writer task per cell
@@ -236,7 +236,7 @@ def llm_ann_index_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     difference between reading p/c of the index files and reading all of
     them; the ad-hoc llm_ann_ivf form still scans the full corpus once to
     apply its cell semi-join."""
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = load_embeddings(spark, sf_dir)
     cent = _ivf_centroids(emb)
     query = emb.filter(F.col("vec_id") == 0).select(
         F.col("embedding").alias("q_emb")
@@ -404,7 +404,7 @@ def llm_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     at a few-percent candidate fraction; at 100 TB tune bits-per-band up
     for finer buckets.
     """
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = load_embeddings(spark, sf_dir)
     qe = [
         float(v)
         for v in emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]
@@ -504,7 +504,7 @@ def llm_ann_batch(
 
     Full SQL oracle: same plane literals, same band packing, same
     rounded tie-broken ranking as llm_ann_lsh's."""
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = load_embeddings(spark, sf_dir)
     dim = len(emb.select("embedding").first()[0])
     cand = _batch_candidates(emb, dim, max_bucket)
     q_emb = emb.filter(F.col("vec_id") < 10).select(
@@ -607,7 +607,7 @@ def llm_embed_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     passes are narrow corpus maps plus one (vec, subspace) argmin agg;
     the component aggregation exchanges carry M·K·sub_dim rows. Full SQL
     oracle replaying init → refine → assign → distortion."""
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = load_embeddings(spark, sf_dir)
     dim = len(emb.select("embedding").first()[0])
     sub_dim = dim // _PQ_M
     sub = _pq_subvectors(emb, sub_dim)
@@ -704,7 +704,7 @@ def llm_embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     differs between engines; outputs are exact integers (checksums,
     extrema) plus the 6-decimal scale, so the op carries a full SQL
     oracle without shipping the array through the comparator."""
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = load_embeddings(spark, sf_dir)
     absmax = F.array_max(
         F.transform(F.col("embedding"), lambda x: F.abs(x.cast("double")))
     )
@@ -766,7 +766,7 @@ def llm_ann_rescore(spark: SparkSession, sf_dir: str) -> DataFrame:
     phase 2's candidate relation is broadcast-sized. Full SQL oracle
     (integer phase-1 ranks + the 6-dp-rounded cosine convention of
     L3)."""
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = load_embeddings(spark, sf_dir)
     absmax = F.array_max(
         F.transform(F.col("embedding"), lambda x: F.abs(x.cast("double")))
     )
@@ -896,7 +896,7 @@ def llm_cluster_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     iteration localCheckpoints to stop plan growth; here 3 iterations
     stay one lazy plan. Empty clusters drop out of the recompute
     identically in both engines."""
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = load_embeddings(spark, sf_dir)
     pts = emb.select(
         "vec_id", F.col("embedding").cast("array<double>").alias("x")
     )
@@ -988,7 +988,7 @@ def llm_serving_e2e(
     corpus × query scan — the eval side, run on a sample in production
     (here the fixture IS the sample). Full SQL oracle replaying all three
     tiers plus the baseline."""
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = load_embeddings(spark, sf_dir)
     dim = len(emb.select("embedding").first()[0])
     cand = _batch_candidates(emb, dim, max_bucket)
     absmax = F.array_max(

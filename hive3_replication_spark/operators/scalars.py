@@ -10,7 +10,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..catalog import load_table
+from ..catalog import load_embeddings, load_table
 
 
 def fn_concat(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -156,19 +156,31 @@ def fn_cast(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def fn_json(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """F10 — JSON extraction from the event props column (FIXTURES.md §8)."""
+    """F10 — JSON extraction from the event props column (FIXTURES.md §8).
+    Malformed-input posture (hostile-row fuzz wave 2, round 12): a 100 TB
+    event stream WILL contain broken and wrong-typed JSON —
+    get_json_object is already lenient (NULL on unparseable input), and
+    try_cast pins the wrong-typed-field case ('$.k' holding a non-integer
+    string) to NULL instead of an ANSI cast fault; the oracle mirrors
+    with json_valid + TRY_CAST."""
     events = load_table(spark, sf_dir, "events")
     return events.select(
         "event_id",
-        F.get_json_object("props", "$.k").cast("bigint").alias("k_val"),
+        F.expr(
+            "try_cast(get_json_object(props, '$.k') AS BIGINT)"
+        ).alias("k_val"),
     )
 
 
 def fn_array(spark: SparkSession, sf_dir: str) -> DataFrame:
     """F11 — array functions over embedding vectors: size, first element,
     L2 norm via transform+aggregate (JVM higher-order functions — the same
-    codegen path the similarity ops use; no Python)."""
-    emb = load_table(spark, sf_dir, "embeddings")
+    codegen path the similarity ops use; no Python). Reads the cleaned
+    embeddings relation (catalog.load_embeddings — NULL/empty/zero-norm
+    vectors excluded), the same table-level policy every vector op
+    shares: element_at(_, 1) ANSI-faults on an empty array (hostile-row
+    fuzz wave 2, round 12)."""
+    emb = load_embeddings(spark, sf_dir)
     sq_sum = F.aggregate(
         F.transform(F.col("embedding"), lambda x: x.cast("double") * x.cast("double")),
         F.lit(0.0),
@@ -264,16 +276,29 @@ def fn_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
     shred-on-read path that replaces per-access string re-parsing
     (``get_json_object``, F10) for JSON-heavy event streams; at 100 TB
     the variant column also stores smaller than the raw string and
-    pushes typed extraction into the scan."""
+    pushes typed extraction into the scan.
+
+    Malformed-input posture (hostile-row fuzz wave 2, round 12):
+    try_parse_json turns unparseable props into a NULL variant instead
+    of a FAILFAST task abort, and try_variant_get turns a wrong-typed
+    field into NULL instead of a cast fault — so one broken producer
+    can't kill a 100 TB shred job; the oracle mirrors with json_valid +
+    TRY_CAST. is_variant_null is FALSE-total (measured): it answers "is
+    this the JSON null literal", and NULL/unparseable/empty props are
+    NOT that literal — FALSE, not NULL (the oracle's json_type guard
+    mirrors exactly)."""
     events = load_table(spark, sf_dir, "events")
     return events.select(
         "event_id",
-        F.expr("variant_get(parse_json(props), '$.k', 'bigint')").alias(
-            "k_typed"
+        F.expr(
+            "try_variant_get(try_parse_json(props), '$.k', 'bigint')"
+        ).alias("k_typed"),
+        F.expr(
+            "try_variant_get(try_parse_json(props), '$.missing', 'bigint')"
+        ).alias("missing_field"),
+        F.expr("is_variant_null(try_parse_json(props))").alias(
+            "is_null_doc"
         ),
-        F.expr("variant_get(parse_json(props), '$.missing', 'bigint')")
-        .alias("missing_field"),
-        F.expr("is_variant_null(parse_json(props))").alias("is_null_doc"),
     )
 
 
@@ -401,11 +426,24 @@ ORACLES: dict[str, str] = {
         FROM orders GROUP BY 1
     """,
     "fn_variant": """
+        -- json_valid guards DuckDB's erroring json_extract on malformed
+        -- props; TRY_CAST pins wrong-typed fields to NULL (mirrors
+        -- try_parse_json / try_variant_get); is_variant_null is
+        -- FALSE-total in Spark (TRUE only for the valid JSON null
+        -- literal, FALSE for NULL/unparseable/empty props) — mirrored
+        -- by the json_type guard
         SELECT event_id,
-               CAST(json_extract(props, '$.k') AS BIGINT) AS k_typed,
-               CAST(json_extract(props, '$.missing') AS BIGINT)
-                   AS missing_field,
-               FALSE AS is_null_doc
+               CASE WHEN json_valid(props)
+                    THEN TRY_CAST(json_extract_string(props, '$.k')
+                                  AS BIGINT)
+               END AS k_typed,
+               CASE WHEN json_valid(props)
+                    THEN TRY_CAST(json_extract_string(props, '$.missing')
+                                  AS BIGINT)
+               END AS missing_field,
+               CASE WHEN json_valid(props)
+                    THEN json_type(props) = 'NULL'
+                    ELSE FALSE END AS is_null_doc
         FROM events
     """,
     "fn_datetime_extract": """
@@ -508,7 +546,10 @@ ORACLES: dict[str, str] = {
     """,
     "fn_json": """
         SELECT event_id,
-               CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val
+               CASE WHEN json_valid(props)
+                    THEN TRY_CAST(json_extract_string(props, '$.k')
+                                  AS BIGINT)
+               END AS k_val
         FROM events
     """,
     "fn_array": """

@@ -5,6 +5,7 @@ oracle. ``__spark_entry__.py`` is a thin re-export of this module.
 
 from __future__ import annotations
 
+import re
 import threading
 from collections.abc import Callable
 
@@ -283,8 +284,28 @@ def _prewarm_body(spark: SparkSession, sf_dir: str) -> None:
         pass
 
 
+#: Matches the embeddings RELATION wherever oracle SQL references it
+#: (FROM / JOIN / comma-join, aliased or not). The singular column name
+#: ``embedding`` does not match the word boundary.
+_EMB_REF = re.compile(r"\bembeddings\b")
+
+
 def build_oracles() -> dict[str, str]:
+    """Assemble every module's oracle SQL, then apply the table-level
+    degenerate-embedding policy (catalog.load_embeddings /
+    catalog.EMB_CLEAN_SUBQUERY) mechanically to each reference of the
+    ``embeddings`` relation — one substitution site so the engine's
+    cleaned loader and ALL 20+ oracle texts can never drift (hostile-row
+    fuzz wave 2, round 12). re.sub is single-pass, so the subquery's own
+    ``FROM embeddings`` is not re-expanded."""
     out: dict[str, str] = {}
     for mod in _MODULES:
         out.update(getattr(mod, "ORACLES", {}))
-    return out
+    from .catalog import EMB_CLEAN_SUBQUERY
+
+    return {
+        k: _EMB_REF.sub(EMB_CLEAN_SUBQUERY, sql)
+        if "embeddings" in sql
+        else sql
+        for k, sql in out.items()
+    }

@@ -90,7 +90,25 @@ samples; oracle now list_filter's), agg_quantile_sketch (NULL values/
 types excluded from sketch AND verification population),
 ts_downsample_lttb + hier (int(NaN) crash; NULL-value/-type points now
 excluded before bucketing, mirrored in pts/cpts0 CTEs). Seeds 337 and
-347 clean 249/249 with the pinned block. Next primes: 349, 353.
+347 clean 249/249 with the pinned block.
+
+Round-12, third wave: pinned degenerate EMBEDDINGS (NULL / empty /
+all-zero vectors — real encoder-failure shapes) and broken-producer
+JSON props (malformed, wrong-typed field, empty string). The seed-349
+probe found 16 divergent keys: the zero-norm vector ANSI-faulted all 12
+cosine-normalizing ops (÷0) — fixed ONCE at the table level
+(catalog.load_embeddings + EMB_CLEAN_SUBQUERY, substituted into every
+oracle's embeddings reference mechanically by registry.build_oracles,
+so the engine loader and 20+ oracle texts cannot drift); fn_array moved
+to the same cleaned relation (element_at(_,1) faulted on the empty
+vector); fn_json/fn_variant now try_cast/try_parse_json/
+try_variant_get with json_valid-guarded oracles (a wrong-typed '$.k'
+was an ANSI cast fault, malformed props a FAILFAST task abort); and
+is_variant_null measured FALSE-total (FALSE for NULL/unparseable
+props, TRUE only for the JSON null literal) — the oracle's previous
+constant-FALSE was right by accident, now json_type-guarded
+deliberately. Seed 349 clean 249/249 with both waves pinned. Next
+primes: 353, 359.
 
 Round-7: the malformed-MEDIA payload family (truncated headers, wrong
 magic, hostile GIF length bytes, oversized declared dims) lives in
@@ -204,6 +222,12 @@ def gen(seed: int, out: str) -> None:
         ("view", -123456.789, None),       # NULL props, extreme value
         (None, None, None),                # all non-key NULL
         ("purchase", 0.0005, '{"k": 3}'),  # sub-milli value
+        # wave 2: a 100 TB event stream WILL contain broken producers —
+        # malformed JSON, wrong-typed fields, empty strings (found
+        # fn_json/fn_variant ANSI cast faults and FAILFAST parse aborts)
+        ("view", 1.0, "{not json"),
+        ("click", 2.0, '{"k": "str-not-int"}'),
+        ("error", 3.0, ""),
     ]
     ev = pd.concat(
         [
@@ -298,9 +322,33 @@ def gen(seed: int, out: str) -> None:
         "embedding": [list(map(float, r)) for r in emb],
         "label": rng.randint(0, 16, n_v).astype("int32"),
     })
+    # pinned degenerate vectors (every seed, round 12 wave 2): NULL,
+    # empty, and all-zero embeddings — real encoder failure shapes that
+    # faulted 12 vector keys (÷0 on the zero norm) before the
+    # catalog.load_embeddings / EMB_CLEAN_SUBQUERY table-level policy
+    epdf = pd.concat(
+        [
+            epdf,
+            pd.DataFrame(
+                [
+                    {"vec_id": n_v, "embedding": None, "label": 3},
+                    {"vec_id": n_v + 1, "embedding": [], "label": 4},
+                    {
+                        "vec_id": n_v + 2,
+                        "embedding": [0.0] * dim,
+                        "label": None,
+                    },
+                ]
+            ),
+        ],
+        ignore_index=True,
+    )
+    epdf["vec_id"] = epdf.vec_id.astype("int64")
+    epdf["label"] = epdf.label.astype("Int32")
     con.register("_emb", epdf)
     con.execute(
-        "COPY (SELECT vec_id, CAST(embedding AS FLOAT[]) AS embedding, label"
+        "COPY (SELECT vec_id, CAST(embedding AS FLOAT[]) AS embedding,"
+        " CAST(label AS INTEGER) AS label"
         f" FROM _emb) TO '{out}/embeddings.parquet'"
     )
     con.close()
