@@ -70,7 +70,7 @@ def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
 EMB_CLEAN_SUBQUERY = (
     "(SELECT * FROM embeddings"
     " WHERE embedding IS NOT NULL AND len(embedding) > 0"
-    " AND len(list_filter(embedding, v -> v <> 0)) > 0)"
+    " AND (list_max(embedding) <> 0 OR list_min(embedding) <> 0))"
 )
 
 
@@ -83,10 +83,17 @@ def load_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     padded encoder outputs), so the policy is pinned HERE once rather
     than per-op (hostile-row fuzz wave 2, round 12: 12 vector keys
     faulted on one planted zero vector). The zero-norm test is exact
-    (``exists(v != 0)``, no float summation), identical in the SQL twin
-    ``EMB_CLEAN_SQL``."""
+    and lambda-free — all-zero ⇔ array_max = 0 ∧ array_min = 0 — using
+    plain collection expressions instead of a higher-order ``exists()``
+    so the predicate stays inside whole-stage codegen on every rescan
+    of the relation (kmeans re-evaluates this subtree per unrolled
+    iteration); identical in the SQL twin ``EMB_CLEAN_SUBQUERY``."""
+    zero = F.lit(0.0).cast("float")
     return load_table(spark, sf_dir, "embeddings").where(
         F.col("embedding").isNotNull()
         & (F.size("embedding") > 0)
-        & F.expr("exists(embedding, v -> v != CAST(0.0 AS FLOAT))")
+        & (
+            (F.array_max("embedding") != zero)
+            | (F.array_min("embedding") != zero)
+        )
     )

@@ -107,8 +107,9 @@ was an ANSI cast fault, malformed props a FAILFAST task abort); and
 is_variant_null measured FALSE-total (FALSE for NULL/unparseable
 props, TRUE only for the JSON null literal) — the oracle's previous
 constant-FALSE was right by accident, now json_type-guarded
-deliberately. Seed 349 clean 249/249 with both waves pinned. Next
-primes: 353, 359.
+deliberately. Seed 349 clean 249/249 with both waves pinned; seed 353
+clean 249/249 after the lambda-free (array_max/array_min) rewrite of
+the zero-norm predicate. Next primes: 359, 367.
 
 Round-7: the malformed-MEDIA payload family (truncated headers, wrong
 magic, hostile GIF length bytes, oversized declared dims) lives in
