@@ -368,6 +368,129 @@ def llm_mix_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: DoReMi reweight: η·excess scale. η = 0.1 per bit of excess loss,
+#: which over micro-bit integers makes the update's common denominator
+#: 10^7·N² — see the A_d derivation in the docstring.
+_DOREMI_ETA_DENOM = 10_000_000
+
+
+def llm_domain_mix_reweight(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L42 — DoReMi-style domain-mixture reweighting (Xie et al. 2023
+    shape): upweight domains whose proxy-model loss exceeds the corpus
+    baseline, starting from token-share base weights — the production
+    step between per-source stats (L15's input) and the sampling rate
+    each source gets in the next training mix. The proxy loss is the
+    corpus-unigram NLL (the L4i signal) aggregated per source; the
+    published method's exp(η·excess) update is replaced by its
+    first-order multiplicative-weights form w_d ∝ share_d·(1+η·excess_d)
+    — same fixed point direction, and (unlike exp) expressible in EXACT
+    integer arithmetic, so the weights are bit-identical across engines
+    and partitionings rather than exp-libm-dependent.
+
+    Exactness: per-token-TYPE surprise bits = log2(N) − log2(c_w) (both
+    logs of exact integers — identical doubles), quantized
+    fb_w = FLOOR(10⁶·bits_w) (floor has no tie semantics, unlike
+    round-half); per-domain sums n_d (tokens) and q_d = Σ c_{d,w}·fb_w
+    (micro-bits) accumulate as DECIMAL(38,0). With N = Σn_d,
+    Q = Σq_d, η = 0.1/bit, the unnormalized weight has the common
+    denominator 10⁷·N²:
+        A_d = 10⁷·n_d·N + max(q_d·N − Q·n_d, 0)
+    — an exact integer, so the normalization w_d = A_d / ΣA_d is one
+    division of two exact decimals: NO float sum anywhere. Magnitude
+    bound: A_d < 10⁷·N² + q_max·N needs N ≲ 10¹⁵ tokens under
+    DECIMAL(38,0) — beyond any published corpus; past it, drop the 10⁶
+    quantization to 10³.
+
+    Sources whose every document has NULL text produce no token rows
+    and are absent (no loss signal → no weight); a NULL source is a
+    regular group on both engines. Docs contribute via their (source,
+    token) counts — the token stream is shuffled ONCE on (source, tok);
+    the vocabulary join (|vocab·domains| × |vocab|) and the 1-row
+    corpus-token total ride tiny relations, and the corpus-loss
+    baseline + ΣA normalizer fold as unbounded windows over the
+    |sources|-row domains relation (small by definition — a scalar-fold
+    cascade of agg + crossJoin would replan the token stream once per
+    fold). In production the per-(source, token) counts are the
+    reusable artifact; reweighting re-runs without touching the
+    corpus."""
+    documents = load_table(spark, sf_dir, "documents")
+    toks = documents.select(
+        "source", F.explode(F.split(F.col("text"), " ")).alias("tok")
+    )
+    tokd = toks.groupBy("source", "tok").agg(F.count("*").alias("c_dw"))
+    dec = "decimal(38,0)"
+    freq = tokd.groupBy("tok").agg(
+        F.sum(F.col("c_dw").cast(dec)).cast("long").alias("c_w")
+    )
+    totals = freq.agg(
+        F.sum(F.col("c_w").cast(dec)).cast("long").alias("n_total")
+    )
+    # per-token-type quantized surprise (integer-log rule: both args exact)
+    fb = F.floor(
+        (
+            F.log2(F.col("n_total").cast("double"))
+            - F.log2(F.col("c_w").cast("double"))
+        )
+        * F.lit(1000000.0)
+    ).cast("long")
+    scored = tokd.join(freq, "tok").crossJoin(totals).withColumn("fb", fb)
+    domains = scored.groupBy("source").agg(
+        F.sum(F.col("c_dw").cast(dec)).alias("n_d"),
+        F.sum(F.col("c_dw").cast(dec) * F.col("fb")).alias("q_d"),
+    )
+    # corpus totals and the ΣA normalizer fold as UNBOUNDED windows over
+    # the domains relation — |sources| rows by definition, so the single
+    # partition is harmless at any corpus scale, and unlike a cascade of
+    # agg + crossJoin scalar folds the token stream is scanned for ONE
+    # domains build instead of once per fold (4× replanned = 12 corpus
+    # scans before this rewrite). All window sums are DECIMAL — exact in
+    # any accumulation order.
+    tot_w = Window.partitionBy(F.lit(1)).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    enriched = (
+        domains.withColumn("n_corpus", F.sum("n_d").over(tot_w))
+        .withColumn("q_corpus", F.sum("q_d").over(tot_w))
+        .withColumn(
+            "a_d",
+            F.lit(_DOREMI_ETA_DENOM).cast(dec)
+            * F.col("n_d")
+            * F.col("n_corpus")
+            + F.greatest(
+                F.col("q_d") * F.col("n_corpus")
+                - F.col("q_corpus") * F.col("n_d"),
+                F.lit(0).cast(dec),
+            ),
+        )
+        .withColumn("a_sum", F.sum("a_d").over(tot_w))
+    )
+    n_dd = F.col("n_d").cast("double")
+    nc_d = F.col("n_corpus").cast("double")
+    return (
+        enriched
+        .select(
+            "source",
+            F.col("n_d").cast("long").alias("n_tokens"),
+            F.round(
+                F.col("q_d").cast("double") / n_dd / F.lit(1000000.0), 6
+            ).alias("nll_bits_per_token"),
+            F.round(
+                F.greatest(
+                    F.col("q_d").cast("double") / n_dd
+                    - F.col("q_corpus").cast("double") / nc_d,
+                    F.lit(0.0),
+                )
+                / F.lit(1000000.0),
+                6,
+            ).alias("excess_bits"),
+            F.round(n_dd / nc_d, 6).alias("weight_base"),
+            F.round(
+                F.col("a_d").cast("double") / F.col("a_sum").cast("double"), 6
+            ).alias("weight"),
+        )
+    )
+
+
 def llm_sample_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Temperature-scaled source mixing (alpha = 0.5): sample each source
     proportionally to src_tokens^alpha instead of flattening every source
@@ -902,6 +1025,59 @@ ORACLES: dict[str, str] = {
         SELECT * FROM chunks
     """,
     "llm_preference_pairs": None,  # assigned below (needs text helper)
+    "llm_domain_mix_reweight": f"""
+        WITH toks AS (
+            SELECT source, unnest(string_split(text, ' ')) AS tok
+            FROM documents
+        ),
+        tokd AS (
+            SELECT source, tok, COUNT(*) AS c_dw
+            FROM toks GROUP BY source, tok
+        ),
+        freq AS (
+            SELECT tok, CAST(SUM(CAST(c_dw AS HUGEINT)) AS BIGINT) AS c_w
+            FROM tokd GROUP BY tok
+        ),
+        tot AS (
+            SELECT CAST(SUM(CAST(c_w AS HUGEINT)) AS BIGINT) AS n_total
+            FROM freq
+        ),
+        scored AS (
+            SELECT source, c_dw,
+                   CAST(FLOOR((log2(CAST(n_total AS DOUBLE))
+                               - log2(CAST(c_w AS DOUBLE)))
+                              * 1000000.0) AS BIGINT) AS fb
+            FROM tokd JOIN freq USING (tok) CROSS JOIN tot
+        ),
+        domains AS (
+            SELECT source, SUM(CAST(c_dw AS HUGEINT)) AS n_d,
+                   SUM(CAST(c_dw AS HUGEINT) * fb) AS q_d
+            FROM scored GROUP BY source
+        ),
+        corpus AS (
+            SELECT SUM(n_d) AS n_corpus, SUM(q_d) AS q_corpus FROM domains
+        ),
+        enr AS (
+            SELECT *,
+                   CAST({_DOREMI_ETA_DENOM} AS HUGEINT) * n_d * n_corpus
+                   + greatest(q_d * n_corpus - q_corpus * n_d,
+                              CAST(0 AS HUGEINT)) AS a_d
+            FROM domains CROSS JOIN corpus
+        ),
+        s AS (SELECT SUM(a_d) AS a_sum FROM enr)
+        SELECT source, CAST(n_d AS BIGINT) AS n_tokens,
+               ROUND(CAST(q_d AS DOUBLE) / CAST(n_d AS DOUBLE)
+                     / 1000000.0, 6) AS nll_bits_per_token,
+               ROUND(greatest(CAST(q_d AS DOUBLE) / CAST(n_d AS DOUBLE)
+                              - CAST(q_corpus AS DOUBLE)
+                                / CAST(n_corpus AS DOUBLE), 0.0)
+                     / 1000000.0, 6) AS excess_bits,
+               ROUND(CAST(n_d AS DOUBLE) / CAST(n_corpus AS DOUBLE), 6)
+                   AS weight_base,
+               ROUND(CAST(a_d AS DOUBLE) / CAST(a_sum AS DOUBLE), 6)
+                   AS weight
+        FROM enr CROSS JOIN s
+    """,
     "llm_mix_sources": f"""
         WITH n AS (
             SELECT doc_id, source,
@@ -973,6 +1149,7 @@ QUERY_FNS = {
     "llm_pack_quality": llm_pack_quality,
     "llm_chunk_windows": llm_chunk_windows,
     "llm_mix_sources": llm_mix_sources,
+    "llm_domain_mix_reweight": llm_domain_mix_reweight,
     "llm_sample_temperature": llm_sample_temperature,
     "llm_shard_assign": llm_shard_assign,
     "llm_corpus_shuffle": llm_corpus_shuffle,

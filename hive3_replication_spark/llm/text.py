@@ -408,6 +408,110 @@ def llm_perplexity_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Kneser-Ney absolute discount. 0.75 is the standard fixed discount
+#: (Chen & Goodman 1999) and is EXACTLY representable as a binary double,
+#: so both engines subtract the identical constant.
+_KN_DISCOUNT = 0.75
+
+#: Shared per-pair KN surprise expression (bits). One literal string used
+#: by BOTH the Spark plan (F.expr) and the DuckDB oracle so the double
+#: expression trees are identical token-for-token:
+#:   P_KN(tok|prev) = (max(c_bi − D, 0) + D·N1+(prev,·)·P_cont(tok)) / c_prev
+#:   P_cont(tok)    = N1+(·,tok) / N1+(·,·)
+#: c_bi ≥ 1 for every SCORED pair (model trained on the scored corpus
+#: itself), so the numerator is ≥ max(1−D,0) + D·1·(1/N) > 0 — the
+#: expression is total, no OOV/zero-probability branch exists.
+_KN_BITS_EXPR = (
+    "log2(CAST(c_prev AS DOUBLE)) - log2("
+    f"greatest(CAST(c_bi AS DOUBLE) - {_KN_DISCOUNT!r}, CAST(0.0 AS DOUBLE))"
+    f" + {_KN_DISCOUNT!r} * CAST(n1p_prev AS DOUBLE)"
+    " * (CAST(n1p_tok AS DOUBLE) / CAST(n1p_tot AS DOUBLE)))"
+)
+
+
+def llm_kn_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L41 — Kneser-Ney smoothed bigram-LM scorer, the KenLM-grade form
+    of the CCNet perplexity gate that L4m (llm_perplexity_filter)
+    approximates with Laplace smoothing: each document scored by the
+    average surprise of its adjacent token pairs under the corpus's own
+    interpolated-KN bigram model,
+    P(tok|prev) = (max(c(prev,tok)−D, 0) + D·N1+(prev,·)·P_cont(tok))
+                  / c(prev),
+    with continuation probability P_cont(tok) = N1+(·,tok)/N1+(·,·) —
+    the absolute-discount mass is re-allocated by how many DISTINCT
+    contexts a token follows, which is what separates KN from naive
+    backoff (function words score common everywhere; burst-y tokens
+    don't get inflated unigram credit). D = 0.75 (Chen & Goodman).
+
+    The model is trained on the scored corpus itself (the L4i/L4m
+    posture — production trains once on a reference corpus and reuses
+    the three count relations), so every scored pair has c_bi ≥ 1 and
+    the probability is strictly positive: no OOV branch, the op is
+    total. Docs with < 2 tokens have no pairs: n_pairs = 0, the -1.0
+    sentinel (L4m convention).
+
+    Determinism: all four model statistics are exact integer COUNTs
+    aggregated engine-side; the per-pair bits expression is ONE shared
+    literal string (identical double expression tree in both engines);
+    the per-doc AVG fold order is the only divergence surface,
+    stabilized at the 6th decimal (+5e-9, the EWMA idiom).
+
+    Scale shape: adjacent pairs are built ARRAY-SIDE (narrow transform,
+    no posexplode self-join); c_prev/N1+(prev,·) and N1+(·,tok) are
+    derived FROM the bigram-type relation (|bigram types| rows, partial-
+    aggregated), which is enriched FIRST — the pair stream is joined
+    ONCE, on (prev, tok), instead of three times on three different keys
+    (the L4m shape improved); N1+(·,·) is a 1-row cross join. Web-scale
+    vocab exceeds broadcast limits: no hints, AQE decides."""
+    documents = load_table(spark, sf_dir, "documents")
+    arr = documents.select("doc_id", F.split(F.col("text"), " ").alias("a"))
+    # guard size >= 2 BEFORE sequence(2, size): Spark's sequence(2, 1)
+    # counts DOWN ([2, 1]), it is not empty like DuckDB's range(2, 2)
+    pairs = (
+        arr.filter(F.size("a") >= 2)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(2, size(a)), i -> struct("
+                    "element_at(a, i - 1) AS prev, element_at(a, i) AS tok))"
+                )
+            ).alias("pr"),
+        )
+        .select("doc_id", "pr.prev", "pr.tok")
+    )
+    bi = pairs.groupBy("prev", "tok").agg(F.count("*").alias("c_bi"))
+    # context totals AND left-continuation fan-out from ONE pass over the
+    # (small) bigram-type relation: c(prev) = Σ c_bi, N1+(prev,·) = rows
+    ctx = bi.groupBy("prev").agg(
+        F.sum("c_bi").alias("c_prev"), F.count("*").alias("n1p_prev")
+    )
+    cont = bi.groupBy("tok").agg(F.count("*").alias("n1p_tok"))
+    tot = bi.agg(F.count("*").alias("n1p_tot"))
+    model = bi.join(ctx, "prev").join(cont, "tok").crossJoin(tot)
+    per_doc = (
+        pairs.join(model, ["prev", "tok"])
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_pairs"),
+            F.round(
+                F.avg(F.expr(_KN_BITS_EXPR)) + F.lit(5e-9), 6
+            ).alias("kn_bits_per_pair"),
+        )
+    )
+    return (
+        documents.select("doc_id")
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("n_pairs"), F.lit(0)).alias("n_pairs"),
+            F.coalesce(F.col("kn_bits_per_pair"), F.lit(-1.0)).alias(
+                "kn_bits_per_pair"
+            ),
+        )
+    )
+
+
 def llm_text_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TF-IDF-style keyword extraction: each document's top-3 terms by an
     inverse-document-frequency weighted score.
@@ -1316,6 +1420,39 @@ ORACLES: dict[str, str] = {
                     AS INTEGER) AS keep
         FROM documents d LEFT JOIN per_doc p USING (doc_id)
     """,
+    "llm_kn_bigram_lm": f"""
+        WITH arr AS (
+            SELECT doc_id, string_split(text, ' ') AS a FROM documents
+        ),
+        pr AS (
+            SELECT doc_id,
+                   unnest(list_transform(range(2, len(a) + 1),
+                          i -> {{'prev': a[i - 1], 'tok': a[i]}})) AS s
+            FROM arr
+        ),
+        pairs AS (SELECT doc_id, s.prev AS prev, s.tok AS tok FROM pr),
+        bi AS (SELECT prev, tok, COUNT(*) AS c_bi FROM pairs
+               GROUP BY prev, tok),
+        ctx AS (SELECT prev, CAST(SUM(c_bi) AS BIGINT) AS c_prev,
+                       COUNT(*) AS n1p_prev
+                FROM bi GROUP BY prev),
+        cont AS (SELECT tok, COUNT(*) AS n1p_tok FROM bi GROUP BY tok),
+        tot AS (SELECT COUNT(*) AS n1p_tot FROM bi),
+        model AS (
+            SELECT * FROM bi JOIN ctx USING (prev) JOIN cont USING (tok)
+            CROSS JOIN tot
+        ),
+        per_doc AS (
+            SELECT doc_id, COUNT(*) AS n_pairs,
+                   ROUND(AVG({_KN_BITS_EXPR}) + 5e-9, 6) AS nll
+            FROM pairs JOIN model USING (prev, tok)
+            GROUP BY doc_id
+        )
+        SELECT d.doc_id,
+               CAST(COALESCE(p.n_pairs, 0) AS BIGINT) AS n_pairs,
+               COALESCE(p.nll, -1.0) AS kn_bits_per_pair
+        FROM documents d LEFT JOIN per_doc p USING (doc_id)
+    """,
     "llm_text_entropy": """
         WITH ch AS (
             SELECT doc_id, unnest(string_split(text, '')) AS ch
@@ -1528,6 +1665,7 @@ QUERY_FNS = {
     "llm_text_entropy": llm_text_entropy,
     "llm_text_unigram_nll": llm_text_unigram_nll,
     "llm_perplexity_filter": llm_perplexity_filter,
+    "llm_kn_bigram_lm": llm_kn_bigram_lm,
     "llm_text_keywords": llm_text_keywords,
     "llm_vocab_coverage": llm_vocab_coverage,
     "llm_text_bigrams": llm_text_bigrams,

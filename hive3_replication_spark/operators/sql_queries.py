@@ -317,6 +317,34 @@ ORDER BY numwait DESC, s_name
 LIMIT 100
 """
 
+_Q2 = """
+WITH ps AS (
+    SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
+           MIN(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4)))
+               AS ps_supplycost
+    FROM {lineitem}
+    GROUP BY l_partkey, l_suppkey
+)
+SELECT s_acctbal, s_name, n_name, p_partkey, p_brand,
+       CAST(ps_supplycost AS DOUBLE) AS supplycost
+FROM {part}
+JOIN ps ON p_partkey = ps_partkey
+JOIN {supplier} ON s_suppkey = ps_suppkey
+JOIN {nation} ON s_nationkey = n_nationkey
+JOIN {region} ON n_regionkey = r_regionkey
+WHERE p_size <= 15 AND p_type = 'PROMO' AND r_name = 'EUROPE'
+  AND ps_supplycost = (
+      SELECT MIN(ps2.ps_supplycost)
+      FROM ps ps2
+      JOIN {supplier} s2 ON s2.s_suppkey = ps2.ps_suppkey
+      JOIN {nation} n2 ON s2.s_nationkey = n2.n_nationkey
+      JOIN {region} r2 ON n2.n_regionkey = r2.r_regionkey
+      WHERE ps2.ps_partkey = p_partkey AND r2.r_name = 'EUROPE'
+  )
+ORDER BY s_acctbal DESC, n_name, s_name, p_partkey, ps_suppkey
+LIMIT 100
+"""
+
 _TABLES = (
     "lineitem", "orders", "customer", "supplier", "nation", "region", "part",
 )
@@ -483,6 +511,27 @@ def sql_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _run(spark, sf_dir, _Q9)
 
 
+def sql_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape: minimum-cost supplier — the classic correlated
+    scalar-subquery decorrelation pattern, the last of the canonical
+    TPC-H shapes missing from this surface (VERDICT r12 ask #4b). For
+    each size/type-filtered part, keep exactly the region-local
+    supplier(s) whose supply cost equals the per-part regional minimum,
+    where the part-supplier cost relation is DERIVED from lineitem
+    (min observed discounted price per (partkey, suppkey); the fixture
+    schema carries no partsupp table — the Q9 cost-proxy precedent).
+
+    Catalyst decorrelates the `= (SELECT MIN ...)` into an aggregate of
+    the shared `ps` CTE joined back on p_partkey — the subquery's 4-way
+    dim chain (ps→supplier→nation→region) plans as two broadcast-dim
+    chains off one shuffled fact, not a per-row re-execution. Cost is
+    DECIMAL(18,4): MIN is order-independent and the min-equality compare
+    is exact, so the surviving row set is bit-identical across engines
+    and partitionings; the selected columns total-order the output
+    (s_name is unique per supplier), making the LIMIT stable."""
+    return _run(spark, sf_dir, _Q2)
+
+
 def sql_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q21 shape: the hardest correlation pattern in the suite —
     EXISTS and NOT EXISTS both correlated to the same fact alias
@@ -556,6 +605,7 @@ ORACLES: dict[str, str] = {
     "sql_market_share": _Q8.format(**_ORACLE_NAMES),
     "sql_product_profit": _Q9.format(**_ORACLE_NAMES),
     "sql_waiting_supplier": _Q21.format(**_ORACLE_NAMES),
+    "sql_min_cost_supplier": _Q2.format(**_ORACLE_NAMES),
 }
 
 QUERY_FNS = {
@@ -577,5 +627,6 @@ QUERY_FNS = {
     "sql_market_share": sql_market_share,
     "sql_product_profit": sql_product_profit,
     "sql_waiting_supplier": sql_waiting_supplier,
+    "sql_min_cost_supplier": sql_min_cost_supplier,
     "sql_recursive_hierarchy": sql_recursive_hierarchy,
 }

@@ -530,8 +530,16 @@ def ts_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     # against 6-decimal weight literals give sums that can land EXACTLY on
     # the 7th decimal, where the engines' ROUND sees the nearest double on
     # different sides of the tie (seed-137 fuzz find)
+    # Empty frame (every trailing sample NULL — a partition whose LEADING
+    # rows are all NULL-valued) is pinned to NULL on both engines: without
+    # the guard Spark's sequence(1,0) yields [1,0] and element_at
+    # ANSI-faults while DuckDB's range(1,1) path returns 0.0 (ADVICE r12).
     return staged.select(
-        "event_id", "event_type", F.round(ewma + F.lit(5e-9), 6).alias("ewma")
+        "event_id",
+        "event_type",
+        F.when(
+            F.size("frame") > 0, F.round(ewma + F.lit(5e-9), 6)
+        ).alias("ewma"),
     )
 
 
@@ -1457,6 +1465,109 @@ def ts_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sums.select(*sel)
 
 
+#: CCF lag grid (hours). Negative lag = the x series LEADS y (x at hour
+#: h is paired with y at hour h + lag).
+_CCF_LAGS = tuple(range(-3, 4))
+_CCF_HOUR_US = 3_600_000_000
+
+
+def ts_cross_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TS23 — cross-correlation function BETWEEN event-type series: for
+    every unordered pair of event types (x < y) and every lag k in
+    −3..+3 hours, the Pearson correlation of x's hourly value sum at
+    hour h against y's at hour h+k — the lead/lag-structure diagnostic
+    TS18's per-series ACF cannot answer ("does the error stream lead the
+    purchase dip, and by how much?"; VERDICT r12 gap #3). Only hours
+    where BOTH shifted series observed events enter a pair (inner join —
+    no zero-fill, so sparse series aren't dragged toward artificial
+    correlation by matching empty hours).
+
+    Exactness follows the TS18/agg_corr policy end-to-end: values are
+    milli-unit int64s; hourly sums accumulate in DECIMAL then finalize
+    to BIGINT; the five pair sums (Σx, Σy, Σx², Σy², Σxy) accumulate as
+    DECIMAL(38,0) — associative, bit-identical on any partitioning (the
+    same n·v²_max < 10^38 magnitude bound as TS18, on hourly sums) —
+    and the float formula
+    r = (n·Σxy − Σx·Σy) / (√(n·Σx² − (Σx)²) · √(n·Σy² − (Σy)²))
+    runs once per (pair, lag) on the finalized sums, rounded 6 dp.
+    Both variance terms are clamped at 0.0 before the sqrt: float
+    combination of exact sums can land epsilon-negative on a constant
+    series, where Spark's sqrt would yield NaN but DuckDB FAULTS.
+    Zero variance → NULL (try_divide / DuckDB's NULL division) — the
+    honest "undefined" answer, as in TS18. NULL-valued samples create
+    no observation; NULL event_type cannot enter an ordered pair (the
+    x < y comparison is never true) — both filtered explicitly so the
+    engines agree by construction, not by comparison semantics.
+
+    Shape: one hourly pre-aggregation (the exchange carries
+    |types|·|hours| rows — the fact stream is reduced BEFORE any
+    pairing), then the lag grid is exploded ARRAY-SIDE on the compact
+    hourly relation (|hourly|·7 rows) and equi-joined on the shifted
+    hour key; the final stats are one grouped aggregation over
+    |pairs|·|lags| groups. The fact table is never self-joined."""
+    events = load_table(spark, sf_dir, "events")
+    hourly = (
+        events.filter(
+            F.col("value").isNotNull() & F.col("event_type").isNotNull()
+        )
+        .select(
+            "event_type",
+            F.expr(
+                f"unix_micros(CAST(ts AS TIMESTAMP)) DIV {_CCF_HOUR_US}"
+            ).alias("t_h"),
+            (F.col("value").cast("decimal(18,3)") * 1000)
+            .cast("long")
+            .alias("v"),
+        )
+        .groupBy("event_type", "t_h")
+        .agg(F.sum(F.col("v").cast("decimal(38,0)")).cast("long").alias("sv"))
+    )
+    lag_arr = F.array(*[F.lit(k) for k in _CCF_LAGS])
+    shifted = hourly.select(
+        F.col("event_type").alias("type_x"),
+        F.col("t_h"),
+        F.col("sv").alias("vx"),
+        F.explode(lag_arr).alias("lag"),
+    ).withColumn("t_y", F.col("t_h") + F.col("lag"))
+    other = hourly.select(
+        F.col("event_type").alias("type_y"),
+        F.col("t_h").alias("t_y"),
+        F.col("sv").alias("vy"),
+    )
+    paired = shifted.join(other, "t_y").filter(
+        F.col("type_x") < F.col("type_y")
+    )
+    dec = "decimal(38,0)"
+    vxd = F.col("vx").cast(dec)
+    vyd = F.col("vy").cast(dec)
+    sums = paired.groupBy("type_x", "type_y", "lag").agg(
+        F.count("*").alias("n_hours"),
+        F.sum(vxd).alias("sx"),
+        F.sum(vyd).alias("sy"),
+        F.sum(vxd * F.col("vx")).alias("sxx"),
+        F.sum(vyd * F.col("vy")).alias("syy"),
+        F.sum(vxd * F.col("vy")).alias("sxy"),
+    )
+    n = F.col("n_hours").cast("double")
+    sx = F.col("sx").cast("double")
+    sy = F.col("sy").cast("double")
+    num = n * F.col("sxy").cast("double") - sx * sy
+    varx = F.greatest(
+        n * F.col("sxx").cast("double") - sx * sx, F.lit(0.0)
+    )
+    vary = F.greatest(
+        n * F.col("syy").cast("double") - sy * sy, F.lit(0.0)
+    )
+    return sums.select(
+        "type_x",
+        "type_y",
+        "lag",
+        "n_hours",
+        F.round(
+            F.try_divide(num, F.sqrt(varx) * F.sqrt(vary)), 6
+        ).alias("ccf"),
+    )
+
 
 def _lttb_hier_l1_ctes(chunk_pred: str = "TRUE") -> str:
     """Level-1 (chunk) LTTB replay CTE chain, ending in relation
@@ -1889,6 +2000,52 @@ ORACLES: dict[str, str] = {
                           / CAST(n AS DOUBLE)), 6) AS acf_3
         FROM sums
     """,
+    "ts_cross_correlation": f"""
+        WITH hourly AS (
+            SELECT event_type,
+                   epoch_us(CAST(ts AS TIMESTAMP)) // {_CCF_HOUR_US} AS t_h,
+                   CAST(SUM(CAST(CAST(CAST(value AS DECIMAL(18,3)) * 1000
+                                 AS BIGINT) AS HUGEINT)) AS BIGINT) AS sv
+            FROM events
+            WHERE value IS NOT NULL AND event_type IS NOT NULL
+            GROUP BY event_type, t_h
+        ),
+        lags AS (SELECT unnest([{", ".join(str(k) for k in _CCF_LAGS)}])
+                        AS lag),
+        shifted AS (
+            SELECT event_type AS type_x, t_h, sv AS vx, lag,
+                   t_h + lag AS t_y
+            FROM hourly CROSS JOIN lags
+        ),
+        paired AS (
+            SELECT s.type_x, h.event_type AS type_y, s.lag, s.vx,
+                   h.sv AS vy
+            FROM shifted s
+            JOIN hourly h ON h.t_h = s.t_y AND s.type_x < h.event_type
+        ),
+        sums AS (
+            SELECT type_x, type_y, lag, COUNT(*) AS n_hours,
+                   SUM(CAST(vx AS HUGEINT)) AS sx,
+                   SUM(CAST(vy AS HUGEINT)) AS sy,
+                   SUM(CAST(vx AS HUGEINT) * vx) AS sxx,
+                   SUM(CAST(vy AS HUGEINT) * vy) AS syy,
+                   SUM(CAST(vx AS HUGEINT) * vy) AS sxy
+            FROM paired GROUP BY type_x, type_y, lag
+        )
+        SELECT type_x, type_y, CAST(lag AS INTEGER) AS lag, n_hours,
+               ROUND((CAST(n_hours AS DOUBLE) * CAST(sxy AS DOUBLE)
+                      - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                     / (sqrt(greatest(CAST(n_hours AS DOUBLE)
+                                      * CAST(sxx AS DOUBLE)
+                                      - CAST(sx AS DOUBLE)
+                                        * CAST(sx AS DOUBLE), 0.0))
+                        * sqrt(greatest(CAST(n_hours AS DOUBLE)
+                                        * CAST(syy AS DOUBLE)
+                                        - CAST(sy AS DOUBLE)
+                                          * CAST(sy AS DOUBLE), 0.0))),
+                     6) AS ccf
+        FROM sums
+    """,
     "ts_downsample_lttb": f"""
         -- replays the LTTB chain exactly: the recursive CTE carries the
         -- previously selected point per series; each step's LATERAL
@@ -2069,12 +2226,16 @@ ORACLES: dict[str, str] = {
             FROM events
         )
         SELECT event_id, event_type,
+               -- empty frame (all trailing samples NULL) pinned to NULL on
+               -- both engines (ADVICE r12): DuckDB would otherwise return
+               -- 0.0 here while Spark's sequence(1,0) ANSI-faults
+               CASE WHEN len(frame) = 0 THEN NULL ELSE
                ROUND(list_reduce(
                    list_prepend(CAST(0.0 AS DOUBLE),
                        list_transform(range(1, len(frame) + 1),
                            i -> frame[i]
                               * ([{_EWMA_W_ARGS}])[len(frame) - i + 1])),
-                   (acc, v) -> acc + v) + 5e-9, 6) AS ewma
+                   (acc, v) -> acc + v) + 5e-9, 6) END AS ewma
         FROM staged
     """,
     "ts_retention_cohort": """
@@ -2260,6 +2421,7 @@ ORACLES: dict[str, str] = {
 QUERY_FNS = {
     "ts_downsample_lttb": ts_downsample_lttb,
     "ts_acf": ts_acf,
+    "ts_cross_correlation": ts_cross_correlation,
     "ts_downsample_lttb_hier": ts_downsample_lttb_hier,
     "ts_resample": ts_resample,
     "ts_fill_forward": ts_fill_forward,

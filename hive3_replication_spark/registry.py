@@ -63,96 +63,82 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 
 #: Sweep order for queries(): DRIVER-COVERAGE FIRST. The external verify
 #: driver cuts at ~50 keys per round BY COUNT, so the front block must
-#: hold exactly the keys that most need a fresh driver stamp. Round-12
-#: policy (VERDICT r11 asks #1 and #4): the full 48-key r7-stamped block
-#: (the registry's stalest after the r11 window landed) leads, then the
-#: two round-12 additions (never driver-stamped — new coverage outranks
-#: a restamp) fill the 50-key window exactly. After this window lands,
-#: the minimum stamp age across the registry is r8. Behind the window,
-#: keys stay grouped oldest-latest-stamp first (r8, r9, r10, r11),
-#: preserving the profiled cheapest-first relative order inside each
-#: group. Regenerate by re-sorting on the CORRECTNESS_r* latest-stamp
-#: map (see tests/test_oracle_parity.py window-pinning test, which locks
-#: the front 50 to this policy). Keys missing from this list (new
-#: operators between profilings) are appended alphabetically, so
-#: registration never breaks on an unprofiled key. Round-13 window
-#: math, precomputed: once the r12 stamps land, the stale block is
-#: EXACTLY the 50 r8-stamped keys — zero free slots; if round 13 adds
-#: N ops, lead with 50-N r8 keys and push the N cheapest-to-reverify
-#: r8 keys behind the window for round 14.
+#: hold exactly the keys that most need a fresh driver stamp. Round-13
+#: policy (VERDICT r12 asks #1/#4/#7 + gap #4): the r12 stale block is
+#: EXACTLY the 50 r8-stamped keys with zero free slots, and round 13
+#: adds 4 operators — so 46 r8 keys lead (profiled order preserved),
+#: the 4 round-13 additions (never driver-stamped — new coverage
+#: outranks a restamp) complete the window, and the 4 cheapest-to-
+#: reverify r8 keys (pure scalar ops) are deferred to round 14, placed
+#: immediately behind the window. Behind them, keys stay grouped
+#: oldest-latest-stamp first (r9, r10, r11, r12), preserving the
+#: profiled cheapest-first relative order inside each group. Regenerate
+#: by re-sorting on the CORRECTNESS_r* latest-stamp map (see
+#: tests/test_oracle_parity.py window-pinning test, which locks the
+#: front 50 to this policy). Keys missing from this list (new operators
+#: between profilings) are appended alphabetically, so registration
+#: never breaks on an unprofiled key. Round-14 window math,
+#: precomputed: once the r13 stamps land, the stale block is 4 r8 +
+#: 49 r9 = 53 keys — lead with the 4 r8 keys, then 46-minus-additions
+#: r9 keys; 3 + N(additions) cheapest r9 keys defer to round 15.
 _SWEEP_ORDER: tuple[str, ...] = (
-    # stamp age r7 — the full 48-key stale block leads the round-12
-    # window (VERDICT r11 ask #1); relative profiled order preserved
-    "agg_weighted_median", "ts_acf", "llm_importance_resample",
-    "agg_distinct", "agg_arg_max", "join_anti", "agg_histogram",
-    "agg_groupby", "scan_bucketed", "join_semi", "scan_csv", "agg_rollup",
-    "join_theta", "join_left", "jdbc_sink", "row_offset_filter",
-    "agg_percentile", "scan_json", "join_full", "join_sortmerge",
-    "join_snapshot_diff", "join_broadcast", "join_asof",
-    "join_watermark_compare", "log_append", "scan_orc", "jdbc_source",
-    "agg_max_watermark", "agg_stats", "snapshot_dump", "parallel_copy",
-    "snapshot_load", "fn_regexp_extract", "scan_text", "filter_prefix",
-    "filter_null", "fn_array", "fn_url", "filter_multi_rlike", "sort_top1",
-    "filter_table_class", "filter_negative", "filter_isin", "string_scrub",
-    "llm_text_normalize", "reshape_unpivot", "reshape_explode",
-    "delimited_parse",
-    # round-12 additions — never driver-stamped, complete the window
-    "llm_html_extract", "llm_classifier_trainset",
-    # stamp age r8
-    "fn_case_when", "win_row_number", "agg_conditional", "filter_rlike",
-    "fn_cast", "llm_sample_stratified", "fn_math", "fn_hash", "win_rank",
-    "project_columns", "scan_parquet", "fn_regexp_replace", "fn_split",
-    "fn_date_format", "win_pattern_match", "sort_topk",
-    "llm_text_bpe_count", "fn_map", "fn_json", "llm_text_redact",
-    "llm_text_quality", "stream_tumbling", "agg_cube", "stream_retry",
-    "llm_quality_classifier", "fn_div_mod", "filter_gt_watermark",
-    "stream_incremental_dump", "udf_scalar", "reshape_struct_flatten",
-    "scan_partitioned", "agg_pending_count", "agg_duration",
-    "llm_multimodal_features", "agg_table_profile", "agg_approx_distinct",
-    "agg_hll_sketch", "agg_approx_percentile", "ts_changepoint",
-    "llm_corpus_shuffle", "llm_tokenizer_apply", "llm_bpe_merges",
-    "llm_ann_batch", "llm_embed_pq", "llm_pack_sequences", "win_lag",
-    "llm_text_tokens", "join_asof_forward", "llm_text_langid",
+    # stamp age r8 — 46 of the 50-key stale block lead the round-13
+    # window (VERDICT r12 ask #1); relative profiled order preserved
+    "win_row_number", "agg_conditional", "filter_rlike",
+    "llm_sample_stratified", "fn_hash", "win_rank", "project_columns",
+    "scan_parquet", "fn_regexp_replace", "fn_date_format",
+    "win_pattern_match", "sort_topk", "llm_text_bpe_count", "fn_map",
+    "fn_json", "llm_text_redact", "llm_text_quality", "stream_tumbling",
+    "agg_cube", "stream_retry", "llm_quality_classifier", "fn_div_mod",
+    "filter_gt_watermark", "stream_incremental_dump", "udf_scalar",
+    "reshape_struct_flatten", "scan_partitioned", "agg_pending_count",
+    "agg_duration", "llm_multimodal_features", "agg_table_profile",
+    "agg_approx_distinct", "agg_hll_sketch", "agg_approx_percentile",
+    "ts_changepoint", "llm_corpus_shuffle", "llm_tokenizer_apply",
+    "llm_bpe_merges", "llm_ann_batch", "llm_embed_pq", "llm_pack_sequences",
+    "win_lag", "llm_text_tokens", "join_asof_forward", "llm_text_langid",
     "set_except",
+    # round-13 additions — never driver-stamped, complete the window
+    "llm_kn_bigram_lm", "sql_min_cost_supplier", "ts_cross_correlation",
+    "llm_domain_mix_reweight",
+    # stamp age r8, deferred to round 14 (the 4 cheapest-to-reverify
+    # scalar ops, displaced by the 4 round-13 additions)
+    "fn_case_when", "fn_cast", "fn_math", "fn_split",
     # stamp age r9
     "stream_divergence", "llm_text_profile", "fn_datetime_extract",
     "llm_dedup_exact", "llm_chunk_windows", "stream_sliding",
     "agg_string_agg", "agg_grouping_sets", "win_running_sum",
     "llm_dedup_ngram", "win_topk_per_group", "fn_levenshtein",
     "agg_bitmap_distinct", "stream_late_data", "win_range_frame",
-    "win_latest_per_group", "stream_consistent_cut",
-    "llm_text_fingerprint", "stream_dedup", "stream_session",
-    "fn_try_arith", "fn_concat", "fn_variant", "fn_date_arith",
-    "reshape_pivot", "set_union", "win_distribution", "sort_events",
-    "stream_stream_join", "agg_mode", "agg_skew_salted",
-    "agg_quantile_sketch", "ts_stl_decompose", "llm_chunk_rank",
-    "llm_preference_pairs", "join_interval_overlap", "llm_dedup_semantic",
-    "llm_split_leakage_safe", "llm_serving_e2e", "llm_ann_index_probe",
-    "llm_dedup_minhash_clusters", "ts_gap_detect", "llm_dedup_minhash",
-    "llm_dedup_simhash", "llm_ann_ivf", "llm_ann_lsh", "sql_promo_revenue",
-    "sql_pricing_summary", "sql_discount_revenue",
-    # stamp age r10 — freshest stamps, last (the round-10 window:
-    # 36 ex-r4 + 5 r10 additions + llm_rank_fusion + 8 ex-r6)
-    "sql_shipmode_priority", "sql_small_quantity_revenue",
-    "sql_top_supplier", "sql_returned_items", "sql_order_priority",
+    "win_latest_per_group", "stream_consistent_cut", "llm_text_fingerprint",
+    "stream_dedup", "stream_session", "fn_try_arith", "fn_concat",
+    "fn_variant", "fn_date_arith", "reshape_pivot", "set_union",
+    "win_distribution", "sort_events", "stream_stream_join", "agg_mode",
+    "agg_skew_salted", "agg_quantile_sketch", "ts_stl_decompose",
+    "llm_chunk_rank", "llm_preference_pairs", "join_interval_overlap",
+    "llm_dedup_semantic", "llm_split_leakage_safe", "llm_serving_e2e",
+    "llm_ann_index_probe", "llm_dedup_minhash_clusters", "ts_gap_detect",
+    "llm_dedup_minhash", "llm_dedup_simhash", "llm_ann_ivf", "llm_ann_lsh",
+    "sql_promo_revenue", "sql_pricing_summary", "sql_discount_revenue",
+    # stamp age r10
+    "sql_shipmode_priority", "sql_small_quantity_revenue", "sql_top_supplier",
+    "sql_returned_items", "sql_order_priority",
     "sql_inactive_customer_balance", "sql_waiting_supplier",
-    "sql_shipping_priority", "sql_parts_supplier_count",
-    "sql_product_profit", "sql_customer_distribution", "sql_nation_volume",
+    "sql_shipping_priority", "sql_parts_supplier_count", "sql_product_profit",
+    "sql_customer_distribution", "sql_nation_volume",
     "sql_large_volume_customer", "sql_market_share",
-    "sql_local_supplier_volume", "sql_recursive_hierarchy",
-    "win_first_value", "win_ntile", "llm_text_repetition",
-    "llm_shard_assign", "udf_arrow", "ts_ohlc", "llm_text_bigrams",
-    "ts_resample", "set_intersect", "ts_rollup_hypertable", "scan_xml",
-    "join_range", "join_skew_salted", "agg_corr", "scan_binaryfile",
-    "llm_embed_quantize", "fn_crypto_roundtrip", "llm_sample_temperature",
-    "udf_grouped_agg", "llm_mix_sources", "ts_holt_winters",
-    "llm_line_boilerplate", "llm_eval_ndcg", "llm_mmr_rerank",
-    "llm_eval_calibration", "llm_rank_fusion", "llm_similarity_topk",
-    "llm_text_entropy", "udf_table_udtf", "ts_retention_cohort",
-    "udf_table", "llm_doc_embed_hash", "scan_schema_evolution",
-    "llm_vocab_coverage",
-    # stamp age r11 — freshest stamps, last (the round-11 window:
-    # 42 ex-r6 + 6 r11 additions + 2 ex-r7 bonus restamps)
+    "sql_local_supplier_volume", "sql_recursive_hierarchy", "win_first_value",
+    "win_ntile", "llm_text_repetition", "llm_shard_assign", "udf_arrow",
+    "ts_ohlc", "llm_text_bigrams", "ts_resample", "set_intersect",
+    "ts_rollup_hypertable", "scan_xml", "join_range", "join_skew_salted",
+    "agg_corr", "scan_binaryfile", "llm_embed_quantize",
+    "fn_crypto_roundtrip", "llm_sample_temperature", "udf_grouped_agg",
+    "llm_mix_sources", "ts_holt_winters", "llm_line_boilerplate",
+    "llm_eval_ndcg", "llm_mmr_rerank", "llm_eval_calibration",
+    "llm_rank_fusion", "llm_similarity_topk", "llm_text_entropy",
+    "udf_table_udtf", "ts_retention_cohort", "udf_table",
+    "llm_doc_embed_hash", "scan_schema_evolution", "llm_vocab_coverage",
+    # stamp age r11
     "win_distinct_running", "agg_dq_checks", "agg_regression",
     "llm_text_unigram_nll", "stream_event_replay", "ts_sessionize",
     "agg_count_min", "llm_knn_join", "join_bloom_prefilter",
@@ -166,10 +152,24 @@ _SWEEP_ORDER: tuple[str, ...] = (
     "llm_pipeline_e2e", "llm_perplexity_filter", "llm_curriculum_order",
     "join_asof_nearest", "ts_downsample_lttb", "sink_partition_overwrite",
     "llm_multimodal", "llm_multimodal_resize", "llm_multimodal_frames",
-    "ts_seasonal_profile",
-    "llm_url_canonicalize", "llm_dedup_url", "llm_domain_authority",
-    "ts_forecast_backtest", "llm_pack_quality", "ts_anomaly_mad",
-    "ts_downsample_lttb_hier", "scan_jdbc_partitioned",
+    "ts_seasonal_profile", "llm_url_canonicalize", "llm_dedup_url",
+    "llm_domain_authority", "ts_forecast_backtest", "llm_pack_quality",
+    "ts_anomaly_mad", "ts_downsample_lttb_hier", "scan_jdbc_partitioned",
+    # stamp age r12 — freshest stamps, last (the round-12 window:
+    # 48 ex-r7 + the 2 round-12 additions)
+    "agg_weighted_median", "ts_acf", "llm_importance_resample",
+    "agg_distinct", "agg_arg_max", "join_anti", "agg_histogram",
+    "agg_groupby", "scan_bucketed", "join_semi", "scan_csv", "agg_rollup",
+    "join_theta", "join_left", "jdbc_sink", "row_offset_filter",
+    "agg_percentile", "scan_json", "join_full", "join_sortmerge",
+    "join_snapshot_diff", "join_broadcast", "join_asof",
+    "join_watermark_compare", "log_append", "scan_orc", "jdbc_source",
+    "agg_max_watermark", "agg_stats", "snapshot_dump", "parallel_copy",
+    "snapshot_load", "fn_regexp_extract", "scan_text", "filter_prefix",
+    "filter_null", "fn_array", "fn_url", "filter_multi_rlike", "sort_top1",
+    "filter_table_class", "filter_negative", "filter_isin", "string_scrub",
+    "llm_text_normalize", "reshape_unpivot", "reshape_explode",
+    "delimited_parse", "llm_html_extract", "llm_classifier_trainset",
 )
 
 
@@ -284,10 +284,14 @@ def _prewarm_body(spark: SparkSession, sf_dir: str) -> None:
         pass
 
 
-#: Matches the embeddings RELATION wherever oracle SQL references it
-#: (FROM / JOIN / comma-join, aliased or not). The singular column name
-#: ``embedding`` does not match the word boundary.
-_EMB_REF = re.compile(r"\bembeddings\b")
+#: Matches the embeddings RELATION wherever oracle SQL references it —
+#: anchored to the three relation positions (FROM / JOIN / comma-join,
+#: aliased or not) so a quoted STRING LITERAL containing the word (e.g.
+#: the filter_table_class VALUES list) is never rewritten (ADVICE r12: a
+#: quote sits between the comma and the word there, which ``\s*`` cannot
+#: cross). The singular column name ``embedding`` does not match the
+#: word boundary.
+_EMB_REF = re.compile(r"(?i)((?:\bFROM|\bJOIN|,)\s*)embeddings\b")
 
 
 def build_oracles() -> dict[str, str]:
@@ -304,7 +308,7 @@ def build_oracles() -> dict[str, str]:
     from .catalog import EMB_CLEAN_SUBQUERY
 
     return {
-        k: _EMB_REF.sub(EMB_CLEAN_SUBQUERY, sql)
+        k: _EMB_REF.sub(lambda m: m.group(1) + EMB_CLEAN_SUBQUERY, sql)
         if "embeddings" in sql
         else sql
         for k, sql in out.items()

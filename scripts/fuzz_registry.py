@@ -246,6 +246,24 @@ def gen(seed: int, out: str) -> None:
                     for i, (et, val, props) in enumerate(hostile_ev)
                 ]
             ),
+            # round-13 wave: a NULL value LEADING its partition — earliest
+            # ts in the whole table, so the 'error' partition's first row
+            # (by ts, event_id) carries value NULL and every trailing-frame
+            # operator sees an EMPTY NULL-filtered frame on row one
+            # (ADVICE r12 ts_ewma empty-frame guard; previously unreachable
+            # because all hostile rows were appended with late timestamps)
+            pd.DataFrame(
+                [
+                    {
+                        "event_id": n_e + len(hostile_ev),
+                        "ts": ev.ts.iloc[0] - pd.Timedelta(days=1),
+                        "user_id": 7,
+                        "event_type": "error",
+                        "value": None,
+                        "props": '{"k": 0}',
+                    }
+                ]
+            ),
         ],
         ignore_index=True,
     )

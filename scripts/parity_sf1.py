@@ -20,11 +20,15 @@ the engine side finished in seconds); those keys record engine wall +
 rows with pass=null and the reason.
 
 Usage: python scripts/parity_sf1.py [--out PARITY_SF1.json] [--all]
-                                    [--next N]
+                                    [--next N] [--keys k1,k2,...]
 (--all sweeps every registered key — the original full-registry mode;
 --next N targets the first N not-yet-measured keys in registry sweep
 order — oldest-driver-stamp first, the VERDICT r11 ask-#3 tranche
-rotation — on top of everything already recorded in the output file.)
+rotation — on top of everything already recorded in the output file;
+--keys FORCES a re-measure of the named keys — their prior records are
+dropped so the fresh result re-dates them (VERDICT r12 ask #3: re-run
+exactly the engine paths a late-session change touched) — while every
+other record carries forward untouched.)
 """
 
 from __future__ import annotations
@@ -169,6 +173,15 @@ def resume_and_targets(
             results[k] = v
     if "--all" in argv:
         targets = list(query_keys)
+    elif "--keys" in argv:
+        forced = [
+            k for k in argv[argv.index("--keys") + 1].split(",") if k
+        ]
+        # drop the forced keys' prior records so the fresh measurement
+        # re-dates them; everything else carries forward untouched
+        for k in forced:
+            results.pop(k, None)
+        targets = list(results) + [k for k in forced if k in query_keys]
     elif "--next" in argv:
         n = int(argv[argv.index("--next") + 1])
         fresh = [k for k in query_keys if k not in results][:n]

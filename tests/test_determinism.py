@@ -105,6 +105,14 @@ FLOAT_HEAVY = [
     # must be partition-invariant (llm_html_extract is a pure per-row
     # projection — partition-invariant by construction, like L38)
     "llm_classifier_trainset",
+    # round-13: per-doc AVG of the shared-literal KN bits expression;
+    # decimal-exact Pearson sums + clamped-sqrt float formula per (pair,
+    # lag); the exact-integer A_d multiplicative-weights normalization;
+    # decimal min-equality survivor set under the correlated subquery
+    "llm_kn_bigram_lm",
+    "ts_cross_correlation",
+    "llm_domain_mix_reweight",
+    "sql_min_cost_supplier",
 ]
 
 #: Keys whose cross-run memo (persisted signature/pair relations) must be

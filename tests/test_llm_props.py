@@ -1284,3 +1284,75 @@ def test_rank_brackets_tie_safe(spark, tmp_path):
     assert sk.p50_rank_ok.all() and sk.p90_rank_ok.all(), sk.to_string()
     ap = agg_approx_percentile(spark, out).toPandas()
     assert ap.p50_rank_ok.all() and ap.p90_rank_ok.all(), ap.to_string()
+
+
+def test_kn_bigram_equals_python_twin(spark, tmp_path):
+    """llm_kn_bigram_lm vs an independent pure-Python implementation of
+    interpolated Kneser-Ney (collections.Counter counts → the same
+    P_KN formula → mean −log2 per doc): a third implementation,
+    independent of both Spark and the DuckDB oracle. Values must agree
+    to the 6-dp rounding the engine pins (±2e-6 for the fold-order
+    stabilizer); docs with <2 tokens must carry the sentinel."""
+    import math
+    import random
+    from collections import Counter
+
+    from hive3_replication_spark.llm.text import _KN_DISCOUNT, llm_kn_bigram_lm
+
+    rng = random.Random(271828)
+    vocab = [f"w{i}" for i in range(12)] + ["the", "of"]
+    texts = {
+        i: " ".join(rng.choice(vocab) for _ in range(rng.randint(0, 30)))
+        for i in range(60)
+    }
+    texts[60] = "solo"  # 1 token -> sentinel
+    texts[61] = ""      # splits to [''] -> 1 token -> sentinel
+    import pandas as pd
+
+    pdf = pd.DataFrame(
+        {
+            "doc_id": list(texts),
+            "text": [texts[i] for i in texts],
+            "lang": "en",
+            "source": "s",
+            "n_chars": [len(texts[i]) for i in texts],
+        }
+    )
+    out = str(tmp_path / "kn")
+    spark.createDataFrame(pdf).coalesce(1).write.parquet(
+        f"{out}/documents.parquet"
+    )
+    got = {
+        r["doc_id"]: (r["n_pairs"], r["kn_bits_per_pair"])
+        for r in llm_kn_bigram_lm(spark, out).collect()
+    }
+
+    # twin: train on the same corpus, score every doc's adjacent pairs
+    bi = Counter()
+    for t in texts.values():
+        toks = t.split(" ")
+        bi.update(zip(toks, toks[1:]))
+    ctx = Counter()
+    n1p_prev = Counter()
+    n1p_tok = Counter()
+    for (p, w), c in bi.items():
+        ctx[p] += c
+        n1p_prev[p] += 1
+        n1p_tok[w] += 1
+    n1p_tot = len(bi)
+    for i, t in texts.items():
+        toks = t.split(" ")
+        pairs = list(zip(toks, toks[1:]))
+        if not pairs:
+            assert got[i] == (0, -1.0)
+            continue
+        bits = []
+        for p, w in pairs:
+            prob_num = max(bi[(p, w)] - _KN_DISCOUNT, 0.0) + (
+                _KN_DISCOUNT * n1p_prev[p] * (n1p_tok[w] / n1p_tot)
+            )
+            bits.append(math.log2(ctx[p]) - math.log2(prob_num))
+        expect = sum(bits) / len(bits)
+        n_pairs, got_bits = got[i]
+        assert n_pairs == len(pairs)
+        assert abs(got_bits - expect) < 2e-6, (i, got_bits, expect)

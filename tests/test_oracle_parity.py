@@ -56,38 +56,48 @@ def test_sweep_window_pins_stalest_stamps():
     """The driver stamps the FIRST ~50 registry keys each round, so the
     front of ``_SWEEP_ORDER`` is load-bearing: it must hold exactly the
     keys with the oldest (or missing) driver CORRECTNESS stamps. This
-    pins the round-12 window contents (VERDICT r11 asks #1/#4: the full
-    48-key r7-stamped block — the registry's stalest after the r11
-    window landed — then the two round-12 additions completing the 50)
-    — regenerate the expectation alongside any ``_SWEEP_ORDER``
-    rotation."""
+    pins the round-13 window contents (VERDICT r12 asks #1/#4/#7: 46 of
+    the 50-key r8-stamped stale block, then the four round-13 additions
+    completing the 50; the 4 displaced r8 scalar keys sit immediately
+    behind the window, leading round 14) — regenerate the expectation
+    alongside any ``_SWEEP_ORDER`` rotation."""
     from hive3_replication_spark.registry import _SWEEP_ORDER
 
     window = list(_SWEEP_ORDER[:50])
-    # all 48 keys whose latest driver stamp is r7 (the registry's stalest)
-    r7 = {
-        "agg_arg_max", "agg_distinct", "agg_groupby", "agg_histogram",
-        "agg_max_watermark", "agg_percentile", "agg_rollup", "agg_stats",
-        "agg_weighted_median", "delimited_parse", "filter_isin",
-        "filter_multi_rlike", "filter_negative", "filter_null",
-        "filter_prefix", "filter_table_class", "fn_array",
-        "fn_regexp_extract", "fn_url", "jdbc_sink", "jdbc_source",
-        "join_anti", "join_asof", "join_broadcast", "join_full",
-        "join_left", "join_semi", "join_snapshot_diff", "join_sortmerge",
-        "join_theta", "join_watermark_compare", "llm_importance_resample",
-        "llm_text_normalize", "log_append", "parallel_copy",
-        "reshape_explode", "reshape_unpivot", "row_offset_filter",
-        "scan_bucketed", "scan_csv", "scan_json", "scan_orc", "scan_text",
-        "snapshot_dump", "snapshot_load", "sort_top1", "string_scrub",
-        "ts_acf",
+    # 46 of the 50 keys whose latest driver stamp is r8 (the registry's
+    # stalest); the other 4 (fn_case_when/fn_cast/fn_math/fn_split —
+    # cheapest to reverify) are deferred to the round-14 window
+    r8 = {
+        "agg_approx_distinct", "agg_approx_percentile", "agg_conditional",
+        "agg_cube", "agg_duration", "agg_hll_sketch", "agg_pending_count",
+        "agg_table_profile", "filter_gt_watermark", "filter_rlike",
+        "fn_date_format", "fn_div_mod", "fn_hash", "fn_json", "fn_map",
+        "fn_regexp_replace", "join_asof_forward", "llm_ann_batch",
+        "llm_bpe_merges", "llm_corpus_shuffle", "llm_embed_pq",
+        "llm_multimodal_features", "llm_pack_sequences",
+        "llm_quality_classifier", "llm_sample_stratified",
+        "llm_text_bpe_count", "llm_text_langid", "llm_text_quality",
+        "llm_text_redact", "llm_text_tokens", "llm_tokenizer_apply",
+        "project_columns", "reshape_struct_flatten", "scan_parquet",
+        "scan_partitioned", "set_except", "sort_topk",
+        "stream_incremental_dump", "stream_retry", "stream_tumbling",
+        "ts_changepoint", "udf_scalar", "win_lag", "win_pattern_match",
+        "win_rank", "win_row_number",
     }
-    assert r7 <= set(window), sorted(r7 - set(window))
-    # the two round-12 additions have no driver stamp yet — both must
+    assert r8 <= set(window), sorted(r8 - set(window))
+    # the four round-13 additions have no driver stamp yet — all must
     # ride this window
-    new_r12 = {"llm_html_extract", "llm_classifier_trainset"}
-    rest = set(window) - r7
-    assert rest == new_r12, sorted(rest ^ new_r12)
+    new_r13 = {
+        "llm_kn_bigram_lm", "sql_min_cost_supplier",
+        "ts_cross_correlation", "llm_domain_mix_reweight",
+    }
+    rest = set(window) - r8
+    assert rest == new_r13, sorted(rest ^ new_r13)
     assert len(window) == len(set(window)) == 50
+    # the deferred r8 keys lead the round-14 rotation
+    assert list(_SWEEP_ORDER[50:54]) == [
+        "fn_case_when", "fn_cast", "fn_math", "fn_split",
+    ]
 
 
 def test_entry_smoke(spark):
@@ -102,6 +112,33 @@ def test_oracle_parity(spark, oracle_con, key):
     spark_pdf = QUERIES[key](spark, SF_DIR).toPandas()
     oracle_pdf = oracle_con.sql(ORACLES[key]).df()
     assert_frames_match(spark_pdf, oracle_pdf, key)
+
+
+def test_build_oracles_leaves_quoted_literals_intact():
+    """build_oracles' embeddings-relation substitution is anchored to
+    FROM/JOIN/comma positions (ADVICE r12): the 'embeddings' STRING
+    LITERAL in the filter_table_class VALUES list must come through
+    byte-identical, while every true relation reference is rewritten."""
+    import re
+
+    from hive3_replication_spark import registry
+    from hive3_replication_spark.catalog import EMB_CLEAN_SUBQUERY
+
+    raw = {}
+    for mod in registry._MODULES:
+        raw.update(getattr(mod, "ORACLES", {}))
+    built = registry.build_oracles()
+    assert built["filter_table_class"] == raw["filter_table_class"]
+    # every oracle that references the relation got at least one
+    # substitution, and no bare relation reference survives outside the
+    # injected subquery's own internals
+    bare = re.compile(r"\bembeddings\b")
+    for key, sql in raw.items():
+        if key == "filter_table_class" or not bare.search(sql):
+            continue
+        residue = built[key].replace(EMB_CLEAN_SUBQUERY, "")
+        assert EMB_CLEAN_SUBQUERY in built[key], key
+        assert not bare.search(residue), key
 
 
 def test_no_rows_only_keys():

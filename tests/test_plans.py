@@ -991,3 +991,83 @@ def test_classifier_trainset_tiny_stats_broadcast(spark):
     assert "BroadcastNestedLoopJoin" in plan, plan
     assert "SortMergeJoin" not in plan, plan
     assert "struct<source:string>" in plan, plan  # pruned stats scan
+
+
+def test_kn_bigram_single_pair_join_no_cartesian(spark):
+    """llm_kn_bigram_lm (round-13 L41): the pair stream must join the
+    enriched model relation ONCE — the only nested-loop join is the
+    1-row N1+(·,·) total (scalar broadcast), never a cartesian — and
+    every scan is pruned to the two columns the op consumes (doc_id,
+    text); the L12c shape this improves joined the pair stream three
+    times on three different keys."""
+    from hive3_replication_spark.llm.text import llm_kn_bigram_lm
+
+    plan = _plan(llm_kn_bigram_lm(spark, SF_DIR), "simple")
+    assert "CartesianProduct" not in plan, plan
+    assert plan.count("BroadcastNestedLoopJoin") == 1, plan
+    assert plan.count("FileScan") == 6, plan
+    for line in plan.splitlines():
+        if "FileScan" in line:
+            assert "lang" not in line and "n_chars" not in line, line
+
+
+def test_domain_mix_reweight_window_folds_three_scans(spark):
+    """llm_domain_mix_reweight (round-13 L42): the corpus-loss baseline
+    and ΣA normalizer must fold as unbounded windows over the
+    |sources|-row domains relation — NOT as a cascade of agg + crossJoin
+    scalar folds, which replanned the token stream once per fold (12
+    corpus scans before the rewrite; 3 after: tokd, freq, corpus-total
+    chains). The only nested-loop join is the 1-row token total."""
+    from hive3_replication_spark.llm.sampling import llm_domain_mix_reweight
+
+    plan = _plan(llm_domain_mix_reweight(spark, SF_DIR), "simple")
+    assert plan.count("FileScan") == 3, plan
+    assert plan.count("Exchange hashpartitioning") == 6, plan
+    assert plan.count("BroadcastNestedLoopJoin") == 1, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert "Window" in plan, plan
+    for line in plan.splitlines():
+        if "FileScan" in line:
+            assert "lang" not in line and "n_chars" not in line, line
+
+
+def test_cross_correlation_fact_reduced_before_pairing(spark):
+    """ts_cross_correlation (round-13 TS23): the fact stream must be
+    reduced to hourly sums BEFORE any pairing — two pruned fact scans
+    (x/y hourly builds), three hash exchanges (two hourly groupBys +
+    the final (pair, lag) stats agg), the NULL filters pushed into the
+    scan, and no cartesian/nested-loop anywhere: the lag grid explodes
+    array-side on the compact hourly relation, never on the fact."""
+    from hive3_replication_spark.operators.timeseries import (
+        ts_cross_correlation,
+    )
+
+    plan = _plan(ts_cross_correlation(spark, SF_DIR), "simple")
+    assert plan.count("FileScan") == 2, plan
+    assert plan.count("Exchange hashpartitioning") == 3, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "isnotnull(value" in plan, plan
+    assert "isnotnull(event_type" in plan, plan
+    for line in plan.splitlines():
+        if "FileScan" in line:
+            assert "user_id" not in line and "props" not in line, line
+
+
+def test_min_cost_supplier_decorrelates_broadcast_dims(spark):
+    """sql_min_cost_supplier (round-13 Q2s): Catalyst must decorrelate
+    the `= (SELECT MIN …)` into an aggregate joined back on p_partkey —
+    no nested-loop/cartesian per-row re-execution — with lineitem
+    scanned exactly twice (main ps + subquery ps), every dim chain
+    broadcast, and the EUROPE region filter pushed into both region
+    scans."""
+    from hive3_replication_spark.operators.sql_queries import (
+        sql_min_cost_supplier,
+    )
+
+    plan = _plan(sql_min_cost_supplier(spark, SF_DIR), "simple")
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert plan.count("FileScan") == 9, plan
+    assert plan.count("BroadcastHashJoin") >= 5, plan
+    assert plan.count("(r_name") >= 2, plan  # pushed EUROPE filter x2

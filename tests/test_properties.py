@@ -3,6 +3,7 @@
 
 from __future__ import annotations
 
+import pytest
 from hypothesis import given
 from hypothesis import strategies as st
 
@@ -199,6 +200,48 @@ def test_acf_constant_series_is_null(spark, tmp_path_factory):
     )
     orc = con.sql(ORACLES["ts_acf"]).fetchall()
     assert orc[0][2] is None  # acf_1 column
+
+
+def test_ewma_leading_null_partition_pins_null(spark, tmp_path_factory):
+    """ts_ewma on a partition whose FIRST rows are all NULL-valued: the
+    NULL-filtered trailing frame is EMPTY, which must pin ewma to NULL on
+    both engines (ADVICE r12) — without the guard Spark's sequence(1,0)
+    yields [1,0] and element_at ANSI-faults while DuckDB returns 0.0."""
+    import duckdb
+    import numpy as np
+    import pandas as pd
+
+    from hive3_replication_spark.operators.timeseries import ORACLES, ts_ewma
+
+    out = str(tmp_path_factory.mktemp("lead_null_events"))
+    pdf = pd.DataFrame(
+        {
+            "event_id": np.arange(4, dtype="int64"),
+            "ts": pd.to_datetime("2024-01-01")
+            + pd.to_timedelta(np.arange(4), unit="min"),
+            "user_id": np.zeros(4, dtype="int64"),
+            "event_type": ["cold"] * 3 + ["warm"],
+            "value": [None, None, 7.5, 3.0],
+            "props": ["{}"] * 4,
+        }
+    )
+    spark.createDataFrame(
+        pdf,
+        schema=(
+            "event_id long, ts timestamp, user_id long, "
+            "event_type string, value double, props string"
+        ),
+    ).coalesce(1).write.parquet(f"{out}/events.parquet")
+    rows = {r["event_id"]: r["ewma"] for r in ts_ewma(spark, out).collect()}
+    assert rows[0] is None and rows[1] is None  # empty frames → pinned NULL
+    assert rows[2] == pytest.approx(7.5 * 0.25, abs=2e-6)
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM '{out}/events.parquet/*.parquet'"
+    )
+    orc = {r[0]: r[2] for r in con.sql(ORACLES["ts_ewma"]).fetchall()}
+    assert orc[0] is None and orc[1] is None
+    assert orc[2] == pytest.approx(rows[2], abs=1e-9)
 
 
 def test_acf_matches_numpy_reference(spark, tmp_path_factory):
@@ -1384,3 +1427,82 @@ def test_parity_resume_no_record_lost(prior, registered, sampled, mode):
     # targets stay within the known universe: registered keys plus
     # carried-forward record keys (never an invented key)
     assert tset <= set(registered) | set(results) | set(sampled)
+
+
+def test_cross_correlation_equals_numpy(spark, tmp_path_factory):
+    """ts_cross_correlation lags −3..+3 vs an independent NumPy Pearson
+    over the same hourly-sum alignment, for every type pair (VERDICT-r7
+    harness idea, as for ACF/EWMA). Values are exact milli-unit
+    multiples; the engine rounds 6 dp, so tolerance is 2e-6. Also pins
+    the zero-variance → NULL contract on a planted constant series."""
+    import duckdb
+    import numpy as np
+    import pandas as pd
+
+    from hive3_replication_spark.operators.timeseries import (
+        ts_cross_correlation,
+    )
+
+    rng = np.random.RandomState(99991)
+    n = 600
+    out = str(tmp_path_factory.mktemp("ccf_events"))
+    pdf = pd.DataFrame(
+        {
+            "event_id": np.arange(n, dtype="int64"),
+            "ts": pd.to_datetime("2024-03-01")
+            + pd.to_timedelta(rng.randint(0, 96 * 3600, n), unit="s"),
+            "user_id": np.zeros(n, dtype="int64"),
+            "event_type": [
+                ("a", "b", "const")[i] for i in rng.randint(0, 3, n)
+            ],
+            "value": np.round(rng.randn(n) * 50, 3),
+            "props": ["{}"] * n,
+        }
+    )
+    # make the const series ACTUALLY constant per its own type column
+    pdf.loc[pdf.event_type == "const", "value"] = 2.5
+    spark.createDataFrame(pdf).coalesce(1).write.parquet(
+        f"{out}/events.parquet"
+    )
+    got = {
+        (r["type_x"], r["type_y"], r["lag"]): (r["n_hours"], r["ccf"])
+        for r in ts_cross_correlation(spark, out).collect()
+    }
+    # twin
+    pdf["v"] = (pdf["value"] * 1000).round().astype("int64")
+    # pandas datetimes are ns-resolution: ns → s → hour index (the engine
+    # computes unix_micros DIV 3.6e9 — the same hour)
+    pdf["t_h"] = pdf["ts"].astype("int64") // 10**9 // 3600
+    hourly = (
+        pdf.groupby(["event_type", "t_h"])["v"].sum().reset_index()
+    )
+    types = sorted(hourly.event_type.unique())
+    n_checked = 0
+    for xi in types:
+        for yi in types:
+            if not xi < yi:
+                continue
+            hx = dict(
+                hourly[hourly.event_type == xi][["t_h", "v"]].values
+            )
+            hy = dict(
+                hourly[hourly.event_type == yi][["t_h", "v"]].values
+            )
+            for lag in range(-3, 4):
+                pairs = [
+                    (hx[h], hy[h + lag]) for h in hx if h + lag in hy
+                ]
+                if not pairs:
+                    assert (xi, yi, lag) not in got
+                    continue
+                xs = np.array([p[0] for p in pairs], dtype=float)
+                ys = np.array([p[1] for p in pairs], dtype=float)
+                n_hours, ccf = got[(xi, yi, lag)]
+                assert n_hours == len(pairs)
+                if xs.std() == 0.0 or ys.std() == 0.0:
+                    assert ccf is None, (xi, yi, lag)
+                else:
+                    expect = np.corrcoef(xs, ys)[0, 1]
+                    assert abs(ccf - expect) < 2e-6, (xi, yi, lag)
+                n_checked += 1
+    assert n_checked >= 14  # all three pairs x 7 lags present-ish

@@ -932,3 +932,16 @@ def test_parity_resume_never_erases_failures():
     # the 2 "fresh" slots go to the first not-carried keys in sweep
     # order — k02 plus the re-running sampled-skip k03
     assert [k for k in todo if k not in ("k55",)][:2] == ["k02", "k03"]
+
+    # --keys mode (round 13): the named keys are FORCED to re-measure —
+    # prior records dropped so the fresh result re-dates them — while
+    # untouched records carry forward and failures still re-run
+    res, targets = resume_and_targets(
+        prior, keys, sampled, probe, ["--keys", "k00,k07,absent"]
+    )
+    assert "k00" not in res and "k00" in targets  # pass dropped → re-run
+    assert "k07" in targets  # never-measured named key targeted
+    assert "absent" not in targets  # unregistered name ignored
+    assert res["k01"]["pass"] is None  # unnamed records untouched
+    assert "k55" in targets and "k55" not in res  # failure still forced
+    assert res["gone"]["pass"] is False
