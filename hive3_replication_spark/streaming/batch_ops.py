@@ -217,8 +217,18 @@ def stream_stateful_progress(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .stateful import run_stateful_progress_stream
 
     ckpt = scratch_dir(prefix="h3r_stateful_ck_")
+    # last_value is the LAST OBSERVED (non-NULL) value — NULL-valued
+    # events advance max_event_id but not the observed state, exactly
+    # DuckDB arg_max's NULL-skipping contract (round-13 fuzz find). The
+    # state store's double field holds NaN as its "never observed"
+    # sentinel; map it back to SQL NULL at the relational boundary.
     return run_stateful_progress_stream(spark, sf_dir, ckpt).select(
-        "user_id", "n_events", "max_event_id", "last_value"
+        "user_id",
+        "n_events",
+        "max_event_id",
+        F.when(
+            ~F.isnan(F.col("last_value")), F.col("last_value")
+        ).alias("last_value"),
     )
 
 

@@ -24,7 +24,13 @@ from .structured import _event_stream
 OUTPUT_SCHEMA = (
     "user_id long, n_events long, max_event_id long, last_value double"
 )
-STATE_SCHEMA = "n long, max_id long, last_value double"
+#: last_valid_id tracks the max event_id AMONG NULL-VALUED-ROW-EXCLUDED
+#: observations separately from max_id: last_value is the LAST OBSERVED
+#: (non-NULL) value — the LOCF contract DuckDB's arg_max(value, event_id)
+#: implements natively by skipping NULL values (round-13 fuzz: the
+#: leading-NULL hostile row carries the table's max event_id, where
+#: "value of the max-event_id row" and "last observed value" diverge).
+STATE_SCHEMA = "n long, max_id long, last_valid_id long, last_value double"
 
 
 def _update_user_state(
@@ -33,19 +39,30 @@ def _update_user_state(
     state: GroupState,
 ) -> Iterator[pd.DataFrame]:
     (user_id,) = key
-    n, max_id, last_value = (
-        state.get if state.exists else (0, -1, float("nan"))
+    n, max_id, last_valid_id, last_value = (
+        state.get if state.exists else (0, -1, -1, float("nan"))
     )
     for pdf in pdfs:
         n += len(pdf)
         batch_max = int(pdf["event_id"].max())
         if batch_max > max_id:
-            # last value = value of the max-event_id row seen so far
-            last_value = float(
-                pdf.loc[pdf["event_id"].idxmax(), "value"]
-            )
             max_id = batch_max
-    state.update((n, max_id, last_value))
+        # last value = LAST OBSERVED value: the max-event_id row among
+        # rows that CARRY a value — a NULL-valued event advances the
+        # watermark (max_id) but not the observed state (the LOCF
+        # contract; DuckDB's arg_max skips NULL values the same way).
+        # NaN is the in-state "never observed" sentinel (the state
+        # store's double field can't hold SQL NULL); the relational
+        # wrapper maps it back to NULL.
+        valid = pdf.dropna(subset=["value"])
+        if len(valid):
+            valid_max = int(valid["event_id"].max())
+            if valid_max > last_valid_id:
+                last_value = float(
+                    valid.loc[valid["event_id"].idxmax(), "value"]
+                )
+                last_valid_id = valid_max
+    state.update((n, max_id, last_valid_id, last_value))
     yield pd.DataFrame(
         {
             "user_id": [user_id],

@@ -109,7 +109,22 @@ props, TRUE only for the JSON null literal) — the oracle's previous
 constant-FALSE was right by accident, now json_type-guarded
 deliberately. Seed 349 clean 249/249 with both waves pinned; seed 353
 clean 249/249 after the lambda-free (array_max/array_min) rewrite of
-the zero-norm predicate. Next primes: 359, 367.
+the zero-norm predicate.
+
+Round-13 wave: a NULL-valued hostile event now LEADS its partition
+(earliest ts in the whole table, ADVICE r12 — previously every hostile
+row was appended late, so no trailing-frame operator ever saw an empty
+NULL-filtered frame on row one) and, because it carries the table's MAX
+event_id, it also distinguishes "value of the max-event_id row" from
+"last observed value". The first probe of seeds 359/367 found exactly
+that divergence in stream_stateful_progress (engine surfaced NaN from
+the NULL-valued max row; DuckDB's arg_max skips NULL values): the
+contract is now pinned to LOCF — last observed non-NULL value, NaN
+sentinel mapped back to SQL NULL at the relational boundary
+(streaming/stateful.py, round-13 unit test
+test_stateful_progress_null_valued_max_event_locf). Seeds 359 and 367
+clean 253/253 after the fix — first sweep covering the four round-13
+operators (KN bigram LM, Q2 shape, CCF, DoReMi). Next primes: 373, 379.
 
 Round-7: the malformed-MEDIA payload family (truncated headers, wrong
 magic, hostile GIF length bytes, oversized declared dims) lives in

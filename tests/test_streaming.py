@@ -223,3 +223,56 @@ def test_streaming_kill_and_resume(spark, tmp_path):
     assert final.count() == total, "resume lost or duplicated rows"
     assert final.select("event_id").distinct().count() == total
     assert final.agg(F.sum("event_id")).collect()[0][0] == expected_sum
+
+
+def test_stateful_progress_null_valued_max_event_locf(spark, tmp_path):
+    """Round-13 fuzz find: when the MAX-event_id row carries a NULL
+    value, last_value must be the LAST OBSERVED (non-NULL) value — the
+    LOCF contract DuckDB's arg_max implements by skipping NULL values —
+    and a user whose every event is NULL-valued must surface last_value
+    NULL (the in-state NaN sentinel mapped back at the relational
+    boundary), while max_event_id still advances through NULL rows."""
+    import pandas as pd
+
+    from hive3_replication_spark.streaming.batch_ops import (
+        stream_stateful_progress,
+    )
+
+    pdf = pd.DataFrame(
+        {
+            "event_id": [1, 2, 3, 4, 5, 6],
+            "ts": pd.to_datetime("2024-01-01")
+            + pd.to_timedelta(range(6), unit="min"),
+            "user_id": [1, 1, 1, 2, 2, 1],
+            "event_type": ["click"] * 6,
+            "value": [10.0, None, 7.5, None, None, None],
+            "props": ["{}"] * 6,
+        }
+    )
+    out = str(tmp_path / "locf")
+    staged = str(tmp_path / "staged")
+    spark.createDataFrame(
+        pdf,
+        schema=(
+            "event_id long, ts timestamp, user_id long, "
+            "event_type string, value double, props string"
+        ),
+    ).coalesce(1).write.parquet(staged)
+    # the file-stream source globs for a FILE named events.parquet
+    import glob as _glob
+    import shutil as _shutil
+
+    (tmp_path / "locf").mkdir()
+    _shutil.copy(
+        _glob.glob(f"{staged}/part-*.parquet")[0], f"{out}/events.parquet"
+    )
+    rows = {
+        r["user_id"]: r for r in stream_stateful_progress(spark, out).collect()
+    }
+    # user 1: max event_id 6 is NULL-valued -> last observed is id 3
+    assert rows[1]["max_event_id"] == 6
+    assert rows[1]["last_value"] == 7.5
+    assert rows[1]["n_events"] == 4
+    # user 2: every value NULL -> SQL NULL, never NaN
+    assert rows[2]["max_event_id"] == 5
+    assert rows[2]["last_value"] is None
