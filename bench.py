@@ -262,6 +262,17 @@ SCALE_PROBE_KEYS = (
     # part is the scan itself) and llm_classifier_trainset is one
     # source-count agg (llm_dedup_url's combinable-agg shape, already
     # probed) plus a narrow labeled pass.
+    # round-13 operators — probed from their first round: the KN scorer's
+    # pair-stream + bigram-type model build, the CCF's hourly reduction +
+    # lag-grid pairing (hour-grid-proportional like the Holt chain), and
+    # the DoReMi (source, tok) shuffle + window folds.
+    # sql_min_cost_supplier is deliberately NOT probed: its
+    # data-proportional part is the lineitem (partkey, suppkey) groupBy —
+    # the same shuffled-fact-agg shape the probed SQL/agg keys measure —
+    # under a dim-filtered decorrelated join.
+    "llm_kn_bigram_lm",
+    "ts_cross_correlation",
+    "llm_domain_mix_reweight",
 )
 
 

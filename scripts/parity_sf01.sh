@@ -6,7 +6,7 @@
 # /root/testdata/sf0.1 and fails unless the expected pass count lands.
 #
 # Usage: scripts/parity_sf01.sh [expected_pass_count]
-#   default expectation: 254 (249 registry keys + 5 harness gates; bump
+#   default expectation: 259 (253 registry keys + 6 harness gates; bump
 #   it when tests are added to tests/test_oracle_parity.py).
 #
 # The class of bug this catches beyond the sf0.01 driver check:
@@ -15,7 +15,7 @@
 set -euo pipefail
 cd "$(dirname "$0")/.."
 
-EXPECTED="${1:-254}"
+EXPECTED="${1:-259}"
 OUT="$(mktemp)"
 trap 'rm -f "$OUT"' EXIT
 

@@ -64,6 +64,11 @@ KEYS = (
     # trainset's 2-source balance fold (random corpus: web/book split)
     "llm_html_extract",
     "llm_classifier_trainset",
+    # round-13: the KN scorer's <2-token sentinel + single-continuation
+    # P=1 edges and the DoReMi reweight's degenerate source mixes only
+    # exist on random corpora
+    "llm_kn_bigram_lm",
+    "llm_domain_mix_reweight",
 )
 
 _SEEDS = (7, 23)
@@ -153,6 +158,10 @@ TS_KEYS = (
     # round-11: lower-median ties on the 30%-duplicate value stream and
     # negative quantized values are what random events exercise here
     "ts_anomaly_mad",
+    # round-13: the CCF over heavy-tailed gaps — random sparse hour grids
+    # exercise the inner-join alignment and empty-lag cells, and the
+    # duplicate-value streams exercise the zero-variance NULL path
+    "ts_cross_correlation",
     "sink_partition_overwrite",
     # windows/streams over the same stream — their (ts, event_id)
     # tie-breaks are what the 30% duplicate timestamps exercise
@@ -246,6 +255,9 @@ SQL_KEYS = (
     "sql_product_profit",
     "sql_waiting_supplier",
     "sql_recursive_hierarchy",
+    # round-13: the correlated-min decorrelation — random supply costs
+    # make multi-supplier min ties and empty filter results both possible
+    "sql_min_cost_supplier",
     # bucketed-layout materialization over an arbitrary dir (the tag
     # sanitization fix was surfaced by exactly this fuzz path)
     "scan_bucketed",
