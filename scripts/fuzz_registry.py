@@ -124,7 +124,9 @@ sentinel mapped back to SQL NULL at the relational boundary
 (streaming/stateful.py, round-13 unit test
 test_stateful_progress_null_valued_max_event_locf). Seeds 359 and 367
 clean 253/253 after the fix — first sweep covering the four round-13
-operators (KN bigram LM, Q2 shape, CCF, DoReMi). Next primes: 373, 379.
+operators (KN bigram LM, Q2 shape, CCF, DoReMi). Bonus seeds 373/379
+clean 253/253 — four consecutive clean seeds on the final round-13
+tree. Next primes: 383, 389.
 
 Round-7: the malformed-MEDIA payload family (truncated headers, wrong
 magic, hostile GIF length bytes, oversized declared dims) lives in
