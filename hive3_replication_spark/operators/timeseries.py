@@ -26,6 +26,38 @@ from pyspark.sql import functions as F
 from ..catalog import load_table
 
 
+def round_away_sql(expr: str, scale: int) -> str:
+    """Engine-NEUTRAL half-away-from-zero rounding of a DOUBLE expression
+    to ``scale`` decimals — ONE literal SQL string used by both the Spark
+    plan (F.expr) and the DuckDB oracles, because the engines' native
+    ROUND(double, n) DIVERGES once 10^-scale sinks below the value's ULP
+    (round-13 extreme-value fuzz find, |x| ≈ 9.2e11 at 6 dp: Spark rounds
+    the shortest decimal repr via BigDecimal, DuckDB multiplies by 10^n
+    in double — different results from the SAME input double).
+
+    This form is bit-identical across engines by construction: x·10^s is
+    the same IEEE double everywhere; below 2^53 the ±0.5-and-FLOOR/CEIL
+    is exact integer arithmetic, above 2^53 every double is already an
+    integer so +0.5 is an identical no-op; Spark's BIGINT floor and
+    DuckDB's double floor agree on integer-valued doubles. Past the
+    BIGINT guard (|x| ≥ 9e18/10^s) the value passes through UNROUNDED —
+    at that magnitude decimal rounding is sub-ULP and the raw double is
+    the only cross-engine-stable representation. NULL-safe."""
+    p = 10**scale
+    lim = 9_000_000_000_000_000_000 // p
+    e = f"({expr})"
+    return (
+        f"CASE WHEN {e} IS NULL THEN NULL"
+        f" WHEN abs({e}) >= {lim}.0 THEN {e}"
+        f" WHEN {e} >= 0.0 THEN FLOOR({e} * {p}.0 + 0.5) / {p}.0"
+        f" ELSE CEIL({e} * {p}.0 - 0.5) / {p}.0 END"
+    )
+
+
+def _round_away(col: str, scale: int):  # engine-side twin of round_away_sql
+    return F.expr(round_away_sql(col, scale))
+
+
 def _hourly_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per (event_type, hour-slot) count + decimal-exact value sum over the
     dense per-type hour grid; empty slots present with n_events = 0."""
@@ -61,11 +93,18 @@ def ts_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T1 — resample to a fixed hourly grid with gap fill: every hour slot
     between each event type's first and last event exists in the output,
     zero-filled where the stream was silent."""
-    return _hourly_counts(spark, sf_dir).select(
-        "event_type",
-        "hour",
-        "n_events",
-        F.round(F.coalesce(F.col("sum_value"), F.lit(0.0)), 4).alias("sum_value"),
+    return (
+        _hourly_counts(spark, sf_dir)
+        .withColumn("sv_raw", F.coalesce(F.col("sum_value"), F.lit(0.0)))
+        .select(
+            "event_type",
+            "hour",
+            "n_events",
+            # neutral round (round_away_sql): hourly DECIMAL sums finalize
+            # to doubles that can exceed the magnitude where the engines'
+            # native ROUND(double, 4) diverges (round-13 extreme-value find)
+            _round_away("sv_raw", 4).alias("sum_value"),
+        )
     )
 
 
@@ -79,14 +118,20 @@ def ts_fill_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("hour")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    return _hourly_counts(spark, sf_dir).select(
-        "event_type",
-        "hour",
-        "n_events",
-        F.round(
-            F.coalesce(F.last("sum_value", ignorenulls=True).over(w), F.lit(0.0)),
-            4,
-        ).alias("filled_value"),
+    return (
+        _hourly_counts(spark, sf_dir)
+        .withColumn(
+            "fv_raw",
+            F.coalesce(
+                F.last("sum_value", ignorenulls=True).over(w), F.lit(0.0)
+            ),
+        )
+        .select(
+            "event_type",
+            "hour",
+            "n_events",
+            _round_away("fv_raw", 4).alias("filled_value"),
+        )
     )
 
 
@@ -141,11 +186,14 @@ def ts_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
     # lands exactly on the 5th decimal, where Spark (BigDecimal HALF_UP) and
     # the oracle (float multiply) disagree; the bias is far above float error
     # and far below output precision, and is applied identically in the SQL.
-    return staged.select(
-        "event_type",
-        "hour",
-        "n_events",
-        F.round(interp + F.lit(5e-9), 4).alias("interp_value"),
+    return (
+        staged.withColumn("iv_raw", interp + F.lit(5e-9))
+        .select(
+            "event_type",
+            "hour",
+            "n_events",
+            _round_away("iv_raw", 4).alias("interp_value"),
+        )
     )
 
 
@@ -534,12 +582,15 @@ def ts_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     # rows are all NULL-valued) is pinned to NULL on both engines: without
     # the guard Spark's sequence(1,0) yields [1,0] and element_at
     # ANSI-faults while DuckDB's range(1,1) path returns 0.0 (ADVICE r12).
-    return staged.select(
-        "event_id",
-        "event_type",
-        F.when(
-            F.size("frame") > 0, F.round(ewma + F.lit(5e-9), 6)
-        ).alias("ewma"),
+    return (
+        staged.withColumn(
+            "ew_raw", F.when(F.size("frame") > 0, ewma + F.lit(5e-9))
+        )
+        .select(
+            "event_id",
+            "event_type",
+            _round_away("ew_raw", 6).alias("ewma"),
+        )
     )
 
 
@@ -679,25 +730,32 @@ def ts_seasonal_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max(resid).alias("mx"),
     )
     wt = Window.partitionBy("event_type")
-    return g.select(
-        "event_type",
-        "hod",
-        "n_events",
-        # +5e-9 stabilizer on every rounded output (the ts_interpolate
-        # idiom): a 3-decimal value minus a (4-decimal sum / int) mean can
-        # land exactly on the 7th decimal, where the engines' ROUND
-        # disagrees on which side the double sits (seed-79 fuzz find:
-        # |value - mean| = 212.4771875 exactly)
-        F.round(
-            F.col("s1") / F.col("n_events").cast("double") + F.lit(5e-9), 6
-        ).alias("mean_r"),
-        F.round(
-            F.col("n_events").cast("double")
-            / F.sum("n_events").over(wt).cast("double")
-            + F.lit(5e-9),
-            6,
-        ).alias("share_r"),
-        F.round(F.col("mx") + F.lit(5e-9), 6).alias("max_abs_resid_r"),
+    return (
+        g.withColumn(
+            "mean_raw",
+            F.col("s1") / F.col("n_events").cast("double") + F.lit(5e-9),
+        )
+        .withColumn("mx_raw", F.col("mx") + F.lit(5e-9))
+        .select(
+            "event_type",
+            "hod",
+            "n_events",
+            # +5e-9 stabilizer on every rounded output (the ts_interpolate
+            # idiom, seed-79 fuzz find); mean/residual carry VALUE
+            # magnitudes, so they round through the engine-neutral
+            # round_away_sql form — native ROUND(double, 6) diverges once
+            # 1e-6 sinks below the value's ULP (round-13 extreme-value
+            # find: |resid| = 9.23e11). share is in [0, 1]: plain ROUND
+            # is safe there.
+            _round_away("mean_raw", 6).alias("mean_r"),
+            F.round(
+                F.col("n_events").cast("double")
+                / F.sum("n_events").over(wt).cast("double")
+                + F.lit(5e-9),
+                6,
+            ).alias("share_r"),
+            _round_away("mx_raw", 6).alias("max_abs_resid_r"),
+        )
     )
 
 
@@ -2125,7 +2183,7 @@ ORACLES: dict[str, str] = {
         WHERE n.n <= {_LTTB_BUCKETS} + 2
     """,
     "ts_downsample_lttb_hier": _lttb_hier_oracle_sql(),
-    "ts_seasonal_profile": """
+    "ts_seasonal_profile": f"""
         WITH e AS (
             SELECT event_type,
                    EXTRACT(hour FROM CAST(ts AS TIMESTAMP)) AS hod,
@@ -2147,12 +2205,13 @@ ORACLES: dict[str, str] = {
         )
         SELECT event_type, CAST(hod AS INTEGER) AS hod,
                CAST(n_events AS BIGINT) AS n_events,
-               ROUND(s1 / n_events + 5e-9, 6) AS mean_r,
+               {round_away_sql("s1 / CAST(n_events AS DOUBLE) + 5e-9", 6)}
+                   AS mean_r,
                ROUND(CAST(n_events AS DOUBLE)
                      / SUM(n_events) OVER (PARTITION BY event_type)
                      + 5e-9, 6)
                    AS share_r,
-               ROUND(mx + 5e-9, 6) AS max_abs_resid_r
+               {round_away_sql("mx + 5e-9", 6)} AS max_abs_resid_r
         FROM g
     """,
     "ts_gap_detect": f"""
@@ -2226,17 +2285,22 @@ ORACLES: dict[str, str] = {
             FROM events
         )
         SELECT event_id, event_type,
-               -- empty frame (all trailing samples NULL) pinned to NULL on
-               -- both engines (ADVICE r12): DuckDB would otherwise return
-               -- 0.0 here while Spark's sequence(1,0) ANSI-faults
-               CASE WHEN len(frame) = 0 THEN NULL ELSE
-               ROUND(list_reduce(
-                   list_prepend(CAST(0.0 AS DOUBLE),
-                       list_transform(range(1, len(frame) + 1),
-                           i -> frame[i]
-                              * ([{_EWMA_W_ARGS}])[len(frame) - i + 1])),
-                   (acc, v) -> acc + v) + 5e-9, 6) END AS ewma
-        FROM staged
+               {round_away_sql("ew_raw", 6)} AS ewma
+        FROM (
+            SELECT event_id, event_type,
+                   -- empty frame (all trailing samples NULL) pinned to
+                   -- NULL on both engines (ADVICE r12): DuckDB would
+                   -- otherwise return 0.0 here while Spark's
+                   -- sequence(1,0) ANSI-faults
+                   CASE WHEN len(frame) = 0 THEN NULL ELSE
+                   list_reduce(
+                       list_prepend(CAST(0.0 AS DOUBLE),
+                           list_transform(range(1, len(frame) + 1),
+                               i -> frame[i]
+                                  * ([{_EWMA_W_ARGS}])[len(frame) - i + 1])),
+                       (acc, v) -> acc + v) + 5e-9 END AS ew_raw
+            FROM staged
+        )
     """,
     "ts_retention_cohort": """
         WITH e AS (
@@ -2308,18 +2372,23 @@ ORACLES: dict[str, str] = {
     "ts_resample": f"""
         WITH {_GRID_CTES}
         SELECT event_type, hour, n_events,
-               ROUND(COALESCE(sum_value, 0.0), 4) AS sum_value
+               {round_away_sql("COALESCE(sum_value, 0.0)", 4)} AS sum_value
         FROM filled
     """,
     "ts_fill_forward": f"""
         WITH {_GRID_CTES}
         SELECT event_type, hour, n_events,
-               ROUND(COALESCE(
-                   last_value(sum_value IGNORE NULLS) OVER (
-                       PARTITION BY event_type ORDER BY hour
-                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
-                   ), 0.0), 4) AS filled_value
-        FROM filled
+               {round_away_sql("fv_raw", 4)} AS filled_value
+        FROM (
+            SELECT event_type, hour, n_events,
+                   COALESCE(
+                       last_value(sum_value IGNORE NULLS) OVER (
+                           PARTITION BY event_type ORDER BY hour
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND CURRENT ROW
+                       ), 0.0) AS fv_raw
+            FROM filled
+        )
     """,
     "ts_interpolate": f"""
         WITH {_GRID_CTES},
@@ -2339,14 +2408,18 @@ ORACLES: dict[str, str] = {
                            ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
         )
         SELECT event_type, hour, n_events,
-               ROUND((CASE
-                   WHEN sum_value IS NOT NULL THEN sum_value
-                   WHEN prev_v IS NULL THEN next_v
-                   WHEN next_v IS NULL THEN prev_v
-                   ELSE prev_v + (next_v - prev_v) * (t - prev_t)
-                                 / (next_t - prev_t)
-               END) + 5e-9, 4) AS interp_value
-        FROM staged
+               {round_away_sql("iv_raw", 4)} AS interp_value
+        FROM (
+            SELECT event_type, hour, n_events,
+                   (CASE
+                       WHEN sum_value IS NOT NULL THEN sum_value
+                       WHEN prev_v IS NULL THEN next_v
+                       WHEN next_v IS NULL THEN prev_v
+                       ELSE prev_v + (next_v - prev_v) * (t - prev_t)
+                                     / (next_t - prev_t)
+                   END) + 5e-9 AS iv_raw
+            FROM staged
+        )
     """,
     "ts_sessionize": """
         WITH e AS (

@@ -125,8 +125,21 @@ sentinel mapped back to SQL NULL at the relational boundary
 test_stateful_progress_null_valued_max_event_locf). Seeds 359 and 367
 clean 253/253 after the fix — first sweep covering the four round-13
 operators (KN bigram LM, Q2 shape, CCF, DoReMi). Bonus seeds 373/379
-clean 253/253 — four consecutive clean seeds on the final round-13
-tree. Next primes: 383, 389.
+clean 253/253 — four consecutive clean seeds on the round-13 tree.
+
+Round-13, second/third waves: GIANT documents (a 20KB minified-blob doc
+with a 2KB token + a single-5KB-token doc — probed clean 72/72
+doc-consuming keys before pinning; seed 383 clean 253/253) and EXTREME
+event values (±1e9 + a sub-milli 0.0004). The 1e12 probe of the extreme
+wave found TWO distinct cross-engine facts (docs/SCALE.md round-13
+note): native ROUND(double, n) is engine-specific near the value's ULP
+— fixed by routing the five value-magnitude rounded outputs
+(ts_resample/fill_forward/interpolate/ewma/seasonal_profile) through
+the shared engine-neutral round_away_sql form — and DuckDB's
+DECIMAL→DOUBLE finalization is not correctly rounded past unscaled
+2^53, which bounds exact VERIFICATION (not the engine) and pins the
+hostile extremes at ±1e9, inside the envelope. Seed 389 clean 253/253
+with all three round-13 waves pinned. Next primes: 397, 401.
 
 Round-7: the malformed-MEDIA payload family (truncated headers, wrong
 magic, hostile GIF length bytes, oversized declared dims) lives in
@@ -246,6 +259,20 @@ def gen(seed: int, out: str) -> None:
         ("view", 1.0, "{not json"),
         ("click", 2.0, '{"k": "str-not-int"}'),
         ("error", 3.0, ""),
+        # round-13 third wave: extreme magnitudes + a sub-milli value.
+        # Pinned at ±1e9, INSIDE the cross-engine verification envelope:
+        # DuckDB's DECIMAL->DOUBLE finalization is NOT correctly rounded
+        # once the unscaled value exceeds 2^53 (it scales the int128 in
+        # float arithmetic; Spark's BigDecimal path rounds correctly), so
+        # group sums must keep |sum|*10^scale < 2^53 for value-hash
+        # parity — an ORACLE bound, not an engine bound (docs/SCALE.md
+        # round-13 note). 1e9 exercises the magnitude-dependent rounding
+        # paths (probed: the old native ROUND diverged at 9.2e11) while
+        # sums stay exact on both engines.
+        ("click", 999999999.999, '{"k": 4}'),
+        ("view", -999999999.999, '{"k": 5}'),
+        ("purchase", 123456789.012, '{"k": 6}'),
+        ("error", 0.0004, '{"k": 7}'),
     ]
     ev = pd.concat(
         [
@@ -327,6 +354,12 @@ def gen(seed: int, out: str) -> None:
         ("a\x0bb vertical tab", "en", "book"),     # \x0b: \s class differs
         ("a\tb\nc d\r\ne", "en", "web"),           # tabs/newlines/CRLF
         ("nb sp and é combining", "en", "book"),
+        # round-13 second wave: GIANT docs — a 100 TB crawl WILL contain
+        # multi-KB single tokens (minified JS, base64 blobs). Exercises
+        # tokenizer/shingle/char-explode paths on pathological lengths;
+        # probed clean 72/72 doc-consuming keys before pinning.
+        ("x" * 2048 + " " + "data blob " * 1800 + "y" * 512, "en", "web"),
+        ("z" * 5120, "en", "book"),                # one 5KB token
     ]
     docs = pd.concat(
         [
