@@ -139,7 +139,9 @@ the shared engine-neutral round_away_sql form — and DuckDB's
 DECIMAL→DOUBLE finalization is not correctly rounded past unscaled
 2^53, which bounds exact VERIFICATION (not the engine) and pins the
 hostile extremes at ±1e9, inside the envelope. Seed 389 clean 253/253
-with all three round-13 waves pinned. Next primes: 397, 401.
+with all three round-13 waves pinned; bonus seeds 397/401 clean
+253/253 — eight consecutive clean seeds on the round-13 tree.
+Next primes: 409, 419.
 
 Round-7: the malformed-MEDIA payload family (truncated headers, wrong
 magic, hostile GIF length bytes, oversized declared dims) lives in
