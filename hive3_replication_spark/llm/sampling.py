@@ -387,10 +387,16 @@ def llm_domain_mix_reweight(spark: SparkSession, sf_dir: str) -> DataFrame:
     integer arithmetic, so the weights are bit-identical across engines
     and partitionings rather than exp-libm-dependent.
 
-    Exactness: per-token-TYPE surprise bits = log2(N) − log2(c_w) (both
-    logs of exact integers — identical doubles), quantized
-    fb_w = FLOOR(10⁶·bits_w) (floor has no tie semantics, unlike
-    round-half); per-domain sums n_d (tokens) and q_d = Σ c_{d,w}·fb_w
+    Exactness: per-token-TYPE surprise bits = log2(N) − log2(c_w). Both
+    logs take exact integers, but the ENGINES' log2 differ at the ulp
+    (Spark computes log(x)/log(2); DuckDB calls libm log2), so the
+    product 10⁶·bits can land on opposite sides of an integer when it
+    falls within ~1e-8 of one (ADVICE r13). The repo's stabilizer idiom
+    applies: fb_w = FLOOR(10⁶·bits_w + 1e-7) — the bias sits far above
+    the cross-libm gap (~1e-8) and far below the 1e-6 quantum (1e-7 of
+    a micro-bit), so both engines floor identically everywhere (floor
+    itself has no tie semantics, unlike round-half); per-domain sums
+    n_d (tokens) and q_d = Σ c_{d,w}·fb_w
     (micro-bits) accumulate as DECIMAL(38,0). With N = Σn_d,
     Q = Σq_d, η = 0.1/bit, the unnormalized weight has the common
     denominator 10⁷·N²:
@@ -432,6 +438,8 @@ def llm_domain_mix_reweight(spark: SparkSession, sf_dir: str) -> DataFrame:
             - F.log2(F.col("c_w").cast("double"))
         )
         * F.lit(1000000.0)
+        # cross-libm log2 stabilizer (ADVICE r13): ≫ ulp gap, ≪ quantum
+        + F.lit(1e-7)
     ).cast("long")
     scored = tokd.join(freq, "tok").crossJoin(totals).withColumn("fb", fb)
     domains = scored.groupBy("source").agg(
@@ -1046,7 +1054,7 @@ ORACLES: dict[str, str] = {
             SELECT source, c_dw,
                    CAST(FLOOR((log2(CAST(n_total AS DOUBLE))
                                - log2(CAST(c_w AS DOUBLE)))
-                              * 1000000.0) AS BIGINT) AS fb
+                              * 1000000.0 + 1e-7) AS BIGINT) AS fb
             FROM tokd JOIN freq USING (tok) CROSS JOIN tot
         ),
         domains AS (

@@ -1523,8 +1523,10 @@ def ts_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sums.select(*sel)
 
 
-#: CCF lag grid (hours). Negative lag = the x series LEADS y (x at hour
-#: h is paired with y at hour h + lag).
+#: CCF lag grid (hours). x at hour h is paired with y at hour h + lag,
+#: so POSITIVE lag correlates x's present with y's future — x LEADS y;
+#: negative lag pairs x with y's past — y leads x (ADVICE r13: the
+#: original comment had the sign convention inverted).
 _CCF_LAGS = tuple(range(-3, 4))
 _CCF_HOUR_US = 3_600_000_000
 
@@ -1533,9 +1535,12 @@ def ts_cross_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TS23 — cross-correlation function BETWEEN event-type series: for
     every unordered pair of event types (x < y) and every lag k in
     −3..+3 hours, the Pearson correlation of x's hourly value sum at
-    hour h against y's at hour h+k — the lead/lag-structure diagnostic
-    TS18's per-series ACF cannot answer ("does the error stream lead the
-    purchase dip, and by how much?"; VERDICT r12 gap #3). Only hours
+    hour h against y's at hour h+k — so a peak at POSITIVE k means x
+    leads y by k hours, and a peak at negative k means y leads x: the
+    lead/lag-structure diagnostic TS18's per-series ACF cannot answer
+    ("does the error stream lead the purchase dip, and by how much?" —
+    with x = errors, y = purchases, a positive-k peak says yes, by k;
+    VERDICT r12 gap #3). Only hours
     where BOTH shifted series observed events enter a pair (inner join —
     no zero-fill, so sparse series aren't dragged toward artificial
     correlation by matching empty hours).

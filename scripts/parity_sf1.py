@@ -178,9 +178,14 @@ def resume_and_targets(
             k for k in argv[argv.index("--keys") + 1].split(",") if k
         ]
         # drop the forced keys' prior records so the fresh measurement
-        # re-dates them; everything else carries forward untouched
+        # re-dates them; everything else carries forward untouched. A
+        # forced key that has LEFT the registry cannot be re-run, so its
+        # prior record must survive — popping it would silently erase a
+        # record, violating the no-silent-erase invariant above
+        # (ADVICE r13).
         for k in forced:
-            results.pop(k, None)
+            if k in query_keys:
+                results.pop(k, None)
         targets = list(results) + [k for k in forced if k in query_keys]
     elif "--next" in argv:
         n = int(argv[argv.index("--next") + 1])

@@ -945,3 +945,15 @@ def test_parity_resume_never_erases_failures():
     assert res["k01"]["pass"] is None  # unnamed records untouched
     assert "k55" in targets and "k55" not in res  # failure still forced
     assert res["gone"]["pass"] is False
+
+    # --keys naming a key that LEFT the registry (ADVICE r13): it can't
+    # re-run, so its prior record must survive the forced-pop — a pop
+    # would silently erase it, violating invariant (d)
+    res, targets = resume_and_targets(
+        prior, keys, sampled, probe, ["--keys", "gone,k00"]
+    )
+    assert res["gone"]["pass"] is False  # record kept, not erased
+    # main() runs only targets NOT already carried in res — the kept
+    # record keeps "gone" out of the run set
+    assert "gone" not in [k for k in targets if k not in res]
+    assert "k00" not in res and "k00" in targets  # registered force OK
