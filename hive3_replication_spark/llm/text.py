@@ -1150,6 +1150,278 @@ def llm_tokenizer_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Unigram-LM (SentencePiece-shape) induction constants. Seed pieces are
+#: substrings up to 8 chars; the EM lattice covers analyses of at most
+#: TWO pieces, so words up to 16 chars participate — 16 is also
+#: SentencePiece's own max_sentencepiece_length default, and the cap
+#: doubles as the repo's standard skew guard against pathological giant
+#: tokens (the bucket-cap idiom, mirrored in the oracle).
+_UNI_SEED_MAX_LEN = 8
+_UNI_WORD_CAP = 16
+#: Seed vocabulary size after the initial prune (top-K by corpus
+#: occurrence count, total-ordered on (count DESC, piece ASC)).
+_UNI_SEED_K = 256
+_UNI_EM_ROUNDS = 2
+#: Pieces emitted per EM round (top-K by expected count).
+_UNI_TOP_K = 40
+
+
+def _unigram_em_round(words_capped: DataFrame, cur: DataFrame):
+    """One hard-lattice EM round: expected piece counts under the
+    current piece probabilities, over the ≤2-piece analysis lattice.
+    Returns (per-piece micro-count relation, next-round (s, p))."""
+    two = (
+        words_capped.filter(F.length("w") >= 2)
+        .select(
+            "w",
+            "wf",
+            F.explode(F.expr("sequence(1, length(w) - 1)")).alias("i"),
+        )
+        .select(
+            "w",
+            "wf",
+            F.expr("substring(w, 1, i)").alias("pre"),
+            F.expr("substring(w, i + 1, length(w) - i)").alias("suf"),
+        )
+        .join(cur.select(F.col("s").alias("pre"), F.col("p").alias("pa")), "pre")
+        .join(cur.select(F.col("s").alias("suf"), F.col("p").alias("pb")), "suf")
+        .select(
+            "w", "wf", "pre", "suf", (F.col("pa") * F.col("pb")).alias("score")
+        )
+    )
+    one = words_capped.join(
+        cur.select(F.col("s").alias("w"), "p"), "w"
+    ).select(
+        "w",
+        "wf",
+        F.col("w").alias("pre"),
+        F.lit(None).cast("string").alias("suf"),
+        (F.col("p") * F.lit(1000000)).alias("score"),
+    )
+    ana = two.unionByName(one)
+    z = ana.groupBy("w").agg(F.sum("score").alias("z"))
+    occ = ana.select(
+        "w",
+        "wf",
+        "score",
+        F.explode(
+            F.when(F.col("suf").isNull(), F.array("pre")).otherwise(
+                F.array("pre", "suf")
+            )
+        ).alias("s"),
+    )
+    ee = (
+        occ.join(z, "w")
+        .groupBy("w", "s")
+        .agg(
+            F.expr(
+                "CAST(MIN(wf) AS DECIMAL(38,0)) * SUM(score) * 1000000"
+                " DIV MIN(z)"
+            ).alias("e")
+        )
+    )
+    crel = ee.groupBy("s").agg(
+        F.sum(F.col("e").cast("decimal(38,0)")).alias("c")
+    )
+    tot = crel.agg(F.sum("c").alias("ct"))
+    nxt = crel.crossJoin(tot).select(
+        "s", F.expr("c * 1000000 DIV ct").alias("p")
+    )
+    return crel, nxt
+
+
+def llm_unigram_tokenizer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L75 — unigram-LM tokenizer induction (the SentencePiece shape,
+    Kudo 2018 "Subword Regularization"): seed a candidate piece
+    vocabulary from corpus substrings, then run ``_UNI_EM_ROUNDS``
+    unrolled EM rounds re-estimating piece probabilities from their
+    expected counts, emitting each round's top pieces — the EM-pruning
+    complement to L24's merge-greedy BPE, completing the
+    tokenizer-training family (train: BPE + unigram; apply: L26).
+
+    The published trainer EM-steps over the FULL segmentation lattice
+    (forward-backward per word). Lattice paths are unbounded in word
+    length, which has no fixed-depth relational form, so this operator
+    restricts the lattice to analyses of at most TWO pieces — exact EM
+    on that restricted lattice: per analysis a = (s₁[, s₂]),
+    score(a) = Π p(sᵢ) (micro-prob scale aligned: one-piece scores are
+    p·10⁶, two-piece p·p), responsibilities r(a) = score(a)/Z(w), and
+    expected counts E(s|w) = FLOOR(wf·Σ_{a∋s} score·10⁶ / Z) — the
+    integer-quantized-expectation idiom of L19/L37/L42. Words longer
+    than ``_UNI_WORD_CAP`` = 16 chars (SentencePiece's own default max
+    piece length) sit outside the lattice; they still seed candidates
+    through their substrings.
+
+    Determinism: seed counts, scores, Z, and expected counts are exact
+    integers (DECIMAL(38,0) where products exceed int64); every
+    division is integral (DIV, floor — no tie semantics); both prunes
+    are total-ordered (count DESC, piece ASC). No floats anywhere, so
+    the learned vocabulary is bit-identical across engines and
+    partitionings. Emit envelope: micro_count ≤ corpus_tokens·10⁶
+    needs < 9·10¹² corpus tokens to fit the emitted BIGINT (the
+    DECIMAL(38,0) internals are exact far beyond; the L42 bound form).
+
+    Scale shape: the corpus is touched ONCE (the word count); the seed
+    grid, lattice, and every EM aggregate are VOCAB-sized (Σ|w| rows
+    over word TYPES, ≤ 8·Σ|w| seed occurrences); the candidate relation
+    is ≤ ``_UNI_SEED_K`` rows, so the lattice's two piece joins are
+    broadcast-sized and the seed prune is a TakeOrdered top-K, not a
+    global sort. The per-round rank window runs over ≤ 256 rows —
+    single-partition by construction, constant at any corpus size."""
+    documents = load_table(spark, sf_dir, "documents")
+    words = (
+        documents.select(
+            F.explode(F.split(F.col("text"), " ")).alias("w")
+        )
+        .filter(F.length("w") > 0)
+        .groupBy("w")
+        .agg(F.count("*").alias("wf"))
+    )
+    cand = (
+        words.select(
+            "wf",
+            F.explode(
+                F.expr(
+                    "flatten(transform(sequence(1, length(w)), i -> "
+                    "transform(sequence(0, least("
+                    f"{_UNI_SEED_MAX_LEN} - 1, length(w) - i)), "
+                    "j -> substring(w, i, j + 1))))"
+                )
+            ).alias("s"),
+        )
+        .groupBy("s")
+        .agg(F.sum(F.col("wf").cast("decimal(38,0)")).alias("c0"))
+        .orderBy(F.desc("c0"), F.asc("s"))
+        .limit(_UNI_SEED_K)
+    )
+    tot0 = cand.agg(F.sum("c0").alias("ct"))
+    cur = cand.crossJoin(tot0).select(
+        "s", F.expr("c0 * 1000000 DIV ct").alias("p")
+    )
+    words_capped = words.filter(F.length("w") <= _UNI_WORD_CAP)
+    outs = []
+    for r in range(1, _UNI_EM_ROUNDS + 1):
+        crel, cur = _unigram_em_round(words_capped, cur)
+        tot = crel.agg(F.sum("c").alias("ct"))
+        wr = Window.orderBy(F.desc("c"), F.asc("s"))
+        outs.append(
+            crel.crossJoin(tot)
+            .withColumn("piece_rank", F.row_number().over(wr))
+            .filter(F.col("piece_rank") <= _UNI_TOP_K)
+            .select(
+                F.lit(r).alias("em_round"),
+                "piece_rank",
+                F.col("s").alias("piece"),
+                F.col("c").cast("long").alias("micro_count"),
+                F.expr("c * 1000000 DIV ct").alias("micro_prob"),
+            )
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out
+
+
+def _unigram_ctes() -> list[str]:
+    """DuckDB CTE chain replaying unigram-LM induction end-to-end: same
+    word count, same seed substring grid + total-ordered top-K prune,
+    same ≤2-piece lattice, same integer expected counts (HUGEINT mirrors
+    DECIMAL(38,0); `//` mirrors DIV — both floor on non-negatives) —
+    generated per round so the rounds cannot drift."""
+    ctes = [
+        """words AS (
+            SELECT w, COUNT(*) AS wf FROM (
+                SELECT unnest(string_split(text, ' ')) AS w FROM documents
+            ) WHERE len(w) > 0 GROUP BY w
+        )""",
+        f"""cand AS (
+            SELECT s, SUM(wf) AS c0 FROM (
+                SELECT substr(w, CAST(i.i AS INT), CAST(l.l AS INT)) AS s,
+                       wf
+                FROM words,
+                     LATERAL (SELECT unnest(range(1, len(w) + 1)) AS i) i,
+                     LATERAL (SELECT unnest(range(1,
+                         LEAST({_UNI_SEED_MAX_LEN}, len(w) - i.i + 1) + 1))
+                         AS l) l
+            ) GROUP BY s
+            ORDER BY c0 DESC, s ASC LIMIT {_UNI_SEED_K}
+        )""",
+        """cur0 AS (
+            SELECT s, CAST(c0 * 1000000 // (SELECT SUM(c0) FROM cand)
+                           AS BIGINT) AS p
+            FROM cand
+        )""",
+    ]
+    for r in range(1, _UNI_EM_ROUNDS + 1):
+        prev = f"cur{r - 1}"
+        ctes.append(f"""two{r} AS (
+            SELECT t.w, t.wf, ca.p * cb.p AS score, t.pre, t.suf
+            FROM (
+                SELECT w, wf,
+                       substr(w, 1, CAST(i.i AS INT)) AS pre,
+                       substr(w, CAST(i.i AS INT) + 1,
+                              len(w) - CAST(i.i AS INT)) AS suf
+                FROM words,
+                     LATERAL (SELECT unnest(range(1, len(w))) AS i) i
+                WHERE len(w) BETWEEN 2 AND {_UNI_WORD_CAP}
+            ) t
+            JOIN {prev} ca ON t.pre = ca.s
+            JOIN {prev} cb ON t.suf = cb.s
+        )""")
+        ctes.append(f"""one{r} AS (
+            SELECT w, wf, p * 1000000 AS score,
+                   w AS pre, CAST(NULL AS VARCHAR) AS suf
+            FROM words JOIN {prev} ON w = s
+            WHERE len(w) <= {_UNI_WORD_CAP}
+        )""")
+        ctes.append(f"""ana{r} AS (
+            SELECT * FROM two{r} UNION ALL SELECT * FROM one{r}
+        )""")
+        ctes.append(f"""zz{r} AS (
+            SELECT w, CAST(SUM(score) AS BIGINT) AS z
+            FROM ana{r} GROUP BY w
+        )""")
+        ctes.append(f"""occ{r} AS (
+            SELECT w, wf, score,
+                   unnest(CASE WHEN suf IS NULL THEN [pre]
+                          ELSE [pre, suf] END) AS s
+            FROM ana{r}
+        )""")
+        ctes.append(f"""ee{r} AS (
+            SELECT o.w, o.s,
+                   CAST(MIN(o.wf) AS HUGEINT) * SUM(o.score) * 1000000
+                       // MIN(zz{r}.z) AS e
+            FROM occ{r} o JOIN zz{r} USING (w) GROUP BY o.w, o.s
+        )""")
+        ctes.append(f"""crel{r} AS (
+            SELECT s, SUM(e) AS c FROM ee{r} GROUP BY s
+        )""")
+        ctes.append(f"""cur{r} AS (
+            SELECT s, CAST(c * 1000000 // (SELECT SUM(c) FROM crel{r})
+                           AS BIGINT) AS p
+            FROM crel{r}
+        )""")
+        ctes.append(f"""out{r} AS (
+            SELECT CAST({r} AS INTEGER) AS em_round,
+                   CAST(ROW_NUMBER() OVER (ORDER BY c DESC, s ASC)
+                        AS INTEGER) AS piece_rank,
+                   s AS piece,
+                   CAST(c AS BIGINT) AS micro_count,
+                   CAST(c * 1000000 // (SELECT SUM(c) FROM crel{r})
+                        AS BIGINT) AS micro_prob
+            FROM crel{r}
+            ORDER BY c DESC, s ASC LIMIT {_UNI_TOP_K}
+        )""")
+    return ctes
+
+
+def _unigram_oracle_sql() -> str:
+    selects = " UNION ALL ".join(
+        f"SELECT * FROM out{r}" for r in range(1, _UNI_EM_ROUNDS + 1)
+    )
+    return "WITH " + ",\n".join(_unigram_ctes()) + "\n" + selects
+
+
 def _bpe_ctes() -> list[str]:
     """Shared DuckDB CTE chain replaying BPE training: same char split,
     same weighted pair counts (cast to BIGINT — DuckDB SUM yields
@@ -1258,6 +1530,7 @@ def _tokenizer_apply_oracle_sql() -> str:
 
 ORACLES: dict[str, str] = {
     "llm_bpe_merges": _bpe_oracle_sql(),
+    "llm_unigram_tokenizer": _unigram_oracle_sql(),
     "llm_tokenizer_apply": _tokenizer_apply_oracle_sql(),
     "llm_eval_confusion": """
         WITH c AS (
@@ -1675,5 +1948,6 @@ QUERY_FNS = {
     "llm_eval_confusion": llm_eval_confusion,
     "llm_eval_calibration": llm_eval_calibration,
     "llm_bpe_merges": llm_bpe_merges,
+    "llm_unigram_tokenizer": llm_unigram_tokenizer,
     "llm_tokenizer_apply": llm_tokenizer_apply,
 }

@@ -63,56 +63,38 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 
 #: Sweep order for queries(): DRIVER-COVERAGE FIRST. The external verify
 #: driver cuts at ~50 keys per round BY COUNT, so the front block must
-#: hold exactly the keys that most need a fresh driver stamp. Round-13
-#: policy (VERDICT r12 asks #1/#4/#7 + gap #4): the r12 stale block is
-#: EXACTLY the 50 r8-stamped keys with zero free slots, and round 13
-#: adds 4 operators — so 46 r8 keys lead (profiled order preserved),
-#: the 4 round-13 additions (never driver-stamped — new coverage
-#: outranks a restamp) complete the window, and the 4 cheapest-to-
-#: reverify r8 keys (pure scalar ops) are deferred to round 14, placed
-#: immediately behind the window. Behind them, keys stay grouped
-#: oldest-latest-stamp first (r9, r10, r11, r12), preserving the
-#: profiled cheapest-first relative order inside each group. Regenerate
-#: by re-sorting on the CORRECTNESS_r* latest-stamp map (see
-#: tests/test_oracle_parity.py window-pinning test, which locks the
-#: front 50 to this policy). Keys missing from this list (new operators
-#: between profilings) are appended alphabetically, so registration
-#: never breaks on an unprofiled key. Round-14 window math,
-#: precomputed: once the r13 stamps land, the stale block is 4 r8 +
-#: 49 r9 = 53 keys — lead with the 4 r8 keys, then 46-minus-additions
-#: r9 keys; 3 + N(additions) cheapest r9 keys defer to round 15.
+#: hold exactly the keys that most need a fresh driver stamp. Round-14
+#: policy (VERDICT r13 asks #1/#4): the r13 stale block is 4 r8 keys +
+#: 49 r9 keys = 53, and round 14 adds 2 operators — so the 4 r8 scalars
+#: lead (stale two windows running), 44 r9 keys follow (profiled order
+#: preserved), and the 2 round-14 additions (never driver-stamped — new
+#: coverage outranks a restamp) complete the window; the 5 cheapest-to-
+#: reverify r9 keys (pure scalar ops, VERDICT r13 named three of them)
+#: are deferred to round 15, placed immediately behind the window.
+#: Behind them, keys stay grouped oldest-latest-stamp first (r10, r11,
+#: r12, r13), preserving the profiled cheapest-first relative order
+#: inside each group. Regenerate by re-sorting on the CORRECTNESS_r*
+#: latest-stamp map (see tests/test_oracle_parity.py window-pinning
+#: test, which locks the front 50 to this policy). Keys missing from
+#: this list (new operators between profilings) are appended
+#: alphabetically, so registration never breaks on an unprofiled key.
+#: Round-15 window math, precomputed: once the r14 stamps land, the
+#: stale block is 5 r9 + 50 r10 = 55 keys — lead with the 5 r9 keys,
+#: then 45-minus-additions r10 keys; 5 + N(additions) cheapest r10
+#: keys defer to round 16.
 _SWEEP_ORDER: tuple[str, ...] = (
-    # stamp age r8 — 46 of the 50-key stale block lead the round-13
-    # window (VERDICT r12 ask #1); relative profiled order preserved
-    "win_row_number", "agg_conditional", "filter_rlike",
-    "llm_sample_stratified", "fn_hash", "win_rank", "project_columns",
-    "scan_parquet", "fn_regexp_replace", "fn_date_format",
-    "win_pattern_match", "sort_topk", "llm_text_bpe_count", "fn_map",
-    "fn_json", "llm_text_redact", "llm_text_quality", "stream_tumbling",
-    "agg_cube", "stream_retry", "llm_quality_classifier", "fn_div_mod",
-    "filter_gt_watermark", "stream_incremental_dump", "udf_scalar",
-    "reshape_struct_flatten", "scan_partitioned", "agg_pending_count",
-    "agg_duration", "llm_multimodal_features", "agg_table_profile",
-    "agg_approx_distinct", "agg_hll_sketch", "agg_approx_percentile",
-    "ts_changepoint", "llm_corpus_shuffle", "llm_tokenizer_apply",
-    "llm_bpe_merges", "llm_ann_batch", "llm_embed_pq", "llm_pack_sequences",
-    "win_lag", "llm_text_tokens", "join_asof_forward", "llm_text_langid",
-    "set_except",
-    # round-13 additions — never driver-stamped, complete the window
-    "llm_kn_bigram_lm", "sql_min_cost_supplier", "ts_cross_correlation",
-    "llm_domain_mix_reweight",
-    # stamp age r8, deferred to round 14 (the 4 cheapest-to-reverify
-    # scalar ops, displaced by the 4 round-13 additions)
+    # stamp age r8 — the 4 scalar keys deferred from the round-13
+    # window lead round 14 (VERDICT r13 ask #1)
     "fn_case_when", "fn_cast", "fn_math", "fn_split",
-    # stamp age r9
+    # stamp age r9 — 44 of the 49-key r9 stale block (profiled order
+    # preserved; 5 cheapest scalar re-verifies deferred to round 15)
     "stream_divergence", "llm_text_profile", "fn_datetime_extract",
     "llm_dedup_exact", "llm_chunk_windows", "stream_sliding",
     "agg_string_agg", "agg_grouping_sets", "win_running_sum",
-    "llm_dedup_ngram", "win_topk_per_group", "fn_levenshtein",
+    "llm_dedup_ngram", "win_topk_per_group",
     "agg_bitmap_distinct", "stream_late_data", "win_range_frame",
     "win_latest_per_group", "stream_consistent_cut", "llm_text_fingerprint",
-    "stream_dedup", "stream_session", "fn_try_arith", "fn_concat",
-    "fn_variant", "fn_date_arith", "reshape_pivot", "set_union",
+    "stream_dedup", "stream_session", "reshape_pivot", "set_union",
     "win_distribution", "sort_events", "stream_stream_join", "agg_mode",
     "agg_skew_salted", "agg_quantile_sketch", "ts_stl_decompose",
     "llm_chunk_rank", "llm_preference_pairs", "join_interval_overlap",
@@ -120,6 +102,12 @@ _SWEEP_ORDER: tuple[str, ...] = (
     "llm_ann_index_probe", "llm_dedup_minhash_clusters", "ts_gap_detect",
     "llm_dedup_minhash", "llm_dedup_simhash", "llm_ann_ivf", "llm_ann_lsh",
     "sql_promo_revenue", "sql_pricing_summary", "sql_discount_revenue",
+    # round-14 additions — never driver-stamped, complete the window
+    "scan_zorder", "llm_unigram_tokenizer",
+    # stamp age r9, deferred to round 15 (the 5 cheapest-to-reverify
+    # scalar ops, displaced by the round-14 additions + window math)
+    "fn_levenshtein", "fn_try_arith", "fn_concat", "fn_variant",
+    "fn_date_arith",
     # stamp age r10
     "sql_shipmode_priority", "sql_small_quantity_revenue", "sql_top_supplier",
     "sql_returned_items", "sql_order_priority",
@@ -170,6 +158,23 @@ _SWEEP_ORDER: tuple[str, ...] = (
     "filter_table_class", "filter_negative", "filter_isin", "string_scrub",
     "llm_text_normalize", "reshape_unpivot", "reshape_explode",
     "delimited_parse", "llm_html_extract", "llm_classifier_trainset",
+    # stamp age r13 — freshest stamps, last (the round-13 window:
+    # 46 ex-r8 + the 4 round-13 additions)
+    "win_row_number", "agg_conditional", "filter_rlike",
+    "llm_sample_stratified", "fn_hash", "win_rank", "project_columns",
+    "scan_parquet", "fn_regexp_replace", "fn_date_format",
+    "win_pattern_match", "sort_topk", "llm_text_bpe_count", "fn_map",
+    "fn_json", "llm_text_redact", "llm_text_quality", "stream_tumbling",
+    "agg_cube", "stream_retry", "llm_quality_classifier", "fn_div_mod",
+    "filter_gt_watermark", "stream_incremental_dump", "udf_scalar",
+    "reshape_struct_flatten", "scan_partitioned", "agg_pending_count",
+    "agg_duration", "llm_multimodal_features", "agg_table_profile",
+    "agg_approx_distinct", "agg_hll_sketch", "agg_approx_percentile",
+    "ts_changepoint", "llm_corpus_shuffle", "llm_tokenizer_apply",
+    "llm_bpe_merges", "llm_ann_batch", "llm_embed_pq", "llm_pack_sequences",
+    "win_lag", "llm_text_tokens", "join_asof_forward", "llm_text_langid",
+    "set_except", "llm_kn_bigram_lm", "sql_min_cost_supplier",
+    "ts_cross_correlation", "llm_domain_mix_reweight",
 )
 
 

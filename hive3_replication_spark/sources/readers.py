@@ -353,6 +353,151 @@ def scan_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_ZORDER_CACHE: dict[str, str] = {}
+#: Files in the z-ordered layout: the pruning granularity. 16 gives
+#: ~4×4 value-quarter boxes under the 8-bit rank interleave below, so a
+#: single-column predicate on EITHER dimension overlaps only the file
+#: strip containing its value (measured in tests/test_zorder_layout.py:
+#: each single-value predicate reads ≤60% of files; most read ≤50%).
+_Z_FILES = 16
+#: Rank-normalization width per dimension. Both cluster keys are scaled
+#: to 0..255 BEFORE interleaving: MSB-aligned interleave is what makes
+#: z-order balanced when the dimensions' cardinalities differ (30 days
+#: vs 5 event types here) — interleaving raw values bit-0-aligned puts
+#: the low-cardinality key entirely in the low z bits, and every file
+#: then spans ALL its values (pruning measured 15/16 files read; the
+#: normalized form measured ≤8/16).
+_Z_NORM_BITS = 8
+
+
+def _interleave_bits(dn, cn):
+    """Morton/z-value of two ``_Z_NORM_BITS``-bit codes: bit i of the
+    date rank lands at z bit 2i, bit i of the type rank at 2i+1. Pure
+    integer shift/mask arithmetic — JVM-side, whole-stage-codegen'd,
+    and ANSI-safe (max z = 2^16)."""
+    z = F.lit(0).cast("long")
+    for i in range(_Z_NORM_BITS):
+        z = (
+            z
+            + F.shiftleft(
+                F.shiftright(dn, i).bitwiseAND(F.lit(1)).cast("long"), 2 * i
+            )
+            + F.shiftleft(
+                F.shiftright(cn, i).bitwiseAND(F.lit(1)).cast("long"),
+                2 * i + 1,
+            )
+        )
+    return z
+
+
+def zorder_events_path(spark: SparkSession, sf_dir: str) -> str:
+    """Materialize events in a Z-ORDER (Morton space-filling-curve)
+    layout clustered on (event day, event_type) — the lakehouse-standard
+    companion to the date-partitioned (S5b) and bucketed (S5c) layouts:
+    ONE file population whose parquet min/max stats prune on BOTH
+    cluster dimensions, where partitioning prunes only its directory
+    key. Cached per (process, sf_dir); lock-guarded against the
+    concurrent prewarm thread."""
+    with _LAYOUT_LOCK:
+        return _zorder_events_path_locked(spark, sf_dir)
+
+
+def _zorder_events_path_locked(spark: SparkSession, sf_dir: str) -> str:
+    if sf_dir in _ZORDER_CACHE:
+        return _ZORDER_CACHE[sf_dir]
+    out = scratch_dir(prefix="h3r_zorder_") + "/events_zorder"
+    from pyspark.sql import Window
+
+    events = load_table(spark, sf_dir, "events").withColumn(
+        "event_date", F.to_date("ts")
+    )
+    # Dense LEXICAL rank per event_type: parquet prunes a string column
+    # by file-level min/max, so the cluster code must follow the
+    # column's own sort order (a hash code would co-locate identical
+    # types but leave each file's lexical [min, max] spanning the whole
+    # alphabet). The distinct+rank relation is |event types| rows —
+    # tiny by nature — so the single-partition window is a write-time
+    # no-op at any corpus scale, and it rides back on a broadcast join.
+    wt = Window.orderBy("event_type")
+    codes = (
+        events.select("event_type")
+        .filter(F.col("event_type").isNotNull())
+        .distinct()
+        .withColumn("type_code", F.row_number().over(wt) - 1)
+        .withColumn(
+            "n_types",
+            F.count("*").over(
+                Window.partitionBy(F.lit(1)).rowsBetween(
+                    Window.unboundedPreceding, Window.unboundedFollowing
+                )
+            ),
+        )
+    )
+    # Day-range stats: 1-row aggregate broadcast back (lazy two-phase
+    # planning, same device as the IVF probe cells) — rank-normalizes
+    # arbitrary date ranges, including hostile far-past/far-future fuzz
+    # dates, with no assumption about the epoch.
+    stats = events.agg(
+        F.min(F.datediff("event_date", F.lit("1970-01-01").cast("date")))
+        .alias("min_day"),
+        F.max(F.datediff("event_date", F.lit("1970-01-01").cast("date")))
+        .alias("max_day"),
+    )
+    day_abs = F.datediff("event_date", F.lit("1970-01-01").cast("date"))
+    scale = F.lit(1 << _Z_NORM_BITS).cast("long")
+    dn = (
+        (F.coalesce(day_abs, F.col("min_day")) - F.col("min_day"))
+        .cast("long")
+        * scale
+    ) / (F.col("max_day") - F.col("min_day") + 1)
+    cn = (F.coalesce(F.col("type_code"), F.lit(0)).cast("long") * scale) / (
+        F.col("n_types").cast("long")
+    )
+    coded = (
+        events.join(F.broadcast(codes), "event_type", "left")
+        .crossJoin(F.broadcast(stats))
+        .withColumn("z", _interleave_bits(F.floor(dn), F.floor(cn)))
+    )
+    (
+        # repartitionByRange on z = range-partitioned space-filling
+        # curve: each output file owns one contiguous z range (one
+        # rectangle-ish region of the (day, type) plane), which is
+        # exactly what gives every file narrow min/max on BOTH raw
+        # columns. sortWithinPartitions tightens row-group stats too.
+        coded.repartitionByRange(_Z_FILES, "z")
+        .sortWithinPartitions("z")
+        .select(*events.columns)  # helper columns stay out of the layout
+        .write.mode("overwrite")
+        .parquet(out)
+    )
+    _ZORDER_CACHE[sf_dir] = out
+    return _ZORDER_CACHE[sf_dir]
+
+
+def scan_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S5g — multi-column stats-pruned scan over the z-ordered layout:
+    a predicate on event_type alone — the dimension the S5b date
+    partitioning CANNOT prune — skips most files via parquet min/max
+    stats (file-level pruning measured in tests/test_zorder_layout.py;
+    PushedFilters asserted in tests/test_plans.py). At 100 TB this is
+    the difference between one clustered write amortized over every
+    ad-hoc two-dimensional slice, and a full scan for every predicate
+    that isn't the partition key. The layout is semantics-neutral, so
+    the oracle is the same aggregate over the raw events table."""
+    path = zorder_events_path(spark, sf_dir)
+    df = spark.read.parquet(path)
+    return (
+        df.filter(F.col("event_type") == "click")
+        .groupBy("event_date")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,3)"))
+            .cast("double")
+            .alias("sum_value"),
+        )
+    )
+
+
 def delimited_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S6 — beeline resultset parsing (``init_variables.sh:47`` pipe
     format; ``beeline_functions.sh:24`` awk parse): build pipe-delimited
@@ -640,6 +785,18 @@ ORACLES: dict[str, str] = {
         WHERE CAST(CAST(ts AS TIMESTAMP) AS DATE) < DATE '2024-01-03'
         GROUP BY 1, 2
     """,
+    "scan_zorder": """
+        -- the z-ordered layout is semantics-neutral: same aggregate
+        -- over the raw table (NULL ts rows form the NULL date group on
+        -- both engines; SUM skips NULL values on both)
+        SELECT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS event_date,
+               COUNT(*) AS n_events,
+               CAST(SUM(CAST(value AS DECIMAL(18,3))) AS DOUBLE)
+                   AS sum_value
+        FROM events
+        WHERE event_type = 'click'
+        GROUP BY 1
+    """,
     "scan_bucketed": """
         SELECT o_orderpriority,
                COUNT(*) AS n_lines,
@@ -667,6 +824,7 @@ QUERY_FNS = {
     "scan_json": scan_json,
     "scan_orc": scan_orc,
     "scan_partitioned": scan_partitioned,
+    "scan_zorder": scan_zorder,
     "scan_bucketed": scan_bucketed,
     "scan_binaryfile": scan_binaryfile,
     "scan_pysource": scan_pysource,

@@ -56,47 +56,48 @@ def test_sweep_window_pins_stalest_stamps():
     """The driver stamps the FIRST ~50 registry keys each round, so the
     front of ``_SWEEP_ORDER`` is load-bearing: it must hold exactly the
     keys with the oldest (or missing) driver CORRECTNESS stamps. This
-    pins the round-13 window contents (VERDICT r12 asks #1/#4/#7: 46 of
-    the 50-key r8-stamped stale block, then the four round-13 additions
-    completing the 50; the 4 displaced r8 scalar keys sit immediately
-    behind the window, leading round 14) — regenerate the expectation
-    alongside any ``_SWEEP_ORDER`` rotation."""
+    pins the round-14 window contents (VERDICT r13 asks #1/#4: the 4
+    r8-stamped scalars lead, 44 of the 49-key r9 stale block follow,
+    and the two round-14 additions complete the 50; the 5 displaced r9
+    scalar keys sit immediately behind the window, leading round 15) —
+    regenerate the expectation alongside any ``_SWEEP_ORDER``
+    rotation."""
     from hive3_replication_spark.registry import _SWEEP_ORDER
 
     window = list(_SWEEP_ORDER[:50])
-    # 46 of the 50 keys whose latest driver stamp is r8 (the registry's
-    # stalest); the other 4 (fn_case_when/fn_cast/fn_math/fn_split —
-    # cheapest to reverify) are deferred to the round-14 window
-    r8 = {
-        "agg_approx_distinct", "agg_approx_percentile", "agg_conditional",
-        "agg_cube", "agg_duration", "agg_hll_sketch", "agg_pending_count",
-        "agg_table_profile", "filter_gt_watermark", "filter_rlike",
-        "fn_date_format", "fn_div_mod", "fn_hash", "fn_json", "fn_map",
-        "fn_regexp_replace", "join_asof_forward", "llm_ann_batch",
-        "llm_bpe_merges", "llm_corpus_shuffle", "llm_embed_pq",
-        "llm_multimodal_features", "llm_pack_sequences",
-        "llm_quality_classifier", "llm_sample_stratified",
-        "llm_text_bpe_count", "llm_text_langid", "llm_text_quality",
-        "llm_text_redact", "llm_text_tokens", "llm_tokenizer_apply",
-        "project_columns", "reshape_struct_flatten", "scan_parquet",
-        "scan_partitioned", "set_except", "sort_topk",
-        "stream_incremental_dump", "stream_retry", "stream_tumbling",
-        "ts_changepoint", "udf_scalar", "win_lag", "win_pattern_match",
-        "win_rank", "win_row_number",
+    # the registry's stalest stamps: the 4 r8 scalars deferred out of
+    # the round-13 window — they must LEAD (two windows stale)
+    assert window[:4] == ["fn_case_when", "fn_cast", "fn_math", "fn_split"]
+    # 44 of the 49 keys whose latest driver stamp is r9; the other 5
+    # (scalar fns — cheapest to reverify) defer to the round-15 window
+    r9 = {
+        "agg_bitmap_distinct", "agg_grouping_sets", "agg_mode",
+        "agg_quantile_sketch", "agg_skew_salted", "agg_string_agg",
+        "fn_datetime_extract", "join_interval_overlap", "llm_ann_ivf",
+        "llm_ann_index_probe", "llm_ann_lsh", "llm_chunk_rank",
+        "llm_chunk_windows", "llm_dedup_exact", "llm_dedup_minhash",
+        "llm_dedup_minhash_clusters", "llm_dedup_ngram",
+        "llm_dedup_semantic", "llm_dedup_simhash", "llm_preference_pairs",
+        "llm_serving_e2e", "llm_split_leakage_safe", "llm_text_fingerprint",
+        "llm_text_profile", "reshape_pivot", "set_union", "sort_events",
+        "sql_discount_revenue", "sql_pricing_summary", "sql_promo_revenue",
+        "stream_consistent_cut", "stream_dedup", "stream_divergence",
+        "stream_late_data", "stream_session", "stream_sliding",
+        "stream_stream_join", "ts_gap_detect", "ts_stl_decompose",
+        "win_distribution", "win_latest_per_group", "win_range_frame",
+        "win_running_sum", "win_topk_per_group",
     }
-    assert r8 <= set(window), sorted(r8 - set(window))
-    # the four round-13 additions have no driver stamp yet — all must
+    assert r9 <= set(window), sorted(r9 - set(window))
+    # the two round-14 additions have no driver stamp yet — both must
     # ride this window
-    new_r13 = {
-        "llm_kn_bigram_lm", "sql_min_cost_supplier",
-        "ts_cross_correlation", "llm_domain_mix_reweight",
-    }
-    rest = set(window) - r8
-    assert rest == new_r13, sorted(rest ^ new_r13)
+    new_r14 = {"scan_zorder", "llm_unigram_tokenizer"}
+    rest = set(window) - r9 - set(window[:4])
+    assert rest == new_r14, sorted(rest ^ new_r14)
     assert len(window) == len(set(window)) == 50
-    # the deferred r8 keys lead the round-14 rotation
-    assert list(_SWEEP_ORDER[50:54]) == [
-        "fn_case_when", "fn_cast", "fn_math", "fn_split",
+    # the deferred r9 scalar keys lead the round-15 rotation
+    assert list(_SWEEP_ORDER[50:55]) == [
+        "fn_levenshtein", "fn_try_arith", "fn_concat", "fn_variant",
+        "fn_date_arith",
     ]
 
 

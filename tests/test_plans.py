@@ -54,6 +54,23 @@ def test_partition_pruning(spark):
     assert "event_date" in pf_line
 
 
+def test_zorder_scan_pushdown(spark):
+    """The event_type predicate over the z-ordered layout must reach the
+    parquet scan as a pushed filter (that is what turns the layout's
+    per-file min/max stats into skipped I/O; the file-level skipping
+    itself is measured in tests/test_zorder_layout.py), and the read
+    schema must carry only the consumed columns."""
+    from hive3_replication_spark.sources.readers import scan_zorder
+
+    plan = _plan(scan_zorder(spark, SF_DIR))
+    assert "PushedFilters: [IsNotNull(event_type), EqualTo(event_type,click)" in plan
+    read_schema = next(
+        line for line in plan.splitlines() if "ReadSchema" in line
+    )
+    assert "event_date" in read_schema and "value" in read_schema
+    assert "props" not in read_schema and "user_id" not in read_schema
+
+
 def test_dim_join_broadcasts(spark):
     plan = _plan(join_broadcast(spark, SF_DIR))
     assert "BroadcastHashJoin" in plan
