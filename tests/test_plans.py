@@ -1071,6 +1071,51 @@ def test_cross_correlation_fact_reduced_before_pairing(spark):
             assert "user_id" not in line and "props" not in line, line
 
 
+def _executed_node_classes(df) -> list[str]:
+    """Class names of every physical node the final query actually
+    executes, walked on the real plan TREE via py4j. On the tree an
+    InMemoryTableScanExec is a LEAF — its cached relation's build plan
+    is a field, not a child — whereas ``explainString`` prints every
+    cached build plan recursively (with trailer blocks that dodge any
+    indentation heuristic), so a text scrape cannot express "consumes
+    cached state only"."""
+    names: list[str] = []
+
+    def visit(node):
+        name = node.getClass().getSimpleName()
+        if name == "AdaptiveSparkPlanExec":
+            visit(node.executedPlan())
+            return
+        names.append(name)
+        children = node.children()
+        for i in range(children.length()):
+            visit(children.apply(i))
+
+    visit(df._jdf.queryExecution().executedPlan())
+    return names
+
+
+def test_unigram_consumes_cached_state_only(spark):
+    """llm_unigram_tokenizer (round-14 L75): the emitted relation must
+    plan entirely over the PERSISTED vocab/model-state relations — zero
+    corpus file scans at consume time (the corpus's one pass happened at
+    the materializing build; without the state persists, round r's
+    lineage embeds round r−1's three times and plan compilation goes
+    exponential in rounds — measured 17 s flat-in-data wall, 7.9 s
+    after). The only nested-loop joins are the two 1-row Σc totals
+    (scalar broadcast, one per emitted round); no cartesian, no
+    sort-merge join — the ≤256-row state relations broadcast."""
+    from hive3_replication_spark.llm.text import llm_unigram_tokenizer
+
+    nodes = _executed_node_classes(llm_unigram_tokenizer(spark, SF_DIR))
+    assert "InMemoryTableScanExec" in nodes, nodes
+    assert "FileSourceScanExec" not in nodes, nodes
+    assert "BatchScanExec" not in nodes, nodes
+    assert "CartesianProductExec" not in nodes, nodes
+    assert nodes.count("BroadcastNestedLoopJoinExec") == 2, nodes
+    assert "SortMergeJoinExec" not in nodes, nodes
+
+
 def test_min_cost_supplier_decorrelates_broadcast_dims(spark):
     """sql_min_cost_supplier (round-13 Q2s): Catalyst must decorrelate
     the `= (SELECT MIN …)` into an aggregate joined back on p_partkey —
