@@ -273,6 +273,16 @@ SCALE_PROBE_KEYS = (
     "llm_kn_bigram_lm",
     "ts_cross_correlation",
     "llm_domain_mix_reweight",
+    # round-14 operators — probed from their first round: scan_zorder's
+    # data-proportional part is the pruned scan over the z-ordered layout
+    # (the one-time clustered write is dir-cached across passes, so the
+    # min-over-passes measures the amortized read path — the
+    # llm_ann_index_probe convention for persisted-layout keys); the
+    # unigram trainer's is ONE corpus word-count pass — everything after
+    # is vocab-sized (≤256-row state), so its ratio measures that the
+    # planning-dominated EM cost stays flat in data.
+    "scan_zorder",
+    "llm_unigram_tokenizer",
 )
 
 

@@ -187,6 +187,12 @@ def clear_caches(strategy_memo: bool = True) -> None:
         from ..operators.aggregates import _wm_strategy_clear
 
         _wm_strategy_clear()
+    # the unigram-EM memo is a RELATION cache like the ones below, so it
+    # clears on every call (not just strategy_memo) — cold bench passes
+    # must re-run the corpus pass + EM rounds, not hit the memo
+    from .text import unigram_clear
+
+    unigram_clear()
     with _PAIR_LOCK:
         for df in _CACHES.values():
             df.unpersist(blocking=False)

@@ -1175,6 +1175,17 @@ _UNI_MEMO: dict[str, tuple[str, DataFrame, list]] = {}
 _UNI_LOCK = threading.Lock()
 
 
+def unigram_clear() -> None:
+    """Unpersist and forget the memoized unigram-EM relations — called
+    from llm.dedup.clear_caches so benchmark cold passes measure the
+    real corpus pass + EM rounds instead of a memo hit."""
+    with _UNI_LOCK:
+        prev = _UNI_MEMO.pop("unigram", None)
+        if prev is not None:
+            for df in prev[2]:
+                df.unpersist(blocking=False)
+
+
 def _unigram_em_round(words_capped: DataFrame, cur: DataFrame):
     """One hard-lattice EM round: expected piece counts under the
     current piece probabilities, over the ≤2-piece analysis lattice.

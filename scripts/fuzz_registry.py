@@ -141,7 +141,15 @@ DECIMAL→DOUBLE finalization is not correctly rounded past unscaled
 hostile extremes at ±1e9, inside the envelope. Seed 389 clean 253/253
 with all three round-13 waves pinned; bonus seeds 397/401 clean
 253/253 — eight consecutive clean seeds on the round-13 tree.
-Next primes: 409, 419.
+
+Round-14: seed 409 clean 255/255 — first sweep covering the two
+round-14 operators on the pinned hostile waves (scan_zorder: the NULL
+event_type / NULL ts rows exercise the rank-normalization coalesces and
+the left codes join; llm_unigram_tokenizer: NULL/unicode/giant docs —
+the 2KB minified token exceeds the 16-char lattice cap and the 8-char
+seed window, exercising the outside-lattice path; multi-byte chars
+exercise char-indexed substring agreement across engines).
+Next primes: 419, 421, 431.
 
 Round-7: the malformed-MEDIA payload family (truncated headers, wrong
 magic, hostile GIF length bytes, oversized declared dims) lives in
