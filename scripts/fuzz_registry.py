@@ -148,8 +148,10 @@ event_type / NULL ts rows exercise the rank-normalization coalesces and
 the left codes join; llm_unigram_tokenizer: NULL/unicode/giant docs —
 the 2KB minified token exceeds the 16-char lattice cap and the 8-char
 seed window, exercising the outside-lattice path; multi-byte chars
-exercise char-indexed substring agreement across engines).
-Next primes: 419, 421, 431.
+exercise char-indexed substring agreement across engines). Seeds
+419/421/431 clean 255/255 — four consecutive clean seeds on the
+round-14 tree; twelve consecutive since the last real find (r13 seed
+389's extreme-value wave). Next primes: 433, 439, 443.
 
 Round-7: the malformed-MEDIA payload family (truncated headers, wrong
 magic, hostile GIF length bytes, oversized declared dims) lives in
