@@ -149,9 +149,9 @@ the left codes join; llm_unigram_tokenizer: NULL/unicode/giant docs —
 the 2KB minified token exceeds the 16-char lattice cap and the 8-char
 seed window, exercising the outside-lattice path; multi-byte chars
 exercise char-indexed substring agreement across engines). Seeds
-419/421/431/433/439/443 clean 255/255 — seven consecutive clean seeds on the
-round-14 tree; fifteen consecutive since the last real find (r13 seed
-389's extreme-value wave). Next primes: 449, 457, 461.
+419/421/431/433/439/443/449 clean 255/255 — eight consecutive clean seeds on the
+round-14 tree; sixteen consecutive since the last real find (r13 seed
+389's extreme-value wave). Next primes: 457, 461, 463.
 
 Round-7: the malformed-MEDIA payload family (truncated headers, wrong
 magic, hostile GIF length bytes, oversized declared dims) lives in
