@@ -1168,10 +1168,12 @@ _UNI_EM_ROUNDS = 2
 _UNI_TOP_K = 40
 
 
-#: Memoized final relation + its persisted parents, single-slot keyed by
-#: corpus token (the _SIG_MEMO discipline from llm/dedup.py): a new
-#: sf_dir swaps the slot and unpersists the previous corpus's relations.
-_UNI_MEMO: dict[str, tuple[str, DataFrame, list]] = {}
+#: Memoized trainer relations, single-slot keyed by corpus token (the
+#: _SIG_MEMO discipline from llm/dedup.py): a new sf_dir swaps the slot
+#: and unpersists the previous corpus's relations. Tuple layout:
+#: (sf_dir, per-round output, persisted parents, final model state,
+#: corpus word vocab) — the last two feed L76's apply path.
+_UNI_MEMO: dict[str, tuple[str, DataFrame, list, DataFrame, DataFrame]] = {}
 _UNI_LOCK = threading.Lock()
 
 
@@ -1189,7 +1191,17 @@ def unigram_clear() -> None:
 def _unigram_em_round(words_capped: DataFrame, cur: DataFrame):
     """One hard-lattice EM round: expected piece counts under the
     current piece probabilities, over the ≤2-piece analysis lattice.
-    Returns the per-piece micro-count relation."""
+    Returns the per-piece micro-count relation.
+
+    z > 0 guard (ADVICE r14): floored micro-probs can be 0, so a word
+    whose EVERY analysis scores 0 yields Z = 0 — Spark 4.1 runs ANSI-on
+    by default, where ``DIV 0`` aborts the job, while DuckDB's ``// 0``
+    returns NULL. Both engines filter the Z relation to z > 0 (the
+    DuckDB twin is the ``HAVING`` in the ``zz`` CTE), dropping
+    all-zero-score words from the expected counts symmetrically; any
+    surviving word's best piece carries ≥ z/32 of its mass (≤ 16
+    analyses × ≤ 2 pieces), so e ≥ FLOOR(wf·10⁶/32) > 0 and the
+    per-round Σc normalizer can never floor to 0 either."""
     two = (
         words_capped.filter(F.length("w") >= 2)
         .select(
@@ -1219,7 +1231,11 @@ def _unigram_em_round(words_capped: DataFrame, cur: DataFrame):
         (F.col("p") * F.lit(1000000)).alias("score"),
     )
     ana = two.unionByName(one)
-    z = ana.groupBy("w").agg(F.sum("score").alias("z"))
+    z = (
+        ana.groupBy("w")
+        .agg(F.sum("score").alias("z"))
+        .filter(F.col("z") > 0)
+    )
     occ = ana.select(
         "w",
         "wf",
@@ -1291,10 +1307,22 @@ def llm_unigram_tokenizer(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus with the llm/dedup.py single-slot swap-unpersist discipline
     (vocab + model-state relations are n_docs-independent in width and
     ≤ vocab-sized in rows — trivial executor memory at any scale)."""
+    return _unigram_train(spark, sf_dir)[0]
+
+
+def _unigram_train(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """Build and memoize the unigram trainer relations (the L75 body):
+    returns (per-round top-K output, final model state ``cur_R``,
+    corpus word vocab). The vocab is PERSISTED and the ≤256-row model
+    is a LITERAL LocalRelation, so the L76 apply path plans over
+    cached/literal state — zero corpus re-scan and no EM-lineage
+    re-planning, plan-gated in tests/test_plans.py."""
     with _UNI_LOCK:
         hit = _UNI_MEMO.get("unigram")
         if hit is not None and hit[0] == sf_dir:
-            return hit[1]
+            return hit[1], hit[3], hit[4]
     documents = load_table(spark, sf_dir, "documents")
     words = (
         documents.select(
@@ -1357,13 +1385,139 @@ def llm_unigram_tokenizer(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = outs[0]
     for o in outs[1:]:
         out = out.unionByName(o)
+    # Final model state → a LITERAL LocalRelation (collect ≤ 256 rows +
+    # re-create): the broadcast-the-model idiom, control-plane by size.
+    # persist() alone is NOT enough here: a persisted plan truncates
+    # EXECUTION, but every downstream reference still carries the full
+    # EM-chain LOGICAL lineage, which physical planning re-plans per
+    # reference and AQE's onUpdatePlan renders as TEXT on every
+    # re-plan — measured OOM ("serve-Arrow" Java heap space, in
+    # QueryExecution.explainString) of a stock 1g-heap driver session
+    # at sf0.01 when the L76 apply referenced the model three times.
+    # A literal relation cuts the lineage for real; the model stays
+    # ≤ _UNI_SEED_K rows at ANY corpus scale.
+    model = spark.createDataFrame(cur.collect(), schema=cur.schema)
     with _UNI_LOCK:
         prev = _UNI_MEMO.pop("unigram", None)
         if prev is not None:
             for df in prev[2]:
                 df.unpersist(blocking=False)
-        _UNI_MEMO["unigram"] = (sf_dir, out, persisted)
-    return out
+        _UNI_MEMO["unigram"] = (sf_dir, out, persisted, model, words)
+    return out, model, words
+
+
+def llm_unigram_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L76 — unigram tokenizer application: encode the corpus with the
+    learned L75 vocabulary and report per-language compression
+    (chars/token), completing the train/apply pairing the BPE family
+    already has (L24 trains → L26 applies; L75 trained → this applies).
+    Same output envelope as L26 so the two tokenizers' corpus fit is
+    directly comparable per language.
+
+    Segmentation is Viterbi on the SAME restricted lattice the trainer
+    EM-stepped over (≤ 2 pieces, words ≤ ``_UNI_WORD_CAP`` chars): per
+    word the max-score analysis wins, score(a) = Π p(sᵢ) on the final
+    model's micro-probs (one-piece scores p·10⁶, the trainer's scale
+    alignment), total-ordered by (score DESC, n_pieces ASC, split
+    position ASC) so ties are deterministic in both engines. Words with
+    no in-vocabulary analysis — and words beyond the cap, which sit
+    outside the lattice — fall back to character pieces (n_tokens =
+    len(w)), SentencePiece's own byte/char fallback shape.
+
+    Scale shape: the corpus contributes exactly ONE pass — the
+    (lang, word, count) exchange; the lattice, best-analysis window,
+    and segmentation all run over the trainer's PERSISTED word-type
+    vocab joined to the ≤ 256-row LITERAL model state (plan-gated:
+    one FileSourceScan, an InMemoryTableScan for the vocab, no scalar
+    nested-loop totals — the Σc normalizer was already folded into the
+    literal model). The best-analysis window partitions by word type (tiny
+    groups, vocab-sized total); the final lang rollup is a map-side
+    combinable sum over ≤ vocab×langs rows. All counts are exact
+    integers; the only float is the emitted chars_per_token rounding,
+    L26's exact idiom."""
+    _, model, words = _unigram_train(spark, sf_dir)
+    documents = load_table(spark, sf_dir, "documents")
+    lang_words = (
+        documents.select(
+            "lang", F.explode(F.split(F.col("text"), " ")).alias("w")
+        )
+        .filter(F.length("w") > 0)
+        .groupBy("lang", "w")
+        .agg(F.count("*").alias("cnt"))
+    )
+    types = words.select("w")
+    two = (
+        types.filter(
+            (F.length("w") >= 2) & (F.length("w") <= _UNI_WORD_CAP)
+        )
+        .select(
+            "w",
+            F.explode(F.expr("sequence(1, length(w) - 1)")).alias("i"),
+        )
+        .select(
+            "w",
+            "i",
+            F.expr("substring(w, 1, i)").alias("pre"),
+            F.expr("substring(w, i + 1, length(w) - i)").alias("suf"),
+        )
+        .join(
+            model.select(F.col("s").alias("pre"), F.col("p").alias("pa")),
+            "pre",
+        )
+        .join(
+            model.select(F.col("s").alias("suf"), F.col("p").alias("pb")),
+            "suf",
+        )
+        .select(
+            "w",
+            (F.col("pa") * F.col("pb")).alias("score"),
+            F.lit(2).alias("n_pieces"),
+            "i",
+        )
+    )
+    one = (
+        types.filter(F.length("w") <= _UNI_WORD_CAP)
+        .join(model.select(F.col("s").alias("w"), "p"), "w")
+        .select(
+            "w",
+            (F.col("p") * F.lit(1000000)).alias("score"),
+            F.lit(1).alias("n_pieces"),
+            F.lit(0).alias("i"),
+        )
+    )
+    wbest = Window.partitionBy("w").orderBy(
+        F.desc("score"), F.asc("n_pieces"), F.asc("i")
+    )
+    best = (
+        two.unionByName(one)
+        .withColumn("rn", F.row_number().over(wbest))
+        .filter(F.col("rn") == 1)
+        .select("w", "n_pieces")
+    )
+    seg = types.join(best, "w", "left").select(
+        "w",
+        F.coalesce(F.col("n_pieces"), F.length("w")).alias("n_tokens"),
+    )
+    return (
+        lang_words.join(seg, "w")
+        .groupBy("lang")
+        .agg(
+            F.sum("cnt").alias("total_words"),
+            F.sum(F.col("cnt") * F.length("w")).alias("total_chars"),
+            F.sum(F.col("cnt") * F.col("n_tokens")).alias("total_subwords"),
+        )
+        .select(
+            "lang",
+            "total_words",
+            "total_chars",
+            "total_subwords",
+            F.round(
+                F.col("total_chars").cast("double")
+                / F.col("total_subwords").cast("double"),
+                6,
+            ).alias("chars_per_token"),
+        )
+    )
 
 
 def _unigram_ctes() -> list[str]:
@@ -1424,6 +1578,7 @@ def _unigram_ctes() -> list[str]:
         ctes.append(f"""zz{r} AS (
             SELECT w, CAST(SUM(score) AS BIGINT) AS z
             FROM ana{r} GROUP BY w
+            HAVING CAST(SUM(score) AS BIGINT) > 0
         )""")
         ctes.append(f"""occ{r} AS (
             SELECT w, wf, score,
@@ -1464,6 +1619,70 @@ def _unigram_oracle_sql() -> str:
         f"SELECT * FROM out{r}" for r in range(1, _UNI_EM_ROUNDS + 1)
     )
     return "WITH " + ",\n".join(_unigram_ctes()) + "\n" + selects
+
+
+def _unigram_apply_oracle_sql() -> str:
+    """Apply oracle (L76): re-derive the final model state from the
+    shared ``_unigram_ctes()`` chain (cur_R — so the trainer and the
+    apply can never drift), Viterbi-segment the word vocab on the same
+    ≤2-piece lattice with the same (score DESC, n_pieces ASC, i ASC)
+    total order, char-fallback for out-of-lattice words, then roll up
+    per-language compression in L26's exact envelope."""
+    mdl = f"cur{_UNI_EM_ROUNDS}"
+    ctes = _unigram_ctes()
+    ctes.append("""lang_words AS (
+            SELECT lang, w, COUNT(*) AS cnt FROM (
+                SELECT lang, unnest(string_split(text, ' ')) AS w
+                FROM documents
+            ) WHERE len(w) > 0 GROUP BY lang, w
+        )""")
+    ctes.append(f"""ap_two AS (
+            SELECT t.w, ca.p * cb.p AS score, 2 AS n_pieces, t.i
+            FROM (
+                SELECT w, CAST(i.i AS INT) AS i,
+                       substr(w, 1, CAST(i.i AS INT)) AS pre,
+                       substr(w, CAST(i.i AS INT) + 1,
+                              len(w) - CAST(i.i AS INT)) AS suf
+                FROM words,
+                     LATERAL (SELECT unnest(range(1, len(w))) AS i) i
+                WHERE len(w) BETWEEN 2 AND {_UNI_WORD_CAP}
+            ) t
+            JOIN {mdl} ca ON t.pre = ca.s
+            JOIN {mdl} cb ON t.suf = cb.s
+        )""")
+    ctes.append(f"""ap_one AS (
+            SELECT w, p * 1000000 AS score, 1 AS n_pieces, 0 AS i
+            FROM words JOIN {mdl} ON w = s
+            WHERE len(w) <= {_UNI_WORD_CAP}
+        )""")
+    ctes.append("""ap_best AS (
+            SELECT w, n_pieces FROM (
+                SELECT w, n_pieces,
+                       ROW_NUMBER() OVER (PARTITION BY w
+                           ORDER BY score DESC, n_pieces ASC, i ASC) AS rn
+                FROM (SELECT * FROM ap_two
+                      UNION ALL SELECT * FROM ap_one)
+            ) WHERE rn = 1
+        )""")
+    ctes.append("""seg AS (
+            SELECT words.w,
+                   COALESCE(ap_best.n_pieces, len(words.w)) AS n_tokens
+            FROM words LEFT JOIN ap_best ON words.w = ap_best.w
+        )""")
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + """
+        SELECT lang,
+               CAST(SUM(cnt) AS BIGINT) AS total_words,
+               CAST(SUM(cnt * len(w)) AS BIGINT) AS total_chars,
+               CAST(SUM(cnt * n_tokens) AS BIGINT) AS total_subwords,
+               ROUND(CAST(SUM(cnt * len(w)) AS DOUBLE)
+                     / CAST(SUM(cnt * n_tokens) AS DOUBLE), 6)
+                   AS chars_per_token
+        FROM lang_words JOIN seg USING (w) GROUP BY lang
+    """
+    )
 
 
 def _bpe_ctes() -> list[str]:
@@ -1575,6 +1794,7 @@ def _tokenizer_apply_oracle_sql() -> str:
 ORACLES: dict[str, str] = {
     "llm_bpe_merges": _bpe_oracle_sql(),
     "llm_unigram_tokenizer": _unigram_oracle_sql(),
+    "llm_unigram_apply": _unigram_apply_oracle_sql(),
     "llm_tokenizer_apply": _tokenizer_apply_oracle_sql(),
     "llm_eval_confusion": """
         WITH c AS (
@@ -1993,5 +2213,6 @@ QUERY_FNS = {
     "llm_eval_calibration": llm_eval_calibration,
     "llm_bpe_merges": llm_bpe_merges,
     "llm_unigram_tokenizer": llm_unigram_tokenizer,
+    "llm_unigram_apply": llm_unigram_apply,
     "llm_tokenizer_apply": llm_tokenizer_apply,
 }

@@ -36,6 +36,13 @@ RUNTIME_CONFS: dict[str, str] = {
     "spark.sql.adaptive.skewJoin.enabled": "true",
     # Arrow for all pandas UDF exchanges.
     "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # Bound plan-TEXT rendering (default is ~Int.MaxValue): AQE renders
+    # explainString on every runtime re-plan, and a deep-lineage plan's
+    # text can exceed a stock 1g driver heap — measured round 15 as a
+    # "serve-Arrow" OutOfMemoryError inside QueryExecution.explainString
+    # in a driver-shaped plain session. 32 MB is orders of magnitude
+    # above any legitimate explain while keeping the render bounded.
+    "spark.sql.maxPlanStringLength": "33554432",
 }
 
 

@@ -113,6 +113,11 @@ FLOAT_HEAVY = [
     "ts_cross_correlation",
     "llm_domain_mix_reweight",
     "sql_min_cost_supplier",
+    # round-15: the unigram apply's Viterbi pick + per-lang rollup must
+    # reproduce bit-identically when the WHOLE train+apply chain reruns
+    # under a different partition count (memo cleared between runs — the
+    # trainer's total-ordered integer EM is itself under test here)
+    "llm_unigram_apply",
 ]
 
 #: Keys whose cross-run memo (persisted signature/pair relations) must be
@@ -123,6 +128,7 @@ _MEMOIZED = {
     "llm_dedup_simhash",
     "llm_dedup_clusters",
     "llm_domain_authority",  # persisted domain/edge relations (web.py)
+    "llm_unigram_apply",  # persisted vocab/model state (text.py _UNI_MEMO)
 }
 
 

@@ -1356,3 +1356,92 @@ def test_kn_bigram_equals_python_twin(spark, tmp_path):
         n_pairs, got_bits = got[i]
         assert n_pairs == len(pairs)
         assert abs(got_bits - expect) < 2e-6, (i, got_bits, expect)
+
+
+def test_unigram_apply_equals_python_twin(spark, tmp_path):
+    """llm_unigram_apply (round-15 L76) vs a pure-Python Viterbi twin
+    running on the trainer's OWN learned model state: segment every word
+    type with the same ≤2-piece max-score rule — (score DESC, n_pieces
+    ASC, split ASC) total order — and the same char fallback for
+    out-of-lattice words (> 16 chars, or no in-vocabulary analysis),
+    then roll up per language. The integer totals must match exactly;
+    the random corpus plants both fallback classes (word lengths up to
+    20 chars over a 4-letter alphabet, so the top-256 seed prune leaves
+    genuinely uncovered words)."""
+    import random
+
+    from hive3_replication_spark.llm.dedup import clear_caches
+    from hive3_replication_spark.llm.text import (
+        _UNI_WORD_CAP,
+        _unigram_train,
+        llm_unigram_apply,
+    )
+
+    rng = random.Random(424242)
+    alphabet = "abcd"
+    rows = []
+    for i in range(40):
+        text = " ".join(
+            "".join(
+                rng.choice(alphabet) for _ in range(rng.randint(1, 20))
+            )
+            for _ in range(rng.randint(1, 12))
+        )
+        rows.append((i, ["en", "de", "zh"][i % 3], text))
+    sf_dir = str(tmp_path / "unitwin")
+    spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": [r[0] for r in rows],
+                "lang": [r[1] for r in rows],
+                "text": [r[2] for r in rows],
+            }
+        )
+    ).write.parquet(f"{sf_dir}/documents.parquet")
+
+    clear_caches()
+    _, model, _ = _unigram_train(spark, sf_dir)
+    p = {r["s"]: int(r["p"]) for r in model.collect()}
+    got = {
+        r["lang"]: (
+            r["total_words"],
+            r["total_chars"],
+            r["total_subwords"],
+        )
+        for r in llm_unigram_apply(spark, sf_dir).collect()
+    }
+    clear_caches()
+
+    def n_tokens(w: str) -> int:
+        if len(w) > _UNI_WORD_CAP:
+            return len(w)
+        best = None  # minimize (-score, n_pieces, i)
+        if w in p:
+            best = (-(p[w] * 1000000), 1, 0)
+        for i in range(1, len(w)):
+            pre, suf = w[:i], w[i:]
+            if pre in p and suf in p:
+                cand = (-(p[pre] * p[suf]), 2, i)
+                if best is None or cand < best:
+                    best = cand
+        return best[1] if best is not None else len(w)
+
+    expected: dict[str, list[int]] = {}
+    seg_cache = {w: n_tokens(w) for w in {
+        w for _, _, t in rows for w in t.split(" ") if w
+    }}
+    for _, lang, t in rows:
+        for w in t.split(" "):
+            if not w:
+                continue
+            d = expected.setdefault(lang, [0, 0, 0])
+            d[0] += 1
+            d[1] += len(w)
+            d[2] += seg_cache[w]
+    assert got == {k: tuple(v) for k, v in expected.items()}
+    # at least one word in the corpus must exercise each fallback class
+    assert any(len(w) > _UNI_WORD_CAP for w in seg_cache), "no cap fallback"
+    assert any(
+        len(w) <= _UNI_WORD_CAP and seg_cache[w] == len(w) > 2
+        for w in seg_cache
+    ), "no uncovered-word fallback"

@@ -1116,6 +1116,23 @@ def test_unigram_consumes_cached_state_only(spark):
     assert "SortMergeJoinExec" not in nodes, nodes
 
 
+def test_unigram_apply_single_corpus_pass(spark):
+    """llm_unigram_apply (round-15 L76): the apply must consume the
+    trainer's PERSISTED vocab/model state — exactly ONE corpus file
+    scan (the (lang, word) count pass), InMemoryTableScan leaves for
+    the state relations, and ZERO scalar nested-loop totals (the Σc
+    normalizer already lives inside the persisted model relation); no
+    cartesian anywhere. This is the gate the round-14 verdict asked
+    for: apply consumes cached state, never re-derives the EM chain."""
+    from hive3_replication_spark.llm.text import llm_unigram_apply
+
+    nodes = _executed_node_classes(llm_unigram_apply(spark, SF_DIR))
+    assert "InMemoryTableScanExec" in nodes, nodes
+    assert nodes.count("FileSourceScanExec") == 1, nodes
+    assert "CartesianProductExec" not in nodes, nodes
+    assert "BroadcastNestedLoopJoinExec" not in nodes, nodes
+
+
 def test_min_cost_supplier_decorrelates_broadcast_dims(spark):
     """sql_min_cost_supplier (round-13 Q2s): Catalyst must decorrelate
     the `= (SELECT MIN …)` into an aggregate joined back on p_partkey —
