@@ -55,49 +55,59 @@ def test_survey_documents_every_key():
 def test_sweep_window_pins_stalest_stamps():
     """The driver stamps the FIRST ~50 registry keys each round, so the
     front of ``_SWEEP_ORDER`` is load-bearing: it must hold exactly the
-    keys with the oldest (or missing) driver CORRECTNESS stamps. This
-    pins the round-14 window contents (VERDICT r13 asks #1/#4: the 4
-    r8-stamped scalars lead, 44 of the 49-key r9 stale block follow,
-    and the two round-14 additions complete the 50; the 5 displaced r9
-    scalar keys sit immediately behind the window, leading round 15) —
-    regenerate the expectation alongside any ``_SWEEP_ORDER``
-    rotation."""
+    keys with the oldest (or missing) driver CORRECTNESS stamps, plus —
+    new this round (ADVICE r14) — any key whose output-relevant code
+    changed AFTER its latest stamp. This pins the round-15 window
+    (VERDICT r14 ask #1: the 5 r9-stamped scalars lead; the two
+    code-touched keys ride; the round-15 addition rides; 42 of the
+    50-key r10 stale block complete the 50; the 8 displaced r10 keys
+    sit immediately behind the window, leading round 16) — regenerate
+    the expectation alongside any ``_SWEEP_ORDER`` rotation."""
     from hive3_replication_spark.registry import _SWEEP_ORDER
 
     window = list(_SWEEP_ORDER[:50])
-    # the registry's stalest stamps: the 4 r8 scalars deferred out of
-    # the round-13 window — they must LEAD (two windows stale)
-    assert window[:4] == ["fn_case_when", "fn_cast", "fn_math", "fn_split"]
-    # 44 of the 49 keys whose latest driver stamp is r9; the other 5
-    # (scalar fns — cheapest to reverify) defer to the round-15 window
-    r9 = {
-        "agg_bitmap_distinct", "agg_grouping_sets", "agg_mode",
-        "agg_quantile_sketch", "agg_skew_salted", "agg_string_agg",
-        "fn_datetime_extract", "join_interval_overlap", "llm_ann_ivf",
-        "llm_ann_index_probe", "llm_ann_lsh", "llm_chunk_rank",
-        "llm_chunk_windows", "llm_dedup_exact", "llm_dedup_minhash",
-        "llm_dedup_minhash_clusters", "llm_dedup_ngram",
-        "llm_dedup_semantic", "llm_dedup_simhash", "llm_preference_pairs",
-        "llm_serving_e2e", "llm_split_leakage_safe", "llm_text_fingerprint",
-        "llm_text_profile", "reshape_pivot", "set_union", "sort_events",
-        "sql_discount_revenue", "sql_pricing_summary", "sql_promo_revenue",
-        "stream_consistent_cut", "stream_dedup", "stream_divergence",
-        "stream_late_data", "stream_session", "stream_sliding",
-        "stream_stream_join", "ts_gap_detect", "ts_stl_decompose",
-        "win_distribution", "win_latest_per_group", "win_range_frame",
-        "win_running_sum", "win_topk_per_group",
-    }
-    assert r9 <= set(window), sorted(r9 - set(window))
-    # the two round-14 additions have no driver stamp yet — both must
-    # ride this window
-    new_r14 = {"scan_zorder", "llm_unigram_tokenizer"}
-    rest = set(window) - r9 - set(window[:4])
-    assert rest == new_r14, sorted(rest ^ new_r14)
-    assert len(window) == len(set(window)) == 50
-    # the deferred r9 scalar keys lead the round-15 rotation
-    assert list(_SWEEP_ORDER[50:55]) == [
+    # the registry's stalest stamps: the 5 r9 scalars deferred out of
+    # the round-14 window — they must LEAD (two windows stale)
+    assert window[:5] == [
         "fn_levenshtein", "fn_try_arith", "fn_concat", "fn_variant",
         "fn_date_arith",
+    ]
+    # code-touched-since-stamp override (ADVICE r14): DoReMi's +1e-7
+    # stabilizer landed after its r13 stamp; the unigram trainer's z>0
+    # ANSI guard landed after its r14 stamp
+    assert window[5:7] == [
+        "llm_domain_mix_reweight", "llm_unigram_tokenizer",
+    ]
+    # the round-15 addition has no driver stamp yet — it must ride
+    assert window[7] == "llm_unigram_apply"
+    # the remaining 42 slots hold r10-stamped keys only (the 8 cheapest
+    # r10 re-verifies defer to round 16, immediately behind the window)
+    r10 = {
+        "sql_shipmode_priority", "sql_small_quantity_revenue",
+        "sql_top_supplier", "sql_returned_items", "sql_order_priority",
+        "sql_inactive_customer_balance", "sql_waiting_supplier",
+        "sql_shipping_priority", "sql_parts_supplier_count",
+        "sql_product_profit", "sql_customer_distribution",
+        "sql_nation_volume", "sql_large_volume_customer",
+        "sql_market_share", "sql_local_supplier_volume",
+        "sql_recursive_hierarchy", "llm_shard_assign", "udf_arrow",
+        "ts_rollup_hypertable", "scan_xml", "join_range",
+        "join_skew_salted", "agg_corr", "scan_binaryfile",
+        "llm_embed_quantize", "fn_crypto_roundtrip",
+        "llm_sample_temperature", "udf_grouped_agg", "llm_mix_sources",
+        "ts_holt_winters", "llm_line_boilerplate", "llm_eval_ndcg",
+        "llm_mmr_rerank", "llm_eval_calibration", "llm_rank_fusion",
+        "llm_similarity_topk", "udf_table_udtf", "ts_retention_cohort",
+        "udf_table", "llm_doc_embed_hash", "scan_schema_evolution",
+        "llm_vocab_coverage",
+    }
+    assert set(window[8:]) == r10, sorted(set(window[8:]) ^ r10)
+    assert len(window) == len(set(window)) == 50
+    # the deferred r10 keys lead the round-16 rotation
+    assert list(_SWEEP_ORDER[50:58]) == [
+        "win_first_value", "win_ntile", "set_intersect", "ts_ohlc",
+        "ts_resample", "llm_text_entropy", "llm_text_repetition",
+        "llm_text_bigrams",
     ]
 
 
