@@ -283,6 +283,12 @@ SCALE_PROBE_KEYS = (
     # planning-dominated EM cost stays flat in data.
     "scan_zorder",
     "llm_unigram_tokenizer",
+    # round-15 operator — probed from its first round: the apply's
+    # data-proportional part is the single (lang, word) corpus count
+    # exchange; the Viterbi lattice + rollup are vocab-sized over the
+    # trainer's persisted state, so the ratio should track the corpus
+    # pass (~linear scan, sublinear wall at this size).
+    "llm_unigram_apply",
 )
 
 

@@ -1,4 +1,4 @@
-"""Z-order layout quality gates (S5d, scan_zorder): the clustered write
+"""Z-order layout quality gates (S5g, scan_zorder): the clustered write
 must yield files whose parquet min/max statistics prune on BOTH cluster
 dimensions — the property that distinguishes a z-order from a plain sort
 (a date-sorted layout prunes dates perfectly and event types not at all).
