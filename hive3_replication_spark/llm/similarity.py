@@ -825,21 +825,50 @@ def _km_dist2(x: F.Column, c: F.Column) -> F.Column:
 
 
 def _km_assign(pts: DataFrame, cent: DataFrame) -> DataFrame:
-    """Each point to its nearest centroid: corpus x broadcast centroids,
-    argmin via row_number over the unique (dist2, cluster) order."""
-    from pyspark.sql import Window
+    """Each point to its nearest centroid — argmin computed NARROWLY
+    (optimization round 15, guide §2.4): the K×dim centroid relation is
+    collapsed to a ONE-ROW sorted array and attached by broadcast, and the
+    argmin is ``array_min`` over per-centroid (d2, cluster) structs — the
+    struct ordering (d2 first, cluster tiebreak) is exactly the
+    ``orderBy("d2", "cluster")`` of the row_number formulation this
+    replaces, so the selected (cluster, d2) per point is bit-identical.
 
-    scored = pts.join(F.broadcast(cent)).select(
-        "vec_id",
-        "x",
-        "cluster",
-        _km_dist2(F.col("x"), F.col("c")).alias("d2"),
+    What this removes per Lloyd iteration: the K× row fan-out, one
+    corpus-sized ``hashpartitioning(vec_id)`` exchange, and the per-point
+    sort the window argmin paid. The corpus now never shuffles for the
+    assignment at ANY scale; the only remaining per-iteration exchange is
+    the recompute's (cluster, position) hash agg. The empty-``cent`` edge
+    keeps the old join semantics via the isNotNull filter (empty array →
+    NULL argmin → row dropped, exactly as the inner join dropped it).
+
+    The argmin is bound behind a Generate barrier (explode of a 1-element
+    array — the _shingles idiom): it feeds THREE references (the null
+    filter and both getFields), and without the barrier CollapseProject
+    inlines the K×dim distance transform into every reference — measured
+    3× the per-row distance work, which more than repaid the saved
+    exchange at fixture scale."""
+    cents = cent.agg(
+        F.array_sort(F.collect_list(F.struct("cluster", "c"))).alias("_cents")
     )
-    w = Window.partitionBy("vec_id").orderBy("d2", "cluster")
+    best = F.array_min(
+        F.transform(
+            F.col("_cents"),
+            lambda cc: F.struct(
+                _km_dist2(F.col("x"), cc.getField("c")).alias("d2"),
+                cc.getField("cluster").alias("cluster"),
+            ),
+        )
+    )
     return (
-        scored.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("vec_id", "x", "cluster", "d2")
+        pts.join(F.broadcast(cents))
+        .select("vec_id", "x", F.explode(F.array(best)).alias("_best"))
+        .filter(F.col("_best").isNotNull())
+        .select(
+            "vec_id",
+            "x",
+            F.col("_best").getField("cluster").alias("cluster"),
+            F.col("_best").getField("d2").alias("d2"),
+        )
     )
 
 

@@ -337,6 +337,33 @@ def test_kmeans_iterations_broadcast_centroids(spark):
     assert _KM_ITERS == 3
 
 
+def test_kmeans_assign_is_narrow(spark):
+    """The Lloyd assignment must be a NARROW map over the corpus: the
+    array_min argmin over the one-row broadcast centroid array (round-15
+    optimization) replaced the K× fan-out + window argmin, so the assign
+    subtree may contain no Window, no sort, and no corpus hash exchange —
+    at 100 TB the corpus never shuffles for cluster assignment. The
+    Generate barrier (explode of the 1-element argmin array) must also
+    survive: without it CollapseProject re-evaluates the K×dim distance
+    transform per downstream reference (measured 3× the per-row cost)."""
+    from pyspark.sql import functions as F
+
+    from hive3_replication_spark.catalog import load_embeddings
+    from hive3_replication_spark.llm.similarity import _km_assign
+
+    emb = load_embeddings(spark, SF_DIR)
+    pts = emb.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("x")
+    )
+    cent = pts.limit(8).select(
+        F.lit(0).cast("bigint").alias("cluster"), F.col("x").alias("c")
+    )
+    plan = _plan(_km_assign(pts, cent), "simple")
+    assert "Window" not in plan, plan
+    assert "hashpartitioning(vec_id" not in plan, plan
+    assert "Generate explode" in plan, plan
+
+
 def test_funnel_reuses_user_partitioning(spark):
     """ts_funnel: the three chained stage window-mins and the per-user
     rollup all ride ONE user_id hash-partitioning — exactly one user_id
