@@ -36,6 +36,17 @@ _NANOS_TS_COLUMNS: dict[str, tuple[str, ...]] = {
     "events": ("ts",),
 }
 
+#: Inferred-schema memo: (table path, payload mtime_ns) → StructType.
+#: Schema INFERENCE (spark.read.parquet with no schema) launches a footer-
+#: read job per call — measured ~170 ms each, and operators load 2-7 tables
+#: per invocation, which made inference the single largest fixed cost of a
+#: bench pass (round-15 measurement). Supplying the memoized schema
+#: explicitly skips that job; the memo is METADATA only (never rows or
+#: results — every query still computes from the parquet inputs), and the
+#: mtime in the key invalidates it if a table payload is ever rewritten.
+#: Non-statable paths (remote URIs) skip the memo and infer as before.
+_SCHEMA_MEMO: dict[tuple[str, int], "object"] = {}
+
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one fixture table with normalized schema.
@@ -45,10 +56,31 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     parquet scan (the ns->us conversion is a projection, so pruning of other
     columns still reaches the reader).
     """
+    import os
+
+    from pyspark.sql.types import LongType
+
     ensure_engine_confs(spark)
-    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    path = f"{sf_dir}/{name}.parquet"
+    key = None
+    try:
+        key = (path, os.stat(path).st_mtime_ns)
+    except OSError:  # remote URI / unstatable — plain inference path
+        pass
+    schema = _SCHEMA_MEMO.get(key) if key is not None else None
+    if schema is not None:
+        df = spark.read.schema(schema).parquet(path)
+    else:
+        df = spark.read.parquet(path)
+        schema = df.schema
+        if key is not None:
+            # drop stale entries for the same path before inserting
+            for k in [k for k in _SCHEMA_MEMO if k[0] == path]:
+                del _SCHEMA_MEMO[k]
+            _SCHEMA_MEMO[key] = schema
     for col in _NANOS_TS_COLUMNS.get(name, ()):
-        if dict(df.dtypes).get(col) == "bigint":
+        field = next((f for f in schema.fields if f.name == col), None)
+        if field is not None and isinstance(field.dataType, LongType):
             # integer DIV, not `/`: ns-since-epoch (~1.7e18) exceeds double's
             # 2^53 integer range, so float division would round the microsecond
             df = df.withColumn(

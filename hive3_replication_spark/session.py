@@ -49,15 +49,28 @@ RUNTIME_CONFS: dict[str, str] = {
 def ensure_engine_confs(spark: SparkSession) -> SparkSession:
     """Apply engine-required runtime confs to an existing session.
 
-    Idempotent and cheap; called from catalog.load_table so every operator
-    works even when invoked with a session the engine did not build.
-    """
+    Idempotent; called from catalog.load_table so every operator works
+    even when invoked with a session the engine did not build. The
+    applied state is remembered per Python session object (round-15
+    optimization): every load_table call otherwise paid ~2.5 ms of py4j
+    conf round-trips, which across a few hundred table loads per bench
+    pass is whole seconds of pure driver overhead. A session the engine
+    has already normalized is skipped outright; an externally built
+    wrapper object (no marker attribute) still takes the full path. The
+    engine never mutates RUNTIME_CONFS keys after normalization (and no
+    test does), so the skip cannot mask a drifted conf."""
+    if getattr(spark, "_h3r_confs_ok", False):
+        return spark
     for key, value in RUNTIME_CONFS.items():
         try:
             if spark.conf.get(key, None) != value:
                 spark.conf.set(key, value)
         except Exception:  # pragma: no cover - conf not recognized/settable
             pass
+    try:
+        spark._h3r_confs_ok = True
+    except Exception:  # pragma: no cover - frozen/slotted session object
+        pass
     return spark
 
 

@@ -1506,3 +1506,37 @@ def test_cross_correlation_equals_numpy(spark, tmp_path_factory):
                     assert abs(ccf - expect) < 2e-6, (xi, yi, lag)
                 n_checked += 1
     assert n_checked >= 14  # all three pairs x 7 lags present-ish
+
+
+def test_load_table_schema_memo_invalidates_on_rewrite(spark, tmp_path_factory):
+    """The catalog's inferred-schema memo (round-15 optimization) must
+    never serve a stale schema: rewriting a table payload at the same
+    path (new mtime) re-infers. Metadata-only memo — row contents always
+    come from the parquet files themselves."""
+    import os
+    import time
+
+    from pyspark.sql import functions as F
+
+    from hive3_replication_spark.catalog import load_table
+
+    root = str(tmp_path_factory.mktemp("schema_memo"))
+    p = f"{root}/events.parquet"
+    spark.range(5).select(
+        F.col("id").alias("event_id"), F.lit(1.0).alias("value")
+    ).write.parquet(p)
+    first = load_table(spark, root, "events")
+    assert dict(first.dtypes) == {"event_id": "bigint", "value": "double"}
+    # memo hit returns the identical schema
+    assert load_table(spark, root, "events").schema == first.schema
+    # rewrite with a different schema; dir mtime changes with the new files
+    time.sleep(0.05)
+    spark.range(3).select(
+        F.col("id").alias("event_id"),
+        F.lit("x").alias("extra"),
+        F.lit(2.0).alias("value"),
+    ).write.mode("overwrite").parquet(p)
+    os.utime(p)  # belt and braces on coarse-mtime filesystems
+    evolved = load_table(spark, root, "events")
+    assert "extra" in dict(evolved.dtypes)
+    assert evolved.count() == 3
