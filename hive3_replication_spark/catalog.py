@@ -106,6 +106,42 @@ EMB_CLEAN_SUBQUERY = (
 )
 
 
+#: Embedding dimensionality memo, keyed like _SCHEMA_MEMO on (table path,
+#: payload mtime_ns). The vector width is STRUCTURAL metadata the parquet
+#: type system simply cannot carry for list columns (a fixed-width vector
+#: space's dim is schema-level information); probing it cost one Spark job
+#: (~120 ms) per operator call, three headline operators deep (round-15
+#: measurement). Rows never enter this memo and a rewritten payload
+#: re-probes via the mtime key.
+_DIM_MEMO: dict[tuple[str, int], int] = {}
+
+
+def embedding_dim(spark: SparkSession, sf_dir: str) -> int:
+    """Dimensionality of the embeddings relation (length of the first
+    clean vector), memoized per (path, payload mtime). Consumers build
+    per-dimension expression lists from this, so it must be a driver-side
+    int; the memo makes it one probe job per dataset per process instead
+    of one per operator invocation."""
+    import os
+
+    path = f"{sf_dir}/embeddings.parquet"
+    key = None
+    try:
+        key = (path, os.stat(path).st_mtime_ns)
+    except OSError:
+        pass
+    if key is not None:
+        hit = _DIM_MEMO.get(key)
+        if hit is not None:
+            return hit
+    dim = len(load_embeddings(spark, sf_dir).select("embedding").first()[0])
+    if key is not None:
+        for k in [k for k in _DIM_MEMO if k[0] == path]:
+            del _DIM_MEMO[k]
+        _DIM_MEMO[key] = dim
+    return dim
+
+
 def load_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The embeddings relation every vector operator consumes: NULL,
     empty, and all-zero vectors are excluded at the source (one narrow

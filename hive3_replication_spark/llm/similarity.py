@@ -14,7 +14,7 @@ import threading
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..catalog import load_embeddings, load_table
+from ..catalog import embedding_dim, load_embeddings, load_table
 from ..util import scratch_dir
 
 
@@ -505,7 +505,7 @@ def llm_ann_batch(
     Full SQL oracle: same plane literals, same band packing, same
     rounded tie-broken ranking as llm_ann_lsh's."""
     emb = load_embeddings(spark, sf_dir)
-    dim = len(emb.select("embedding").first()[0])
+    dim = embedding_dim(spark, sf_dir)
     cand = _batch_candidates(emb, dim, max_bucket)
     q_emb = emb.filter(F.col("vec_id") < 10).select(
         F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
@@ -608,7 +608,7 @@ def llm_embed_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     the component aggregation exchanges carry M·K·sub_dim rows. Full SQL
     oracle replaying init → refine → assign → distortion."""
     emb = load_embeddings(spark, sf_dir)
-    dim = len(emb.select("embedding").first()[0])
+    dim = embedding_dim(spark, sf_dir)
     sub_dim = dim // _PQ_M
     sub = _pq_subvectors(emb, sub_dim)
     seed_ids = [1 + _PQ_SEED_STEP * c for c in range(_PQ_K)]
@@ -1018,7 +1018,7 @@ def llm_serving_e2e(
     (here the fixture IS the sample). Full SQL oracle replaying all three
     tiers plus the baseline."""
     emb = load_embeddings(spark, sf_dir)
-    dim = len(emb.select("embedding").first()[0])
+    dim = embedding_dim(spark, sf_dir)
     cand = _batch_candidates(emb, dim, max_bucket)
     absmax = F.array_max(
         F.transform(F.col("embedding"), lambda x: F.abs(x.cast("double")))

@@ -351,8 +351,22 @@ _TABLES = (
 
 
 def _run(spark: SparkSession, sf_dir: str, template: str) -> DataFrame:
+    # Register ONLY the tables the statement references (optimization
+    # round 15, guide §1.2 fixed costs): registering all 7 views charged
+    # every SQL key ~5 unused load_table + createOrReplaceTempView round
+    # trips. The placeholder set comes from the template itself, so a
+    # query can never see a missing view.
+    import string
+
+    needed = {
+        field
+        for _, field, _, _ in string.Formatter().parse(template)
+        if field
+    }
     names = {}
     for t in _TABLES:
+        if t not in needed:
+            continue
         view = f"h3r_sql_{t}"
         load_table(spark, sf_dir, t).createOrReplaceTempView(view)
         names[t] = view

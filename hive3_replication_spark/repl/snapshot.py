@@ -51,17 +51,100 @@ DEFAULT_VIEWS: dict[str, str] = {
 }
 
 
+def _parquet_files(path: str | Path) -> list[Path]:
+    p = Path(path)
+    return [p] if p.is_file() else [
+        f for f in p.rglob("*")
+        if f.is_file() and not f.name.startswith((".", "_"))
+    ]
+
+
 def parquet_row_count(path: str | Path) -> int:
     """Row count from parquet footers only — no Spark job, no data scan
     (the count a 100 TB verification step can afford)."""
     import pyarrow.parquet as pq
 
-    p = Path(path)
-    files = [p] if p.is_file() else [
-        f for f in p.rglob("*")
-        if f.is_file() and not f.name.startswith((".", "_"))
-    ]
-    return sum(pq.ParquetFile(f).metadata.num_rows for f in files)
+    return sum(pq.ParquetFile(f).metadata.num_rows for f in _parquet_files(path))
+
+
+def parquet_int64_max(path: str | Path, column: str) -> int | None:
+    """MAX of an int64 column from parquet row-group statistics only — the
+    same footer-only discipline as ``parquet_row_count`` (optimization
+    round 15: the bootstrap cut id was a full Spark aggregation job over
+    the just-copied event payload; int64 min/max stats are exact and
+    present in every Spark/DuckDB-written file, so the footer IS the
+    answer). Returns None — caller falls back to the Spark job — when the
+    payload has no rows or any populated row group lacks stats (e.g.
+    files written with statistics disabled)."""
+    import pyarrow.parquet as pq
+
+    best: int | None = None
+    for f in _parquet_files(path):
+        meta = pq.ParquetFile(f).metadata
+        idx = {meta.schema.column(i).name: i for i in range(meta.num_columns)}
+        if column not in idx:
+            return None
+        for rg in range(meta.num_row_groups):
+            grp = meta.row_group(rg)
+            if grp.num_rows == 0:
+                continue
+            stats = grp.column(idx[column]).statistics
+            if stats is None or not stats.has_min_max:
+                return None
+            best = stats.max if best is None else max(best, stats.max)
+    return best
+
+
+def _footer_spark_schema(path: str | Path):
+    """Spark StructType from the parquet footer, driver-side, no Spark job
+    (optimization round 15): target-catalog registration re-INFERRED every
+    loaded table's schema — one footer-read Spark job per table per load.
+    Conversion is a strict allowlist of types whose inference result is
+    unambiguous (the fixture/replication surface: ints, floats, strings,
+    booleans, dates, µs-timestamps, binary, and arrays thereof); anything
+    else — ns timestamps under the legacy long read, nested structs, maps
+    — returns None and the caller infers as before."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from pyspark.sql import types as T
+
+    _PRIM = {
+        pa.int8(): T.ByteType(), pa.int16(): T.ShortType(),
+        pa.int32(): T.IntegerType(), pa.int64(): T.LongType(),
+        pa.float32(): T.FloatType(), pa.float64(): T.DoubleType(),
+        pa.string(): T.StringType(), pa.large_string(): T.StringType(),
+        pa.bool_(): T.BooleanType(), pa.date32(): T.DateType(),
+        pa.binary(): T.BinaryType(), pa.large_binary(): T.BinaryType(),
+    }
+
+    def conv(t):
+        if t in _PRIM:
+            return _PRIM[t]
+        if isinstance(t, pa.TimestampType) and t.unit == "us":
+            # Only UTC-adjusted µs timestamps are unambiguous
+            # (TimestampType). A tz-less µs file infers as TimestampNTZ
+            # under Spark 4's inferTimestampNTZ default — conversion-
+            # ambiguous, so fall back to inference for that table.
+            return T.TimestampType() if t.tz is not None else None
+        if isinstance(t, (pa.ListType, pa.LargeListType)):
+            inner = conv(t.value_type)
+            return T.ArrayType(inner, True) if inner is not None else None
+        return None
+
+    files = _parquet_files(path)
+    if not files:
+        return None
+    arrows = [pq.ParquetFile(f).schema_arrow for f in files]
+    arrow = arrows[0]
+    if any(a != arrow for a in arrows[1:]):
+        return None  # evolved/mixed file set — inference merges, we don't
+    fields = []
+    for name in arrow.names:
+        st = conv(arrow.field(name).type)
+        if st is None:
+            return None
+        fields.append(T.StructField(name, st, True))
+    return T.StructType(fields)
 
 
 def _local_path(uri: str) -> Path | None:
@@ -310,12 +393,17 @@ def bootstrap_dump(
 
         with ThreadPoolExecutor(max_workers=min(8, len(tables))) as pool:
             list(pool.map(dump_one, tables))
-        dump_txid = (
-            spark.read.parquet(f"{staging}/{EVENTS_TABLE}")
-            .agg(F.max("event_id"))
-            .collect()[0][0]
-            or 0
-        )
+        # DUMP_TXID from parquet row-group statistics (footer-only, exact
+        # for int64 — the parquet_row_count discipline); a payload without
+        # stats falls back to the aggregation job.
+        dump_txid = parquet_int64_max(f"{staging}/{EVENTS_TABLE}", "event_id")
+        if dump_txid is None:
+            dump_txid = (
+                spark.read.parquet(f"{staging}/{EVENTS_TABLE}")
+                .agg(F.max("event_id"))
+                .collect()[0][0]
+                or 0
+            )
         dump_path = str(Path(cfg.repl_root) / cfg.db_name / f"boot_{dump_txid}")
         if not dump_path.startswith(str(cfg.repl_root)):  # beeline_functions.sh:123
             raise ValueError(f"dump path {dump_path} outside REPL_ROOT")
@@ -390,9 +478,12 @@ def register_target_catalog(
     names: dict[str, str] = {}
     for t in tables:
         vname = f"{cfg.db_name}_{t}"
-        spark.read.parquet(f"{cfg.target_root}/{t}").createOrReplaceTempView(
-            vname
-        )
+        path = f"{cfg.target_root}/{t}"
+        # footer-derived schema skips the per-table inference job
+        # (optimization round 15); ambiguous payloads infer as before
+        schema = _footer_spark_schema(path)
+        reader = spark.read.schema(schema) if schema is not None else spark.read
+        reader.parquet(path).createOrReplaceTempView(vname)
         names[t] = vname
     created: list[str] = []
     views_file = Path(dump_path) / VIEWS_FILE
