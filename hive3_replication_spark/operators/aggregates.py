@@ -865,26 +865,35 @@ def agg_count_min(spark: SparkSession, sf_dir: str) -> DataFrame:
     deterministic user_id % 15 == 0 cohort; output carries exact count,
     estimate, and the (always >= 0) overcount."""
     events = load_table(spark, sf_dir, "events")
-    keys = events.select("user_id")
-    expl = keys.withColumn(
+    # Aggregate BEFORE the d-way explode (optimization round 15, guide
+    # §2.3): the sketch counter per (row, bucket) is the sum over users of
+    # that user's event count, so folding events to per-user counts first
+    # shrinks the exploded/shuffled volume from |events|·d rows to
+    # |users|·d — same integer counters, and the probes reuse the same
+    # per-user relation instead of a second events aggregation.
+    ucnt = (
+        events.select("user_id")
+        .groupBy("user_id")
+        .agg(F.count("*").alias("exact_n"))
+    )
+    expl = ucnt.withColumn(
         "j", F.explode(F.array(*[F.lit(j) for j in range(_CM_D)]))
     )
     bucket = F.expr(
         f"((user_id % {_CM_P}) * (2*j + 3) + 7*j + 1) % {_CM_P} % {_CM_W}"
     )
     sketch = (
-        expl.select("j", bucket.alias("bucket"))
+        expl.select("j", bucket.alias("bucket"), "exact_n")
         .groupBy("j", "bucket")
-        .agg(F.count("*").alias("counter"))
+        .agg(F.sum("exact_n").alias("counter"))
     )
-    tracked = (
-        keys.filter(F.col("user_id") % 15 == 0)
-        .groupBy("user_id")
-        .agg(F.count("*").alias("exact_n"))
+    probes = (
+        ucnt.filter(F.col("user_id") % 15 == 0)
+        .withColumn(
+            "j", F.explode(F.array(*[F.lit(j) for j in range(_CM_D)]))
+        )
+        .select("user_id", "exact_n", "j", bucket.alias("bucket"))
     )
-    probes = tracked.withColumn(
-        "j", F.explode(F.array(*[F.lit(j) for j in range(_CM_D)]))
-    ).select("user_id", "exact_n", "j", bucket.alias("bucket"))
     return (
         probes.join(F.broadcast(sketch), ["j", "bucket"])
         .groupBy("user_id", "exact_n")

@@ -401,29 +401,46 @@ def merge_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("new_bal") != F.col("bal")
     )
     inserted = F.col("bal").isNull()
-    closed_rows = j.filter(changed).select(
-        "key", "bal", "version",
-        F.lit("closed").alias("row_status"),
+    # Output built in ONE pass over the joined relation (optimization
+    # round 15, guide §2.4): the previous three filter+union branches each
+    # embedded the full-outer join subtree — Catalyst does not CSE across
+    # union arms, so the join (and both scans) executed three times
+    # (plans/r15/merge_scd2_before.txt: 3 joins, 6 scans). Each joined row
+    # now emits its applicable output rows as an array of structs (closed
+    # version for changed keys, opened v2/v1 for changed/inserted, the
+    # untouched open row otherwise), exploded and null-filtered — exactly
+    # the rows the union produced, one join, two scans.
+    closed_s = F.when(
+        changed,
+        F.struct(
+            F.col("bal").cast("double").alias("bal"),
+            F.col("version").alias("version"),
+            F.lit("closed").alias("row_status"),
+        ),
     )
-    new_version = j.filter(changed | inserted).select(
-        "key",
-        F.col("new_bal").alias("bal"),
-        F.when(inserted, F.lit(1)).otherwise(F.lit(2)).cast("bigint")
-        .alias("version"),
-        F.lit("open").alias("row_status"),
+    new_s = F.when(
+        changed | inserted,
+        F.struct(
+            F.col("new_bal").cast("double").alias("bal"),
+            F.when(inserted, F.lit(1)).otherwise(F.lit(2)).cast("bigint")
+            .alias("version"),
+            F.lit("open").alias("row_status"),
+        ),
     )
-    untouched = j.filter(~changed & ~inserted).select(
-        "key", "bal", "version", F.lit("open").alias("row_status")
+    untouched_s = F.when(
+        ~changed & ~inserted,
+        F.struct(
+            F.col("bal").cast("double").alias("bal"),
+            F.col("version").alias("version"),
+            F.lit("open").alias("row_status"),
+        ),
     )
     return (
-        closed_rows.unionByName(new_version)
-        .unionByName(untouched)
-        .select(
-            "key",
-            F.col("bal").cast("double").alias("bal"),
-            "version",
-            "row_status",
+        j.select(
+            "key", F.explode(F.array(closed_s, new_s, untouched_s)).alias("r")
         )
+        .filter(F.col("r").isNotNull())
+        .select("key", "r.bal", "r.version", "r.row_status")
     )
 
 

@@ -36,6 +36,16 @@ RUNTIME_CONFS: dict[str, str] = {
     "spark.sql.adaptive.skewJoin.enabled": "true",
     # Arrow for all pandas UDF exchanges.
     "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # PySpark 4's DataFrame-debugging origin capture decorates EVERY
+    # DataFrame/Column API call with call-site enrichment: a
+    # getActiveSession, an un-cached JVM conf.get
+    # (spark.sql.stackTracesInDataFrameContext), a PySparkCurrentOrigin
+    # set/clear pair, and a Python stack walk — measured ~3-6 ms per API
+    # call, which made driver-side PLAN CONSTRUCTION rival execution for
+    # expression-dense operators (llm_cluster_kmeans: ~1.0 s of a 2.4 s
+    # run was py4j round-trips; ~2.9k per build). The feature only adds
+    # call-site lines to error messages; results are unaffected.
+    "spark.python.sql.dataFrameDebugging.enabled": "false",
     # Bound plan-TEXT rendering (default is ~Int.MaxValue): AQE renders
     # explainString on every runtime re-plan, and a deep-lineage plan's
     # text can exceed a stock 1g driver heap — measured round 15 as a
@@ -67,6 +77,19 @@ def ensure_engine_confs(spark: SparkSession) -> SparkSession:
                 spark.conf.set(key, value)
         except Exception:  # pragma: no cover - conf not recognized/settable
             pass
+    # The debugging gate above is read ONCE per Python process and cached
+    # (pyspark.errors.utils.is_debugging_enabled): on an externally built
+    # session a decorated call made before this normalization would pin
+    # the cache to True for the rest of the process, re-charging the
+    # per-call origin capture to every operator. Prime the cache to match
+    # the conf just set; best-effort (private attribute — skip silently
+    # if the layout changes).
+    try:  # pragma: no cover - exercised implicitly by every bench run
+        from pyspark.errors import utils as _perr_utils
+
+        _perr_utils._enable_debugging_cache = False
+    except Exception:
+        pass
     try:
         spark._h3r_confs_ok = True
     except Exception:  # pragma: no cover - frozen/slotted session object

@@ -1177,3 +1177,40 @@ def test_min_cost_supplier_decorrelates_broadcast_dims(spark):
     assert plan.count("FileScan") == 9, plan
     assert plan.count("BroadcastHashJoin") >= 5, plan
     assert plan.count("(r_name") >= 2, plan  # pushed EUROPE filter x2
+
+
+def test_merge_scd2_single_join(spark):
+    """merge_scd2 (round-15 optimization): the three output classes must
+    come from ONE full-outer join — the previous filter+union form
+    embedded the join subtree in every arm (Catalyst does not CSE across
+    union arms), executing the join three times and scanning customer
+    six times."""
+    from hive3_replication_spark.operators.joins import merge_scd2
+
+    plan = _plan(merge_scd2(spark, SF_DIR), "simple")
+    joins = sum(plan.count(j) for j in (
+        "SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin"
+    ))
+    assert joins == 1, plan
+    assert plan.count("FileScan") == 2, plan
+
+
+def test_count_min_aggregates_before_explode(spark):
+    """agg_count_min (round-15 optimization): events must fold to per-user
+    counts BEFORE the d-way hash-row explode, so the exploded/shuffled
+    volume is |users|·d, not |events|·d — the Generate nodes sit above
+    the user_id aggregation, never directly on the scan."""
+    from hive3_replication_spark.operators.aggregates import agg_count_min
+
+    plan = _plan(agg_count_min(spark, SF_DIR), "formatted")
+    lines = plan.splitlines()
+    # In formatted mode each Generate's detail block carries its explode
+    # plus requiredChildOutput on an "Arguments:" line — the relation
+    # being exploded must carry exact_n (the per-user count), which only
+    # exists post-aggregation, proving the fold happens before the d-way
+    # hash-row fan-out on BOTH the sketch and probe branches.
+    gen_args = [
+        l for l in lines if l.startswith("Arguments:") and "explode" in l
+    ]
+    assert len(gen_args) == 2, plan
+    assert all("exact_n" in l for l in gen_args), plan
