@@ -50,7 +50,24 @@ def incremental_dump(
     cfg.validate()
     events = load_table(spark, cfg.source_root, EVENTS_TABLE)
     delta = events.filter(F.col("event_id") > F.lit(from_txid))
-    dump_txid = delta.agg(F.max("event_id")).collect()[0][0]
+    # The dump cut id comes from parquet row-group int64 statistics when
+    # available (footer-only, exact — the bootstrap_dump discipline,
+    # optimization round 15): the global max IS the delta max whenever it
+    # exceeds from_txid, and a global max at-or-below from_txid means an
+    # empty delta. Payloads without stats fall back to the Spark job.
+    from .snapshot import parquet_int64_max
+
+    dump_txid: int | None = None
+    try:
+        dump_txid = parquet_int64_max(
+            f"{cfg.source_root}/{EVENTS_TABLE}.parquet", "event_id"
+        )
+    except OSError:  # remote/unlistable source — Spark path below
+        dump_txid = None
+    if dump_txid is None:
+        dump_txid = delta.agg(F.max("event_id")).collect()[0][0]
+    elif dump_txid <= from_txid:
+        dump_txid = None
     if dump_txid is None:
         return {"dump_path": None, "dump_txid": from_txid, "n_events": 0}
     dump_path = str(
@@ -141,9 +158,9 @@ def apply_events(
     assert this).
     """
     ensure_engine_confs(spark)
-    manifest = spark.read.schema(MANIFEST_SCHEMA).parquet(
-        f"{dump_path}/{MANIFEST_FILE}"
-    ).collect()[0]
+    from .snapshot import read_manifest_row
+
+    manifest = read_manifest_row(spark, dump_path)
     dump_txid = manifest["dump_txid"]
     wm = current_wm if current_wm is not None else -1
 

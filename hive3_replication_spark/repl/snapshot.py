@@ -330,10 +330,39 @@ def repl_status(spark: SparkSession, watermark_dir: str, db_name: str) -> int | 
     """``repl status`` (``HQL/replstatus.hql:4`` via
     ``beeline_functions.sh:3-25``): latest watermark for the db, or None if
     never replicated (the awk row-4 parse is simply a DataFrame read here —
-    SURVEY.md §3.1 engine mapping)."""
+    SURVEY.md §3.1 engine mapping).
+
+    The watermark registry is CONTROL-PLANE metadata — one row per db per
+    run, a few KB at any corpus scale — so a local registry reads
+    driver-side (optimization round 15: the Spark read+agg was one fixed
+    job per call, two calls per pipeline run). Remote/unreadable
+    registries take the Spark path unchanged."""
     ensure_engine_confs(spark)
     if not Path(watermark_dir).exists():
         return None
+    local = _local_path(watermark_dir)
+    if local is not None:
+        try:
+            import pyarrow.parquet as pq
+
+            best: tuple | None = None
+            wm: int | None = None
+            for f in _parquet_files(local):
+                for row in pq.read_table(
+                    f, columns=["db_name", "last_repl_id", "updated_ts"]
+                ).to_pylist():
+                    if row["db_name"] != db_name:
+                        continue
+                    lri = row["last_repl_id"]
+                    # max_by(last_repl_id, updated_ts); ties on updated_ts
+                    # are tie-broken toward the larger (non-NULL) watermark
+                    # — Spark's max_by tie pick is partition-order-arbitrary
+                    k = (row["updated_ts"], lri is not None, lri or 0)
+                    if best is None or k > best:
+                        best, wm = k, lri
+            return wm
+        except Exception:  # pragma: no cover — fall back to the Spark read
+            pass
     wm = (
         spark.read.schema(WATERMARK_SCHEMA).parquet(watermark_dir)
         .filter(F.col("db_name") == db_name)
@@ -341,6 +370,28 @@ def repl_status(spark: SparkSession, watermark_dir: str, db_name: str) -> int | 
         .collect()
     )
     return wm[0]["wm"] if wm else None
+
+
+def read_manifest_row(spark: SparkSession, dump_path: str) -> dict:
+    """The one-row dump manifest as a plain dict — driver-side for local
+    dumps (footer-discipline: a 1-row control file is not a Spark job's
+    worth of work; optimization round 15), Spark read elsewhere."""
+    local = _local_path(f"{dump_path}/{MANIFEST_FILE}")
+    if local is not None:
+        try:
+            import pyarrow.parquet as pq
+
+            rows = pq.read_table(local).to_pylist()
+            if len(rows) == 1:
+                return rows[0]
+        except Exception:  # pragma: no cover — fall back to the Spark read
+            pass
+    return (
+        spark.read.schema(MANIFEST_SCHEMA)
+        .parquet(f"{dump_path}/{MANIFEST_FILE}")
+        .collect()[0]
+        .asDict()
+    )
 
 
 def advance_watermark(
@@ -437,9 +488,7 @@ def bootstrap_load(
     + rerun converges (the reference instead requires manual cleanup,
     ``TODO.md`` open bug — the engine closes it)."""
     ensure_engine_confs(spark)
-    manifest = spark.read.schema(MANIFEST_SCHEMA).parquet(
-        f"{dump_path}/{MANIFEST_FILE}"
-    ).collect()[0]
+    manifest = read_manifest_row(spark, dump_path)
     # dump payloads are parquet dirs (re-encoded tables) or single parquet
     # files (byte-copied tables) — both read/copy identically; skip the
     # manifest and filesystem metadata (checksum/_SUCCESS) entries

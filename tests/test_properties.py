@@ -1540,3 +1540,31 @@ def test_load_table_schema_memo_invalidates_on_rewrite(spark, tmp_path_factory):
     evolved = load_table(spark, root, "events")
     assert "extra" in dict(evolved.dtypes)
     assert evolved.count() == 3
+
+
+def test_load_table_plan_memo_reuses_and_invalidates(spark, tmp_path_factory):
+    """The loaded-DataFrame memo (round-15 optimization) returns the
+    IDENTICAL lazy plan object on a repeat load — plan reuse is metadata
+    only (no persist; every action recomputes from the parquet files) —
+    and a payload rewrite at the same path (new mtime) yields a fresh
+    plan over the new file set, never the stale file index."""
+    import os
+    import time
+
+    from pyspark.sql import functions as F
+
+    from hive3_replication_spark.catalog import load_table
+
+    root = str(tmp_path_factory.mktemp("df_memo"))
+    p = f"{root}/orders.parquet"
+    spark.range(4).select(F.col("id").alias("o_orderkey")).write.parquet(p)
+    first = load_table(spark, root, "orders")
+    assert load_table(spark, root, "orders") is first
+    time.sleep(0.05)
+    spark.range(9).select(
+        F.col("id").alias("o_orderkey")
+    ).write.mode("overwrite").parquet(p)
+    os.utime(p)
+    again = load_table(spark, root, "orders")
+    assert again is not first
+    assert again.count() == 9
