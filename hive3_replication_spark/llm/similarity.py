@@ -1019,7 +1019,18 @@ def llm_serving_e2e(
     tiers plus the baseline."""
     emb = load_embeddings(spark, sf_dir)
     dim = embedding_dim(spark, sf_dir)
-    cand = _batch_candidates(emb, dim, max_bucket)
+    # cand feeds TWO consumers (the int8 tier join and the per-query
+    # candidate count) and Catalyst does not CSE the band-join + dedup
+    # subtree — persist the (q_id, vec_id) relation (2 longs/row,
+    # |candidates|-sized at any scale) so it computes once per invocation
+    # (optimization round 15, guide §2.4; registry-managed like the other
+    # keyed persists, so repeated invocations never leak cached relations)
+    from .dedup import _PAIR_LOCK, _swap_cache
+
+    with _PAIR_LOCK:
+        cand = _swap_cache(
+            "serving_cand", _batch_candidates(emb, dim, max_bucket)
+        )
     absmax = F.array_max(
         F.transform(F.col("embedding"), lambda x: F.abs(x.cast("double")))
     )
