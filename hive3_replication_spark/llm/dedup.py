@@ -179,7 +179,14 @@ def _corpus_shingles_locked(documents: DataFrame, token: str) -> DataFrame:
     are duplicate-insensitive — min over the per-doc DISTINCT shingle
     set equals min over the multiset — and the ngram scorer consumed
     exactly this with_size relation already. One narrow corpus pass per
-    session feeds both; ``clear_caches`` drops it with the other memos."""
+    session feeds both; ``clear_caches`` drops it with the other memos.
+
+    Storage note for the 100 TB deployment (same as the ngram scorer's
+    long-standing note): the persist is a fixture-scale memo —
+    materialized shingles run ~3× the corpus, so at warehouse scale
+    prefer recomputing the narrow tokenize+shingle map per consumer
+    (pure CPU, no shuffle) and keep only the |near-dups|-sized scored
+    pair memo across operators."""
     return _memo_sig_locked(
         "shingles_ws", token, lambda: _shingles(documents, with_size=True)
     )
