@@ -18,6 +18,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import load_embeddings, load_table
+from ..util import fan_out
 
 #: Drop blocking buckets larger than this before pairing (skew guard).
 MAX_BUCKET = 1000
@@ -76,16 +77,12 @@ def _shingles(
     instead of requiring a separate groupBy(doc_id) aggregation plus two
     |pairs|-sized joins after pair scoring.
     """
-    sess = documents.sparkSession
-    par = sess.sparkContext.defaultParallelism
     # Repartition ONLY when the scan yields fewer splits than cores (the
-    # one-big-file fixture case). At warehouse scale input splits already
-    # exceed parallelism and an unconditional repartition would round-robin
-    # the entire corpus across the network before any work happens.
-    docs = documents
-    if documents.rdd.getNumPartitions() < par:
-        docs = documents.repartition(par)
-    with_toks = docs.select(
+    # one-big-file fixture case — util.fan_out). At warehouse scale input
+    # splits already exceed parallelism and an unconditional repartition
+    # would round-robin the entire corpus across the network before any
+    # work happens.
+    with_toks = fan_out(documents).select(
         "doc_id", F.split(F.col("text"), " ").alias("toks")
     )
     toks = F.col("toks")
@@ -429,6 +426,24 @@ def _ngram_pair_jaccard_locked(
         freq.filter((F.col("df") >= 2) & (F.col("df") <= max_bucket)),
         "shingle",
     )
+    # The postings exchange is pinned to the session's configured shuffle
+    # partition count (a user repartition with an explicit N, which AQE's
+    # CoalesceShufflePartitions leaves alone; the groupBy below reuses the
+    # partitioning, so this IS the exchange, not an extra one). AQE sizes
+    # post-shuffle partitions by the exchange's INPUT bytes, but this
+    # stage's work — collect_list + the O(cap²)-bounded pair expansion —
+    # is OUTPUT-proportional (measured at sf0.1: 3.9 MB in → 20.5 MB of
+    # expanded pairs, coalesced to 3 tasks holding 4.2 s of CPU = 1.8 s
+    # of wall on a 32-core host; guide §2.5). The count comes from the
+    # shuffle-partitions conf, not the local core count, so it stays
+    # scale-adaptive on a cluster.
+    import os
+
+    n_shuf = int(
+        sh_f.sparkSession.conf.get("spark.sql.shuffle.partitions", "200")
+    )
+    if not os.environ.get("H3R_NO_PINPART"):  # A/B kill-switch
+        sh_f = sh_f.repartition(n_shuf, "shingle")
     postings = sh_f.groupBy("shingle").agg(
         F.sort_array(
             F.collect_list(F.struct("doc_id", "sz"))
@@ -1415,8 +1430,12 @@ def _sem_vectors(documents: DataFrame) -> DataFrame:
     uses, which walks a Catalyst expression per char), bit-identical in
     DuckDB via ('0x' || substr(md5(tok), 1, 8))::BIGINT. One narrow
     explode + one doc-keyed hash agg (64 conditional-sum columns,
-    partial-aggregated map-side like the MinHash signature build)."""
-    toked = documents.select(
+    partial-aggregated map-side like the MinHash signature build). The
+    corpus is fanned out first (util.fan_out — the _shingles guard): the
+    fixture corpus is one parquet split, and the md5-per-token + 64-way
+    conditional sum otherwise runs single-task (measured ~0.5 s of a
+    1-task stage at sf0.1 vs 32 idle cores)."""
+    toked = fan_out(documents).select(
         "doc_id", F.explode(F.split(F.col("text"), " ")).alias("tok")
     )
     tok_hash = F.conv(F.substring(F.md5("tok"), 1, 8), 16, 10).cast("long")
@@ -1467,12 +1486,19 @@ def llm_dedup_semantic(
 
     documents = load_table(spark, sf_dir, "documents")
     # n_docs × 64 doubles, referenced by BOTH assignment passes — one
-    # materialization instead of re-deriving the vectors per pass
-    pts = (
-        _sem_vectors(documents)
-        .select(F.col("doc_id").alias("vec_id"), "x")
-        .localCheckpoint()
-    )
+    # materialization instead of re-deriving the vectors per pass. The
+    # checkpoint is fanned out against the SCAN's split count (guide
+    # §2.5/§2.6): AQE coalesces the vector agg to one partition at
+    # fixture scale, which made the whole 2-pass Lloyd chain (the K×dim
+    # interpreted distance transform per point) run as ~1 s of
+    # single-task stages; at warehouse scale the probe sees ≥ cores
+    # splits and no exchange is added. Assignment and the quantized
+    # recompute are partition-invariant by design, so results are
+    # bit-identical.
+    pts = fan_out(
+        _sem_vectors(documents).select(F.col("doc_id").alias("vec_id"), "x"),
+        probe=documents,
+    ).localCheckpoint()
     cent = pts.filter(
         (F.col("vec_id") % SEM_STEP == 0)
         & (F.col("vec_id") <= SEM_STEP * (SEM_K - 1))

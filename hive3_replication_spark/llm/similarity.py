@@ -15,7 +15,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import embedding_dim, load_embeddings, load_table
-from ..util import scratch_dir
+from ..util import fan_out, scratch_dir
 
 
 def _dot(a: F.Column, b: F.Column) -> F.Column:
@@ -876,7 +876,16 @@ def _km_recompute(assigned: DataFrame) -> DataFrame:
     """Element-wise centroid means from QUANTIZED component sums: each
     component maps to floor(v*1e9 + 0.5) (exact double arithmetic), sums
     accumulate as int64 (associative — partitioning-independent, unlike a
-    double fold), and the mean divides once per (cluster, position)."""
+    double fold), and the mean divides once per (cluster, position).
+
+    (Round-15 A/B note: computing the dim component sums as dim aggregate
+    columns in one groupBy — the MinHash-signature idiom — removes the
+    posexplode and one Exchange per iteration, but the 64-wide array
+    constructor then nests multiplicatively through the iterated
+    assign→recompute chain and Catalyst analysis/optimization of the
+    final plan ballooned from ~0.6 s to ~3.4 s of driver time; the
+    posexplode form keeps the per-iteration expression tree opaque to
+    the next layer and measured strictly faster end-to-end.)"""
     comps = assigned.select(
         "cluster", F.posexplode(F.col("x")).alias("i", "v")
     )
@@ -926,6 +935,12 @@ def llm_cluster_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     stay one lazy plan. Empty clusters drop out of the recompute
     identically in both engines."""
     emb = load_embeddings(spark, sf_dir)
+    # (Round-15 A/B note: fanning pts out to 32 partitions — with or
+    # without a localCheckpoint — measured +0.1/+0.4 s here: at 2000
+    # fixture vectors the three ~230 ms single-task assignment stages
+    # are cheaper than the added exchanges; the corpus-sized
+    # parallelization win belongs to _sem_vectors/llm_dedup_semantic,
+    # whose corpus is 2.5× larger with far heavier per-row work.)
     pts = emb.select(
         "vec_id", F.col("embedding").cast("array<double>").alias("x")
     )

@@ -37,6 +37,38 @@ def scratch_dir(prefix: str) -> str:
     return d
 
 
+def fan_out(
+    df: DataFrame,
+    probe: DataFrame | None = None,
+    env_gate: str = "H3R_NO_FANOUT",
+) -> DataFrame:
+    """Round-robin repartition ``df`` to ``defaultParallelism`` when the
+    (scan-rooted) ``probe`` relation yields fewer partitions than cores —
+    the guard ``_shingles`` has always used, factored out (optimization
+    round 15, guide §2.5 "input skew: one huge unsplittable file …
+    repartition immediately after the read").
+
+    The fixture tables are single parquet files (one split), so without
+    this every narrow CPU-heavy map over them — tokenize/hash/distance
+    chains — runs on ONE of the 32 local cores. At warehouse scale input
+    splits exceed parallelism and this is a no-op (no exchange added);
+    results are unaffected in all the call sites (per-row maps and
+    associative integer-sum aggregations, partition-invariant by design).
+    ``probe`` defaults to ``df`` itself; pass the raw scan when ``df`` is
+    a derived relation whose partitioning AQE would otherwise collapse.
+    """
+    import os
+
+    if os.environ.get(env_gate):  # A/B kill-switch (profiling only)
+        return df
+    probe = df if probe is None else probe
+    sess = df.sparkSession
+    par = sess.sparkContext.defaultParallelism
+    if probe.rdd.getNumPartitions() < par:
+        return df.repartition(par)
+    return df
+
+
 def rows_df(
     spark: SparkSession, schema: StructType | str, rows: list[tuple]
 ) -> DataFrame:
