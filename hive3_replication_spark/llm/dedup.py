@@ -12,6 +12,7 @@ a parameter below).
 
 from __future__ import annotations
 
+import os
 import threading
 
 from pyspark.sql import DataFrame, SparkSession
@@ -295,6 +296,7 @@ def _capped_bucket_pairs(
     keys: list[str],
     max_bucket: int,
     payload: str | None = None,
+    finish=None,
 ) -> DataFrame:
     """Candidate pairs from bucket blocking with a hard skew cap: bucket
     sizes are counted first (partial-aggregated — the exchange carries
@@ -321,7 +323,19 @@ def _capped_bucket_pairs(
     scale the signature relation is too big to broadcast, so the fused
     form wins whenever candidate density is non-trivial; the payload is
     functionally dependent on doc_id, so the cross-band ``distinct`` is
-    unchanged."""
+    unchanged.
+
+    ``finish`` (optimization round 15, guide §2.3 "shuffle fewer bytes"):
+    an optional callable applied to the raw pair relation BEFORE the
+    cross-band distinct — callers move their per-pair scoring + threshold
+    here so the distinct exchange carries (doc_a, doc_b, score) for the
+    SURVIVORS only, instead of every candidate pair dragging both
+    payloads (2 × 32 longs/pair for MinHash) through the exchange into an
+    array-keyed aggregate (measured: ~5.3 s of task CPU in that one
+    stage at sf0.1). Any deterministic ``finish`` whose output rows are
+    functions of (doc_a, doc_b) commutes with the distinct — payloads are
+    functionally dependent on doc_id, so cross-band duplicate rows score
+    identically and the distinct result set is unchanged."""
     big = (
         bucketed.groupBy(*keys)
         .agg(F.count("*").alias("bsz"))
@@ -338,13 +352,15 @@ def _capped_bucket_pairs(
             F.col(f"x.{payload}").alias(f"{payload}_a"),
             F.col(f"y.{payload}").alias(f"{payload}_b"),
         ]
-    return (
+    pairs = (
         kept.alias("x")
         .join(kept.alias("y"), keys)
         .filter(F.col("x.doc_id") < F.col("y.doc_id"))
         .select(*cols)
-        .distinct()
     )
+    if finish is not None:
+        pairs = finish(pairs)
+    return pairs.distinct()
 
 
 def ngram_pair_jaccard(
@@ -437,8 +453,6 @@ def _ngram_pair_jaccard_locked(
     # of wall on a 32-core host; guide §2.5). The count comes from the
     # shuffle-partitions conf, not the local core count, so it stays
     # scale-adaptive on a cluster.
-    import os
-
     n_shuf = int(
         sh_f.sparkSession.conf.get("spark.sql.shuffle.partitions", "200")
     )
@@ -934,9 +948,14 @@ def llm_dedup_minhash(
         F.col("bb.band").alias("band"),
         F.col("bb.bucket").alias("bucket"),
     )
-    cand = _capped_bucket_pairs(
-        banded, ["band", "bucket"], max_bucket, payload="sig"
-    )
+    # The banded relation feeds THREE consumers (the bucket-size count and
+    # both self-join sides); without a barrier each AQE stage recomputes
+    # the signature aggregation from the shingle cache (measured: the sig
+    # agg map side ran twice per invocation). localCheckpoint it — the
+    # _batch_candidates idiom; n_docs × bands rows — so the sig agg and
+    # the band explode run once (alternating A/B: −0.55 s at sf0.1).
+    if not os.environ.get("H3R_NO_BANDCK"):  # A/B kill-switch
+        banded = banded.localCheckpoint()
     # component-match count via zip_with over the packed arrays — one
     # narrow expression instead of 32 column equalities (plan width, not
     # execution, was the measured cost of the column form)
@@ -949,13 +968,24 @@ def llm_dedup_minhash(
         F.lit(0),
         lambda acc, x: acc + x,
     )
-    return (
-        cand.withColumn(
-            "est_jaccard",
-            matches.cast("double") / F.lit(float(MINHASH_PERMS)),
+
+    # Score + threshold INSIDE the pairing, before the cross-band distinct
+    # (the `finish` hook, guide §2.3): the distinct exchange then carries
+    # only surviving near-dup rows of 2 longs + 1 double instead of every
+    # candidate pair dragging both packed signatures. est_jaccard is a
+    # function of the pair, so the distinct result set is unchanged.
+    def score(pairs: DataFrame) -> DataFrame:
+        return (
+            pairs.withColumn(
+                "est_jaccard",
+                matches.cast("double") / F.lit(float(MINHASH_PERMS)),
+            )
+            .filter(F.col("est_jaccard") >= 0.25)
+            .select("doc_a", "doc_b", "est_jaccard")
         )
-        .filter(F.col("est_jaccard") >= 0.25)
-        .select("doc_a", "doc_b", "est_jaccard")
+
+    return _capped_bucket_pairs(
+        banded, ["band", "bucket"], max_bucket, payload="sig", finish=score
     )
 
 
@@ -1031,14 +1061,20 @@ def llm_dedup_simhash(
         F.col("bb.band").alias("band"),
         F.col("bb.bucket").alias("bucket"),
     )
-    cand = _capped_bucket_pairs(
-        bands, ["band", "bucket"], max_bucket, payload="simhash"
-    )
     ham = F.bit_count(F.col("simhash_a").bitwiseXOR(F.col("simhash_b")))
-    return (
-        cand.withColumn("hamming", ham)
-        .filter(F.col("hamming") <= 6)
-        .select("doc_a", "doc_b", "hamming")
+
+    # Hamming filter inside the pairing, before the cross-band distinct
+    # (the `finish` hook — same §2.3 move as MinHash): the distinct
+    # dedups surviving (doc_a, doc_b, hamming) rows only.
+    def score(pairs: DataFrame) -> DataFrame:
+        return (
+            pairs.withColumn("hamming", ham)
+            .filter(F.col("hamming") <= 6)
+            .select("doc_a", "doc_b", "hamming")
+        )
+
+    return _capped_bucket_pairs(
+        bands, ["band", "bucket"], max_bucket, payload="simhash", finish=score
     )
 
 
