@@ -45,7 +45,11 @@ def llm_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     query = emb.filter(F.col("vec_id") == 0).select(
         F.col("embedding").alias("q_emb")
     )
-    scored = emb.join(F.broadcast(query)).select(
+    # corpus side fanned out (guide §2.5): the interpreted dot/norm folds
+    # are the per-row cost and the fixture scan is one split — the whole
+    # scoring pass otherwise runs single-task; the query side stays on
+    # the raw scan so its vec_id filter still pushes down.
+    scored = fan_out(emb).join(F.broadcast(query)).select(
         "vec_id",
         (
             _dot(F.col("embedding"), F.col("q_emb"))
@@ -76,7 +80,7 @@ def llm_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
     )
     scored = (
-        emb.join(F.broadcast(queries))
+        fan_out(emb).join(F.broadcast(queries))
         .filter(F.col("vec_id") != F.col("q_id"))
         .select(
             "q_id",
@@ -458,7 +462,11 @@ def _batch_candidates(
     This IS the "persist the (vec_id, bands) relation once" production
     shape the single-query LSH docstring promises; the materialized form
     is n×12 rows of two longs."""
-    banded = emb.select(
+    # fan_out (guide §2.5): the 48-plane fold is the dominant per-row cost
+    # and the fixture embeddings are one parquet split — without the
+    # spread the checkpoint materialization was a ~0.6 s single-task
+    # stage at sf0.1 (32 idle cores); a no-op at warehouse scale.
+    banded = fan_out(emb).select(
         "vec_id",
         F.explode(_band_sig(F.col("embedding"), dim)).alias("band"),
     ).localCheckpoint()
@@ -776,12 +784,18 @@ def llm_ann_rescore(spark: SparkSession, sf_dir: str) -> DataFrame:
             x.cast("double") * 127.0 / F.col("absmax") + 0.5
         ).cast("long"),
     )
-    coded = (
-        emb.select("vec_id", "embedding", absmax.alias("absmax"))
-        .filter(F.col("absmax") > 0)
-        .select("vec_id", "embedding", qcode.alias("qc"))
-    )
-    qry = coded.filter(F.col("vec_id") == 0).select(
+    def coded_over(src: DataFrame) -> DataFrame:
+        return (
+            src.select("vec_id", "embedding", absmax.alias("absmax"))
+            .filter(F.col("absmax") > 0)
+            .select("vec_id", "embedding", qcode.alias("qc"))
+        )
+
+    # corpus side fanned out BELOW the int8-code projection (guide §2.5)
+    # so the quantization + integer-dot folds parallelize; the query side
+    # derives from the raw scan, keeping its vec_id pushdown.
+    coded = coded_over(fan_out(emb))
+    qry = coded_over(emb).filter(F.col("vec_id") == 0).select(
         F.col("qc").alias("q_qc"), F.col("embedding").alias("q_emb")
     )
     int_dot = F.aggregate(
@@ -1055,12 +1069,17 @@ def llm_serving_e2e(
             x.cast("double") * 127.0 / F.col("absmax") + 0.5
         ).cast("long"),
     )
-    coded = (
-        emb.select("vec_id", "embedding", absmax.alias("absmax"))
-        .filter(F.col("absmax") > 0)
-        .select("vec_id", "embedding", qcode.alias("qc"))
-    )
-    qside = coded.filter(F.col("vec_id") < 10).select(
+    def coded_over(src: DataFrame) -> DataFrame:
+        return (
+            src.select("vec_id", "embedding", absmax.alias("absmax"))
+            .filter(F.col("absmax") > 0)
+            .select("vec_id", "embedding", qcode.alias("qc"))
+        )
+
+    # corpus-side int8 coding fanned out (guide §2.5 — the rescore split);
+    # the query side derives from the raw scan for vec_id pushdown.
+    coded = coded_over(fan_out(emb))
+    qside = coded_over(emb).filter(F.col("vec_id") < 10).select(
         F.col("vec_id").alias("q_id"),
         F.col("embedding").alias("q_emb"),
         F.col("qc").alias("q_qc"),
@@ -1103,7 +1122,7 @@ def llm_serving_e2e(
     # ground truth ranks over the UNfiltered corpus/query relations (the
     # absmax guard above applies only to the int8 code tier)
     base = (
-        emb.filter(F.col("vec_id") >= 10)
+        fan_out(emb.filter(F.col("vec_id") >= 10), probe=emb)
         .join(
             F.broadcast(
                 emb.filter(F.col("vec_id") < 10).select(

@@ -56,6 +56,13 @@ def fan_out(
     associative integer-sum aggregations, partition-invariant by design).
     ``probe`` defaults to ``df`` itself; pass the raw scan when ``df`` is
     a derived relation whose partitioning AQE would otherwise collapse.
+
+    The probe's split count is memoized per probe OBJECT: ``.rdd`` costs
+    a py4j plan conversion (~30-80 ms) per call, and probes are the
+    catalog's memoized scan plans (one immutable object per (session,
+    path, payload mtime) — a rewritten table yields a NEW object, so the
+    memo can never serve a stale count). The value holds a strong
+    reference to the probe so a collected object's id() cannot alias.
     """
     import os
 
@@ -64,9 +71,20 @@ def fan_out(
     probe = df if probe is None else probe
     sess = df.sparkSession
     par = sess.sparkContext.defaultParallelism
-    if probe.rdd.getNumPartitions() < par:
+    hit = _NPART_MEMO.get(id(probe))
+    if hit is not None:
+        nparts = hit[1]
+    else:
+        nparts = probe.rdd.getNumPartitions()
+        _NPART_MEMO[id(probe)] = (probe, nparts)
+    if nparts < par:
         return df.repartition(par)
     return df
+
+
+#: fan_out's probe-partition-count memo: id(probe) → (probe, n). See
+#: fan_out's docstring for why object identity is a safe key here.
+_NPART_MEMO: dict[int, tuple[DataFrame, int]] = {}
 
 
 def rows_df(
