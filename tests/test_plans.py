@@ -441,6 +441,53 @@ def test_minhash_pipeline_no_cartesian_no_size_blowup(spark):
     assert "mh0" not in plan
 
 
+def test_minhash_distinct_carries_scores_not_signatures(spark):
+    """Round-15 §2.3 gate: the cross-band distinct must dedupe the SCORED
+    survivor rows (doc_a, doc_b, est_jaccard — 2 longs + 1 double), never
+    the raw candidate pairs dragging both packed signatures (2×32 longs
+    per row) through an array-keyed aggregate. The formatted plan's
+    distinct exchange therefore partitions on exactly those three
+    columns and no sig_a/sig_b may appear at or above it."""
+    from hive3_replication_spark.llm.dedup import clear_caches, llm_dedup_minhash
+
+    clear_caches()
+    plan = _plan(llm_dedup_minhash(spark, SF_DIR))
+    clear_caches()
+    ex_lines = [
+        line
+        for line in plan.splitlines()
+        if "hashpartitioning(doc_a" in line
+    ]
+    assert ex_lines, plan
+    assert all("est_jaccard" in line for line in ex_lines), ex_lines
+    assert all("sig" not in line for line in ex_lines), ex_lines
+
+
+def test_ngram_postings_exchange_not_coalescable(spark):
+    """Round-15 §2.5 gate: the postings exchange (the one feeding
+    collect_list + the O(cap²) pair expansion) must be a user
+    REPARTITION_BY_NUM shuffle — AQE sizes post-shuffle partitions by
+    INPUT bytes, but this stage's work is OUTPUT-proportional, and
+    letting the coalescer shrink it to input-sized task counts measured
+    a 3-task straggler stage holding 4.2 s of CPU at sf0.1."""
+    from hive3_replication_spark.catalog import load_table
+    from hive3_replication_spark.llm.dedup import (
+        clear_caches,
+        ngram_pair_jaccard,
+    )
+
+    clear_caches()
+    docs = load_table(spark, SF_DIR, "documents")
+    plan = _plan(ngram_pair_jaccard(docs, "plan_gate_pin_probe"))
+    clear_caches()
+    pinned = [
+        line
+        for line in plan.splitlines()
+        if "hashpartitioning(shingle" in line and "REPARTITION_BY_NUM" in line
+    ]
+    assert pinned, plan
+
+
 def test_semantic_dedup_broadcast_lloyd_no_cartesian(spark):
     """llm_dedup_semantic: both Lloyd assignment passes must join the
     corpus against BROADCAST centroid relations (the corpus never
