@@ -1103,7 +1103,10 @@ def llm_dedup_embed(
     emb = load_embeddings(spark, sf_dir)
     block_sizes = emb.groupBy("label").agg(F.count("*").alias("bn"))
     keep = block_sizes.filter(F.col("bn") <= max_block).select("label")
-    emb = emb.join(keep, "label")
+    # fan_out (guide §2.5): the per-PAIR cosine folds of the within-block
+    # self-join run on the probe side's partitioning — one task over the
+    # one-split fixture scan without the spread; no-op at scale.
+    emb = fan_out(emb).join(keep, "label")
     withn = emb.select(
         "vec_id",
         "label",

@@ -31,6 +31,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import load_embeddings, load_table
+from ..util import fan_out
 from .sampling import chunk_windows_cte, llm_chunk_windows
 
 #: The fixed retrieval query (one term per BM25 component, fixed order —
@@ -229,7 +230,11 @@ def _rrf_fused(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     toks = F.split(F.col("text"), " ")
-    base = docs.select(
+    # corpus-side arms fanned out (guide §2.5, round-15 session 2): the
+    # BM25 tf expressions and the cosine folds are the per-row cost and
+    # the fixture scans are one split — both arm scans otherwise run
+    # single-task; a no-op at warehouse scale.
+    base = fan_out(docs).select(
         "doc_id",
         F.size(toks).cast("bigint").alias("dl"),
         *_bm25_tf_cols("text"),
@@ -249,7 +254,7 @@ def _rrf_fused(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("embedding").alias("q_emb")
     )
     vec_scored = (
-        emb.join(F.broadcast(query))
+        fan_out(emb).join(F.broadcast(query))
         .filter(F.col("vec_id") != 0)
         .select(
             F.col("vec_id").alias("doc_id"),
@@ -583,7 +588,7 @@ def llm_eval_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("label").alias("q_label"),
     )
     scored = (
-        emb.filter(F.col("vec_id") >= _NDCG_NQ)
+        fan_out(emb.filter(F.col("vec_id") >= _NDCG_NQ), probe=emb)
         .join(F.broadcast(qside))
         .select(
             "q_id",
