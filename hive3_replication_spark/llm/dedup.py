@@ -19,7 +19,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import load_embeddings, load_table
-from ..util import fan_out
+from ..util import expr_memo, fan_out
 
 #: Drop blocking buckets larger than this before pairing (skew guard).
 MAX_BUCKET = 1000
@@ -86,18 +86,27 @@ def _shingles(
     with_toks = fan_out(documents).select(
         "doc_id", F.split(F.col("text"), " ").alias("toks")
     )
-    toks = F.col("toks")
-    sh_array = F.when(
-        F.size(toks) >= n,
-        F.transform(
-            F.sequence(F.lit(0), F.size(toks) - n),
-            lambda i: F.concat_ws(
-                " ", *[F.element_at(toks, (i + k + 1).cast("int")) for k in range(n)]
+
+    def build_sh_array() -> F.Column:
+        toks = F.col("toks")
+        arr = F.when(
+            F.size(toks) >= n,
+            F.transform(
+                F.sequence(F.lit(0), F.size(toks) - n),
+                lambda i: F.concat_ws(
+                    " ",
+                    *[
+                        F.element_at(toks, (i + k + 1).cast("int"))
+                        for k in range(n)
+                    ],
+                ),
             ),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
-    if distinct:
-        sh_array = F.array_distinct(sh_array)
+        ).otherwise(F.array().cast("array<string>"))
+        return F.array_distinct(arr) if distinct else arr
+
+    # constant tree per (n, distinct) — ~100 ms of py4j construction,
+    # rebuilt by every shingle consumer (expr_memo: round-16 driver cut)
+    sh_array = expr_memo(("shingle_arr", n, distinct), build_sh_array)
     if with_size:
         # Generate barrier (explode of a 1-element array) binds the shingle
         # array ONCE — without it CollapseProject would inline the whole
@@ -464,7 +473,10 @@ def _ngram_pair_jaccard_locked(
         ).alias("docs")
     )
     pairs = postings.select(
-        F.explode(_pair_expand_sized(F.col("docs"))).alias("p")
+        expr_memo(
+            ("ngram_pair_explode",),
+            lambda: F.explode(_pair_expand_sized(F.col("docs"))).alias("p"),
+        )
     ).select("p.doc_a", "p.doc_b", "p.sz_a", "p.sz_b")
     inter = pairs.groupBy("doc_a", "doc_b", "sz_a", "sz_b").agg(
         F.count("*").alias("inter")
@@ -868,29 +880,39 @@ def minhash_signatures(documents: DataFrame, token: str) -> DataFrame:
         # keeps the agg input a single long per row.
         h = sh.select(
             "doc_id",
-            F.explode(
-                F.array(
-                    F.conv(F.substring(F.md5("shingle"), 1, 8), 16, 10).cast(
-                        "long"
+            expr_memo(
+                ("mh_base_hash",),
+                lambda: F.explode(
+                    F.array(
+                        F.conv(
+                            F.substring(F.md5("shingle"), 1, 8), 16, 10
+                        ).cast("long")
+                        % _MERSENNE
                     )
-                    % _MERSENNE
-                )
-            ).alias("h"),
+                ).alias("h"),
+            ),
         )
-        perm_cols = [
-            F.min((F.col("h") * _PERM_A[k] + _PERM_B[k]) % _MERSENNE).alias(
-                f"mh{k}"
-            )
-            for k in range(MINHASH_PERMS)
-        ]
+        # constant trees (module-constant coefficients), ~110 ms per build
+        perm_cols = expr_memo(
+            ("mh_perm_cols",),
+            lambda: [
+                F.min(
+                    (F.col("h") * _PERM_A[k] + _PERM_B[k]) % _MERSENNE
+                ).alias(f"mh{k}")
+                for k in range(MINHASH_PERMS)
+            ],
+        )
         return (
             h.groupBy("doc_id")
             .agg(*perm_cols)
             .select(
                 "doc_id",
-                F.array(
-                    *[F.col(f"mh{k}") for k in range(MINHASH_PERMS)]
-                ).alias("sig"),
+                expr_memo(
+                    ("mh_sig_pack",),
+                    lambda: F.array(
+                        *[F.col(f"mh{k}") for k in range(MINHASH_PERMS)]
+                    ).alias("sig"),
+                ),
             )
         )
 
@@ -927,13 +949,17 @@ def llm_dedup_minhash(
             acc = acc + t
         return acc % _MERSENNE
 
-    band_structs = [
-        F.struct(
-            F.lit(bidx).alias("band"),
-            band_bucket(bidx).alias("bucket"),
-        )
-        for bidx in range(MINHASH_BANDS)
-    ]
+    # constant trees (module-constant coefficients), ~130 ms per build
+    band_structs = expr_memo(
+        ("mh_band_structs",),
+        lambda: [
+            F.struct(
+                F.lit(bidx).alias("band"),
+                band_bucket(bidx).alias("bucket"),
+            )
+            for bidx in range(MINHASH_BANDS)
+        ],
+    )
     # one pass: explode all bands from a single projection of sig; each
     # band bucket is the SQL-expressible polynomial over the band's slice
     # of the packed signature (see _BAND_C). The packed signature rides
@@ -959,14 +985,17 @@ def llm_dedup_minhash(
     # component-match count via zip_with over the packed arrays — one
     # narrow expression instead of 32 column equalities (plan width, not
     # execution, was the measured cost of the column form)
-    matches = F.aggregate(
-        F.zip_with(
-            "sig_a",
-            "sig_b",
-            lambda x, y: F.when(x == y, 1).otherwise(0),
+    matches = expr_memo(
+        ("mh_matches",),
+        lambda: F.aggregate(
+            F.zip_with(
+                "sig_a",
+                "sig_b",
+                lambda x, y: F.when(x == y, 1).otherwise(0),
+            ),
+            F.lit(0),
+            lambda acc, x: acc + x,
         ),
-        F.lit(0),
-        lambda acc, x: acc + x,
     )
 
     # Score + threshold INSIDE the pairing, before the cross-band distinct
@@ -1007,22 +1036,32 @@ def simhash_signatures(documents: DataFrame, token: str) -> DataFrame:
             "h",
             F.conv(F.substring(F.md5("tok"), 1, 8), 16, 10).cast("long"),
         )
-        bit_sums = [
-            F.sum(
-                F.when(
-                    F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1,
-                    F.col("w"),
-                ).otherwise(-F.col("w"))
-            ).alias(f"s{b}")
-            for b in range(32)
-        ]
+        # constant trees — ~340 ms of py4j construction per build
+        bit_sums = expr_memo(
+            ("simhash_bit_sums",),
+            lambda: [
+                F.sum(
+                    F.when(
+                        F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1))
+                        == 1,
+                        F.col("w"),
+                    ).otherwise(-F.col("w"))
+                ).alias(f"s{b}")
+                for b in range(32)
+            ],
+        )
         agg = th.groupBy("doc_id").agg(*bit_sums)
         return agg.select(
             "doc_id",
-            sum(
-                F.when(F.col(f"s{b}") > 0, F.lit(1 << b)).otherwise(F.lit(0))
-                for b in range(32)
-            ).alias("simhash"),
+            expr_memo(
+                ("simhash_pack",),
+                lambda: sum(
+                    F.when(F.col(f"s{b}") > 0, F.lit(1 << b)).otherwise(
+                        F.lit(0)
+                    )
+                    for b in range(32)
+                ).alias("simhash"),
+            ),
         )
 
     return _memo_sig("simhash_sig", token, build)
@@ -1040,15 +1079,18 @@ def llm_dedup_simhash(
     a single task at corpus scale."""
     documents = load_table(spark, sf_dir, "documents")
     sim = simhash_signatures(documents, sf_dir)
-    band_structs = [
-        F.struct(
-            F.lit(bidx).alias("band"),
-            F.shiftright(F.col("simhash"), bidx * 8)
-            .bitwiseAND(F.lit(0xFF))
-            .alias("bucket"),
-        )
-        for bidx in range(4)
-    ]
+    band_structs = expr_memo(
+        ("simhash_band_structs",),
+        lambda: [
+            F.struct(
+                F.lit(bidx).alias("band"),
+                F.shiftright(F.col("simhash"), bidx * 8)
+                .bitwiseAND(F.lit(0xFF))
+                .alias("bucket"),
+            )
+            for bidx in range(4)
+        ],
+    )
     # the 64-bit signature rides the banded rows (payload="simhash") so
     # the Hamming filter needs no post-pairing joins
     bands = sim.select(
@@ -1484,18 +1526,28 @@ def _sem_vectors(documents: DataFrame) -> DataFrame:
     )
     tok_hash = F.conv(F.substring(F.md5("tok"), 1, 8), 16, 10).cast("long")
     dims = toked.select("doc_id", (tok_hash % SEM_DIMS).alias("dim"))
-    counts = [
-        F.sum(F.when(F.col("dim") == d, 1).otherwise(0))
-        .cast("double")
-        .alias(f"c{d}")
-        for d in range(SEM_DIMS)
-    ]
+    # constant trees — ~300 ms of py4j construction per build (expr_memo:
+    # round-16 driver cut)
+    counts = expr_memo(
+        ("sem_counts",),
+        lambda: [
+            F.sum(F.when(F.col("dim") == d, 1).otherwise(0))
+            .cast("double")
+            .alias(f"c{d}")
+            for d in range(SEM_DIMS)
+        ],
+    )
     return (
         dims.groupBy("doc_id")
         .agg(*counts)
         .select(
             "doc_id",
-            F.array(*[F.col(f"c{d}") for d in range(SEM_DIMS)]).alias("x"),
+            expr_memo(
+                ("sem_arr",),
+                lambda: F.array(
+                    *[F.col(f"c{d}") for d in range(SEM_DIMS)]
+                ).alias("x"),
+            ),
         )
     )
 

@@ -15,7 +15,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import embedding_dim, load_embeddings, load_table
-from ..util import fan_out, scratch_dir
+from ..util import expr_memo, fan_out, scratch_dir
 
 
 def _dot(a: F.Column, b: F.Column) -> F.Column:
@@ -306,7 +306,7 @@ def _planes(dim: int) -> list[list[float]]:
     return _PLANES_CACHE[dim]
 
 
-def _band_sig(emb: F.Column, dim: int) -> F.Column:
+def _band_sig(col_name: str, dim: int) -> F.Column:
     """12 position-keyed band values: band b packs 4 sign bits
     sign(embedding · plane_j) as ``b·16 + bits`` (LSH banding: any shared
     (position, bits) value makes a candidate — same AND-OR construction as
@@ -328,35 +328,46 @@ def _band_sig(emb: F.Column, dim: int) -> F.Column:
       CollapseProject inlines the 48-fold bits array into every consumer,
       and whole-stage codegen then compiles the ×12-unrolled fold into one
       giant janino method (~16 s of driver compile time at sf0.01).
+
+    The tree is constant per (column name, dim) — planes are seeded
+    literals — and costs ~70 ms of py4j construction per call, rebuilt by
+    every batched-LSH consumer, so it is ``expr_memo``-cached
+    (optimization round 16, guide §7.3); the signature takes the column
+    NAME so the memo key stays hashable.
     """
     import json
 
-    planes_lit = F.from_json(
-        F.lit(json.dumps(_planes(dim))), "array<array<double>>"
-    )
-    return F.transform(
-        F.sequence(F.lit(0), F.lit(_N_PLANES // _BAND_WIDTH - 1)),
-        lambda b: F.aggregate(
-            F.sequence(F.lit(0), F.lit(_BAND_WIDTH - 1)),
-            # fold starts at b: after 4 shift-ins the value is b·16 + bits
-            b,
-            lambda acc, k: acc * 2
-            + (
-                F.aggregate(
-                    F.zip_with(
-                        emb,
-                        F.element_at(
-                            planes_lit, (b * _BAND_WIDTH + k + 1).cast("int")
+    def build() -> F.Column:
+        emb = F.col(col_name)
+        planes_lit = F.from_json(
+            F.lit(json.dumps(_planes(dim))), "array<array<double>>"
+        )
+        return F.transform(
+            F.sequence(F.lit(0), F.lit(_N_PLANES // _BAND_WIDTH - 1)),
+            lambda b: F.aggregate(
+                F.sequence(F.lit(0), F.lit(_BAND_WIDTH - 1)),
+                # fold starts at b: after 4 shift-ins the value is b·16 + bits
+                b,
+                lambda acc, k: acc * 2
+                + (
+                    F.aggregate(
+                        F.zip_with(
+                            emb,
+                            F.element_at(
+                                planes_lit,
+                                (b * _BAND_WIDTH + k + 1).cast("int"),
+                            ),
+                            lambda x, h: x.cast("double") * h,
                         ),
-                        lambda x, h: x.cast("double") * h,
-                    ),
-                    F.lit(0.0),
-                    lambda a, x: a + x,
-                )
-                > 0
-            ).cast("int"),
-        ),
-    )
+                        F.lit(0.0),
+                        lambda a, x: a + x,
+                    )
+                    > 0
+                ).cast("int"),
+            ),
+        )
+
+    return expr_memo(("band_sig", col_name, dim), build)
 
 
 def _band_sig_local(vec: list[float]) -> list[int]:
@@ -422,7 +433,7 @@ def llm_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     q_norm = acc**0.5
     scored = (
         emb.filter(F.col("vec_id") != 0)
-        .withColumn("bands", _band_sig(F.col("embedding"), dim))
+        .withColumn("bands", _band_sig("embedding", dim))
         .filter(F.arrays_overlap(F.col("bands"), F.lit(q_bands)))
         .select(
             "vec_id",
@@ -468,7 +479,7 @@ def _batch_candidates(
     # stage at sf0.1 (32 idle cores); a no-op at warehouse scale.
     banded = fan_out(emb).select(
         "vec_id",
-        F.explode(_band_sig(F.col("embedding"), dim)).alias("band"),
+        F.explode(_band_sig("embedding", dim)).alias("band"),
     ).localCheckpoint()
     q_bands = banded.filter(F.col("vec_id") < 10).select(
         F.col("vec_id").alias("q_id"), "band"
@@ -860,18 +871,31 @@ def _km_assign(pts: DataFrame, cent: DataFrame) -> DataFrame:
     filter and both getFields), and without the barrier CollapseProject
     inlines the K×dim distance transform into every reference — measured
     3× the per-row distance work, which more than repaid the saved
-    exchange at fixture scale."""
+    exchange at fixture scale.
+
+    Both expression trees are constant (fixed column names, no runtime
+    data) and rebuilt per Lloyd iteration — the argmin tree alone costs
+    ~45 ms of py4j construction — so they are ``expr_memo``-cached
+    (optimization round 16, guide §7.3 driver fixed costs)."""
     cents = cent.agg(
-        F.array_sort(F.collect_list(F.struct("cluster", "c"))).alias("_cents")
-    )
-    best = F.array_min(
-        F.transform(
-            F.col("_cents"),
-            lambda cc: F.struct(
-                _km_dist2(F.col("x"), cc.getField("c")).alias("d2"),
-                cc.getField("cluster").alias("cluster"),
-            ),
+        expr_memo(
+            ("km_cents_agg",),
+            lambda: F.array_sort(
+                F.collect_list(F.struct("cluster", "c"))
+            ).alias("_cents"),
         )
+    )
+    best = expr_memo(
+        ("km_best",),
+        lambda: F.array_min(
+            F.transform(
+                F.col("_cents"),
+                lambda cc: F.struct(
+                    _km_dist2(F.col("x"), cc.getField("c")).alias("d2"),
+                    cc.getField("cluster").alias("cluster"),
+                ),
+            )
+        ),
     )
     return (
         pts.join(F.broadcast(cents))
@@ -899,33 +923,47 @@ def _km_recompute(assigned: DataFrame) -> DataFrame:
     assign→recompute chain and Catalyst analysis/optimization of the
     final plan ballooned from ~0.6 s to ~3.4 s of driver time; the
     posexplode form keeps the per-iteration expression tree opaque to
-    the next layer and measured strictly faster end-to-end.)"""
+    the next layer and measured strictly faster end-to-end.)
+
+    Dataset-chain fusion (optimization round 16, guide §7.3): the mean
+    projection is computed INSIDE the second aggregate's collect_list
+    struct and the array regroup INSIDE the same agg expression, so the
+    chain is 3 eagerly-analyzed Datasets instead of 5 — each creation
+    costs ~7-15 ms of JVM analysis and the recompute runs per Lloyd
+    iteration. Values are unchanged: the struct sorts by (i, m) with i
+    unique per cluster, identical order to the old (i, m) collect."""
     comps = assigned.select(
         "cluster", F.posexplode(F.col("x")).alias("i", "v")
     )
-    return (
-        comps.groupBy("cluster", "i")
-        .agg(
-            F.sum(
+    sums = comps.groupBy("cluster", "i").agg(
+        expr_memo(
+            ("km_sq",),
+            lambda: F.sum(
                 F.floor(F.col("v") * _KM_CQ + F.lit(0.5)).cast("bigint")
             ).alias("sq"),
-            F.count("*").alias("n"),
-        )
-        .select(
-            "cluster",
-            "i",
-            ((F.col("sq").cast("double") / F.col("n").cast("double"))
-             / F.lit(_KM_CQ)).alias("m"),
-        )
-        .groupBy("cluster")
-        .agg(
-            F.array_sort(
-                F.collect_list(F.struct(F.col("i"), F.col("m")))
-            ).alias("pairs")
-        )
-        .select(
-            "cluster",
-            F.transform(F.col("pairs"), lambda p: p.getField("m")).alias("c"),
+        ),
+        expr_memo(("km_n",), lambda: F.count("*").alias("n")),
+    )
+    return sums.groupBy("cluster").agg(
+        expr_memo(
+            ("km_regroup",),
+            lambda: F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct(
+                            F.col("i"),
+                            (
+                                (
+                                    F.col("sq").cast("double")
+                                    / F.col("n").cast("double")
+                                )
+                                / F.lit(_KM_CQ)
+                            ).alias("m"),
+                        )
+                    )
+                ),
+                lambda p: p.getField("m"),
+            ).alias("c"),
         )
     )
 

@@ -87,6 +87,39 @@ def fan_out(
 _NPART_MEMO: dict[int, tuple[DataFrame, int]] = {}
 
 
+#: Constant Column-expression-tree memo (optimization round 16, guide
+#: §1.2/§7.3 driver fixed costs). See ``expr_memo``.
+_EXPR_MEMO: dict[tuple, object] = {}
+
+
+def expr_memo(key: tuple, build):
+    """Memoize a DATA-INDEPENDENT Column expression tree per process.
+
+    A PySpark Column is an immutable UNRESOLVED expression tree; query
+    analysis copies it (transform* returns new node instances), so one
+    tree can be referenced by any number of plans and re-resolves cleanly
+    in each. Building the engine's big HOF trees costs real driver time
+    in py4j round-trips — measured per call on this host: the 48-plane
+    LSH fold ~70 ms, the 32 MinHash permutation minima ~110 ms + band
+    buckets ~130 ms, the 64 hashing-trick conditional sums ~100-300 ms,
+    the k-means argmin ~45 ms — and the hot operators rebuild them on
+    EVERY invocation (kmeans three times per run). The memo pays the
+    construction once per process. METADATA only: nothing here touches
+    rows, results, or runtime values — only trees built purely from
+    module constants and fixed column names may be memoized (never a
+    tree embedding query-specific data such as a collected vector).
+
+    The tree holds py4j references into the driver JVM, which is
+    per-process and outlives any individual SparkSession, so entries
+    stay valid across session stop/start within one process. The memo is
+    bounded by the number of distinct builder sites (a few dozen keys).
+    """
+    hit = _EXPR_MEMO.get(key)
+    if hit is None:
+        hit = _EXPR_MEMO[key] = build()
+    return hit
+
+
 def rows_df(
     spark: SparkSession, schema: StructType | str, rows: list[tuple]
 ) -> DataFrame:
